@@ -1,0 +1,482 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** One declared query: a DataFrame program plus (when expressible) the
+  * equivalent ANSI SQL for the driver's DuckDB oracle. Column names are
+  * aliased identically on both sides (the driver sorts columns by name
+  * before hashing values).
+  *
+  * Determinism rules (SURVEY.md §5.4):
+  *  - every query ends in an explicit orderBy over a unique key set;
+  *  - sums over doubles go through decimal casts (exact, order-independent)
+  *    or per-row double math cast to decimal — never a raw double SUM,
+  *    whose value depends on partition order;
+  *  - averages are computed as cast(sum_decimal as double)/count so both
+  *    engines perform the identical IEEE division.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+/** Core relational operators (SURVEY.md §2.b): scan, project/filter,
+  * joins (inner/semi/anti/outer), aggregation, rollup/cube, windows,
+  * sort/limit/top-k, set ops, string/date/math/json functions.
+  */
+object Relational {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** TPC-H Q1-shaped pricing summary: scan → filter → hash aggregate.
+    * At scale: single shuffle on low-cardinality keys, map-side partial
+    * aggregation; filter + 7-column pruning pushed to the parquet scan.
+    */
+  val q01PricingSummary = Q(
+    "q01_pricing_summary",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity".cast("decimal(12,2)")).as("sum_qty"),
+          sum($"l_extendedprice".cast("decimal(12,2)")).as("sum_base_price"),
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast("decimal(18,4)")).as("sum_disc_price"),
+          // scale 6, not 4: the true per-row value price*(1-d)*(1+t) has
+          // exactly 6 decimal digits, so a scale-6 cast recovers it exactly
+          // from the double in both engines; scale 4 would force a genuine
+          // rounding step whose half-way behavior is engine-specific.
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))
+            .cast("decimal(22,6)")).as("sum_charge"),
+          (sum($"l_quantity".cast("decimal(12,2)")).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
+             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+             sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(22,6))) AS sum_charge,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """.trim),
+    headline = true)
+
+  /** Projection + predicate: both must reach the parquet scan
+    * (PushedFilters / 4-column ReadSchema in `.explain`).
+    */
+  val q02FilterProject = Q(
+    "q02_filter_project",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1995-04-01").cast("timestamp") &&
+          $"l_discount" > lit(0.05))
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
+        AND l_discount > 0.05
+      ORDER BY l_orderkey, l_linenumber
+    """.trim))
+
+  /** Multi-way join + aggregate (TPC-H Q5 shape). nation/region are tiny
+    * dimensions → broadcast; the fact-side joins shuffle on their keys and
+    * AQE picks broadcast for the small build sides at runtime.
+    */
+  val q03RevenueByNation = Q(
+    "q03_revenue_by_nation",
+    (s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val nat = broadcast(t(s, dir, "nation"))
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .join(nat, $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast("decimal(18,4)")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"revenue".desc, $"n_name")
+    },
+    Some("""
+      SELECT n_name,
+             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name
+    """.trim),
+    headline = true)
+
+  /** Left-semi join (SQL EXISTS): customers that placed at least one
+    * urgent order. Semi joins shuffle only the keys of the right side.
+    */
+  val q04SemiJoin = Q(
+    "q04_semi_join",
+    (s, dir) => {
+      import s.implicits._
+      val urgent = t(s, dir, "orders").filter($"o_orderpriority" === "1-URGENT")
+      t(s, dir, "customer")
+        .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey
+    """.trim))
+
+  /** Left-anti join (SQL NOT EXISTS): customers with no orders at all —
+    * the same primitive that backs insert-ignore-duplicates (SURVEY O12).
+    */
+  val q05AntiJoin = Q(
+    "q05_anti_join",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      ORDER BY c_custkey
+    """.trim))
+
+  /** Left-outer join + aggregate: order count per customer including
+    * zero-order customers (count over the null-extended side).
+    */
+  val q06OuterJoinCounts = Q(
+    "q06_outer_join_counts",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(
+          count($"o_orderkey").as("n_orders"),
+          sum($"o_totalprice".cast("decimal(14,2)")).as("sum_price"))
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, count(o_orderkey) AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(14,2))) AS sum_price
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+      ORDER BY c_custkey
+    """.trim))
+
+  /** Global top-k: orderBy + limit compiles to TakeOrderedAndProject —
+    * a per-partition top-k then a k-row driver merge, no full sort.
+    */
+  val q07TopK = Q(
+    "q07_topk_orders",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 10
+    """.trim))
+
+  /** Ranking window: top-3 orders per customer. One shuffle on the
+    * partition key; rank filter applied post-window.
+    */
+  val q08WindowTopNPerKey = Q(
+    "q08_window_topn",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+        .orderBy($"o_custkey", $"rn")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rn
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders)
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn
+    """.trim))
+
+  /** Running-total window (frame = unbounded preceding .. current row).
+    * Decimal accumulation keeps the running sum exact and
+    * order-independent across engines.
+    */
+  val q09RunningTotal = Q(
+    "q09_running_total",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .filter($"l_orderkey" <= 200)
+        .withColumn("running_qty",
+          sum($"l_quantity".cast("decimal(12,2)")).over(w))
+        .select($"l_orderkey", $"l_linenumber", $"running_qty")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             sum(CAST(l_quantity AS DECIMAL(12,2)))
+               OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+      FROM lineitem
+      WHERE l_orderkey <= 200
+      ORDER BY l_orderkey, l_linenumber
+    """.trim))
+
+  /** ROLLUP grouping sets. NULLS FIRST is explicit on both sides —
+    * Spark defaults nulls-first ASC, DuckDB defaults nulls-last.
+    */
+  val q10Rollup = Q(
+    "q10_rollup",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast("decimal(12,2)")).as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """.trim))
+
+  /** CUBE grouping sets over orders. */
+  val q11Cube = Q(
+    "q11_cube",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(14,2)")).as("sum_price"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(14,2))) AS sum_price
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """.trim))
+
+  /** Set operations: INTERSECT and EXCEPT (both set-semantics distinct). */
+  val q12SetOps = Q(
+    "q12_set_ops",
+    (s, dir) => {
+      import s.implicits._
+      val ord = t(s, dir, "orders")
+      val fCust = ord.filter($"o_orderstatus" === "F").select($"o_custkey")
+      val oCust = ord.filter($"o_orderstatus" === "O").select($"o_custkey")
+      fCust.intersect(oCust)
+        .withColumn("src", lit("both"))
+        .unionByName(fCust.except(oCust).withColumn("src", lit("f_only")))
+        .orderBy($"src", $"o_custkey")
+    },
+    Some("""
+      SELECT o_custkey, 'both' AS src FROM
+        (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      UNION ALL
+      SELECT o_custkey, 'f_only' AS src FROM
+        (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      ORDER BY src, o_custkey
+    """.trim))
+
+  /** DISTINCT aggregation: count(distinct) expands to a two-phase
+    * aggregate in Spark; exact (not approx) to match the oracle.
+    */
+  val q13DistinctAgg = Q(
+    "q13_distinct_agg",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          countDistinct($"o_custkey").as("n_cust"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+             count(*) AS n_orders
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """.trim))
+
+  /** String functions — the reference's table-name derivation (SURVEY O3,
+    * data-query.py:62-68: strip extension, sanitize to [a-zA-Z0-9_],
+    * lowercase) and path-based operation routing (O4, data-query.py:212-229)
+    * expressed as pure column expressions over synthesized file paths.
+    */
+  val q14StringFns = Q(
+    "q14_string_fns",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("file_name",
+          concat(lit("Report "), $"source", lit("-"), $"lang", lit(".Final.csv")))
+        .withColumn("path", concat(
+          when($"doc_id" % 3 === 0, "insert")
+            .when($"doc_id" % 3 === 1, "update").otherwise("delete"),
+          lit("/"), $"file_name"))
+        .withColumn("operation", element_at(split($"path", "/"), 1))
+        .withColumn("table_name",
+          lower(regexp_replace(
+            regexp_replace($"file_name", "\\.[^.]*$", ""),
+            "[^a-zA-Z0-9_]", "_")))
+        .filter($"operation".isin("insert", "update", "delete"))
+        .select($"doc_id", $"path", $"operation", $"table_name")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               'Report ' || source || '-' || lang || '.Final.csv' AS file_name,
+               CASE WHEN doc_id % 3 = 0 THEN 'insert'
+                    WHEN doc_id % 3 = 1 THEN 'update'
+                    ELSE 'delete' END
+                 || '/' || 'Report ' || source || '-' || lang || '.Final.csv' AS path
+        FROM documents)
+      SELECT doc_id, path, string_split(path, '/')[1] AS operation,
+             lower(regexp_replace(regexp_replace(file_name, '\.[^.]*$', ''),
+                                  '[^a-zA-Z0-9_]', '_', 'g')) AS table_name
+      FROM f
+      WHERE string_split(path, '/')[1] IN ('insert', 'update', 'delete')
+      ORDER BY doc_id
+    """.trim))
+
+  /** Date/time functions: truncation to month, extraction, ISO-8601
+    * formatting at the notification edge (SURVEY §1.2).
+    */
+  val q15DateFns = Q(
+    "q15_date_fns",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy(
+          year($"o_orderdate").cast("long").as("y"),
+          month($"o_orderdate").cast("long").as("m"))
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(14,2)")).as("sum_price"))
+        .orderBy($"y", $"m")
+    },
+    Some("""
+      SELECT EXTRACT(year FROM o_orderdate) AS y,
+             EXTRACT(month FROM o_orderdate) AS m,
+             count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(14,2))) AS sum_price
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY y, m
+    """.trim))
+
+  /** JSON extraction (SURVEY O18's from_json/decode path, minus the
+    * base64 layer exercised in unit tests): pull a typed field out of the
+    * events.props JSON payload.
+    */
+  val q16JsonFns = Q(
+    "q16_json_fns",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"k").as("sum_k"),
+          max($"k").as("max_k"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """.trim))
+
+  /** CASE expressions + arithmetic bucketing. */
+  val q17CaseMath = Q(
+    "q17_case_math",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .withColumn("bucket",
+          when($"l_quantity" < 10, "low")
+            .when($"l_quantity" < 25, "mid")
+            .otherwise("high"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_extendedprice".cast("decimal(14,2)")).as("sum_price"))
+        .orderBy($"bucket")
+    },
+    Some("""
+      SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                  WHEN l_quantity < 25 THEN 'mid'
+                  ELSE 'high' END AS bucket,
+             count(*) AS n,
+             sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_price
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY bucket
+    """.trim))
+
+  val all: Seq[Q] = Seq(
+    q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
+    q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
+    q09RunningTotal, q10Rollup, q11Cube, q12SetOps, q13DistinctAgg,
+    q14StringFns, q15DateFns, q16JsonFns, q17CaseMath)
+}
