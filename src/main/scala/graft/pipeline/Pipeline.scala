@@ -1,0 +1,223 @@
+package graft.pipeline
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+import graft.model._
+import graft.notify.Notifier
+import graft.ops.{MutationOps, PathOps}
+
+/** The three execution paths of the reference collapsed into Spark jobs
+  * (SURVEY §3): E1 file arrival → register + approval request; E3
+  * approval → apply insert/upsert/stage-delete + result notification;
+  * E4 scheduled execution of staged deletes.
+  *
+  * All orchestration (guards, dispatch, control-row updates) runs on the
+  * driver, mirroring the reference's single-threaded Cloud Functions;
+  * all data movement is distributed DataFrame work.
+  *
+  * @param landingRoot directory standing in for the GCS bucket: CSVs
+  *   land under `landingRoot/<bucket>/<operation>/<file>.csv`.
+  */
+final class Pipeline(
+    spark: SparkSession,
+    val catalog: Catalog,
+    notifier: Notifier,
+    landingRoot: String,
+    approver: String = "owner@example.com") {
+
+  val ControlTable = "processed_files"
+  val DeleteControlTable = "delete_control"
+
+  private def nowIso(): String = Instant.now().toString
+
+  private def ensureControlTables(): Unit = {
+    catalog.createIfAbsent(ControlTable, ProcessedFile.schema)
+    catalog.createIfAbsent(DeleteControlTable, DeleteControl.schema)
+  }
+
+  // ---------------------------------------------------------------- E1
+
+  /** data-query.py:199-239 — register one object-arrival event, version
+    * it, and request approval. Returns the assigned version, or None
+    * when the path is filtered out (folder markers, unknown operation).
+    */
+  def registerArrival(ev: FileEvent): Option[Long] = {
+    ensureControlTables()
+    if (ev.name.endsWith("/")) return None // folder creation event
+    val segments = ev.name.split("/").filter(_.nonEmpty)
+    if (segments.length < 2) return None
+    val operation = segments.head.toLowerCase
+    if (!Operation.all.contains(operation)) return None
+    val fileName = segments.last
+    val tableName = PathOps.deriveTableName(fileName)
+    val version = PathOps.nextVersion(
+      catalog.read(ControlTable).filter(col("operation") === operation),
+      fileName)
+    import spark.implicits._
+    val row = Seq(ProcessedFile(fileName, ev.id, version,
+      is_processed = false, ev.bucket, operation, Status.Pending, None)).toDF()
+    catalog.append(ControlTable, row)
+    val ts = nowIso()
+    notifier.requestApproval(approver, operation, tableName,
+      fileName, ev.id, ev.bucket, version, ts,
+      approveUrl = s"https://approvals.local/?event_id=${ev.id}&action=approve",
+      rejectUrl = s"https://approvals.local/?event_id=${ev.id}&action=reject")
+    Some(version)
+  }
+
+  // ---------------------------------------------------------------- E3
+
+  /** process-pipeline.py:436-532 — the approval state machine. */
+  def processApproval(ev: ApprovalEvent): Unit = {
+    ensureControlTables()
+    if (ev.event_id == null || ev.event_id.isEmpty ||
+        ev.action == null || ev.action.isEmpty) return
+    if (alreadyProcessed(ev.event_id)) return // idempotency (O8)
+    val approvalTs = ev.approval_timestamp.filter(_.nonEmpty).getOrElse(nowIso())
+    ev.action.toLowerCase match {
+      case "approve" =>
+        if (Seq(ev.file_name, ev.bucket, ev.table_name, ev.operation)
+            .exists(v => v == null || v.isEmpty)) {
+          markControl(ev.event_id, Status.Failed, approvalTs)
+          return
+        }
+        try {
+          applyOperation(ev.operation.toLowerCase, ev.bucket, ev.file_name,
+            ev.table_name, ev.event_id, approvalTs)
+          markControl(ev.event_id, Status.Approved, approvalTs)
+          notifier.reportResult(approver, ev.operation, ev.table_name,
+            ev.file_name, ev.event_id, ev.bucket, success = true,
+            "Operation completed successfully", approvalTs)
+        } catch {
+          case e: Exception =>
+            markControl(ev.event_id, Status.Failed, approvalTs)
+            notifier.reportResult(approver, ev.operation, ev.table_name,
+              ev.file_name, ev.event_id, ev.bucket, success = false,
+              s"Operation failed: ${e.getMessage}", approvalTs)
+        }
+      case "reject" =>
+        markControl(ev.event_id, Status.Rejected, approvalTs)
+      case _ => () // unknown action: logged & dropped (process-pipeline.py:469-471)
+    }
+  }
+
+  /** O8 — any error reading the control table is treated as "not yet
+    * processed" (process-pipeline.py:97-99; a preserved reference quirk).
+    */
+  def alreadyProcessed(eventId: String): Boolean =
+    try {
+      !catalog.read(ControlTable)
+        .filter(col("event_id") === eventId && col("is_processed"))
+        .limit(1).isEmpty
+    } catch { case _: Exception => false }
+
+  private def markControl(eventId: String, status: String, ts: String): Unit = {
+    val ctrl = catalog.read(ControlTable)
+    val hit = col("event_id") === eventId
+    catalog.overwrite(ControlTable, ctrl
+      .withColumn("status", when(hit, lit(status)).otherwise(col("status")))
+      .withColumn("is_processed", when(hit, lit(true)).otherwise(col("is_processed")))
+      .withColumn("approval_timestamp",
+        when(hit, lit(ts).cast("timestamp")).otherwise(col("approval_timestamp"))))
+  }
+
+  /** O1 — CSV scan with validation: header-only schema, all strings;
+    * empty or headerless files raise (process-pipeline.py:334-337,
+    * Spark would otherwise return an empty frame silently).
+    */
+  def readLandedCsv(bucket: String, objectPath: String): DataFrame = {
+    val path = s"$landingRoot/$bucket/$objectPath"
+    val df = spark.read.option("header", "true").csv(path)
+    if (df.columns.isEmpty || df.columns.forall(_.startsWith("_c")))
+      throw new IllegalArgumentException("CSV file is empty or invalid")
+    df
+  }
+
+  /** O17 dispatch (+O9 DDL for non-delete) — process-pipeline.py:317-364. */
+  private def applyOperation(operation: String, bucket: String,
+      objectPath: String, tableName: String, eventId: String,
+      approvalTs: String): Unit = {
+    val data = readLandedCsv(bucket, objectPath)
+    if (data.isEmpty)
+      throw new IllegalArgumentException("CSV file contains no data rows")
+    val ordered = data.columns.toSeq // header order = batch order (O2)
+    // in-batch order: the reference applies rows in file order; tag it
+    // before any shuffle so keep-first/keep-last dedup stays file-ordered
+    val withOrd = data.withColumn("__ord", monotonically_increasing_id())
+    if (operation != Operation.Delete)
+      catalog.createIfAbsent(tableName, catalog.allStringSchema(ordered))
+    val pks = catalog.primaryKey(tableName)
+    operation match {
+      case Operation.Insert =>
+        val merged = MutationOps.insertIgnoreDups(
+          catalog.read(tableName), withOrd.select((ordered :+ "__ord").map(col): _*),
+          pks, col("__ord")).drop("__ord")
+        catalog.overwrite(tableName, merged.select(ordered.map(col): _*))
+      case Operation.Update =>
+        val merged = MutationOps.upsertByPk(
+          catalog.read(tableName), withOrd, pks, col("__ord"))
+        catalog.overwrite(tableName, merged.select(ordered.map(col): _*))
+      case Operation.Delete =>
+        val base = PathOps.maxQueryId(catalog.read(DeleteControlTable))
+        val staged = MutationOps.stageDeletes(
+          catalog.read(DeleteControlTable), withOrd, tableName,
+          if (pks.nonEmpty) pks else ordered.filterNot(_ == "__ord"),
+          eventId, base, lit(approvalTs), col("__ord"))
+        catalog.append(DeleteControlTable, staged)
+      case other =>
+        throw new IllegalArgumentException(s"Unknown operation: $other")
+    }
+  }
+
+  // ---------------------------------------------------------------- E4
+
+  /** delete-control.py:38-101 — execute staged deletes grouped by table,
+    * continue on per-table error, stamp ExecutedDeleteTimestamp.
+    * Returns the set of executed QueryIds.
+    */
+  def executePendingDeletes(): Seq[Long] = {
+    ensureControlTables()
+    val ctrl = catalog.read(DeleteControlTable)
+    val pending = ctrl.filter(col("DeleteFlag") && !col("ExecutedFlag"))
+      .select("QueryId", "target_table", "pk_values").collect()
+    if (pending.isEmpty) return Nil
+    val executed = Seq.newBuilder[Long]
+    pending.groupBy(_.getString(1)).foreach { case (table, rows) =>
+      try {
+        val pks = catalog.primaryKey(table) match {
+          case Nil => rows.head.getMap[String, String](2).keys.toSeq.sorted
+          case p => p
+        }
+        val keySchema = org.apache.spark.sql.types.StructType(pks.map(p =>
+          org.apache.spark.sql.types.StructField(p, org.apache.spark.sql.types.StringType)))
+        val keyRows = rows.toSeq.map { r =>
+          val m = r.getMap[String, String](2)
+          org.apache.spark.sql.Row.fromSeq(pks.map(p => m.getOrElse(p, null)))
+        }
+        val keys = spark.createDataFrame(
+          spark.sparkContext.parallelize(keyRows, 1), keySchema)
+        if (catalog.exists(table)) {
+          catalog.overwrite(table,
+            MutationOps.deleteByPk(catalog.read(table), keys, pks))
+        }
+        executed ++= rows.map(_.getLong(0))
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[delete-job] table $table failed: ${e.getMessage}")
+      }
+    }
+    val done = executed.result()
+    if (done.nonEmpty) {
+      val hit = col("QueryId").isin(done: _*)
+      catalog.overwrite(DeleteControlTable, catalog.read(DeleteControlTable)
+        .withColumn("ExecutedFlag", when(hit, lit(true)).otherwise(col("ExecutedFlag")))
+        .withColumn("ExecutedDeleteTimestamp",
+          when(hit, current_timestamp()).otherwise(col("ExecutedDeleteTimestamp"))))
+    }
+    done
+  }
+}

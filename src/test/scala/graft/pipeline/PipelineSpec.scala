@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+import graft.catalog.Catalog
+import graft.model._
+import graft.notify.InMemoryNotifier
+
+/** End-to-end scenarios mirroring SURVEY §3's E1→E3→E4 lifecycle against
+  * golden expectations (SURVEY §5.2).
+  */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshPipeline(): (Pipeline, InMemoryNotifier, String) = {
+    val landing = tmpDir("landing")
+    val notifier = new InMemoryNotifier
+    val p = new Pipeline(spark, new Catalog(spark, tmpDir("wh")), notifier, landing)
+    (p, notifier, landing)
+  }
+
+  private def land(landing: String, bucket: String, path: String, csv: String): Unit = {
+    val f = Paths.get(landing, bucket, path)
+    Files.createDirectories(f.getParent)
+    Files.writeString(f, csv)
+  }
+
+  private def approval(eventId: String, action: String, op: String,
+      file: String = "customers.csv", table: String = "customers") =
+    ApprovalEvent(eventId, action, s"$op/$file", table, op, "b1",
+      Some(1L), None, Some("2026-01-02T03:04:05Z"), Some("1.2.3.4"))
+
+  test("E1+E3: insert flow creates all-string table, loads rows, approves") {
+    val (p, notifier, landing) = freshPipeline()
+    land(landing, "b1", "insert/customers.csv",
+      "customer_id,name,balance\n1,alice,10.5\n2,bob,20\n")
+
+    val v = p.registerArrival(FileEvent("b1", "insert/customers.csv", "ev1"))
+    assert(v.contains(1L))
+    val pending = p.catalog.read(p.ControlTable).as[ProcessedFile].collect()
+    assert(pending.length == 1 && pending.head.status == Status.Pending
+      && !pending.head.is_processed)
+    assert(notifier.sent.length == 1 &&
+      notifier.sent.head.subject.contains("Approval Required: INSERT"))
+
+    p.processApproval(approval("ev1", "approve", "insert"))
+    val t = p.catalog.read("customers")
+    assert(t.schema.fields.forall(_.dataType.typeName == "string")) // all-TEXT parity
+    assert(t.as[(String, String, String)].collect().toSet ==
+      Set(("1", "alice", "10.5"), ("2", "bob", "20")))
+    val done = p.catalog.read(p.ControlTable).as[ProcessedFile].head()
+    assert(done.status == Status.Approved && done.is_processed)
+    assert(notifier.sent.last.subject.contains("Operation SUCCESS"))
+  }
+
+  test("duplicate event_id is skipped (idempotency O8/O19)") {
+    val (p, notifier, landing) = freshPipeline()
+    land(landing, "b1", "insert/customers.csv", "customer_id,name\n1,a\n")
+    p.registerArrival(FileEvent("b1", "insert/customers.csv", "ev1"))
+    p.processApproval(approval("ev1", "approve", "insert"))
+    val sentBefore = notifier.sent.length
+    p.processApproval(approval("ev1", "approve", "insert"))
+    assert(notifier.sent.length == sentBefore) // no second apply/notify
+    assert(p.catalog.read("customers").count() == 1)
+  }
+
+  test("reject records status without reading the file") {
+    val (p, _, _) = freshPipeline() // no file landed at all
+    p.registerArrival(FileEvent("b1", "insert/customers.csv", "ev2"))
+    p.processApproval(approval("ev2", "reject", "insert"))
+    val row = p.catalog.read(p.ControlTable).as[ProcessedFile].head()
+    assert(row.status == Status.Rejected && row.is_processed)
+    assert(!p.catalog.exists("customers"))
+  }
+
+  test("unknown action is dropped silently (process-pipeline.py:469-471)") {
+    val (p, _, landing) = freshPipeline()
+    land(landing, "b1", "insert/customers.csv", "customer_id,name\n1,a\n")
+    p.registerArrival(FileEvent("b1", "insert/customers.csv", "ev3"))
+    p.processApproval(approval("ev3", "maybe", "insert"))
+    val row = p.catalog.read(p.ControlTable).as[ProcessedFile].head()
+    assert(row.status == Status.Pending && !row.is_processed)
+  }
+
+  test("operation failure marks failed + failure notification") {
+    val (p, notifier, _) = freshPipeline() // approve without landing the file
+    p.registerArrival(FileEvent("b1", "insert/customers.csv", "ev4"))
+    p.processApproval(approval("ev4", "approve", "insert"))
+    val row = p.catalog.read(p.ControlTable).as[ProcessedFile].head()
+    assert(row.status == Status.Failed && row.is_processed)
+    assert(notifier.sent.last.subject.contains("Operation FAILURE"))
+  }
+
+  test("update path upserts by registered PK; re-upload versions bump") {
+    val (p, _, landing) = freshPipeline()
+    land(landing, "b1", "insert/customers.csv", "customer_id,name\n1,alice\n2,bob\n")
+    p.registerArrival(FileEvent("b1", "insert/customers.csv", "ev5"))
+    p.processApproval(approval("ev5", "approve", "insert"))
+    p.catalog.registerPrimaryKey("customers", Seq("customer_id"))
+
+    land(landing, "b1", "update/customers.csv", "customer_id,name\n2,BOB\n3,carol\n")
+    assert(p.registerArrival(FileEvent("b1", "update/customers.csv", "ev6")).contains(1L))
+    p.processApproval(approval("ev6", "approve", "update"))
+    assert(p.catalog.read("customers").as[(String, String)].collect().toSet ==
+      Set("1" -> "alice", "2" -> "BOB", "3" -> "carol"))
+
+    // same file again: version 2 of the update stream
+    assert(p.registerArrival(FileEvent("b1", "update/customers.csv", "ev7")).contains(2L))
+  }
+
+  test("delete stages rows (never touches data), E4 executes them") {
+    val (p, _, landing) = freshPipeline()
+    land(landing, "b1", "insert/customers.csv", "customer_id,name\n1,a\n2,b\n3,c\n")
+    p.registerArrival(FileEvent("b1", "insert/customers.csv", "ev8"))
+    p.processApproval(approval("ev8", "approve", "insert"))
+    p.catalog.registerPrimaryKey("customers", Seq("customer_id"))
+
+    land(landing, "b1", "delete/customers.csv", "customer_id\n2\n3\n")
+    p.registerArrival(FileEvent("b1", "delete/customers.csv", "ev9"))
+    p.processApproval(approval("ev9", "approve", "delete"))
+    // staged only — data untouched (reference quirk preserved)
+    assert(p.catalog.read("customers").count() == 3)
+    val staged = p.catalog.read(p.DeleteControlTable).as[DeleteControl].collect()
+    assert(staged.length == 2 && staged.forall(r => !r.ExecutedFlag && r.DeleteFlag))
+    assert(staged.map(_.DeleteQuery).toSet ==
+      Set("""DELETE FROM customers WHERE "customer_id" = '2'""",
+        """DELETE FROM customers WHERE "customer_id" = '3'"""))
+
+    val executed = p.executePendingDeletes()
+    assert(executed.toSet == staged.map(_.QueryId).toSet)
+    assert(p.catalog.read("customers").as[(String, String)].collect().toSet ==
+      Set("1" -> "a"))
+    val after = p.catalog.read(p.DeleteControlTable).as[DeleteControl].collect()
+    assert(after.forall(r => r.ExecutedFlag && r.ExecutedDeleteTimestamp.nonEmpty))
+    // second run is a no-op
+    assert(p.executePendingDeletes().isEmpty)
+  }
+
+  test("path guards: folders, shallow paths, unknown prefixes filtered (O4)") {
+    val (p, _, _) = freshPipeline()
+    assert(p.registerArrival(FileEvent("b", "insert/", "e1")).isEmpty)
+    assert(p.registerArrival(FileEvent("b", "orphan.csv", "e2")).isEmpty)
+    assert(p.registerArrival(FileEvent("b", "archive/f.csv", "e3")).isEmpty)
+  }
+
+  test("empty and headerless CSVs raise (process-pipeline.py:334-337)") {
+    val (p, notifier, landing) = freshPipeline()
+    land(landing, "b1", "insert/empty.csv", "")
+    p.registerArrival(FileEvent("b1", "insert/empty.csv", "ev10"))
+    p.processApproval(approval("ev10", "approve", "insert",
+      file = "empty.csv", table = "empty"))
+    assert(p.catalog.read(p.ControlTable).as[ProcessedFile].head().status == Status.Failed)
+    assert(notifier.sent.last.subject.contains("FAILURE"))
+  }
+}
