@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * normalization, tokenization, quality scoring, language-ID heuristics,
+  * fingerprinting. Everything is a codegen-friendly column expression —
+  * no UDFs — so the whole document pipeline stays inside whole-stage
+  * codegen and scales linearly over a 100 TB corpus (narrow, per-row,
+  * no shuffle).
+  */
+object TextFunctions {
+
+  /** Whitespace-collapsed lowercase form used by fingerprints/shingles. */
+  def normalize(c: Column): Column =
+    lower(regexp_replace(trim(c), "\\s+", " "))
+
+  /** Exact-dedup document fingerprint: md5 of the normalized text. */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** Whitespace tokens of the raw text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Character n-grams (shingles) of an already-normalized string;
+    * empty array when the text is shorter than n (Spark's `sequence`
+    * would otherwise count backwards).
+    */
+  def charNgrams(c: Column, n: Int): Column =
+    when(length(c) >= n,
+      transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n))))
+      .otherwise(array())
+
+  def distinctCharNgrams(c: Column, n: Int): Column =
+    array_distinct(charNgrams(c, n))
+
+  /** Default stopword list shared with the oracle SQL. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+  /** Quality-score components (length / punctuation / stopword ratios).
+    * Ratios are exact integer ratios evaluated in double — identical
+    * IEEE division on both engines.
+    */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[.,;:!?'\"()]", ""))
+
+  def stopwordCount(c: Column, stopwords: Seq[String] = Stopwords): Column =
+    size(filter(tokens(c), t => t.isin(stopwords.map(x => x: Any): _*)))
+
+  /** Language-ID by stopword-marker counts with a fixed precedence on
+    * ties (en > es > de, else unknown) — the classic n-gram/marker
+    * heuristic in its simplest deterministic form.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "die", "und"))
+
+  def langMarkerCount(c: Column, markers: Seq[String]): Column =
+    size(filter(tokens(lower(c)), t => t.isin(markers.map(x => x: Any): _*)))
+
+  def languageId(c: Column): Column = {
+    val cnt = LangMarkers.map { case (lang, m) => lang -> langMarkerCount(c, m) }.toMap
+    when(cnt("en") >= cnt("es") && cnt("en") >= cnt("de") && cnt("en") > 0, "en")
+      .when(cnt("es") >= cnt("de") && cnt("es") > 0, "es")
+      .when(cnt("de") > 0, "de")
+      .otherwise("unknown")
+  }
+}

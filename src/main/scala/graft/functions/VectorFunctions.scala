@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`): exact
+  * cosine via higher-order functions (codegen'd, no UDF), brute-force
+  * top-k as the correctness baseline, and a random-hyperplane LSH
+  * variant as the 100 TB scale path (bucketed join instead of the full
+  * cross product).
+  *
+  * All arithmetic is element-ordered double accumulation so results are
+  * bit-reproducible across engines.
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ with left-to-right double accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine neighbors for each query vector: cross
+    * join + rank window. Correct baseline; O(|queries|·|corpus|) — use
+    * only for small query sets or validation.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random ±1 hyperplane component for (plane,
+    * dim): parity of the last hex digit of md5("plane_dim"). Portable to
+    * any engine with md5 — no RNG state, no broadcast of plane matrices.
+    */
+  def planeSign(plane: Int, dim: Column): Column = {
+    val h = md5(concat(lit(s"plane${plane}_"), dim.cast("string")))
+    when(conv(substring(h, 32, 1), 16, 10).cast("int") % 2 === 0, lit(1.0))
+      .otherwise(lit(-1.0))
+  }
+
+  /** `numPlanes`-bit signature of a vector under the deterministic
+    * hyperplanes: bit p = [Σᵢ sign(p,i)·vᵢ > 0].
+    */
+  def lshSignature(vec: Column, numPlanes: Int): Column = {
+    val proj = (0 until numPlanes).map { p =>
+      val signedSum = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeSign(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(signedSum > 0, lit(1)).otherwise(lit(0)) * lit(1 << p)
+    }
+    proj.reduce(_ + _)
+  }
+
+  /** ANN top-k: bucket by hyperplane signature, exact cosine re-rank
+    * within each bucket. Recall < 1 by construction (validated against
+    * bruteForceTopK in tests); the join fans out by bucket population,
+    * not corpus², and the bucket key is a shuffle-friendly int.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, numPlanes: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__sig", lshSignature(col("__qv"), numPlanes))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__sig", lshSignature(col("__cv"), numPlanes))
+    val scored = q.join(c, Seq("__sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+}

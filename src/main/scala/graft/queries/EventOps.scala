@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-time analytics over the `events` table — the batch-verifiable
+  * faces of the streaming operators (tumbling windows, sessionization,
+  * payload decode). The same transforms run under readStream in
+  * graft.streaming; here they run as batch for the DuckDB oracle.
+  *
+  * `ts` arrives as a nanosecond long (TIMESTAMP(NANOS) parquet read
+  * under spark.sql.legacy.parquet.nanosAsLong) — conversions stay in
+  * integer nanos as long as possible for exactness.
+  */
+object EventOps {
+
+  /** Tumbling 1-hour event-time windows: count + exact value sum per
+    * (window, event_type). Streaming equivalent: groupBy(window($"ts",
+    * "1 hour"), $"event_type") with a watermark.
+    */
+  val e01TumblingWindows = Q(
+    "e01_tumbling_windows",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window($"ts_utc", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(14,2)")).as("sum_value"))
+        .select($"window.start".as("ws"), $"event_type", $"n", $"sum_value")
+        .orderBy($"ws", $"event_type")
+    },
+    Some("""
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(14,2))) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY ws, event_type
+    """.trim))
+
+  /** Sessionization: per-user sessions split at >30 min inactivity —
+    * lag + cumulative-sum windows in batch; mapGroupsWithState in the
+    * streaming variant. Pure integer-nanos arithmetic end to end.
+    */
+  val e02Sessionize = Q(
+    "e02_sessionize",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // microsecond resolution on both sides: DuckDB truncates parquet
+      // TIMESTAMP(NANOS) to micros, so sub-µs detail can't be compared
+      val byUser = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+      val gapUs = 30L * 60 * 1000 * 1000
+      Tables.load(s, dir, "events")
+        .withColumn("tus", expr("ts div 1000"))
+        .withColumn("prev_ts", lag($"tus", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_ts".isNull || $"tus" - $"prev_ts" > gapUs, 1).otherwise(0))
+        .withColumn("session_idx",
+          sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min($"tus").as("start_us"), max($"tus").as("end_us"))
+        .orderBy($"user_id", $"session_idx")
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+        FROM events),
+      f AS (SELECT user_id, event_id, tus,
+              CASE WHEN prev_ts IS NULL OR tus - prev_ts > 1800000000 THEN 1 ELSE 0 END AS new_session
+            FROM g),
+      sess AS (SELECT user_id, tus,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+               FROM f)
+      SELECT user_id, session_idx, count(*) AS n_events,
+             min(tus) AS start_us, max(tus) AS end_us
+      FROM sess
+      GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx
+    """.trim))
+
+  /** O18 — approval-payload decode: base64 + JSON round trip with field
+    * extraction and lowercasing (process-pipeline.py:443-457), the
+    * byte-level path approvals take through the engine.
+    */
+  val e03ApprovalDecode = Q(
+    "e03_approval_decode",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .withColumn("payload", concat(
+          lit("{\"event_id\": \""), $"event_id".cast("string"),
+          lit("\", \"action\": \""), upper($"event_type"), lit("\"}")))
+        .withColumn("b64", base64(encode($"payload", "UTF-8")))
+        .withColumn("decoded", decode(unbase64($"b64"), "UTF-8"))
+        .select(
+          $"event_id",
+          get_json_object($"decoded", "$.event_id").cast("long").as("decoded_id"),
+          lower(get_json_object($"decoded", "$.action")).as("action"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id,
+               '{"event_id": "' || event_id || '", "action": "' || upper(event_type) || '"}' AS payload
+        FROM events),
+      b AS (SELECT event_id, to_base64(encode(payload)) AS b64 FROM p),
+      d AS (SELECT event_id, decode(from_base64(b64)) AS decoded FROM b)
+      SELECT event_id,
+             CAST(json_extract_string(decoded, '$.event_id') AS BIGINT) AS decoded_id,
+             lower(json_extract_string(decoded, '$.action')) AS action
+      FROM d
+      ORDER BY event_id
+    """.trim))
+
+  val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode)
+}

@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Dedup, TextFunctions => TF, VectorFunctions => VF}
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` tables: exact + near dedup (MinHash-LSH, n-gram
+  * Jaccard, SimHash), text analysis (tokens, quality, language-ID),
+  * similarity search (brute-force + hyperplane-LSH ANN), multimodal
+  * binary plumbing. Oracle SQL mirrors every hash bit — md5-based
+  * constructions keep both engines on identical values.
+  */
+object LlmOps {
+
+  // ---- shared oracle SQL fragments (generated, kept in lockstep with
+  // ---- the Spark-side functions in graft.functions)
+
+  /** Normalized text + distinct 3-gram shingles CTEs. */
+  private val shingleCte =
+    """n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t FROM documents),
+      s AS (SELECT doc_id, list_distinct([t[i:i+2] for i in range(1, length(t)-1)]) AS sh
+            FROM n WHERE length(t) >= 3)"""
+
+  /** 16-seed MinHash signature + 2-band × 8-row LSH keys + candidate
+    * pairs. 8-row bands keep the candidate set near the true-dup set
+    * even on corpora with heavily shared vocabulary.
+    */
+  private val minhashCandidateCte: String = {
+    val sig = (0 until 16)
+      .map(k => s"list_min([md5('${k}_' || g) for g in sh])")
+      .mkString("[", ", ", "]")
+    val bandKey = "md5(" +
+      (1 to 8).map(r => s"sig[8*bb+$r]").mkString(" || '|' || ") + ")"
+    s"""$shingleCte,
+      m AS (SELECT doc_id, $sig AS sig FROM s WHERE len(sh) > 0),
+      bnd AS (SELECT doc_id, bb, $bandKey AS key
+              FROM m CROSS JOIN (SELECT unnest([0,1]) AS bb)),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+               FROM bnd a JOIN bnd b2
+                 ON a.bb = b2.bb AND a.key = b2.key AND a.doc_id < b2.doc_id)"""
+  }
+
+  // -------------------------------------------------------------- t0x
+
+  /** Exact dedup via content fingerprint: keep the minimum doc_id per
+    * normalized-md5 group. One hash-groupBy — at 100 TB this is the
+    * single cheapest dedup pass (shuffle on a 32-byte key).
+    */
+  val t01ExactDedup = Q(
+    "t01_exact_dedup",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .groupBy(TF.fingerprint($"text").as("fp"))
+        .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_docs"))
+        .orderBy($"fp")
+    },
+    Some("""
+      SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+             min(doc_id) AS keeper, count(*) AS n_docs
+      FROM documents
+      GROUP BY 1
+      ORDER BY fp
+    """.trim))
+
+  /** Token counting + quality scoring: length, token, punctuation and
+    * stopword statistics — all narrow per-row expressions.
+    */
+  val t02TextStats = Q(
+    "t02_text_stats",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(
+          $"doc_id",
+          length($"text").as("n_chars_raw"),
+          TF.tokenCount($"text").as("n_tokens"),
+          TF.punctCount($"text").as("n_punct"),
+          TF.stopwordCount($"text").as("n_stop"),
+          (TF.stopwordCount($"text").cast("double") / TF.tokenCount($"text"))
+            .as("stop_ratio"),
+          (length(regexp_replace($"text", "\\s", "")).cast("double") /
+            TF.tokenCount($"text")).as("avg_token_len"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id, length(text) AS n_chars_raw,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS n_punct,
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 t -> t IN ('the','a','of','and','to','in','is','for','on','with'))) AS n_stop,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 t -> t IN ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\s+')) AS stop_ratio,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len
+      FROM documents
+      ORDER BY doc_id
+    """.trim))
+
+  /** Language-ID heuristic: marker-stopword counts with deterministic
+    * precedence, checked against the generator's `lang` label.
+    */
+  val t03LangId = Q(
+    "t03_langid",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          TF.languageId($"text").as("lang_pred"),
+          TF.langMarkerCount($"text", TF.LangMarkers.head._2).as("en_hits"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH c AS (
+        SELECT doc_id, lang,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+              t -> t IN ('the','and','of'))) AS en_hits,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+              t -> t IN ('el','la','de'))) AS es_hits,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+              t -> t IN ('der','die','und'))) AS de_hits
+        FROM documents)
+      SELECT doc_id, lang,
+             CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+                  WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+                  WHEN de_hits > 0 THEN 'de'
+                  ELSE 'unknown' END AS lang_pred,
+             en_hits
+      FROM c
+      ORDER BY doc_id
+    """.trim))
+
+  /** MinHash-LSH candidate pairs (16 hashes, 4 bands × 4 rows) — the
+    * scale path for near-dedup: the self-join fans out per band bucket,
+    * never O(n²) over the corpus.
+    */
+  val t04MinhashLsh = Q(
+    "t04_minhash_lsh",
+    (s, dir) => {
+      import s.implicits._
+      Dedup.minhashCandidatePairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""
+      WITH $minhashCandidateCte
+      SELECT id_a, id_b FROM cand
+      ORDER BY id_a, id_b
+    """.trim),
+    headline = true)
+
+  /** Near-duplicate pairs: LSH candidates verified by exact 3-gram
+    * Jaccard ≥ 0.8.
+    */
+  val t05NearDupPairs = Q(
+    "t05_near_dup_pairs",
+    (s, dir) => {
+      import s.implicits._
+      Dedup.nearDuplicatePairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""
+      WITH $minhashCandidateCte,
+      j AS (SELECT c.id_a, c.id_b,
+              CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+            FROM cand c JOIN s sa ON c.id_a = sa.doc_id
+                        JOIN s sb ON c.id_b = sb.doc_id)
+      SELECT id_a, id_b, jaccard FROM j
+      WHERE jaccard >= 0.8
+      ORDER BY id_a, id_b
+    """.trim))
+
+  /** 16-bit SimHash sketch per document (bit-verifiable miniature of
+    * the 64-bit production variant).
+    */
+  val t06Simhash = Q(
+    "t06_simhash",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", Dedup.simhash16($"text").as("simhash"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val hexVal = (1 to 4).map { i =>
+        val w = math.pow(16, 4 - i).toInt
+        s"(strpos('0123456789abcdef', md5(t)[$i:$i]) - 1) * $w"
+      }.mkString(" + ")
+      val bitTerms = (0 until 16).map { j =>
+        val p = 1 << j
+        s"CASE WHEN 2 * len(list_filter(vals, v -> CAST(floor(v / $p.0) AS INT) % 2 = 1)) > len(vals) THEN $p ELSE 0 END"
+      }.mkString(" + ")
+      s"""
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents),
+      v AS (SELECT doc_id, [$hexVal for t in ts] AS vals FROM tk)
+      SELECT doc_id, $bitTerms AS simhash
+      FROM v
+      ORDER BY doc_id
+      """.trim
+    })
+
+  /** Multimodal column plumbing: documents as opaque binary payloads
+    * with typed, deterministic metadata (byte length, content hash,
+    * fake decoded dimensions derived from the hash — the real decoder
+    * is a mapPartitions stub, see graft.multimodal).
+    */
+  val t07MultimodalMeta = Q(
+    "t07_multimodal_meta",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .withColumn("payload", encode($"text", "UTF-8"))
+        .withColumn("sha", sha2($"payload", 256))
+        .select(
+          $"doc_id",
+          length($"payload").as("n_bytes"),
+          $"sha",
+          (conv(substring($"sha", 1, 2), 16, 10).cast("int") % 64).as("fake_width"),
+          (conv(substring($"sha", 3, 2), 16, 10).cast("int") % 64).as("fake_height"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      def hex2(i: Int) =
+        s"((strpos('0123456789abcdef', sha[$i:$i]) - 1) * 16 + (strpos('0123456789abcdef', sha[${i + 1}:${i + 1}]) - 1))"
+      s"""
+      WITH h AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha FROM documents)
+      SELECT doc_id, n_bytes, sha,
+             ${hex2(1)} % 64 AS fake_width,
+             ${hex2(3)} % 64 AS fake_height
+      FROM h
+      ORDER BY doc_id
+      """.trim
+    })
+
+  // -------------------------------------------------------------- s0x
+
+  /** Brute-force cosine top-k: correctness baseline for ANN. */
+  val s01CosineTopK = Q(
+    "s01_cosine_topk",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      VF.bruteForceTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding", k = 3)
+        .orderBy($"query_id", $"rank")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      sc AS (SELECT query_id, neighbor_id,
+               list_sum([CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(qv)+1)]) /
+               (sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) for i in range(1, len(qv)+1)])) *
+                sqrt(list_sum([CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(cv)+1)]))) AS cos
+             FROM q, c WHERE query_id <> neighbor_id)
+      SELECT query_id, neighbor_id, rank, cos
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+      WHERE rank <= 3
+      ORDER BY query_id, rank
+    """.trim),
+    headline = true)
+
+  /** Hyperplane-LSH ANN: deterministic md5-derived ±1 planes, bucketed
+    * join + exact re-rank. The 100 TB path — join fan-out is bucket
+    * population, not corpus².
+    */
+  val s02AnnLsh = Q(
+    "s02_ann_lsh",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      VF.lshTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding",
+        k = 3, numPlanes = 8)
+        .orderBy($"query_id", $"rank")
+    },
+    Some {
+      val signedSum = (p: Int) =>
+        s"""list_sum([CAST(v[i] AS DOUBLE) * (CASE WHEN (strpos('0123456789abcdef', md5('plane${p}_' || (i-1))[32:32]) - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END) for i in range(1, len(v)+1)])"""
+      val sig = (0 until 8)
+        .map(p => s"(CASE WHEN ${signedSum(p)} > 0 THEN ${1 << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"""
+      WITH sigs AS (SELECT vec_id, embedding AS v, $sig AS sig FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv, sig FROM sigs WHERE vec_id < 8),
+      c AS (SELECT vec_id AS neighbor_id, v AS cv, sig FROM sigs),
+      sc AS (SELECT query_id, neighbor_id,
+               list_sum([CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(qv)+1)]) /
+               (sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) for i in range(1, len(qv)+1)])) *
+                sqrt(list_sum([CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(cv)+1)]))) AS cos
+             FROM q JOIN c USING (sig) WHERE query_id <> neighbor_id)
+      SELECT query_id, neighbor_id, rank, cos
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+      WHERE rank <= 3
+      ORDER BY query_id, rank
+      """.trim
+    })
+
+  val all: Seq[Q] = Seq(
+    t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
+    t06Simhash, t07MultimodalMeta, s01CosineTopK, s02AnnLsh)
+}

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.ops.{MutationOps, PathOps}
+
+/** The reference's mutation operators (SURVEY §2.a O5/O6/O12–O15)
+  * exposed through the correctness gate: each query applies the actual
+  * library function (graft.ops.MutationOps / PathOps) to the driver
+  * test tables with a synthesized batch, so the DuckDB oracle checks
+  * the operator's relational semantics end to end.
+  */
+object ParityOps {
+
+  /** O12 insert-ignore-duplicates: batch = customers re-keyed to
+    * c_custkey*2 (evens collide with existing keys, the upper half is
+    * novel). Result = existing ∪ non-colliding batch rows.
+    */
+  val op01InsertIgnore = Q(
+    "op01_insert_ignore",
+    (s, dir) => {
+      import s.implicits._
+      val existing = Tables.load(s, dir, "customer")
+      val incoming = existing.select(
+        ($"c_custkey" * 2).as("c_custkey"), upper($"c_name").as("c_name"),
+        $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+      MutationOps.insertIgnoreDups(existing, incoming, Seq("c_custkey"), $"c_custkey")
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT * FROM customer
+      UNION ALL
+      SELECT c_custkey * 2 AS c_custkey, upper(c_name) AS c_name,
+             c_nationkey, c_acctbal, c_mktsegment
+      FROM customer
+      WHERE c_custkey * 2 NOT IN (SELECT c_custkey FROM customer)
+      ORDER BY c_custkey
+    """.trim))
+
+  /** O13 upsert-by-PK with in-batch keep-last: two overlapping derived
+    * batches (v1 for key%3=0, v2 for key%6=0, later ordinal) — %6 keys
+    * must land on v2, %3-only on v1, the rest untouched.
+    */
+  val op02Upsert = Q(
+    "op02_upsert",
+    (s, dir) => {
+      import s.implicits._
+      val existing = Tables.load(s, dir, "customer")
+      val b1 = existing.filter($"c_custkey" % 3 === 0)
+        .select($"c_custkey", concat(lit("v1_"), $"c_name").as("c_name"),
+          $"c_nationkey", $"c_acctbal", $"c_mktsegment", lit(1L).as("__ord"))
+      val b2 = existing.filter($"c_custkey" % 6 === 0)
+        .select($"c_custkey", concat(lit("v2_"), $"c_name").as("c_name"),
+          $"c_nationkey", $"c_acctbal", $"c_mktsegment", lit(2L).as("__ord"))
+      MutationOps.upsertByPk(existing, b1.unionByName(b2), Seq("c_custkey"), $"__ord")
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      WITH b AS (
+        SELECT c_custkey, 'v1_' || c_name AS c_name, c_nationkey, c_acctbal,
+               c_mktsegment, 1 AS ord FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, 'v2_' || c_name, c_nationkey, c_acctbal,
+               c_mktsegment, 2 FROM customer WHERE c_custkey % 6 = 0),
+      last AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY ord DESC) AS rn FROM b)
+        WHERE rn = 1)
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM b)
+      UNION ALL
+      SELECT * FROM last
+      ORDER BY c_custkey
+    """.trim))
+
+  /** O14 delete-by-PK: remove finished orders of every 10th customer. */
+  val op03Delete = Q(
+    "op03_delete",
+    (s, dir) => {
+      import s.implicits._
+      val orders = Tables.load(s, dir, "orders")
+      val keys = orders.filter($"o_orderstatus" === "F" && $"o_custkey" % 10 === 0)
+      MutationOps.deleteByPk(orders, keys, Seq("o_orderkey"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT * FROM orders
+      WHERE o_orderkey NOT IN
+        (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' AND o_custkey % 10 = 0)
+      ORDER BY o_orderkey
+    """.trim))
+
+  /** O15 staged deletes: render + sequential QueryId allocation against
+    * an empty pending set (dedup-vs-pending is covered in unit specs).
+    */
+  val op04StageDeletes = Q(
+    "op04_stage_deletes",
+    (s, dir) => {
+      import s.implicits._
+      val keys = Tables.load(s, dir, "customer")
+        .filter($"c_custkey" % 100 === 0).select($"c_custkey")
+      val emptyPending = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("QueryId", LongType),
+          StructField("DeleteQuery", StringType),
+          StructField("ExecutedFlag", BooleanType))))
+      MutationOps.stageDeletes(emptyPending, keys, "customers",
+        Seq("c_custkey"), "ev_demo", baseQueryId = 0L,
+        lit("2026-01-01 00:00:00"), $"c_custkey")
+        .drop("pk_values")
+        .orderBy($"QueryId")
+    },
+    Some("""
+      SELECT row_number() OVER (ORDER BY c_custkey) AS QueryId,
+             'ev_demo' AS EventId,
+             'DELETE FROM customers WHERE "c_custkey" = ''' || c_custkey || '''' AS DeleteQuery,
+             true AS DeleteFlag, false AS ExecutedFlag,
+             TIMESTAMP '2026-01-01 00:00:00' AS DeletedApprovalTimestamp,
+             CAST(NULL AS TIMESTAMP) AS ExecutedDeleteTimestamp,
+             'customers' AS target_table
+      FROM customer
+      WHERE c_custkey % 100 = 0
+      ORDER BY QueryId
+    """.trim))
+
+  /** O5 batch version assignment: MAX+1 per file continued across a
+    * whole arrival batch (events stand in as arrivals keyed by
+    * event_type).
+    */
+  val op05AssignVersions = Q(
+    "op05_assign_versions",
+    (s, dir) => {
+      import s.implicits._
+      val control = Seq(("click", 2L), ("error", 5L))
+        .toDF("file_name", "file_version")
+      val arrivals = Tables.load(s, dir, "events")
+        .select($"event_id", $"event_type".as("file_name"))
+      PathOps.assignVersions(control, arrivals, $"event_id")
+        .select($"event_id", $"file_name", $"file_version")
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH ctrl(file_name, file_version) AS (VALUES ('click', 2), ('error', 5)),
+      base AS (SELECT file_name, max(file_version) AS b FROM ctrl GROUP BY 1)
+      SELECT e.event_id, e.event_type AS file_name,
+             coalesce(b.b, 0) + row_number()
+               OVER (PARTITION BY e.event_type ORDER BY e.event_id) AS file_version
+      FROM events e LEFT JOIN base b ON e.event_type = b.file_name
+      ORDER BY event_id
+    """.trim))
+
+  val all: Seq[Q] = Seq(op01InsertIgnore, op02Upsert, op03Delete,
+    op04StageDeletes, op05AssignVersions)
+}
