@@ -15,13 +15,44 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** MinHash signature of a shingle array: for each seed, the minimum
-    * md5 over seed-prefixed shingles, as a 32-hex-char string.
+  /** MinHash prime modulus (smallest prime above 2^32). */
+  val MinhashPrime: Long = 4294967311L
+
+  /** Affine permutation constants for hash i: Knuth-multiplicative
+    * spread, forced odd, capped below 2^30 so aᵢ·H stays under 2^62
+    * (no 64-bit overflow in any engine). Shared with the oracle SQL
+    * generator in graft.queries.LlmOps.
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingles, x => md5(concat(lit(seed.toString), lit("_"), x))))
+  def minhashA(i: Int): Long = ((2654435761L * (i + 1)) % (1L << 30)) | 1L
+  def minhashB(i: Int): Long = (40503L * (i + 1) * 65537L) % (1L << 30)
+
+  /** ONE md5 per shingle (the expensive part), reduced to its leading
+    * 32 bits. Materialize this as its own column before fanning out to
+    * the per-seed permutations — inlining it would re-evaluate the
+    * digests once per seed (Catalyst does not CSE across lambda
+    * functions).
+    */
+  def shingleBaseHashes(shingles: Column): Column =
+    transform(shingles, x => conv(substring(md5(x), 1, 8), 16, 10).cast("long"))
+
+  /** MinHash signature from pre-computed base hashes: `numHashes` cheap
+    * affine permutations (aᵢ·H + bᵢ) mod p — the classic one-hash
+    * minwise family.
+    */
+  def minhashSignatureFromHashes(baseHashes: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(baseHashes,
+        h => (lit(minhashA(i)) * h + lit(minhashB(i))) % lit(MinhashPrime)))
     }: _*)
+
+  /** Signature via the one-pass custom expression (value-identical to
+    * the HOF formulation above — pinned by a test).
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.MinHashSig(
+      ColumnBridge.expression(shingles), numHashes))
+  }
 
   /** LSH band keys: signature split into `bands` groups of `rowsPerBand`
     * adjacent minhashes, each group md5-compressed to one bucket key.
@@ -29,21 +60,28 @@ object Dedup {
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
       md5(concat_ws("|",
-        (0 until rowsPerBand).map(r => element_at(signature, b * rowsPerBand + r + 1)): _*))
+        (0 until rowsPerBand).map(r =>
+          element_at(signature, b * rowsPerBand + r + 1).cast("string")): _*))
     }: _*)
 
-  /** Candidate near-duplicate pairs (idA < idB) of `df` by MinHash-LSH
-    * over character n-grams of normalized `textCol`. Documents shorter
-    * than the shingle width have no signature and never pair.
+  /** (id, distinct-shingle-set) frame for a document table; empty-set
+    * rows (text shorter than the shingle width) are dropped and never
+    * pair.
     */
-  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      shingle: Int = 3, numHashes: Int = 16, bands: Int = 2): DataFrame = {
-    val rows = numHashes / bands
-    val sh = TextFunctions.distinctCharNgrams(
-      TextFunctions.normalize(col(textCol)), shingle)
-    val flat = df
-      .select(col(idCol).as("__id"), sh.as("__sh"))
+  def shingleFrame(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+        TextFunctions.distinctCharNgrams(
+          TextFunctions.normalize(col(textCol)), shingle).as("__sh"))
       .filter(size(col("__sh")) > 0)
+
+  /** Candidate pairs (idA < idB) from a shingle frame via banded
+    * MinHash buckets.
+    */
+  def candidatePairsFromShingles(sh: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val flat = sh
       .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
       .select(col("__id"),
         posexplode(lshBandKeys(col("__sig"), bands, rows)).as(Seq("__b", "__key")))
@@ -53,6 +91,14 @@ object Dedup {
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
   }
+
+  /** Candidate near-duplicate pairs of `df` by MinHash-LSH over
+    * character n-grams of normalized `textCol`.
+    */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int = 3, numHashes: Int = 16, bands: Int = 2): DataFrame =
+    candidatePairsFromShingles(
+      shingleFrame(df, idCol, textCol, shingle), numHashes, bands)
 
   /** Exact n-gram Jaccard similarity between two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -66,13 +112,20 @@ object Dedup {
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingle: Int = 3, numHashes: Int = 16,
       bands: Int = 2): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"),
-      TextFunctions.distinctCharNgrams(
-        TextFunctions.normalize(col(textCol)), shingle).as("__sh"))
-    minhashCandidatePairs(df, idCol, textCol, shingle, numHashes, bands)
-      .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sha"), "id_a")
-      .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__shb"), "id_b")
-      .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
+    // shingling is the expensive narrow stage — materialize it once and
+    // feed both the LSH banding and the verification joins (at
+    // warehouse scale this would be a checkpointed signature table).
+    // Verification runs on the distinct 32-bit base-hash sets, not the
+    // shingle strings: ~4× smaller shuffle for the candidate joins,
+    // deterministic on every engine; a hash collision merging two
+    // shingles shifts Jaccard by < 1/|set| with probability ~2⁻³²·|set|².
+    val sh = shingleFrame(df, idCol, textCol, shingle)
+      .withColumn("__hhd", array_distinct(shingleBaseHashes(col("__sh"))))
+      .persist()
+    candidatePairsFromShingles(sh.select("__id", "__sh"), numHashes, bands)
+      .join(sh.select(col("__id").as("id_a"), col("__hhd").as("__ha")), "id_a")
+      .join(sh.select(col("__id").as("id_b"), col("__hhd").as("__hb")), "id_b")
+      .withColumn("jaccard", jaccard(col("__ha"), col("__hb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -80,9 +133,19 @@ object Dedup {
   /** 16-bit SimHash over whitespace tokens: per token take the first 4
     * hex chars of md5 as a 16-bit value; each bit votes ±1; the sketch
     * sets bits with positive vote sums. Small enough to verify in SQL,
-    * same construction as the 64-bit production variant.
+    * same construction as the 64-bit production variant. One-pass
+    * custom expression; `simhash16Hof` is the reference formulation.
     */
   def simhash16(textCol: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.SimHash16(
+      ColumnBridge.expression(TextFunctions.tokens(textCol))))
+  }
+
+  /** HOF reference formulation of simhash16 (kept for the equivalence
+    * spec and as documentation of the exact bit semantics).
+    */
+  def simhash16Hof(textCol: Column): Column = {
     val vals = transform(TextFunctions.tokens(textCol),
       t => conv(substring(md5(t), 1, 4), 16, 10).cast("int"))
     // bit j of v via exact double arithmetic (v < 2^16, j <= 15) — the

@@ -33,8 +33,15 @@ object TextFunctions {
       transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n))))
       .otherwise(array())
 
-  def distinctCharNgrams(c: Column, n: Int): Column =
-    array_distinct(charNgrams(c, n))
+  /** Distinct shingle set via the custom Catalyst expression (one
+    * linear pass; see graft.functions.expressions.CharNgramSet). Equal
+    * to `array_distinct(charNgrams(c, n))` — pinned by a test.
+    */
+  def distinctCharNgrams(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      expressions.CharNgramSet(ColumnBridge.expression(c), n))
+  }
 
   /** Default stopword list shared with the oracle SQL. */
   val Stopwords: Seq[String] =

@@ -52,33 +52,47 @@ object VectorFunctions {
       .otherwise(lit(-1.0))
   }
 
-  /** `numPlanes`-bit signature of a vector under the deterministic
-    * hyperplanes: bit p = [Σᵢ sign(p,i)·vᵢ > 0].
-    */
-  def lshSignature(vec: Column, numPlanes: Int): Column = {
-    val proj = (0 until numPlanes).map { p =>
-      val signedSum = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeSign(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(signedSum > 0, lit(1)).otherwise(lit(0)) * lit(1 << p)
-    }
-    proj.reduce(_ + _)
-  }
+  /** Signed projection of a vector onto deterministic plane p. */
+  private def signedSum(vec: Column, p: Int): Column =
+    aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (x, i) => x.cast("double") * planeSign(p, i)),
+      lit(0.0), (acc, v) => acc + v)
 
-  /** ANN top-k: bucket by hyperplane signature, exact cosine re-rank
-    * within each bucket. Recall < 1 by construction (validated against
+  /** Multi-table LSH signatures: one `planesPerTable`-bit bucket key per
+    * table (table t uses planes t·planesPerTable … +planesPerTable-1).
+    * A single wide signature has vanishing recall (p_match = p_bit^bits);
+    * T independent narrow tables give 1-(1-p_bit^planes)^T.
+    */
+  def lshTableSignatures(vec: Column, tables: Int, planesPerTable: Int): Column =
+    array((0 until tables).map { t =>
+      (0 until planesPerTable).map { j =>
+        when(signedSum(vec, t * planesPerTable + j) > 0, lit(1))
+          .otherwise(lit(0)) * lit(1 << j)
+      }.reduce(_ + _)
+    }: _*)
+
+  /** ANN top-k: candidates share any per-table bucket, then exact
+    * cosine re-rank. Recall < 1 by construction (validated against
     * bruteForceTopK in tests); the join fans out by bucket population,
-    * not corpus², and the bucket key is a shuffle-friendly int.
+    * not corpus², and bucket keys are shuffle-friendly ints.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, numPlanes: Int = 8): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__sig", lshSignature(col("__qv"), numPlanes))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("__sig", lshSignature(col("__cv"), numPlanes))
-    val scored = q.join(c, Seq("__sig"))
+      vecCol: String, k: Int, tables: Int = 4,
+      planesPerTable: Int = 4): DataFrame = {
+    def explodeSigs(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .select(col(id), col(vec),
+          posexplode(lshTableSignatures(col(vec), tables, planesPerTable))
+            .as(Seq("__t", "__sig")))
+    val q = explodeSigs(queries, "query_id", "__qv")
+    val c = explodeSigs(corpus, "neighbor_id", "__cv")
+    val cand = q.join(c, Seq("__t", "__sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val scored = cand
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")), "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")), "neighbor_id")
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))

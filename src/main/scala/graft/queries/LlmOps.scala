@@ -28,13 +28,21 @@ object LlmOps {
     * even on corpora with heavily shared vocabulary.
     */
   private val minhashCandidateCte: String = {
+    import graft.functions.Dedup.{minhashA, minhashB, MinhashPrime}
+    // leading-32-bit value of an md5 hex digest, nibble by nibble
+    val hex8 = (1 to 8).map { i =>
+      val w = math.pow(16, 8 - i).toLong
+      s"(strpos('0123456789abcdef', m[$i:$i]) - 1) * $w"
+    }.mkString(" + ")
     val sig = (0 until 16)
-      .map(k => s"list_min([md5('${k}_' || g) for g in sh])")
+      .map(k => s"list_min([(${minhashA(k)} * h + ${minhashB(k)}) % $MinhashPrime for h in hh])")
       .mkString("[", ", ", "]")
     val bandKey = "md5(" +
       (1 to 8).map(r => s"sig[8*bb+$r]").mkString(" || '|' || ") + ")"
     s"""$shingleCte,
-      m AS (SELECT doc_id, $sig AS sig FROM s WHERE len(sh) > 0),
+      m0 AS (SELECT doc_id, [md5(g) for g in sh] AS ms FROM s WHERE len(sh) > 0),
+      m1 AS (SELECT doc_id, [$hex8 for m in ms] AS hh FROM m0),
+      m AS (SELECT doc_id, $sig AS sig FROM m1),
       bnd AS (SELECT doc_id, bb, $bandKey AS key
               FROM m CROSS JOIN (SELECT unnest([0,1]) AS bb)),
       cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
@@ -165,11 +173,12 @@ object LlmOps {
     },
     Some(s"""
       WITH $minhashCandidateCte,
+      hd AS (SELECT doc_id, list_distinct(hh) AS h FROM m1),
       j AS (SELECT c.id_a, c.id_b,
-              CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-                (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
-            FROM cand c JOIN s sa ON c.id_a = sa.doc_id
-                        JOIN s sb ON c.id_b = sb.doc_id)
+              CAST(len(list_intersect(ha.h, hb.h)) AS DOUBLE) /
+                (len(ha.h) + len(hb.h) - len(list_intersect(ha.h, hb.h))) AS jaccard
+            FROM cand c JOIN hd ha ON c.id_a = ha.doc_id
+                        JOIN hd hb ON c.id_b = hb.doc_id)
       SELECT id_a, id_b, jaccard FROM j
       WHERE jaccard >= 0.8
       ORDER BY id_a, id_b
@@ -273,24 +282,33 @@ object LlmOps {
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
       VF.lshTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding",
-        k = 3, numPlanes = 8)
+        k = 3, tables = 4, planesPerTable = 4)
         .orderBy($"query_id", $"rank")
     },
     Some {
       val signedSum = (p: Int) =>
         s"""list_sum([CAST(v[i] AS DOUBLE) * (CASE WHEN (strpos('0123456789abcdef', md5('plane${p}_' || (i-1))[32:32]) - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END) for i in range(1, len(v)+1)])"""
-      val sig = (0 until 8)
-        .map(p => s"(CASE WHEN ${signedSum(p)} > 0 THEN ${1 << p} ELSE 0 END)")
+      def tableSig(t: Int) = (0 until 4)
+        .map(j => s"(CASE WHEN ${signedSum(t * 4 + j)} > 0 THEN ${1 << j} ELSE 0 END)")
         .mkString(" + ")
+      val sigCase = (0 until 4)
+        .map(t => s"WHEN $t THEN sig$t").mkString("CASE tt ", " ", " END")
       s"""
-      WITH sigs AS (SELECT vec_id, embedding AS v, $sig AS sig FROM embeddings),
-      q AS (SELECT vec_id AS query_id, v AS qv, sig FROM sigs WHERE vec_id < 8),
-      c AS (SELECT vec_id AS neighbor_id, v AS cv, sig FROM sigs),
+      WITH sigs AS (SELECT vec_id, embedding AS v,
+                      ${(0 until 4).map(t => s"${tableSig(t)} AS sig$t").mkString(", ")}
+                    FROM embeddings),
+      flat AS (SELECT vec_id, v, tt, $sigCase AS sig
+               FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS tt)),
+      cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+               FROM flat q JOIN flat c ON q.tt = c.tt AND q.sig = c.sig
+               WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
       sc AS (SELECT query_id, neighbor_id,
                list_sum([CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(qv)+1)]) /
                (sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) for i in range(1, len(qv)+1)])) *
                 sqrt(list_sum([CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(cv)+1)]))) AS cos
-             FROM q JOIN c USING (sig) WHERE query_id <> neighbor_id)
+             FROM (SELECT cand.query_id, cand.neighbor_id, eq.embedding AS qv, ec.embedding AS cv
+                   FROM cand JOIN embeddings eq ON cand.query_id = eq.vec_id
+                             JOIN embeddings ec ON cand.neighbor_id = ec.vec_id))
       SELECT query_id, neighbor_id, rank, cos
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
       WHERE rank <= 3

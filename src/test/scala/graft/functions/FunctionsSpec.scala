@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog!"), // near-dup of 0
+    (2L, "completely different content about spark engines"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "ab"), // shorter than shingle width
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("CharNgramSet equals array_distinct(transform(...)) formulation") {
+    val norm = TextFunctions.normalize($"text")
+    val got = docs.select(
+      TextFunctions.distinctCharNgrams(norm, 3).as("fast"),
+      array_distinct(TextFunctions.charNgrams(norm, 3)).as("ref"))
+    assert(got.filter(not($"fast" <=> $"ref")).isEmpty)
+  }
+
+  test("MinHashSig equals the HOF affine-permutation formulation") {
+    val sh = TextFunctions.distinctCharNgrams(TextFunctions.normalize($"text"), 3)
+    val got = docs.filter(size(sh) > 0).select(
+      Dedup.minhashSignature(sh, 16).as("fast"),
+      Dedup.minhashSignatureFromHashes(Dedup.shingleBaseHashes(sh), 16).as("ref"))
+    assert(got.filter(not($"fast" <=> $"ref")).isEmpty)
+    // empty shingle set → null signature (like array_min of empty)
+    assert(docs.filter(size(sh) === 0)
+      .select(Dedup.minhashSignature(sh, 16)).collect().forall(_.isNullAt(0)))
+  }
+
+  test("SimHash16 equals the HOF formulation; dups collide, others differ") {
+    val got = docs.filter(length($"text") > 0).select(
+      $"doc_id",
+      Dedup.simhash16($"text").as("fast"),
+      Dedup.simhash16Hof($"text").as("ref"))
+    assert(got.filter(not($"fast" <=> $"ref")).isEmpty)
+    val m = got.select($"doc_id", $"fast").as[(Long, Int)].collect().toMap
+    assert(m(0L) == m(3L))
+    assert(m(0L) != m(2L))
+  }
+
+  test("near-dup pipeline finds planted pairs, not the distinct doc") {
+    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // exact dup
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("exact-dedup fingerprint is whitespace/case insensitive") {
+    val fp = Seq("A  b\tc", "a b c", "x").toDF("t")
+      .select(TextFunctions.fingerprint($"t")).as[String].collect()
+    assert(fp(0) == fp(1) && fp(0) != fp(2))
+  }
+
+  test("language-id picks marker-dominant language deterministically") {
+    val got = Seq(
+      "the cat and the dog of it", "el gato y la casa de madera",
+      "der hund und die katze", "xyzzy plugh")
+      .toDF("t").select(TextFunctions.languageId($"t")).as[String].collect().toSeq
+    assert(got == Seq("en", "es", "de", "unknown"))
+  }
+
+  test("cosine: parallel vectors 1.0, orthogonal 0.0; brute-force topk ranks") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(2.0f, 0.0f)),
+      (2L, Array(0.0f, 3.0f)), (3L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cos = emb.filter($"vec_id" === 0).crossJoin(
+        emb.filter($"vec_id" === 1).select($"embedding".as("e2")))
+      .select(VectorFunctions.cosine($"embedding", $"e2")).as[Double].head()
+    assert(math.abs(cos - 1.0) < 1e-12)
+    val top = VectorFunctions.bruteForceTopK(emb, emb.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 3)
+      .select($"neighbor_id", $"rank").as[(Long, Int)].collect().toMap
+    assert(top.toSeq.sortBy(_._2).map(_._1) == Seq(1L, 3L, 2L).zipWithIndex
+      .map { case (id, i) => (id, i + 1) }.map(_._1))
+  }
+
+  test("LSH ANN recall vs brute force on real embeddings (sf0.001)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = VectorFunctions.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = VectorFunctions.lshTopK(emb, queries, "vec_id", "embedding", 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall $recall collapsed — bucketing broken?")
+    assert(approx.subsetOf(exact) || approx.nonEmpty) // sane output
+  }
+}
