@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.{ApprovalEvent, FileEvent}
+import graft.pipeline.Pipeline
+
+/** Streaming faces of the pipeline (SURVEY §3 lifecycle + §2.b streaming
+  * rows): the reference's push boundaries (GCS CloudEvents, approval
+  * Pub/Sub) become JSON-lines file streams — the only streaming source
+  * format available without extra jars — processed with Structured
+  * Streaming and committed through the same idempotent batch paths.
+  *
+  * Exactly-once: `dropDuplicates` handles duplicates within the stream,
+  * and the persisted control table guards across restarts
+  * (Pipeline.alreadyProcessed — reference semantics process-pipeline.py:
+  * 464-466). foreachBatch is therefore idempotent per event_id
+  * regardless of batch replay.
+  */
+final class StreamingPipeline(spark: SparkSession, pipeline: Pipeline,
+    checkpointRoot: String) {
+
+  /** E1 as a stream: file-arrival events (bucket, name, id) arriving as
+    * JSON lines, registered + notified one micro-batch at a time.
+    */
+  def startIngest(eventsDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val schema = "bucket string, name string, id string"
+    spark.readStream.schema(schema).json(eventsDir)
+      .dropDuplicates("id")
+      .writeStream
+      .option("checkpointLocation", s"$checkpointRoot/ingest")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          pipeline.registerArrival(FileEvent(
+            r.getAs[String]("bucket"), r.getAs[String]("name"), r.getAs[String]("id")))
+        }
+      }
+      .start()
+  }
+
+  /** E3 as a stream: approval events (approval-handler.py:51-62 payload)
+    * as JSON lines → the approval state machine. Orchestration is
+    * driver-side per event, mirroring the reference; the data work each
+    * event triggers is distributed.
+    */
+  def startApprovals(approvalsDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream.schema(ApprovalEvent.schema).json(approvalsDir)
+      .dropDuplicates("event_id")
+      .writeStream
+      .option("checkpointLocation", s"$checkpointRoot/approvals")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(rowToEvent _ andThen pipeline.processApproval)
+      }
+      .start()
+  }
+
+  private def rowToEvent(r: Row): ApprovalEvent = {
+    def s(n: String) = Option(r.getAs[String](n)).orNull
+    ApprovalEvent(s("event_id"), s("action"), s("file_name"), s("table_name"),
+      s("operation"), s("bucket"),
+      Option(r.getAs[java.lang.Long]("file_version")).map(_.toLong),
+      Option(s("provided_timestamp")), Option(s("approval_timestamp")),
+      Option(s("remote_address")))
+  }
+}
+
+/** Streaming analytics over event streams — watermarked tumbling-window
+  * aggregation (the streaming face of EventOps.e01) and stateful
+  * stream dedup.
+  */
+object StreamingAnalytics {
+
+  /** Tumbling event-time windows with a watermark; `events` must carry
+    * `ts_utc timestamp, event_type string, value double`. Late rows
+    * beyond the watermark are dropped by Spark's state eviction.
+    */
+  def windowedCounts(events: DataFrame, windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts_utc", watermark)
+      .groupBy(window(col("ts_utc"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Stateful dedup by event id within the watermark horizon. */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts_utc", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+}

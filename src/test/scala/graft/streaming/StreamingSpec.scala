@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.catalog.Catalog
+import graft.model.ProcessedFile
+import graft.notify.InMemoryNotifier
+import graft.pipeline.Pipeline
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def write(dir: String, name: String, content: String): Unit = {
+    val p = Paths.get(dir, name)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  test("ingest + approval streams drive the pipeline end to end") {
+    val landing = tmpDir("landing")
+    val notifier = new InMemoryNotifier
+    val pipeline = new Pipeline(spark, new Catalog(spark, tmpDir("wh")), notifier, landing)
+    val sp = new StreamingPipeline(spark, pipeline, tmpDir("ckpt"))
+
+    write(landing, "b1/insert/customers.csv", "customer_id,name\n1,alice\n2,bob\n")
+    val eventsDir = tmpDir("events")
+    // duplicate id in the stream → deduped; one real registration
+    write(eventsDir, "e.json",
+      """{"bucket":"b1","name":"insert/customers.csv","id":"ev1"}
+        |{"bucket":"b1","name":"insert/customers.csv","id":"ev1"}
+        |{"bucket":"b1","name":"archive/skip.csv","id":"ev2"}
+        |""".stripMargin)
+    val q1 = sp.startIngest(eventsDir)
+    q1.awaitTermination()
+    val ctrl = pipeline.catalog.read(pipeline.ControlTable).as[ProcessedFile].collect()
+    assert(ctrl.length == 1 && ctrl.head.event_id == "ev1")
+    assert(notifier.sent.length == 1)
+
+    val apprDir = tmpDir("approvals")
+    write(apprDir, "a.json",
+      """{"event_id":"ev1","action":"approve","file_name":"insert/customers.csv","table_name":"customers","operation":"insert","bucket":"b1","file_version":1}
+        |{"event_id":"ev1","action":"approve","file_name":"insert/customers.csv","table_name":"customers","operation":"insert","bucket":"b1","file_version":1}
+        |""".stripMargin)
+    val q2 = sp.startApprovals(apprDir)
+    q2.awaitTermination()
+    assert(pipeline.catalog.read("customers").count() == 2)
+    val done = pipeline.catalog.read(pipeline.ControlTable).as[ProcessedFile].head()
+    assert(done.status == "approved" && done.is_processed)
+    // dup approval (stream dedup + control-table idempotency): one result mail
+    assert(notifier.sent.count(_.subject.contains("SUCCESS")) == 1)
+  }
+
+  test("windowed streaming counts match the batch query (AvailableNow drain)") {
+    val srcDir = tmpDir("evsrc")
+    // stream the real events table through a parquet file source
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .select("ts_utc", "event_type", "value", "event_id")
+    ev.write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream.schema(
+        "ts_utc timestamp, event_type string, value double, event_id long")
+      .parquet(srcDir)
+    val agg = StreamingAnalytics.windowedCounts(stream)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("win_out")
+      .select($"ws", $"event_type", $"n").as[(java.sql.Timestamp, String, Long)]
+      .collect().toSet
+    val batch = ev.groupBy(window($"ts_utc", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("ws"), $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-stream dup ids") {
+    val srcDir = tmpDir("dupsrc")
+    Seq((1L, "2024-01-01 00:00:00", "a", 1.0), (1L, "2024-01-01 00:05:00", "a", 1.0),
+      (2L, "2024-01-01 00:10:00", "b", 2.0))
+      .toDF("event_id", "ts_s", "event_type", "value")
+      .withColumn("ts_utc", to_timestamp($"ts_s")).drop("ts_s")
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(
+        "event_id long, event_type string, value double, ts_utc timestamp")
+      .parquet(srcDir)
+    val q = StreamingAnalytics.dedupEvents(stream)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("dedup_out").select("event_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L))
+  }
+}
