@@ -100,10 +100,22 @@ object Dedup {
     candidatePairsFromShingles(
       shingleFrame(df, idCol, textCol, shingle), numHashes, bands)
 
-  /** Exact n-gram Jaccard similarity between two shingle-set columns. */
+  /** Exact Jaccard similarity between two distinct-element set columns
+    * (HOF reference formulation; used for string shingle sets and by
+    * the JaccardLongSets equivalence spec).
+    */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+
+  /** Fused one-pass Jaccard for distinct `array<long>` sets (hot path
+    * of candidate verification — see expressions.JaccardLongSets).
+    */
+  def jaccardLongSets(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.JaccardLongSets(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
   /** Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold.
@@ -122,10 +134,14 @@ object Dedup {
     val sh = shingleFrame(df, idCol, textCol, shingle)
       .withColumn("__hhd", array_distinct(shingleBaseHashes(col("__sh"))))
       .persist()
+    // the per-document hash-set side is corpus-bounded rows of bounded
+    // arrays — broadcast it so the candidate-pair stream never shuffles.
+    // (At true 100 TB corpus scale this hint would come off and the
+    // join shuffles on id, still proportional to candidates, not n².)
     candidatePairsFromShingles(sh.select("__id", "__sh"), numHashes, bands)
-      .join(sh.select(col("__id").as("id_a"), col("__hhd").as("__ha")), "id_a")
-      .join(sh.select(col("__id").as("id_b"), col("__hhd").as("__hb")), "id_b")
-      .withColumn("jaccard", jaccard(col("__ha"), col("__hb")))
+      .join(broadcast(sh.select(col("__id").as("id_a"), col("__hhd").as("__ha"))), "id_a")
+      .join(broadcast(sh.select(col("__id").as("id_b"), col("__hhd").as("__hb"))), "id_b")
+      .withColumn("jaccard", jaccardLongSets(col("__ha"), col("__hb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -46,6 +46,19 @@ class FunctionsSpec extends SparkTestBase {
     assert(m(0L) != m(2L))
   }
 
+  test("JaccardLongSets equals the array_intersect formulation") {
+    val sets = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq(5L), Seq(5L)),
+      (Seq.empty[Long], Seq(1L)))
+      .toDF("a", "b")
+    val got = sets.select(
+      Dedup.jaccardLongSets($"a", $"b").as("fast"),
+      coalesce(Dedup.jaccard($"a", $"b"), lit(0.0)).as("ref"))
+    assert(got.filter(not($"fast" <=> $"ref")).isEmpty)
+  }
+
   test("near-dup pipeline finds planted pairs, not the distinct doc") {
     val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.8)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
