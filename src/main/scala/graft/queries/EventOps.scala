@@ -118,5 +118,81 @@ object EventOps {
       ORDER BY event_id
     """.trim))
 
-  val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode)
+  /** Backward as-of join (custom operator, graft.operators.AsOfJoin):
+    * each error event picks up the user's most recent click at or
+    * before it. DuckDB's native ASOF JOIN is the oracle.
+    */
+  val e04AsofJoin = Q(
+    "e04_asof_join",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("tus", expr("ts div 1000"))
+      val errors = ev.filter($"event_type" === "error")
+        .select($"event_id", $"user_id", $"tus".as("ts_us"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id".as("click_event"), $"user_id", $"tus", $"value")
+      graft.operators.AsOfJoin.asofBackward(
+        errors, clicks, keys = Seq("user_id"),
+        leftTime = $"ts_us", rightTime = $"tus",
+        rightCols = Map("click_event" -> "click_id", "value" -> "click_value"),
+        rightOrd = $"click_event")
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT e.event_id, e.user_id, e.tus AS ts_us,
+             c.event_id AS click_id, c.value AS click_value
+      FROM (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+            WHERE event_type = 'error') e
+      ASOF JOIN (SELECT event_id, user_id, epoch_us(ts) AS tus, value FROM events
+                 WHERE event_type = 'click') c
+        ON e.user_id = c.user_id AND e.tus >= c.tus
+      ORDER BY e.event_id
+    """.trim))
+
+  /** Pivot: per-user event counts spread across fixed type columns
+    * (Spark .pivot ↔ portable CASE-sum SQL).
+    */
+  val e05Pivot = Q(
+    "e05_pivot",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id
+    """.trim))
+
+  /** Sketch aggregation: approx_count_distinct (HLL++). No portable
+    * oracle — DuckDB's approx sketch differs — so the driver records
+    * the weaker rows-only check; the exact-vs-approx error bound is
+    * pinned in RelationalSpec instead.
+    */
+  val e06ApproxDistinct = Q(
+    "e06_approx_distinct",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id", rsd = 0.02).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
+    e04AsofJoin, e05Pivot, e06ApproxDistinct)
 }
