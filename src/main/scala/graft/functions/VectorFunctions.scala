@@ -62,9 +62,19 @@ object VectorFunctions {
   /** Multi-table LSH signatures: one `planesPerTable`-bit bucket key per
     * table (table t uses planes t·planesPerTable … +planesPerTable-1).
     * A single wide signature has vanishing recall (p_match = p_bit^bits);
-    * T independent narrow tables give 1-(1-p_bit^planes)^T.
+    * T independent narrow tables give 1-(1-p_bit^planes)^T. One-pass
+    * custom expression; `lshTableSignaturesHof` is the reference form.
     */
-  def lshTableSignatures(vec: Column, tables: Int, planesPerTable: Int): Column =
+  def lshTableSignatures(vec: Column, tables: Int, planesPerTable: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.LshPlaneSignatures(
+      ColumnBridge.expression(vec), tables, planesPerTable))
+  }
+
+  /** HOF reference formulation of lshTableSignatures (equivalence spec
+    * + documentation of the exact bit semantics the oracle mirrors).
+    */
+  def lshTableSignaturesHof(vec: Column, tables: Int, planesPerTable: Int): Column =
     array((0 until tables).map { t =>
       (0 until planesPerTable).map { j =>
         when(signedSum(vec, t * planesPerTable + j) > 0, lit(1))

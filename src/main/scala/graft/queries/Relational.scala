@@ -474,9 +474,34 @@ object Relational {
       ORDER BY bucket
     """.trim))
 
+  /** Exact interpolated percentiles (sort-based aggregate) + min/max. */
+  val q18Percentiles = Q(
+    "q18_percentiles",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          min($"l_quantity").as("min_qty"),
+          max($"l_quantity").as("max_qty"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.5) AS median_qty,
+             quantile_cont(l_quantity, 0.9) AS p90_qty,
+             min(l_quantity) AS min_qty,
+             max(l_quantity) AS max_qty
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
     q09RunningTotal, q10Rollup, q11Cube, q12SetOps, q13DistinctAgg,
-    q14StringFns, q15DateFns, q16JsonFns, q17CaseMath)
+    q14StringFns, q15DateFns, q16JsonFns, q17CaseMath, q18Percentiles)
 }

@@ -97,6 +97,15 @@ class FunctionsSpec extends SparkTestBase {
       .map { case (id, i) => (id, i + 1) }.map(_._1))
   }
 
+  test("LshPlaneSignatures equals the HOF zip_with/aggregate formulation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(100)
+    val got = emb.select(
+      VectorFunctions.lshTableSignatures($"embedding", 4, 4).as("fast"),
+      VectorFunctions.lshTableSignaturesHof($"embedding", 4, 4).as("ref"))
+    assert(got.filter(not($"fast" <=> $"ref")).isEmpty)
+  }
+
   test("LSH ANN recall vs brute force on real embeddings (sf0.001)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 20)
