@@ -112,10 +112,11 @@ object Dedup {
   /** Fused one-pass Jaccard for distinct `array<long>` sets (hot path
     * of candidate verification — see expressions.JaccardLongSets).
     */
-  def jaccardLongSets(a: Column, b: Column): Column = {
+  def jaccardLongSets(a: Column, b: Column,
+      assumeSorted: Boolean = false): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(graft.functions.expressions.JaccardLongSets(
-      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+      ColumnBridge.expression(a), ColumnBridge.expression(b), assumeSorted))
   }
 
   /** Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold.
@@ -132,7 +133,7 @@ object Dedup {
     // deterministic on every engine; a hash collision merging two
     // shingles shifts Jaccard by < 1/|set| with probability ~2⁻³²·|set|².
     val sh = shingleFrame(df, idCol, textCol, shingle)
-      .withColumn("__hhd", array_distinct(shingleBaseHashes(col("__sh"))))
+      .withColumn("__hhd", sort_array(array_distinct(shingleBaseHashes(col("__sh")))))
       .persist()
     // the per-document hash-set side is corpus-bounded rows of bounded
     // arrays — broadcast it so the candidate-pair stream never shuffles.
@@ -141,7 +142,7 @@ object Dedup {
     candidatePairsFromShingles(sh.select("__id", "__sh"), numHashes, bands)
       .join(broadcast(sh.select(col("__id").as("id_a"), col("__hhd").as("__ha"))), "id_a")
       .join(broadcast(sh.select(col("__id").as("id_b"), col("__hhd").as("__hb"))), "id_b")
-      .withColumn("jaccard", jaccardLongSets(col("__ha"), col("__hb")))
+      .withColumn("jaccard", jaccardLongSets(col("__ha"), col("__hb"), assumeSorted = true))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -13,7 +13,8 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * without per-pair hash-set allocation. This sits on the hot path of
   * near-dup verification: one call per LSH candidate pair.
   */
-case class JaccardLongSets(left: Expression, right: Expression)
+case class JaccardLongSets(left: Expression, right: Expression,
+    assumeSorted: Boolean = false)
     extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
@@ -21,8 +22,12 @@ case class JaccardLongSets(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData].toLongArray()
     val b = r.asInstanceOf[ArrayData].toLongArray()
-    java.util.Arrays.sort(a)
-    java.util.Arrays.sort(b)
+    // callers on the hot path pre-sort ONCE per document (sort_array
+    // upstream) rather than once per candidate pair here
+    if (!assumeSorted) {
+      java.util.Arrays.sort(a)
+      java.util.Arrays.sort(b)
+    }
     var i = 0; var j = 0; var inter = 0
     while (i < a.length && j < b.length) {
       if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }

@@ -33,6 +33,22 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.listTables() == Seq("t"))
   }
 
+  test("interrupted commit leaves the previous version live") {
+    val root = tmpDir("catcrash")
+    val cat = new Catalog(spark, root)
+    cat.createIfAbsent("t", cat.allStringSchema(Seq("id")))
+    cat.append("t", Seq("1", "2").toDF("id"))
+    // simulate a writer that died after materializing data but before
+    // flipping the _current pointer: readers must not see it
+    val orphan = new java.io.File(s"$root/t/v9999999999999_deadbeef")
+    orphan.mkdirs()
+    Seq("9").toDF("id").write.mode("overwrite").parquet(orphan.getPath)
+    assert(cat.read("t").as[String].collect().sorted.toSeq == Seq("1", "2"))
+    // and a subsequent commit still works
+    cat.append("t", Seq("3").toDF("id"))
+    assert(cat.read("t").count() == 3)
+  }
+
   test("old versions are pruned after commit") {
     val root = tmpDir("catv")
     val cat = new Catalog(spark, root)

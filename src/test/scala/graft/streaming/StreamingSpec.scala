@@ -53,6 +53,40 @@ class StreamingSpec extends SparkTestBase {
     assert(notifier.sent.count(_.subject.contains("SUCCESS")) == 1)
   }
 
+  test("approval stream restart from checkpoint stays exactly-once") {
+    val landing = tmpDir("landing2")
+    val notifier = new InMemoryNotifier
+    val pipeline = new Pipeline(spark, new Catalog(spark, tmpDir("wh2")), notifier, landing)
+    val ckpt = tmpDir("ckpt2")
+    val sp = new StreamingPipeline(spark, pipeline, ckpt)
+
+    write(landing, "b1/insert/customers.csv", "customer_id,name\n1,alice\n")
+    pipeline.registerArrival(graft.model.FileEvent("b1", "insert/customers.csv", "ev1"))
+    val apprDir = tmpDir("appr2")
+    write(apprDir, "a1.json",
+      """{"event_id":"ev1","action":"approve","file_name":"insert/customers.csv","table_name":"customers","operation":"insert","bucket":"b1","file_version":1}
+        |""".stripMargin)
+    val q1 = sp.startApprovals(apprDir)
+    q1.awaitTermination()
+    assert(pipeline.catalog.read("customers").count() == 1)
+    val successesAfterFirst = notifier.sent.count(_.subject.contains("SUCCESS"))
+
+    // restart: the old file is replayed from the checkpoint's processed
+    // set (skipped), the duplicate approval in the new file hits the
+    // control-table guard; only the genuinely new event applies
+    write(landing, "b1/insert/parts.csv", "part_id,name\n7,bolt\n")
+    pipeline.registerArrival(graft.model.FileEvent("b1", "insert/parts.csv", "ev2"))
+    write(apprDir, "a2.json",
+      """{"event_id":"ev1","action":"approve","file_name":"insert/customers.csv","table_name":"customers","operation":"insert","bucket":"b1","file_version":1}
+        |{"event_id":"ev2","action":"approve","file_name":"insert/parts.csv","table_name":"parts","operation":"insert","bucket":"b1","file_version":1}
+        |""".stripMargin)
+    val q2 = sp.startApprovals(apprDir)
+    q2.awaitTermination()
+    assert(pipeline.catalog.read("customers").count() == 1) // no re-apply
+    assert(pipeline.catalog.read("parts").count() == 1)
+    assert(notifier.sent.count(_.subject.contains("SUCCESS")) == successesAfterFirst + 1)
+  }
+
   test("windowed streaming counts match the batch query (AvailableNow drain)") {
     val srcDir = tmpDir("evsrc")
     // stream the real events table through a parquet file source
