@@ -499,9 +499,59 @@ object Relational {
       ORDER BY l_returnflag
     """.trim))
 
+  /** Correlated-aggregate filter (decorrelated as a window aggregate):
+    * customers above their nation's average balance. The window form
+    * needs one shuffle; Catalyst decorrelates the equivalent subquery
+    * to the same shape.
+    */
+  val q19AboveNationAvg = Q(
+    "q19_above_nation_avg",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_nationkey")
+      t(s, dir, "customer")
+        .withColumn("nation_avg",
+          sum($"c_acctbal".cast("decimal(14,2)")).over(w).cast("double") /
+            count(lit(1)).over(w))
+        .filter($"c_acctbal" > $"nation_avg")
+        .select($"c_custkey", $"c_name", $"c_acctbal", $"nation_avg")
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_acctbal, nation_avg
+      FROM (SELECT c_custkey, c_name, c_acctbal,
+              CAST(sum(CAST(c_acctbal AS DECIMAL(14,2)))
+                     OVER (PARTITION BY c_nationkey) AS DOUBLE) /
+                count(*) OVER (PARTITION BY c_nationkey) AS nation_avg
+            FROM customer)
+      WHERE c_acctbal > nation_avg
+      ORDER BY c_custkey
+    """.trim))
+
+  /** Date arithmetic: interval shift + day difference. */
+  val q20DateArith = Q(
+    "q20_date_arith",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(
+          $"o_orderkey",
+          date_add($"o_orderdate", 90).as("due_date"),
+          datediff(lit("1998-01-01").cast("date"), $"o_orderdate").as("days_to_cutoff"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+             CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+             datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_cutoff
+      FROM orders
+      ORDER BY o_orderkey
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
     q09RunningTotal, q10Rollup, q11Cube, q12SetOps, q13DistinctAgg,
-    q14StringFns, q15DateFns, q16JsonFns, q17CaseMath, q18Percentiles)
+    q14StringFns, q15DateFns, q16JsonFns, q17CaseMath, q18Percentiles,
+    q19AboveNationAvg, q20DateArith)
 }

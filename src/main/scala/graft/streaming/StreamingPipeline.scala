@@ -94,4 +94,43 @@ object StreamingAnalytics {
   def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts_utc", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- custom state: flatMapGroupsWithState sessionization ----
+
+  final case class SessionEvent(user_id: Long, ts_us: Long)
+  final case class SessionState(start_us: Long, last_us: Long, n: Int)
+  final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Int)
+
+  /** Per-user sessionization with explicit state: a session CLOSES when
+    * a later event arrives more than `gapUs` after it (the closing
+    * event opens the next session). The still-open session per user
+    * stays in state — the streaming-honest contract (it may yet grow).
+    * Batch twin: EventOps.e02Sessionize.
+    */
+  def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapUs: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    def fn(userId: Long, batch: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[ClosedSession] = {
+      val sorted = batch.toSeq.sortBy(_.ts_us)
+      var cur = state.getOption
+      val closed = Seq.newBuilder[ClosedSession]
+      sorted.foreach { ev =>
+        cur match {
+          case Some(s) if ev.ts_us - s.last_us > gapUs =>
+            closed += ClosedSession(userId, s.start_us, s.last_us, s.n)
+            cur = Some(SessionState(ev.ts_us, ev.ts_us, 1))
+          case Some(s) =>
+            cur = Some(SessionState(s.start_us, math.max(s.last_us, ev.ts_us), s.n + 1))
+          case None =>
+            cur = Some(SessionState(ev.ts_us, ev.ts_us, 1))
+        }
+      }
+      cur.foreach(state.update)
+      closed.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }

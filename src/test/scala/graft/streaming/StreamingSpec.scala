@@ -114,6 +114,33 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("flatMapGroupsWithState sessionizer closes sessions across batches") {
+    import StreamingAnalytics.{SessionEvent, ClosedSession}
+    val srcDir = tmpDir("sesssrc")
+    val gapUs = 30L * 60 * 1000 * 1000
+    // batch 1: user 1 has two close events; user 2 one event
+    Seq(SessionEvent(1L, 1000L), SessionEvent(1L, 2000L), SessionEvent(2L, 500L))
+      .toDF().write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema("user_id long, ts_us long").parquet(srcDir)
+      .as[SessionEvent]
+    val q = StreamingAnalytics.sessionize(stream, gapUs)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("sess_out").isEmpty) // nothing closed yet
+
+    // batch 2: an event far in the future closes user 1's open session
+    Seq(SessionEvent(1L, gapUs * 10)).toDF()
+      .write.mode("append").parquet(srcDir)
+    val q2 = StreamingAnalytics.sessionize(stream, gapUs)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    // fresh query re-reads all files; the early session closes
+    val sessions = spark.table("sess_out2").as[ClosedSession].collect()
+    assert(sessions.toSeq == Seq(ClosedSession(1L, 1000L, 2000L, 2)))
+  }
+
   test("dropDuplicatesWithinWatermark removes in-stream dup ids") {
     val srcDir = tmpDir("dupsrc")
     Seq((1L, "2024-01-01 00:00:00", "a", 1.0), (1L, "2024-01-01 00:05:00", "a", 1.0),
