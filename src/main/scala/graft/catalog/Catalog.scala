@@ -74,6 +74,16 @@ final class Catalog(spark: SparkSession, root: String) {
     commit(name, df, primaryKey(name))
   }
 
+  /** Overwrite with hive-style partition directories (`col=value/…`).
+    * Readers resolve the same `_current` pointer; partition-pruned
+    * scans then touch only matching subdirectories — the layout that
+    * keeps a 100 TB table's time/tenant slices independently readable.
+    */
+  def overwritePartitioned(name: String, df: DataFrame,
+      partitionCols: Seq[String]): Unit = synchronized {
+    commit(name, df, primaryKey(name), partitionCols)
+  }
+
   def schema(name: String): StructType = read(name).schema
 
   def primaryKey(name: String): Seq[String] = {
@@ -100,13 +110,16 @@ final class Catalog(spark: SparkSession, root: String) {
     writeAtomic(metaFile(name), json)
   }
 
-  private def commit(name: String, df: DataFrame, pks: Seq[String]): Unit = {
+  private def commit(name: String, df: DataFrame, pks: Seq[String],
+      partitionCols: Seq[String] = Nil): Unit = {
     val version = s"v${System.currentTimeMillis()}_${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(tableDir(name), version)
     // Materialize BEFORE flipping the pointer: df may itself read the
     // current version (read-merge-overwrite), and parquet writes are
     // lazy per partition.
-    df.write.mode("overwrite").parquet(dataDir.toString)
+    val writer = if (partitionCols.nonEmpty)
+      df.write.partitionBy(partitionCols: _*) else df.write
+    writer.mode("overwrite").parquet(dataDir.toString)
     val previous = if (exists(name)) Some(currentVersionDir(name)) else None
     writeAtomic(pointerFile(name), version)
     if (pks.nonEmpty || !fs.exists(metaFile(name))) writeMeta(name, pks)

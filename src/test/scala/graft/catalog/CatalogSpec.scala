@@ -49,6 +49,21 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.read("t").count() == 3)
   }
 
+  test("partitioned overwrite prunes partitions on filtered reads") {
+    val cat = new Catalog(spark, tmpDir("catpart"))
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("event_id", "event_type", "value")
+    cat.createIfAbsent("ev", df.schema)
+    cat.overwritePartitioned("ev", df, Seq("event_type"))
+    assert(cat.read("ev").count() == df.count())
+    val plan = cat.read("ev").filter($"event_type" === "click")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("event_type"), s"no partition pruning in:\n$plan")
+    assert(cat.read("ev").filter($"event_type" === "click").count() ==
+      df.filter($"event_type" === "click").count())
+  }
+
   test("old versions are pruned after commit") {
     val root = tmpDir("catv")
     val cat = new Catalog(spark, root)

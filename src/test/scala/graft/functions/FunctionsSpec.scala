@@ -106,6 +106,25 @@ class FunctionsSpec extends SparkTestBase {
     assert(got.filter(not($"fast" <=> $"ref")).isEmpty)
   }
 
+  test("TopKByScore aggregator matches the rank-window top-k") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val scored = VectorFunctions.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 500)
+      .select($"query_id", $"neighbor_id", $"cos") // un-truncated scores
+    val windowed = VectorFunctions.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 3)
+      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)]
+      .collect().toSet
+    val agg = new TopKByScore(3).toColumn
+    val viaAgg = scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.name("topk"))
+      .flatMap { case (q, top) =>
+        top.zipWithIndex.map { case ((id, _), i) => (q, id, i + 1) } }
+      .collect().toSet
+    assert(viaAgg == windowed)
+  }
+
   test("LSH ANN recall vs brute force on real embeddings (sf0.001)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 20)
