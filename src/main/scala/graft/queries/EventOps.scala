@@ -98,10 +98,17 @@ object EventOps {
           lit("\", \"action\": \""), upper($"event_type"), lit("\"}")))
         .withColumn("b64", base64(encode($"payload", "UTF-8")))
         .withColumn("decoded", decode(unbase64($"b64"), "UTF-8"))
+        // one from_json parse instead of a get_json_object per field
+        .withColumn("payload_struct", from_json($"decoded",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_id",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("action",
+              org.apache.spark.sql.types.StringType)))))
         .select(
           $"event_id",
-          get_json_object($"decoded", "$.event_id").cast("long").as("decoded_id"),
-          lower(get_json_object($"decoded", "$.action")).as("action"))
+          $"payload_struct.event_id".cast("long").as("decoded_id"),
+          lower($"payload_struct.action").as("action"))
         .orderBy($"event_id")
     },
     Some("""
