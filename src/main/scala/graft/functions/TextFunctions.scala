@@ -47,6 +47,27 @@ object TextFunctions {
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
 
+  /** BPE-ish pre-tokenizer regex (GPT-2 style, RE2-compatible subset
+    * shared with the oracle): contractions, space-prefixed letter runs,
+    * digit runs, punctuation runs.
+    */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\s a-zA-Z0-9]+"
+
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpePattern), lit(0)))
+
+  /** Karp–Rabin rolling hash of the normalized text: fold
+    * h ← (h·257 + codepoint) mod 1e9+7 over the characters, left to
+    * right — the streaming-friendly fingerprint (any window's hash is
+    * derivable incrementally), portable to any engine with a list fold.
+    */
+  def rollingFingerprint(c: Column): Column =
+    aggregate(
+      split(normalize(c), ""),
+      lit(0L),
+      (acc, ch) => (acc * 257L + ascii(ch)) % 1000000007L)
+
   /** Quality-score components (length / punctuation / stopword ratios).
     * Ratios are exact integer ratios evaluated in double — identical
     * IEEE division on both engines.

@@ -82,6 +82,31 @@ object VectorFunctions {
       }.reduce(_ + _)
     }: _*)
 
+  /** Embedding-cosine near-duplicate pairs (idA < idB): multi-table
+    * LSH candidates, exact cosine verification at `threshold` — the
+    * embedding-space sibling of Dedup.nearDuplicatePairs; same
+    * bucket-bounded join, never corpus².
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tables: Int = 4, planesPerTable: Int = 4): DataFrame = {
+    val flat = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .select(col("__id"), col("__v"),
+        posexplode(lshTableSignatures(col("__v"), tables, planesPerTable))
+          .as(Seq("__t", "__sig")))
+    val cand = flat.as("a").join(flat.as("b"),
+        col("a.__t") === col("b.__t") && col("a.__sig") === col("b.__sig") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    cand
+      .join(vecs.select(col("__id").as("id_a"), col("__v").as("__va")), "id_a")
+      .join(vecs.select(col("__id").as("id_b"), col("__v").as("__vb")), "id_b")
+      .withColumn("cos", cosine(col("__va"), col("__vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** ANN top-k: candidates share any per-table bucket, then exact
     * cosine re-rank. Recall < 1 by construction (validated against
     * bruteForceTopK in tests); the join fans out by bucket population,

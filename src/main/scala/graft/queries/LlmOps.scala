@@ -316,7 +316,85 @@ object LlmOps {
       """.trim
     })
 
+  /** BPE-ish regex pre-tokenization counts next to whitespace counts. */
+  val t08BpeTokens = Q(
+    "t08_bpe_tokens",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          TF.bpeTokenCount($"text").as("n_bpe"),
+          TF.tokenCount($"text").as("n_ws"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      SELECT doc_id,
+             len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\s a-zA-Z0-9]+', 0)) AS n_bpe,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws
+      FROM documents
+      ORDER BY doc_id
+    """.trim))
+
+  /** Karp–Rabin rolling-hash document fingerprint. */
+  val t09RollingFingerprint = Q(
+    "t09_rolling_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", TF.rollingFingerprint($"text").as("rhash"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t FROM documents)
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ord(t[i:i]) AS BIGINT) for i in range(1, length(t)+1)]),
+               (a, b) -> (a * 257 + b) % 1000000007) AS rhash
+      FROM n
+      ORDER BY doc_id
+    """.trim))
+
+  /** Embedding-cosine near-dup pairs: LSH candidates ≥ 0.45 cosine. */
+  val t10EmbeddingDedup = Q(
+    "t10_embedding_dedup",
+    (s, dir) => {
+      import s.implicits._
+      VF.cosineNearDupPairs(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.45)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some {
+      val signedSum = (p: Int) =>
+        s"""list_sum([CAST(v[i] AS DOUBLE) * (CASE WHEN (strpos('0123456789abcdef', md5('plane${p}_' || (i-1))[32:32]) - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END) for i in range(1, len(v)+1)])"""
+      def tableSig(t: Int) = (0 until 4)
+        .map(j => s"(CASE WHEN ${signedSum(t * 4 + j)} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      val sigCase = (0 until 4)
+        .map(t => s"WHEN $t THEN sig$t").mkString("CASE tt ", " ", " END")
+      s"""
+      WITH sigs AS (SELECT vec_id, embedding AS v,
+                      ${(0 until 4).map(t => s"${tableSig(t)} AS sig$t").mkString(", ")}
+                    FROM embeddings),
+      flat AS (SELECT vec_id, tt, $sigCase AS sig
+               FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS tt)),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM flat a JOIN flat b ON a.tt = b.tt AND a.sig = b.sig
+               WHERE a.vec_id < b.vec_id),
+      sc AS (SELECT id_a, id_b,
+               list_sum([CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) for i in range(1, len(va)+1)]) /
+               (sqrt(list_sum([CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE) for i in range(1, len(va)+1)])) *
+                sqrt(list_sum([CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) for i in range(1, len(vb)+1)]))) AS cos
+             FROM (SELECT cand.id_a, cand.id_b, ea.embedding AS va, eb.embedding AS vb
+                   FROM cand JOIN embeddings ea ON cand.id_a = ea.vec_id
+                             JOIN embeddings eb ON cand.id_b = eb.vec_id))
+      SELECT id_a, id_b, cos FROM sc
+      WHERE cos >= 0.45
+      ORDER BY id_a, id_b
+      """.trim
+    })
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
-    t06Simhash, t07MultimodalMeta, s01CosineTopK, s02AnnLsh)
+    t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
+    t10EmbeddingDedup, s01CosineTopK, s02AnnLsh)
 }
