@@ -22,7 +22,17 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused one-pass cosine (see expressions.CosineSimilarity); bit-
+    * identical to `cosineHof`, pinned by a spec.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** HOF reference formulation of cosine similarity. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force top-k cosine neighbors for each query vector: cross
     * join + rank window. Correct baseline; O(|queries|·|corpus|) — use

@@ -106,6 +106,16 @@ class FunctionsSpec extends SparkTestBase {
     assert(got.filter(not($"fast" <=> $"ref")).isEmpty)
   }
 
+  test("CosineSimilarity expression is bit-identical to the HOF form") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = emb.limit(50).select($"vec_id".as("ia"), $"embedding".as("va"))
+      .crossJoin(emb.limit(50).select($"vec_id".as("ib"), $"embedding".as("vb")))
+    val got = pairs.select(
+      VectorFunctions.cosine($"va", $"vb").as("fast"),
+      VectorFunctions.cosineHof($"va", $"vb").as("ref"))
+    assert(got.filter(not($"fast" <=> $"ref")).isEmpty)
+  }
+
   test("TopKByScore aggregator matches the rank-window top-k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 5)
