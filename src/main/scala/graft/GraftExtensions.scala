@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expressions._
+
+/** SparkSessionExtensions wiring: registers the engine's custom
+  * Catalyst expressions as SQL functions, so `spark.sql` users get the
+  * same fused operators as the DataFrame API:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * spark.sql("SELECT cosine_similarity(a.embedding, b.embedding) ...")
+  * }}}
+  *
+  * No custom planner strategies or optimizer rules are injected: every
+  * operator of the reference (and of the LLM-ops extension surface)
+  * composes from Catalyst built-ins plus these scalar expressions, so a
+  * custom LogicalPlan/SparkPlan would add ceremony, not capability —
+  * the documented (a)>(b)>(c) preference order applied.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, usage, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        GraftExtensions.info(name, usage), builder))
+    }
+}
+
+object GraftExtensions {
+
+  /** Register into an already-built session (withExtensions only applies
+    * at build time; this path serves notebooks/tests on a live session).
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, usage, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info(name, usage), builder)
+    }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  private val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("char_ngram_set", "_FUNC_(str, n) - distinct character n-grams of str",
+      args => CharNgramSet(args.head, intArg(args(1), "n"))),
+    ("minhash_sig", "_FUNC_(shingles, k) - k-hash MinHash signature of a string array",
+      args => MinHashSig(args.head, intArg(args(1), "k"))),
+    ("simhash16", "_FUNC_(tokens) - 16-bit SimHash of a token array",
+      args => SimHash16(args.head)),
+    ("jaccard_long_sets", "_FUNC_(a, b) - Jaccard similarity of two distinct long arrays",
+      args => JaccardLongSets(args.head, args(1))),
+    ("cosine_similarity", "_FUNC_(a, b) - cosine similarity of two float vectors",
+      args => CosineSimilarity(args.head, args(1))),
+    ("lsh_plane_signatures", "_FUNC_(vec, tables, planes) - multi-table hyperplane LSH bucket keys",
+      args => LshPlaneSignatures(args.head,
+        intArg(args(1), "tables"), intArg(args(2), "planes"))))
+}

@@ -1,0 +1,22 @@
+package graft
+
+class GraftExtensionsSpec extends SparkTestBase {
+
+  test("custom expressions are callable from SQL") {
+    GraftExtensions.registerAll(spark)
+    val rows = spark.sql("""
+      SELECT char_ngram_set('abab', 3) AS ngrams,
+             simhash16(array('a', 'b')) AS sh,
+             jaccard_long_sets(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS jac,
+             cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+                               array(CAST(2.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
+             size(minhash_sig(array('x', 'y'), 16)) AS siglen,
+             size(lsh_plane_signatures(array(CAST(0.5 AS FLOAT)), 4, 4)) AS nsigs
+    """).head()
+    assert(rows.getAs[collection.Seq[String]]("ngrams").toSeq == Seq("aba", "bab"))
+    assert(rows.getAs[Double]("jac") == 0.5)
+    assert(math.abs(rows.getAs[Double]("cos") - 1.0) < 1e-12)
+    assert(rows.getAs[Int]("siglen") == 16)
+    assert(rows.getAs[Int]("nsigs") == 4)
+  }
+}
