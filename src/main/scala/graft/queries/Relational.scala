@@ -548,10 +548,66 @@ object Relational {
       ORDER BY o_orderkey
     """.trim))
 
+  /** Regex group extraction: '1-URGENT' → (1, URGENT). */
+  val q21RegexExtract = Q(
+    "q21_regex_extract",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy(
+          nullif(regexp_extract($"o_orderpriority", "^(\\d+)-(\\w+)$", 1), lit(""))
+            .cast("long").as("prio_num"),
+          nullif(regexp_extract($"o_orderpriority", "^(\\d+)-(\\w+)$", 2), lit(""))
+            .as("prio_word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"prio_num".asc_nulls_first)
+    },
+    Some("""
+      SELECT CAST(nullif(regexp_extract(o_orderpriority, '^(\d+)-(\w+)$', 1), '') AS BIGINT) AS prio_num,
+             nullif(regexp_extract(o_orderpriority, '^(\d+)-(\w+)$', 2), '') AS prio_word,
+             count(*) AS n
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY prio_num ASC NULLS FIRST
+    """.trim))
+
+  /** Array construction + functions: deterministic collect via
+    * sort_array, element access, slicing, containment.
+    */
+  val q22ArrayFns = Q(
+    "q22_array_fns",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_orderkey" <= 500)
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_list($"l_linenumber")).as("lines"))
+        .select(
+          $"l_orderkey",
+          $"lines",
+          size($"lines").as("n_lines"),
+          element_at($"lines", 1).as("first_line"),
+          slice($"lines", 1, 2).as("first_two"),
+          array_contains($"lines", 3).as("has_three"))
+        .orderBy($"l_orderkey")
+    },
+    Some("""
+      SELECT l_orderkey,
+             list_sort(list(l_linenumber)) AS lines,
+             len(list_sort(list(l_linenumber))) AS n_lines,
+             list_sort(list(l_linenumber))[1] AS first_line,
+             list_sort(list(l_linenumber))[1:2] AS first_two,
+             list_contains(list(l_linenumber), 3) AS has_three
+      FROM lineitem
+      WHERE l_orderkey <= 500
+      GROUP BY l_orderkey
+      ORDER BY l_orderkey
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
     q09RunningTotal, q10Rollup, q11Cube, q12SetOps, q13DistinctAgg,
     q14StringFns, q15DateFns, q16JsonFns, q17CaseMath, q18Percentiles,
-    q19AboveNationAvg, q20DateArith)
+    q19AboveNationAvg, q20DateArith, q21RegexExtract, q22ArrayFns)
 }
