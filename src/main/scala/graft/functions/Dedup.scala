@@ -159,6 +159,43 @@ object Dedup {
       ColumnBridge.expression(TextFunctions.tokens(textCol))))
   }
 
+  /** 60-bit SimHash over whitespace tokens (production-scale variant;
+    * see expressions.SimHash60).
+    */
+  def simhash60(textCol: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.SimHash60(
+      ColumnBridge.expression(TextFunctions.tokens(textCol))))
+  }
+
+  /** SimHash near-duplicate pairs: band the 60-bit sketch into
+    * `bands` equal slices — any pair within Hamming distance
+    * `bands - 1` shares at least one clean band (pigeonhole), so for
+    * maxDist ≤ bands-1 recall is exactly 1 — then verify
+    * bit_count(a XOR b) ≤ maxDist. Join fan-out is band-bucket
+    * population, never corpus².
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, bands: Int = 4): DataFrame = {
+    require(60 % bands == 0, "bands must divide 60")
+    val width = 60 / bands
+    val sk = df.select(col(idCol).as("__id"), simhash60(col(textCol)).as("__sk"))
+      .persist()
+    val flat = sk.select(col("__id"), col("__sk"),
+      posexplode(array((0 until bands).map { b =>
+        shiftright(col("__sk"), b * width) % lit(1L << width)
+      }: _*)).as(Seq("__b", "__key")))
+    flat.as("a").join(flat.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__key") === col("b.__key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__sk").as("__ska"), col("b.__sk").as("__skb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("__ska").bitwiseXOR(col("__skb"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** HOF reference formulation of simhash16 (kept for the equivalence
     * spec and as documentation of the exact bit semantics).
     */

@@ -200,6 +200,46 @@ object EventOps {
     },
     None)
 
+  /** Native session windows (30-min gap): Spark's session_window merges
+    * events closer than the gap; the oracle reconstructs the same
+    * sessions with the lag/cumsum formulation — window end is last
+    * event + gap by definition.
+    */
+  val e07SessionWindow = Q(
+    "e07_session_window",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+        .groupBy(session_window($"ts_utc", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", $"session_window.start".as("ws"),
+          $"session_window.end".as("we"), $"n_events")
+        .orderBy($"user_id", $"ws")
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+        FROM events),
+      f AS (SELECT user_id, event_id, tus,
+              -- session_window is half-open [start, last+gap): an event
+              -- exactly gap after the last one starts a NEW session (>=)
+              CASE WHEN prev_ts IS NULL OR tus - prev_ts >= 1800000000 THEN 1 ELSE 0 END AS new_session
+            FROM g),
+      sess AS (SELECT user_id, tus,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+               FROM f)
+      SELECT user_id,
+             make_timestamp(min(tus)) AS ws,
+             make_timestamp(max(tus) + 1800000000) AS we,
+             count(*) AS n_events
+      FROM sess
+      GROUP BY user_id, session_idx
+      ORDER BY user_id, ws
+    """.trim))
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
-    e04AsofJoin, e05Pivot, e06ApproxDistinct)
+    e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow)
 }

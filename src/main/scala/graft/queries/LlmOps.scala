@@ -393,8 +393,49 @@ object LlmOps {
       """.trim
     })
 
+  /** 60-bit SimHash + Hamming near-dup: band the sketch 4×15 bits —
+    * any pair within Hamming distance 3 shares a clean band
+    * (pigeonhole ⇒ recall 1 at maxDist ≤ bands-1) — then verify
+    * bit_count(xor) ≤ 3.
+    */
+  val t11SimhashHamming = Q(
+    "t11_simhash_hamming",
+    (s, dir) => {
+      import s.implicits._
+      Dedup.simhashNearDupPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", maxDist = 3)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some {
+      val hex15 = (1 to 15).map { i =>
+        val w = java.math.BigInteger.valueOf(16).pow(15 - i)
+        s"(strpos('0123456789abcdef', m[$i:$i]) - 1) * ${w}"
+      }.mkString(" + ")
+      val bitSum = (0 until 60).map { j =>
+        val p = 1L << j
+        s"CASE WHEN 2 * len(list_filter(vals, v -> (v // $p) % 2 = 1)) > len(vals) THEN $p ELSE 0 END"
+      }.mkString(" + ")
+      val bandDiv = "CASE bb WHEN 0 THEN 1 WHEN 1 THEN 32768 WHEN 2 THEN 1073741824 ELSE 35184372088832 END"
+      s"""
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents),
+      m0 AS (SELECT doc_id, [md5(t) for t in ts] AS ms FROM tk),
+      v AS (SELECT doc_id, [CAST($hex15 AS BIGINT) for m in ms] AS vals FROM m0),
+      sk AS (SELECT doc_id, CAST($bitSum AS BIGINT) AS sk FROM v),
+      bnd AS (SELECT doc_id, sk, bb, (sk // ($bandDiv)) % 32768 AS key
+              FROM sk CROSS JOIN (SELECT unnest([0,1,2,3]) AS bb)),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sk AS ska, b.sk AS skb
+               FROM bnd a JOIN bnd b
+                 ON a.bb = b.bb AND a.key = b.key AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, bit_count(xor(ska, skb)) AS hamming
+      FROM cand
+      WHERE bit_count(xor(ska, skb)) <= 3
+      ORDER BY id_a, id_b
+      """.trim
+    })
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
-    t10EmbeddingDedup, s01CosineTopK, s02AnnLsh)
+    t10EmbeddingDedup, t11SimhashHamming, s01CosineTopK, s02AnnLsh)
 }

@@ -59,6 +59,34 @@ class FunctionsSpec extends SparkTestBase {
     assert(got.filter(not($"fast" <=> $"ref")).isEmpty)
   }
 
+  test("SimHash60 matches an independent reimplementation; dups collide") {
+    def ref(text: String): Long = {
+      val toks = text.trim.split("\\s+")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val ones = new Array[Int](60)
+      toks.foreach { t =>
+        md.reset()
+        val d = md.digest(t.getBytes("UTF-8"))
+        val hex = d.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15)
+        val v = java.lang.Long.parseLong(hex, 16)
+        (0 until 60).foreach(j => if (((v >> j) & 1L) == 1L) ones(j) += 1)
+      }
+      (0 until 60).foldLeft(0L)((acc, j) =>
+        if (2 * ones(j) > toks.length) acc | (1L << j) else acc)
+    }
+    val texts = docs.filter(length($"text") > 0).select("text").as[String].collect()
+    val got = docs.filter(length($"text") > 0)
+      .select($"text", Dedup.simhash60($"text")).as[(String, Long)].collect().toMap
+    texts.foreach(t => assert(got(t) == ref(t), s"mismatch for '$t'"))
+  }
+
+  test("simhash near-dup pairs find the exact dup at distance 0") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 0))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("near-dup pipeline finds planted pairs, not the distinct doc") {
     val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.8)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
