@@ -13,8 +13,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Memoize resolved relations per (session, path): repeated
+  // spark.read.parquet calls re-list files and re-read footers on every
+  // query — the moral equivalent of a catalog's cached table metadata.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 
   /** Register every table as a temp view (used by SQL-form queries
     * such as GROUPING SETS and by tests).
