@@ -92,6 +92,49 @@ object VectorFunctions {
       }.reduce(_ + _)
     }: _*)
 
+  /** IVF assignment: nearest (highest-cosine) centroid per vector,
+    * deterministic ties by centroid id. Centroids broadcast — the
+    * assignment is a map-side pass over the corpus.
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, nprobe: Int = 1): DataFrame = {
+    val w = Window.partitionBy(col("__aid"))
+      .orderBy(col("__acos").desc, col("__cid"))
+    df.select(col(idCol).as("__aid"), col(vecCol).as("__avec"))
+      .crossJoin(broadcast(centroids.select(col("__cid"), col("__cvec"))))
+      .withColumn("__acos", cosine(col("__avec"), col("__cvec")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nprobe)
+      .select(col("__aid"), col("__avec"), col("__cid"))
+  }
+
+  /** IVF top-k: single-assignment inverted file over `numCentroids`
+    * fixed-seed centroids (the first ids — a production pipeline would
+    * Lloyd-iterate them; the *structure* is what matters at scale:
+    * probe `nprobe` nearest centroid buckets instead of the corpus).
+    * Complement to the hyperplane-LSH path.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, numCentroids: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val centroids = corpus.filter(col(idCol) < numCentroids)
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
+    val bucketed = ivfAssign(corpus, idCol, vecCol, centroids)
+      .select(col("__aid").as("neighbor_id"), col("__avec").as("__cv"), col("__cid"))
+    val probes = ivfAssign(queries, idCol, vecCol, centroids, nprobe)
+      .select(col("__aid").as("query_id"), col("__avec").as("__qv"), col("__cid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(bucketed, Seq("__cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
+      .distinct()
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (idA < idB): multi-table
     * LSH candidates, exact cosine verification at `threshold` — the
     * embedding-space sibling of Dedup.nearDuplicatePairs; same

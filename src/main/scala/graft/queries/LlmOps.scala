@@ -434,8 +434,55 @@ object LlmOps {
       """.trim
     })
 
+  private val cosSql = (a: String, b: String) =>
+    s"""list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a)+1)]) /
+        (sqrt(list_sum([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) for i in range(1, len($a)+1)])) *
+         sqrt(list_sum([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($b)+1)])))"""
+
+  /** IVF ANN: fixed-seed centroids (first 16 ids), nearest-centroid
+    * inverted file, 4-probe query → exact re-rank. The second scale
+    * path next to hyperplane LSH.
+    */
+  val s03IvfTopK = Q(
+    "s03_ivf_topk",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      VF.ivfTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding",
+        k = 3, numCentroids = 16, nprobe = 4)
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      corpus_assign AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+          FROM embeddings e CROSS JOIN cent c)
+        WHERE rn = 1),
+      probes AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+          FROM embeddings e CROSS JOIN cent c
+          WHERE e.vec_id < 8)
+        WHERE rn <= 4),
+      cand AS (SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+               FROM probes p JOIN corpus_assign a ON p.cid = a.cid
+               WHERE p.vec_id <> a.vec_id),
+      sc AS (SELECT query_id, neighbor_id, ${cosSql("eq.embedding", "ec.embedding")} AS cos
+             FROM cand JOIN embeddings eq ON cand.query_id = eq.vec_id
+                       JOIN embeddings ec ON cand.neighbor_id = ec.vec_id)
+      SELECT query_id, neighbor_id, rank, cos
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+      WHERE rank <= 3
+      ORDER BY query_id, rank
+    """.trim))
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
-    t10EmbeddingDedup, t11SimhashHamming, s01CosineTopK, s02AnnLsh)
+    t10EmbeddingDedup, t11SimhashHamming, s01CosineTopK, s02AnnLsh, s03IvfTopK)
 }

@@ -163,6 +163,17 @@ class FunctionsSpec extends SparkTestBase {
     assert(viaAgg == windowed)
   }
 
+  test("IVF ANN recall vs brute force on real embeddings (sf0.001)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = VectorFunctions.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = VectorFunctions.ivfTopK(emb, queries, "vec_id", "embedding", 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall collapsed — bucketing broken?")
+  }
+
   test("LSH ANN recall vs brute force on real embeddings (sf0.001)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 20)
