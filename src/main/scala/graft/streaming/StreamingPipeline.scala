@@ -95,6 +95,26 @@ object StreamingAnalytics {
     events.withWatermark("ts_utc", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each error joins the same user's
+    * clicks from the preceding `windowMinutes`. Watermarks on both
+    * sides bound the join state Spark must retain.
+    */
+  def clicksBeforeErrors(clicks: DataFrame, errors: DataFrame,
+      windowMinutes: Int = 10, watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts_utc", watermark)
+      .select(col("user_id"), col("ts_utc").as("click_ts"),
+        col("event_id").as("click_id"))
+    val e = errors.withWatermark("ts_utc", watermark)
+      .select(col("user_id").as("e_user"), col("ts_utc").as("error_ts"),
+        col("event_id").as("error_id"))
+    e.join(c,
+      col("user_id") === col("e_user") &&
+        col("click_ts") >= col("error_ts") - expr(s"interval $windowMinutes minutes") &&
+        col("click_ts") <= col("error_ts"))
+      .select(col("user_id"), col("error_id"), col("error_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionization ----
 
   final case class SessionEvent(user_id: Long, ts_us: Long)

@@ -114,6 +114,30 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .select("user_id", "event_id", "event_type", "ts_utc")
+    val clickDir = tmpDir("ssjc")
+    val errorDir = tmpDir("ssje")
+    base.filter($"event_type" === "click").write.mode("overwrite").parquet(clickDir)
+    base.filter($"event_type" === "error").write.mode("overwrite").parquet(errorDir)
+    val schema = "user_id long, event_id long, event_type string, ts_utc timestamp"
+    val q = StreamingAnalytics.clicksBeforeErrors(
+        spark.readStream.schema(schema).parquet(clickDir),
+        spark.readStream.schema(schema).parquet(errorDir))
+      .writeStream.outputMode("append").format("memory").queryName("ssj_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("ssj_out")
+      .select("error_id", "click_id").as[(Long, Long)].collect().toSet
+    val batch = StreamingAnalytics.clicksBeforeErrors(
+        base.filter($"event_type" === "click"),
+        base.filter($"event_type" === "error"))
+      .select("error_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions across batches") {
     import StreamingAnalytics.{SessionEvent, ClosedSession}
     val srcDir = tmpDir("sesssrc")
