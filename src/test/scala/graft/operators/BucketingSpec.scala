@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Co-located joins: bucketed tables joined on their bucket key must
+  * plan WITHOUT a shuffle exchange on either side — the pre-partitioned
+  * layout that makes repeated fact-to-fact joins at warehouse scale
+  * one-stage operations.
+  */
+class BucketingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bucketed-by-key join plans with no shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+
+    // the join itself must not shuffle: the only exchange allowed is
+    // the post-join aggregation's
+    val joinSection = plan.split("HashAggregate").last
+    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey") &&
+      !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join still shuffles:\n$plan")
+
+    // and the result matches the plain join
+    val expected = lineitem.join(orders, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toSet
+    assert(joined.as[(String, Long)].collect().toSet == expected)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+  }
+}
