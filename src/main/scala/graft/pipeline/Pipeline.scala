@@ -54,9 +54,10 @@ final class Pipeline(
     if (!Operation.all.contains(operation)) return None
     val fileName = segments.last
     val tableName = PathOps.deriveTableName(fileName)
-    val version = PathOps.nextVersion(
-      catalog.read(ControlTable).filter(col("operation") === operation),
-      fileName)
+    // version keyed by file_name ALONE — the reference's MAX query
+    // (data-query.py:74-79) does not filter by operation, so an update
+    // re-upload of a previously inserted file continues its history
+    val version = PathOps.nextVersion(catalog.read(ControlTable), fileName)
     import spark.implicits._
     val row = Seq(ProcessedFile(fileName, ev.id, version,
       is_processed = false, ev.bucket, operation, Status.Pending, None)).toDF()
@@ -67,6 +68,47 @@ final class Pipeline(
       approveUrl = s"https://approvals.local/?event_id=${ev.id}&action=approve",
       rejectUrl = s"https://approvals.local/?event_id=${ev.id}&action=reject")
     Some(version)
+  }
+
+  /** Set-based E1: register a whole batch of arrival events in ONE
+    * control-table commit — guards and routing as column expressions,
+    * versions continued per file with a single window
+    * (PathOps.assignVersions) instead of one MAX query per event.
+    * Returns (event_id, assigned version); filtered events are absent.
+    */
+  def registerArrivals(events: Seq[FileEvent]): Map[String, Long] = {
+    ensureControlTables()
+    if (events.isEmpty) return Map.empty
+    import spark.implicits._
+    val arrivals = events.toDF("bucket", "name", "id")
+      .filter(!col("name").endsWith("/"))
+      .withColumn("__segs",
+        filter(split(col("name"), "/"), s => length(s) > 0))
+      .filter(size(col("__segs")) >= 2)
+      .withColumn("operation", lower(element_at(col("__segs"), 1)))
+      .filter(graft.ops.PathOps.isValidOperation(col("operation")))
+      .withColumn("file_name", element_at(col("__segs"), -1))
+    val versioned = graft.ops.PathOps.assignVersions(
+        catalog.read(ControlTable), arrivals, ord = col("id"))
+      .select(col("file_name"), col("id").as("event_id"),
+        col("file_version"), lit(false).as("is_processed"),
+        col("bucket"), col("operation"), lit(Status.Pending).as("status"),
+        lit(null).cast("timestamp").as("approval_timestamp"))
+      .collect()
+    if (versioned.isEmpty) return Map.empty
+    catalog.append(ControlTable,
+      spark.createDataFrame(spark.sparkContext.parallelize(versioned.toSeq, 1),
+        graft.model.ProcessedFile.schema))
+    val ts = nowIso()
+    versioned.foreach { r =>
+      val (file, id, op, bucket, version) = (r.getString(0), r.getString(1),
+        r.getString(5), r.getString(4), r.getLong(2))
+      notifier.requestApproval(approver, op, graft.ops.PathOps.deriveTableName(file),
+        file, id, bucket, version, ts,
+        approveUrl = s"https://approvals.local/?event_id=$id&action=approve",
+        rejectUrl = s"https://approvals.local/?event_id=$id&action=reject")
+    }
+    versioned.map(r => r.getString(1) -> r.getLong(2)).toMap
   }
 
   // ---------------------------------------------------------------- E3

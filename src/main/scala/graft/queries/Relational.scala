@@ -604,10 +604,45 @@ object Relational {
       ORDER BY l_orderkey
     """.trim))
 
+  /** Math scalar functions over exactly-reproducible ops: abs, floor,
+    * ceil, sqrt (IEEE correctly-rounded), pmod, decimal round. (ln/pow
+    * are deliberately absent — libm implementations differ across
+    * engines at ULP level.)
+    */
+  val q23MathFns = Q(
+    "q23_math_fns",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_orderkey" <= 300)
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          abs(-$"l_quantity").as("abs_qty"),
+          floor($"l_extendedprice").cast("long").as("floor_price"),
+          ceil($"l_extendedprice").cast("long").as("ceil_price"),
+          sqrt($"l_quantity").as("sqrt_qty"),
+          pmod($"l_orderkey", lit(7)).as("mod7"),
+          round($"l_discount" * 100).cast("long").as("disc_pct"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             abs(-l_quantity) AS abs_qty,
+             CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+             CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+             sqrt(l_quantity) AS sqrt_qty,
+             l_orderkey % 7 AS mod7,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc_pct
+      FROM lineitem
+      WHERE l_orderkey <= 300
+      ORDER BY l_orderkey, l_linenumber
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
     q09RunningTotal, q10Rollup, q11Cube, q12SetOps, q13DistinctAgg,
     q14StringFns, q15DateFns, q16JsonFns, q17CaseMath, q18Percentiles,
-    q19AboveNationAvg, q20DateArith, q21RegexExtract, q22ArrayFns)
+    q19AboveNationAvg, q20DateArith, q21RegexExtract, q22ArrayFns,
+    q23MathFns)
 }

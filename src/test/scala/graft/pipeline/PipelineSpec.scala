@@ -99,14 +99,17 @@ class PipelineSpec extends SparkTestBase {
     p.processApproval(approval("ev5", "approve", "insert"))
     p.catalog.registerPrimaryKey("customers", Seq("customer_id"))
 
+    // versions continue per file_name across operations (the reference's
+    // MAX query has no operation filter, data-query.py:74-79): the
+    // insert was v1, so this update registration is v2
     land(landing, "b1", "update/customers.csv", "customer_id,name\n2,BOB\n3,carol\n")
-    assert(p.registerArrival(FileEvent("b1", "update/customers.csv", "ev6")).contains(1L))
+    assert(p.registerArrival(FileEvent("b1", "update/customers.csv", "ev6")).contains(2L))
     p.processApproval(approval("ev6", "approve", "update"))
     assert(p.catalog.read("customers").as[(String, String)].collect().toSet ==
       Set("1" -> "alice", "2" -> "BOB", "3" -> "carol"))
 
-    // same file again: version 2 of the update stream
-    assert(p.registerArrival(FileEvent("b1", "update/customers.csv", "ev7")).contains(2L))
+    // same file again: version 3 of the shared history
+    assert(p.registerArrival(FileEvent("b1", "update/customers.csv", "ev7")).contains(3L))
   }
 
   test("delete stages rows (never touches data), E4 executes them") {
@@ -135,6 +138,22 @@ class PipelineSpec extends SparkTestBase {
     assert(after.forall(r => r.ExecutedFlag && r.ExecutedDeleteTimestamp.nonEmpty))
     // second run is a no-op
     assert(p.executePendingDeletes().isEmpty)
+  }
+
+  test("batch registration versions a whole arrival batch in one commit") {
+    val (p, notifier, _) = freshPipeline()
+    // seed history: customers.csv already at version 1
+    p.registerArrival(FileEvent("b1", "insert/customers.csv", "ev0"))
+    val got = p.registerArrivals(Seq(
+      FileEvent("b1", "insert/customers.csv", "ev1"),  // continues -> v2
+      FileEvent("b1", "update/customers.csv", "ev2"),  // same file  -> v3
+      FileEvent("b1", "insert/parts.csv", "ev3"),      // fresh      -> v1
+      FileEvent("b1", "archive/skip.csv", "ev4"),      // filtered
+      FileEvent("b1", "insert/", "ev5")))              // folder marker
+    assert(got == Map("ev1" -> 2L, "ev2" -> 3L, "ev3" -> 1L))
+    val ctrl = p.catalog.read(p.ControlTable).as[ProcessedFile].collect()
+    assert(ctrl.length == 4 && ctrl.forall(_.status == Status.Pending))
+    assert(notifier.sent.length == 4) // 1 from seed + 3 from the batch
   }
 
   test("path guards: folders, shallow paths, unknown prefixes filtered (O4)") {
