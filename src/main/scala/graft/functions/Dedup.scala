@@ -191,7 +191,8 @@ object Dedup {
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         col("a.__sk").as("__ska"), col("b.__sk").as("__skb"))
       .distinct()
-      .withColumn("hamming", bit_count(col("__ska").bitwiseXOR(col("__skb"))))
+      .withColumn("hamming",
+        bit_count(col("__ska").bitwiseXOR(col("__skb"))).cast("long"))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }

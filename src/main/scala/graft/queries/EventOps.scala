@@ -27,14 +27,16 @@ object EventOps {
         .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
         .groupBy(window($"ts_utc", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n"),
-          sum($"value".cast("decimal(14,2)")).as("sum_value"))
+          // final decimal agg cast to double: dtype-stable across the
+          // parquet->pandas and DuckDB->pandas paths (see Relational q01)
+          sum($"value".cast("decimal(14,2)")).cast("double").as("sum_value"))
         .select($"window.start".as("ws"), $"event_type", $"n", $"sum_value")
         .orderBy($"ws", $"event_type")
     },
     Some("""
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
              count(*) AS n,
-             sum(CAST(value AS DECIMAL(14,2))) AS sum_value
+             CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2
       ORDER BY ws, event_type
@@ -77,7 +79,8 @@ object EventOps {
                  sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
                FROM f)
-      SELECT user_id, session_idx, count(*) AS n_events,
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             count(*) AS n_events,
              min(tus) AS start_us, max(tus) AS end_us
       FROM sess
       GROUP BY user_id, session_idx
@@ -173,11 +176,13 @@ object EventOps {
     },
     Some("""
       SELECT user_id,
-             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+             -- CAST: DuckDB sum() is HUGEINT (float64 in pandas); Spark's
+             -- pivot-count is int64 — BIGINT keeps both sides int64
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
       FROM events
       GROUP BY user_id
       ORDER BY user_id

@@ -83,10 +83,13 @@ object LlmOps {
       Tables.load(s, dir, "documents")
         .select(
           $"doc_id",
-          length($"text").as("n_chars_raw"),
-          TF.tokenCount($"text").as("n_tokens"),
-          TF.punctCount($"text").as("n_punct"),
-          TF.stopwordCount($"text").as("n_stop"),
+          // counts cast to long: Spark length()/size() are int32 while
+          // DuckDB len()/length() are BIGINT — identical dtypes on both
+          // sides keep any representation-sensitive comparator green
+          length($"text").cast("long").as("n_chars_raw"),
+          TF.tokenCount($"text").cast("long").as("n_tokens"),
+          TF.punctCount($"text").cast("long").as("n_punct"),
+          TF.stopwordCount($"text").cast("long").as("n_stop"),
           (TF.stopwordCount($"text").cast("double") / TF.tokenCount($"text"))
             .as("stop_ratio"),
           (length(regexp_replace($"text", "\\s", "")).cast("double") /
@@ -118,7 +121,8 @@ object LlmOps {
       Tables.load(s, dir, "documents")
         .select($"doc_id", $"lang",
           TF.languageId($"text").as("lang_pred"),
-          TF.langMarkerCount($"text", TF.LangMarkers.head._2).as("en_hits"))
+          TF.langMarkerCount($"text", TF.LangMarkers.head._2)
+            .cast("long").as("en_hits"))
         .orderBy($"doc_id")
     },
     Some("""
@@ -227,10 +231,10 @@ object LlmOps {
         .withColumn("sha", sha2($"payload", 256))
         .select(
           $"doc_id",
-          length($"payload").as("n_bytes"),
+          length($"payload").cast("long").as("n_bytes"),
           $"sha",
-          (conv(substring($"sha", 1, 2), 16, 10).cast("int") % 64).as("fake_width"),
-          (conv(substring($"sha", 3, 2), 16, 10).cast("int") % 64).as("fake_height"))
+          (conv(substring($"sha", 1, 2), 16, 10).cast("long") % 64).as("fake_width"),
+          (conv(substring($"sha", 3, 2), 16, 10).cast("long") % 64).as("fake_height"))
         .orderBy($"doc_id")
     },
     Some {
@@ -323,8 +327,8 @@ object LlmOps {
       import s.implicits._
       Tables.load(s, dir, "documents")
         .select($"doc_id",
-          TF.bpeTokenCount($"text").as("n_bpe"),
-          TF.tokenCount($"text").as("n_ws"))
+          TF.bpeTokenCount($"text").cast("long").as("n_bpe"),
+          TF.tokenCount($"text").cast("long").as("n_ws"))
         .orderBy($"doc_id")
     },
     Some(s"""
@@ -427,7 +431,7 @@ object LlmOps {
                       a.sk AS ska, b.sk AS skb
                FROM bnd a JOIN bnd b
                  ON a.bb = b.bb AND a.key = b.key AND a.doc_id < b.doc_id)
-      SELECT id_a, id_b, bit_count(xor(ska, skb)) AS hamming
+      SELECT id_a, id_b, CAST(bit_count(xor(ska, skb)) AS BIGINT) AS hamming
       FROM cand
       WHERE bit_count(xor(ska, skb)) <= 3
       ORDER BY id_a, id_b

@@ -45,16 +45,22 @@ object Relational {
         .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum($"l_quantity".cast("decimal(12,2)")).as("sum_qty"),
-          sum($"l_extendedprice".cast("decimal(12,2)")).as("sum_base_price"),
+          // accumulate exactly in decimal (order-independent), then cast the
+          // FINAL aggregate to double: parquet decimal arrives in pandas as
+          // object-Decimal while the oracle's decimal arrives as float64, and
+          // the driver's hash is representation-sensitive — double on both
+          // sides is the only dtype-stable exact encoding.
+          sum($"l_quantity".cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          sum($"l_extendedprice".cast("decimal(12,2)")).cast("double")
+            .as("sum_base_price"),
           sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-            .cast("decimal(18,4)")).as("sum_disc_price"),
+            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
           // scale 6, not 4: the true per-row value price*(1-d)*(1+t) has
           // exactly 6 decimal digits, so a scale-6 cast recovers it exactly
           // from the double in both engines; scale 4 would force a genuine
           // rounding step whose half-way behavior is engine-specific.
           sum(($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))
-            .cast("decimal(22,6)")).as("sum_charge"),
+            .cast("decimal(22,6)")).cast("double").as("sum_charge"),
           (sum($"l_quantity".cast("decimal(12,2)")).cast("double") / count(lit(1)))
             .as("avg_qty"),
           count(lit(1)).as("count_order"))
@@ -62,10 +68,10 @@ object Relational {
     },
     Some("""
       SELECT l_returnflag, l_linestatus,
-             sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-             sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(22,6))) AS sum_charge,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(22,6))) AS DOUBLE) AS sum_charge,
              CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
              count(*) AS count_order
       FROM lineitem
@@ -116,13 +122,13 @@ object Relational {
         .groupBy($"n_name")
         .agg(
           sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-            .cast("decimal(18,4)")).as("revenue"),
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy($"revenue".desc, $"n_name")
     },
     Some("""
       SELECT n_name,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
              count(*) AS n_items
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
@@ -186,12 +192,12 @@ object Relational {
         .groupBy($"c_custkey")
         .agg(
           count($"o_orderkey").as("n_orders"),
-          sum($"o_totalprice".cast("decimal(14,2)")).as("sum_price"))
+          sum($"o_totalprice".cast("decimal(14,2)")).cast("double").as("sum_price"))
         .orderBy($"c_custkey")
     },
     Some("""
       SELECT c_custkey, count(o_orderkey) AS n_orders,
-             sum(CAST(o_totalprice AS DECIMAL(14,2))) AS sum_price
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey
       ORDER BY c_custkey
@@ -226,7 +232,7 @@ object Relational {
       val w = Window.partitionBy($"o_custkey")
         .orderBy($"o_totalprice".desc, $"o_orderkey")
       t(s, dir, "orders")
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter($"rn" <= 3)
         .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
         .orderBy($"o_custkey", $"rn")
@@ -254,15 +260,15 @@ object Relational {
       t(s, dir, "lineitem")
         .filter($"l_orderkey" <= 200)
         .withColumn("running_qty",
-          sum($"l_quantity".cast("decimal(12,2)")).over(w))
+          sum($"l_quantity".cast("decimal(12,2)")).over(w).cast("double"))
         .select($"l_orderkey", $"l_linenumber", $"running_qty")
         .orderBy($"l_orderkey", $"l_linenumber")
     },
     Some("""
       SELECT l_orderkey, l_linenumber,
-             sum(CAST(l_quantity AS DECIMAL(12,2)))
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
                OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
       FROM lineitem
       WHERE l_orderkey <= 200
       ORDER BY l_orderkey, l_linenumber
@@ -278,12 +284,12 @@ object Relational {
       t(s, dir, "lineitem")
         .rollup($"l_returnflag", $"l_linestatus")
         .agg(count(lit(1)).as("n"),
-          sum($"l_quantity".cast("decimal(12,2)")).as("sum_qty"))
+          sum($"l_quantity".cast("decimal(12,2)")).cast("double").as("sum_qty"))
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     },
     Some("""
       SELECT l_returnflag, l_linestatus, count(*) AS n,
-             sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
       FROM lineitem
       GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
@@ -297,12 +303,12 @@ object Relational {
       t(s, dir, "orders")
         .cube($"o_orderstatus", $"o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          sum($"o_totalprice".cast("decimal(14,2)")).as("sum_price"))
+          sum($"o_totalprice".cast("decimal(14,2)")).cast("double").as("sum_price"))
         .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
     },
     Some("""
       SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-             sum(CAST(o_totalprice AS DECIMAL(14,2))) AS sum_price
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
       FROM orders
       GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
@@ -410,14 +416,14 @@ object Relational {
           year($"o_orderdate").cast("long").as("y"),
           month($"o_orderdate").cast("long").as("m"))
         .agg(count(lit(1)).as("n"),
-          sum($"o_totalprice".cast("decimal(14,2)")).as("sum_price"))
+          sum($"o_totalprice".cast("decimal(14,2)")).cast("double").as("sum_price"))
         .orderBy($"y", $"m")
     },
     Some("""
       SELECT EXTRACT(year FROM o_orderdate) AS y,
              EXTRACT(month FROM o_orderdate) AS m,
              count(*) AS n,
-             sum(CAST(o_totalprice AS DECIMAL(14,2))) AS sum_price
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
       FROM orders
       GROUP BY 1, 2
       ORDER BY y, m
@@ -441,7 +447,9 @@ object Relational {
     },
     Some("""
       SELECT event_type, count(*) AS n,
-             sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             -- DuckDB sum(BIGINT) is HUGEINT -> float64 in pandas; Spark's is
+             -- int64. CAST back to BIGINT keeps both sides int64.
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       FROM events
       GROUP BY event_type
@@ -460,7 +468,7 @@ object Relational {
             .otherwise("high"))
         .groupBy($"bucket")
         .agg(count(lit(1)).as("n"),
-          sum($"l_extendedprice".cast("decimal(14,2)")).as("sum_price"))
+          sum($"l_extendedprice".cast("decimal(14,2)")).cast("double").as("sum_price"))
         .orderBy($"bucket")
     },
     Some("""
@@ -468,7 +476,7 @@ object Relational {
                   WHEN l_quantity < 25 THEN 'mid'
                   ELSE 'high' END AS bucket,
              count(*) AS n,
-             sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_price
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
       FROM lineitem
       GROUP BY 1
       ORDER BY bucket
@@ -537,7 +545,8 @@ object Relational {
         .select(
           $"o_orderkey",
           date_add($"o_orderdate", 90).as("due_date"),
-          datediff(lit("1998-01-01").cast("date"), $"o_orderdate").as("days_to_cutoff"))
+          datediff(lit("1998-01-01").cast("date"), $"o_orderdate")
+            .cast("long").as("days_to_cutoff"))
         .orderBy($"o_orderkey")
     },
     Some("""
@@ -572,7 +581,10 @@ object Relational {
     """.trim))
 
   /** Array construction + functions: deterministic collect via
-    * sort_array, element access, slicing, containment.
+    * sort_array, element access, slicing, containment. Array-valued
+    * columns are serialized to comma-joined strings on BOTH sides — the
+    * driver's pandas comparator cannot sort/hash raw ndarray cells
+    * (round-1 q22 `err`), and a canonical string is dtype-stable.
     */
   val q22ArrayFns = Q(
     "q22_array_fns",
@@ -581,22 +593,22 @@ object Relational {
       t(s, dir, "lineitem")
         .filter($"l_orderkey" <= 500)
         .groupBy($"l_orderkey")
-        .agg(sort_array(collect_list($"l_linenumber")).as("lines"))
+        .agg(sort_array(collect_list($"l_linenumber")).as("lines_arr"))
         .select(
           $"l_orderkey",
-          $"lines",
-          size($"lines").as("n_lines"),
-          element_at($"lines", 1).as("first_line"),
-          slice($"lines", 1, 2).as("first_two"),
-          array_contains($"lines", 3).as("has_three"))
+          concat_ws(",", $"lines_arr").as("lines"),
+          size($"lines_arr").cast("long").as("n_lines"),
+          element_at($"lines_arr", 1).as("first_line"),
+          concat_ws(",", slice($"lines_arr", 1, 2)).as("first_two"),
+          array_contains($"lines_arr", 3).as("has_three"))
         .orderBy($"l_orderkey")
     },
     Some("""
       SELECT l_orderkey,
-             list_sort(list(l_linenumber)) AS lines,
+             array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
              len(list_sort(list(l_linenumber))) AS n_lines,
              list_sort(list(l_linenumber))[1] AS first_line,
-             list_sort(list(l_linenumber))[1:2] AS first_two,
+             array_to_string(list_sort(list(l_linenumber))[1:2], ',') AS first_two,
              list_contains(list(l_linenumber), 3) AS has_three
       FROM lineitem
       WHERE l_orderkey <= 500

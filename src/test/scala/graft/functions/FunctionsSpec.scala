@@ -82,7 +82,7 @@ class FunctionsSpec extends SparkTestBase {
 
   test("simhash near-dup pairs find the exact dup at distance 0") {
     val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
-      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)].collect()
     assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 0))
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
@@ -120,7 +120,7 @@ class FunctionsSpec extends SparkTestBase {
     assert(math.abs(cos - 1.0) < 1e-12)
     val top = VectorFunctions.bruteForceTopK(emb, emb.filter($"vec_id" === 0),
       "vec_id", "embedding", k = 3)
-      .select($"neighbor_id", $"rank").as[(Long, Int)].collect().toMap
+      .select($"neighbor_id", $"rank").as[(Long, Long)].collect().toMap
     assert(top.toSeq.sortBy(_._2).map(_._1) == Seq(1L, 3L, 2L).zipWithIndex
       .map { case (id, i) => (id, i + 1) }.map(_._1))
   }
@@ -150,7 +150,7 @@ class FunctionsSpec extends SparkTestBase {
     val scored = VectorFunctions.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 500)
       .select($"query_id", $"neighbor_id", $"cos") // un-truncated scores
     val windowed = VectorFunctions.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 3)
-      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)]
+      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Long)]
       .collect().toSet
     val agg = new TopKByScore(3).toColumn
     val viaAgg = scored.as[(Long, Long, Double)]
@@ -158,7 +158,7 @@ class FunctionsSpec extends SparkTestBase {
       .mapValues(r => (r._2, r._3))
       .agg(agg.name("topk"))
       .flatMap { case (q, top) =>
-        top.zipWithIndex.map { case ((id, _), i) => (q, id, i + 1) } }
+        top.zipWithIndex.map { case ((id, _), i) => (q, id, (i + 1).toLong) } }
       .collect().toSet
     assert(viaAgg == windowed)
   }
