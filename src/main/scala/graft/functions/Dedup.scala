@@ -119,8 +119,31 @@ object Dedup {
       ColumnBridge.expression(a), ColumnBridge.expression(b), assumeSorted))
   }
 
+  /** Broadcast `df` only when the optimizer's size estimate fits the
+    * session's `autoBroadcastJoinThreshold`; above it (or with the
+    * threshold disabled) return the frame unhinted, so the join
+    * shuffles on its keys — cost proportional to candidates, never
+    * corpus² — and AQE may still choose a runtime broadcast from
+    * observed sizes. An unconditional hint is a scale bug: a corpus-
+    * wide frame slams into the 8 GB broadcast cap / driver memory long
+    * before 100 TB.
+    */
+  private[graft] def maybeBroadcast(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val threshold = PlanBridge.autoBroadcastThresholdBytes(df.sparkSession)
+    if (threshold > 0 && PlanBridge.optimizedSizeInBytes(df) <= threshold)
+      broadcast(df)
+    else df
+  }
+
   /** Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold.
     * The candidate join keeps the exact verification off the O(n²) path.
+    *
+    * Lifecycle: the shingle frame backing the result is `persist()`ed
+    * (it feeds the banding and both verification joins). In a
+    * long-lived session, call `spark.catalog.clearCache()` (or
+    * unpersist via the plan) once the result is consumed — Verify and
+    * Bench both do this between queries.
     */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingle: Int = 3, numHashes: Int = 16,
@@ -135,13 +158,12 @@ object Dedup {
     val sh = shingleFrame(df, idCol, textCol, shingle)
       .withColumn("__hhd", sort_array(array_distinct(shingleBaseHashes(col("__sh")))))
       .persist()
-    // the per-document hash-set side is corpus-bounded rows of bounded
-    // arrays — broadcast it so the candidate-pair stream never shuffles.
-    // (At true 100 TB corpus scale this hint would come off and the
-    // join shuffles on id, still proportional to candidates, not n².)
+    // the per-document hash-set side is small relative to the candidate
+    // stream when clusters are dense — broadcast it only when the size
+    // estimate says it fits (see maybeBroadcast); otherwise shuffle on id.
     candidatePairsFromShingles(sh.select("__id", "__sh"), numHashes, bands)
-      .join(broadcast(sh.select(col("__id").as("id_a"), col("__hhd").as("__ha"))), "id_a")
-      .join(broadcast(sh.select(col("__id").as("id_b"), col("__hhd").as("__hb"))), "id_b")
+      .join(maybeBroadcast(sh.select(col("__id").as("id_a"), col("__hhd").as("__ha"))), "id_a")
+      .join(maybeBroadcast(sh.select(col("__id").as("id_b"), col("__hhd").as("__hb"))), "id_b")
       .withColumn("jaccard", jaccardLongSets(col("__ha"), col("__hb"), assumeSorted = true))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -173,7 +195,8 @@ object Dedup {
     * `bands - 1` shares at least one clean band (pigeonhole), so for
     * maxDist ≤ bands-1 recall is exactly 1 — then verify
     * bit_count(a XOR b) ≤ maxDist. Join fan-out is band-bucket
-    * population, never corpus².
+    * population, never corpus². Same persist() lifecycle note as
+    * nearDuplicatePairs: clear the cache once the result is consumed.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int, bands: Int = 4): DataFrame = {

@@ -80,6 +80,22 @@ class FunctionsSpec extends SparkTestBase {
     texts.foreach(t => assert(got(t) == ref(t), s"mismatch for '$t'"))
   }
 
+  test("near-dup broadcast is size-gated: disabled threshold plans shuffle join") {
+    def plan(): String = Dedup
+      .nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.8)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+    // small corpus + default threshold → the hash-set side broadcasts
+    assert(plan().contains("BroadcastHashJoin"))
+    // threshold disabled (stand-in for "estimate exceeds threshold" at
+    // corpus scale) → no broadcast hint is applied and the verification
+    // joins shuffle on id — the 100 TB-safe plan
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try assert(!plan().contains("BroadcastHashJoin"))
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("simhash near-dup pairs find the exact dup at distance 0") {
     val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
       .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)].collect()
