@@ -23,7 +23,7 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * renaming the data directory itself. Old versions are pruned on the
   * next successful commit, never at read time.
   */
-final class Catalog(spark: SparkSession, root: String) {
+class Catalog(spark: SparkSession, root: String) {
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -32,9 +32,31 @@ final class Catalog(spark: SparkSession, root: String) {
   private def pointerFile(name: String) = new Path(tableDir(name), "_current")
   private def metaFile(name: String) = new Path(tableDir(name), "_meta.json")
 
-  def exists(name: String): Boolean = fs.exists(pointerFile(name))
+  def exists(name: String): Boolean =
+    fs.exists(pointerFile(name)) || latestVersionDir(name).isDefined
+
+  /** Newest versioned data directory, by name — version names are
+    * `v<epochMillis>_<uuid8>`, so lexicographic order is commit order
+    * (13-digit millis until year 2286). Crash-recovery fallback only:
+    * the pointer file is the normal resolution path.
+    */
+  private def latestVersionDir(name: String): Option[Path] = {
+    if (!fs.exists(tableDir(name))) return None
+    fs.listStatus(tableDir(name)).toSeq
+      .filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("v"))
+      .sortBy(_.getName).lastOption
+  }
 
   private def currentVersionDir(name: String): Path = {
+    if (!fs.exists(pointerFile(name))) {
+      // a crash exactly between pointer delete and rename (pre-overwrite-
+      // rename code) or a half-written pointer must not brick the table:
+      // fall back to the newest fully-written version directory (data
+      // dirs are always materialized before the pointer flips).
+      return latestVersionDir(name).getOrElse(
+        throw new IllegalStateException(s"table $name has no versions"))
+    }
     val in = fs.open(pointerFile(name))
     val v = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
     new Path(tableDir(name), v)
@@ -126,12 +148,18 @@ final class Catalog(spark: SparkSession, root: String) {
     previous.filter(_.getName != version).foreach(p => fs.delete(p, true))
   }
 
+  /** Write-temp + rename-with-OVERWRITE: FileContext.rename(…, OVERWRITE)
+    * replaces the target in one atomic step on local FS and HDFS — no
+    * delete-then-rename window in which a crash would leave the table
+    * with no pointer at all (currentVersionDir's newest-version fallback
+    * covers tables written by the older two-step code).
+    */
   private def writeAtomic(target: Path, content: String): Unit = {
     val tmp = new Path(target.getParent, s".${target.getName}.tmp${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(target)) fs.delete(target, false)
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"atomic rename failed for $target")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 }

@@ -113,58 +113,98 @@ final class Pipeline(
 
   // ---------------------------------------------------------------- E3
 
-  /** process-pipeline.py:436-532 — the approval state machine. */
-  def processApproval(ev: ApprovalEvent): Unit = {
+  /** process-pipeline.py:436-532 — the approval state machine, one
+    * event (single control-table commit, via the batch path).
+    */
+  def processApproval(ev: ApprovalEvent): Unit = processApprovals(Seq(ev))
+
+  /** Batch-grouped E3: the full per-event state machine (approve →
+    * apply + notify, reject, failed-field / failed-op, unknown-action
+    * drop, O8 idempotency), but ALL status updates of a micro-batch
+    * land in ONE conditional control-table rewrite — a burst of N
+    * approvals costs one commit instead of N full-table rewrites
+    * (which would be quadratic in control-table size).
+    *
+    * Events are applied in sequence (the reference handles one Pub/Sub
+    * message per invocation — process-pipeline.py:436 — so in-batch
+    * order IS arrival order); a duplicate event_id later in the batch
+    * is skipped exactly as a replayed message would be.
+    */
+  def processApprovals(events: Seq[ApprovalEvent]): Unit = {
     ensureControlTables()
-    if (ev.event_id == null || ev.event_id.isEmpty ||
-        ev.action == null || ev.action.isEmpty) return
-    if (alreadyProcessed(ev.event_id)) return // idempotency (O8)
-    val approvalTs = ev.approval_timestamp.filter(_.nonEmpty).getOrElse(nowIso())
-    ev.action.toLowerCase match {
-      case "approve" =>
-        if (Seq(ev.file_name, ev.bucket, ev.table_name, ev.operation)
-            .exists(v => v == null || v.isEmpty)) {
-          markControl(ev.event_id, Status.Failed, approvalTs)
-          return
+    val valid = events.filter(ev =>
+      ev.event_id != null && ev.event_id.nonEmpty &&
+        ev.action != null && ev.action.nonEmpty)
+    if (valid.isEmpty) return
+    // O8 idempotency, one control-table read for the whole batch
+    val done = alreadyProcessedSet(valid.map(_.event_id))
+    val updates = Seq.newBuilder[(String, String, String)]
+    val seen = scala.collection.mutable.Set[String]()
+    valid.foreach { ev =>
+      if (!done(ev.event_id) && seen.add(ev.event_id)) {
+        val approvalTs =
+          ev.approval_timestamp.filter(_.nonEmpty).getOrElse(nowIso())
+        ev.action.toLowerCase match {
+          case "approve" =>
+            if (Seq(ev.file_name, ev.bucket, ev.table_name, ev.operation)
+                .exists(v => v == null || v.isEmpty)) {
+              updates += ((ev.event_id, Status.Failed, approvalTs))
+            } else try {
+              applyOperation(ev.operation.toLowerCase, ev.bucket, ev.file_name,
+                ev.table_name, ev.event_id, approvalTs)
+              updates += ((ev.event_id, Status.Approved, approvalTs))
+              notifier.reportResult(approver, ev.operation, ev.table_name,
+                ev.file_name, ev.event_id, ev.bucket, success = true,
+                "Operation completed successfully", approvalTs)
+            } catch {
+              case e: Exception =>
+                updates += ((ev.event_id, Status.Failed, approvalTs))
+                notifier.reportResult(approver, ev.operation, ev.table_name,
+                  ev.file_name, ev.event_id, ev.bucket, success = false,
+                  s"Operation failed: ${e.getMessage}", approvalTs)
+            }
+          case "reject" =>
+            updates += ((ev.event_id, Status.Rejected, approvalTs))
+          case _ => () // unknown action: logged & dropped (process-pipeline.py:469-471)
         }
-        try {
-          applyOperation(ev.operation.toLowerCase, ev.bucket, ev.file_name,
-            ev.table_name, ev.event_id, approvalTs)
-          markControl(ev.event_id, Status.Approved, approvalTs)
-          notifier.reportResult(approver, ev.operation, ev.table_name,
-            ev.file_name, ev.event_id, ev.bucket, success = true,
-            "Operation completed successfully", approvalTs)
-        } catch {
-          case e: Exception =>
-            markControl(ev.event_id, Status.Failed, approvalTs)
-            notifier.reportResult(approver, ev.operation, ev.table_name,
-              ev.file_name, ev.event_id, ev.bucket, success = false,
-              s"Operation failed: ${e.getMessage}", approvalTs)
-        }
-      case "reject" =>
-        markControl(ev.event_id, Status.Rejected, approvalTs)
-      case _ => () // unknown action: logged & dropped (process-pipeline.py:469-471)
+      }
     }
+    markControl(updates.result())
   }
 
   /** O8 — any error reading the control table is treated as "not yet
     * processed" (process-pipeline.py:97-99; a preserved reference quirk).
     */
   def alreadyProcessed(eventId: String): Boolean =
-    try {
-      !catalog.read(ControlTable)
-        .filter(col("event_id") === eventId && col("is_processed"))
-        .limit(1).isEmpty
-    } catch { case _: Exception => false }
+    alreadyProcessedSet(Seq(eventId)).contains(eventId)
 
-  private def markControl(eventId: String, status: String, ts: String): Unit = {
-    val ctrl = catalog.read(ControlTable)
-    val hit = col("event_id") === eventId
-    catalog.overwrite(ControlTable, ctrl
-      .withColumn("status", when(hit, lit(status)).otherwise(col("status")))
-      .withColumn("is_processed", when(hit, lit(true)).otherwise(col("is_processed")))
+  /** O8 for a batch: which of `eventIds` are already processed, in one
+    * control-table read. Read errors → "none processed", preserving the
+    * reference quirk (process-pipeline.py:97-99).
+    */
+  private def alreadyProcessedSet(eventIds: Seq[String]): Set[String] =
+    try {
+      catalog.read(ControlTable)
+        .filter(col("event_id").isin(eventIds.distinct: _*) && col("is_processed"))
+        .select("event_id").collect().map(_.getString(0)).toSet
+    } catch { case _: Exception => Set.empty }
+
+  /** Apply a batch of (event_id, status, approval_ts) control updates in
+    * ONE rewrite: left-join the (tiny, broadcast) update set against the
+    * control table and coalesce the touched columns.
+    */
+  private def markControl(updates: Seq[(String, String, String)]): Unit = {
+    if (updates.isEmpty) return
+    import spark.implicits._
+    val upd = broadcast(updates.toDF("event_id", "__status", "__ts"))
+    catalog.overwrite(ControlTable, catalog.read(ControlTable)
+      .join(upd, Seq("event_id"), "left")
+      .withColumn("status", coalesce(col("__status"), col("status")))
+      .withColumn("is_processed",
+        when(col("__status").isNotNull, lit(true)).otherwise(col("is_processed")))
       .withColumn("approval_timestamp",
-        when(hit, lit(ts).cast("timestamp")).otherwise(col("approval_timestamp"))))
+        coalesce(col("__ts").cast("timestamp"), col("approval_timestamp")))
+      .drop("__status", "__ts"))
   }
 
   /** O1 — CSV scan with validation: header-only schema, all strings;
@@ -245,8 +285,14 @@ final class Pipeline(
         if (catalog.exists(table)) {
           catalog.overwrite(table,
             MutationOps.deleteByPk(catalog.read(table), keys, pks))
+          executed ++= rows.map(_.getLong(0))
+        } else {
+          // missing target = per-table error path: leave ExecutedFlag
+          // false so the staged delete still runs once the table exists
+          // (the reference's failed per-table DELETE is not marked
+          // executed — delete-control.py:38-101)
+          System.err.println(s"[delete-job] table $table does not exist; leaving staged")
         }
-        executed ++= rows.map(_.getLong(0))
       } catch {
         case e: Exception =>
           System.err.println(s"[delete-job] table $table failed: ${e.getMessage}")

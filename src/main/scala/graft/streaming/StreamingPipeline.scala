@@ -44,8 +44,9 @@ final class StreamingPipeline(spark: SparkSession, pipeline: Pipeline,
 
   /** E3 as a stream: approval events (approval-handler.py:51-62 payload)
     * as JSON lines → the approval state machine. Orchestration is
-    * driver-side per event, mirroring the reference; the data work each
-    * event triggers is distributed.
+    * driver-side, mirroring the reference; the data work each event
+    * triggers is distributed, and a micro-batch of N approvals costs
+    * ONE control-table commit (Pipeline.processApprovals), not N.
     */
   def startApprovals(approvalsDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
@@ -55,7 +56,7 @@ final class StreamingPipeline(spark: SparkSession, pipeline: Pipeline,
       .option("checkpointLocation", s"$checkpointRoot/approvals")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach(rowToEvent _ andThen pipeline.processApproval)
+        pipeline.processApprovals(batch.collect().toSeq.map(rowToEvent))
       }
       .start()
   }

@@ -172,4 +172,62 @@ class PipelineSpec extends SparkTestBase {
     assert(p.catalog.read(p.ControlTable).as[ProcessedFile].head().status == Status.Failed)
     assert(notifier.sent.last.subject.contains("FAILURE"))
   }
+
+  test("batch approvals: N events, ONE control-table commit, per-event semantics") {
+    val landing = tmpDir("landing")
+    val notifier = new InMemoryNotifier
+    val counting = new Catalog(spark, tmpDir("wh")) {
+      val overwrites = scala.collection.mutable.Map[String, Int]()
+      override def overwrite(name: String,
+          df: org.apache.spark.sql.DataFrame): Unit = {
+        overwrites(name) = overwrites.getOrElse(name, 0) + 1
+        super.overwrite(name, df)
+      }
+    }
+    val p = new Pipeline(spark, counting, notifier, landing)
+    land(landing, "b1", "insert/customers.csv", "customer_id,name\n1,a\n2,b\n")
+    land(landing, "b1", "insert/parts.csv", "part_id,name\n7,bolt\n")
+    p.registerArrivals(Seq(
+      FileEvent("b1", "insert/customers.csv", "ev1"),
+      FileEvent("b1", "insert/parts.csv", "ev2"),
+      FileEvent("b1", "insert/customers.csv", "ev3"),
+      FileEvent("b1", "insert/customers.csv", "ev4"),
+      FileEvent("b1", "insert/customers.csv", "ev5")))
+    counting.overwrites.clear()
+
+    p.processApprovals(Seq(
+      approval("ev1", "approve", "insert"),               // applies
+      approval("ev2", "approve", "insert", file = "parts.csv", table = "parts"),
+      approval("ev3", "reject", "insert"),                // rejected
+      approval("ev4", "maybe", "insert"),                 // unknown: dropped
+      approval("ev1", "approve", "insert"),               // in-batch dup: skipped
+      ApprovalEvent("ev5", "approve", null, null, null, null,
+        None, None, Some("2026-01-02T03:04:05Z"), None))) // missing fields → Failed
+
+    // the whole batch of 5 distinct outcomes = ONE control-table rewrite
+    assert(counting.overwrites(p.ControlTable) == 1,
+      s"control-table commits: ${counting.overwrites}")
+    val st = p.catalog.read(p.ControlTable).as[ProcessedFile].collect()
+      .map(r => r.event_id -> (r.status, r.is_processed)).toMap
+    assert(st("ev1") == (Status.Approved, true))
+    assert(st("ev2") == (Status.Approved, true))
+    assert(st("ev3") == (Status.Rejected, true))
+    assert(st("ev4") == (Status.Pending, false)) // unknown action untouched
+    assert(st("ev5") == (Status.Failed, true))
+    assert(p.catalog.read("customers").count() == 2)
+    assert(p.catalog.read("parts").count() == 1)
+    // ev1 applied once despite the in-batch duplicate
+    assert(notifier.sent.count(_.subject.contains("Operation SUCCESS")) == 2)
+  }
+
+  test("catalog survives a lost pointer file (crash-recovery fallback)") {
+    val root = tmpDir("wh")
+    val cat = new Catalog(spark, root)
+    cat.createIfAbsent("t", cat.allStringSchema(Seq("a")))
+    cat.append("t", Seq(("x")).toDF("a"))
+    // simulate the legacy delete-then-rename crash window: pointer gone
+    assert(new java.io.File(s"$root/t/_current").delete())
+    assert(cat.exists("t"))
+    assert(cat.read("t").as[String].collect().toSeq == Seq("x"))
+  }
 }
