@@ -1,10 +1,13 @@
 package graft.catalog
 
+import scala.jdk.CollectionConverters._
+
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 
 /** Transactional Parquet table layer — the one genuinely custom piece of
   * storage machinery (SURVEY §4): no lakehouse-format jar ships with the
@@ -64,7 +67,10 @@ class Catalog(spark: SparkSession, root: String) {
 
   def read(name: String): DataFrame = {
     require(exists(name), s"table $name does not exist")
-    spark.read.parquet(currentVersionDir(name).toString)
+    readManifest(name) match {
+      case None => spark.read.parquet(currentVersionDir(name).toString)
+      case Some(m) => readRefs(name, m.refs.values.toSeq, m.schemaDDL)
+    }
   }
 
   /** O9 create-if-absent: template schema (with PKs) when registered,
@@ -106,16 +112,154 @@ class Catalog(spark: SparkSession, root: String) {
     commit(name, df, primaryKey(name), partitionCols)
   }
 
-  def schema(name: String): StructType = read(name).schema
+  // ------------------------------------------------- bucket layout
+  // A table may opt into a PK-hash bucket layout: rows live in
+  // `bucketCount` hash buckets, each materialized as its own directory,
+  // and a per-version `_manifest.json` maps bucket → the version
+  // directory that last rewrote it. A mutation then reads and rewrites
+  // ONLY the buckets containing its keys — at 100 TB, an approved CSV
+  // touches a handful of partitions instead of the whole table — while
+  // the `_current` pointer flip stays the single atomic commit point
+  // (a manifest references immutable directories; old versions are
+  // pruned only once nothing in the current manifest points at them).
 
-  def primaryKey(name: String): Seq[String] = {
-    if (!fs.exists(metaFile(name))) return Nil
-    val in = fs.open(metaFile(name))
+  private case class Manifest(refs: Map[Int, String], schemaDDL: String)
+
+  /** Bucket id of a row: pmod(hash(pk…), n) — deterministic Murmur3,
+    * computable engine-side with no lookup.
+    */
+  def bucketOf(pkCols: Seq[String], n: Int): Column =
+    pmod(hash(pkCols.map(col): _*), lit(n))
+
+  /** Opt a table into the bucket layout (the layout itself materializes
+    * on its next mutation). Requires a registered primary key.
+    */
+  def registerBucketLayout(name: String, numBuckets: Int): Unit = synchronized {
+    require(numBuckets > 0, "numBuckets must be positive")
+    require(primaryKey(name).nonEmpty,
+      s"bucket layout for $name requires a registered primary key")
+    writeMeta(name, primaryKey(name), Some(numBuckets))
+  }
+
+  def bucketCount(name: String): Option[Int] = {
+    val node = readMetaNode(name).flatMap(n => Option(n.get("bucketCount")))
+    node.map(_.asInt())
+  }
+
+  def hasBucketManifest(name: String): Boolean =
+    exists(name) && readManifest(name).isDefined
+
+  /** Current bucket → data-directory map (empty when the table has no
+    * bucket manifest yet). Introspection for tools and tests.
+    */
+  def bucketRefs(name: String): Map[Int, String] =
+    readManifest(name).map(_.refs).getOrElse(Map.empty)
+
+  /** Read only the given buckets of a manifested table; an unmanifested
+    * table is one undivided bucket, so the whole table comes back.
+    */
+  def readBuckets(name: String, buckets: Seq[Int]): DataFrame =
+    readManifest(name) match {
+      case Some(m) =>
+        readRefs(name, buckets.distinct.flatMap(m.refs.get), m.schemaDDL)
+      case None => read(name)
+    }
+
+  /** Migrate/overwrite the WHOLE table into bucket layout. */
+  def overwriteAllBuckets(name: String, df: DataFrame): Unit = synchronized {
+    commitBuckets(name, df, prev = Map.empty, touched = Nil)
+  }
+
+  /** Rewrite only `touched` buckets: `df` must hold exactly the new
+    * contents of those buckets; every other bucket keeps its existing
+    * (immutable) directory via the carried-over manifest entry.
+    */
+  def overwriteBuckets(name: String, df: DataFrame, touched: Seq[Int]): Unit =
+    synchronized {
+      val prev = readManifest(name).map(_.refs).getOrElse(
+        throw new IllegalStateException(
+          s"$name has no bucket manifest; use overwriteAllBuckets first"))
+      commitBuckets(name, df, prev, touched)
+    }
+
+  private def readRefs(name: String, refs: Seq[String],
+      schemaDDL: String): DataFrame =
+    if (refs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(schemaDDL))
+    else
+      refs.sorted.map(r => spark.read.parquet(new Path(tableDir(name), r).toString))
+        .reduce(_ unionByName _)
+
+  private def manifestFile(versionDir: Path) = new Path(versionDir, "_manifest.json")
+
+  private def readManifest(name: String): Option[Manifest] = {
+    val mf = manifestFile(currentVersionDir(name))
+    if (!fs.exists(mf)) return None
+    val in = fs.open(mf)
     val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
     val node = mapper.readTree(txt)
-    val pks = node.get("primaryKey")
-    if (pks == null) Nil
-    else (0 until pks.size()).map(i => pks.get(i).asText())
+    val b = node.get("buckets")
+    Some(Manifest(
+      b.fieldNames.asScala.map(k => k.toInt -> b.get(k).asText()).toMap,
+      node.get("schemaDDL").asText()))
+  }
+
+  private def commitBuckets(name: String, df: DataFrame,
+      prev: Map[Int, String], touched: Seq[Int]): Unit = {
+    val pks = primaryKey(name)
+    val n = bucketCount(name).getOrElse(
+      throw new IllegalStateException(s"$name has no registered bucket layout"))
+    val version = newVersionName()
+    val dataDir = new Path(tableDir(name), version)
+    df.withColumn("__b", bucketOf(pks, n))
+      .write.partitionBy("__b").mode("overwrite").parquet(dataDir.toString)
+    // which buckets actually materialized (a delete can empty one —
+    // its manifest entry must drop, not dangle)
+    val written = fs.listStatus(dataDir).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("__b="))
+      .map(d => d.stripPrefix("__b=").toInt -> s"$version/$d").toMap
+    val refs = (prev -- touched) ++ written
+    val json = mapper.writeValueAsString(Map(
+      "schemaDDL" -> df.schema.toDDL, "buckets" -> refs.map {
+        case (k, v) => k.toString -> v
+      }))
+    writeAtomic(manifestFile(dataDir), json)
+    writeAtomic(pointerFile(name), version)
+    if (!fs.exists(metaFile(name))) writeMeta(name, pks)
+    pruneUnreferenced(name)
+  }
+
+  /** Delete version directories the current pointer+manifest no longer
+    * reference. Runs after the pointer flip, so every surviving
+    * directory is reachable from the live table state.
+    */
+  private def pruneUnreferenced(name: String): Unit = {
+    val cur = currentVersionDir(name).getName
+    val referenced = readManifest(name)
+      .map(_.refs.values.map(_.split("/").head).toSet)
+      .getOrElse(Set.empty) + cur
+    fs.listStatus(tableDir(name)).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.startsWith("v") && !referenced(p.getName))
+      .foreach(p => fs.delete(p, true))
+  }
+
+  private def newVersionName(): String =
+    s"v${System.currentTimeMillis()}_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  def schema(name: String): StructType = read(name).schema
+
+  def primaryKey(name: String): Seq[String] =
+    readMetaNode(name).flatMap(n => Option(n.get("primaryKey"))) match {
+      case None => Nil
+      case Some(pks) => (0 until pks.size()).map(i => pks.get(i).asText())
+    }
+
+  private def readMetaNode(name: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
+    if (!fs.exists(metaFile(name))) return None
+    val in = fs.open(metaFile(name))
+    val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    Some(mapper.readTree(txt))
   }
 
   def registerPrimaryKey(name: String, pks: Seq[String]): Unit =
@@ -127,14 +271,20 @@ class Catalog(spark: SparkSession, root: String) {
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(exists)
 
-  private def writeMeta(name: String, pks: Seq[String]): Unit = {
-    val json = mapper.writeValueAsString(Map("primaryKey" -> pks))
-    writeAtomic(metaFile(name), json)
+  /** Persist table metadata, preserving a previously registered bucket
+    * layout unless a new one is given.
+    */
+  private def writeMeta(name: String, pks: Seq[String],
+      buckets: Option[Int] = None): Unit = {
+    val bc = buckets.orElse(bucketCount(name))
+    val m: Map[String, Any] = Map("primaryKey" -> pks) ++
+      bc.map(n => "bucketCount" -> n)
+    writeAtomic(metaFile(name), mapper.writeValueAsString(m))
   }
 
   private def commit(name: String, df: DataFrame, pks: Seq[String],
       partitionCols: Seq[String] = Nil): Unit = {
-    val version = s"v${System.currentTimeMillis()}_${java.util.UUID.randomUUID().toString.take(8)}"
+    val version = newVersionName()
     val dataDir = new Path(tableDir(name), version)
     // Materialize BEFORE flipping the pointer: df may itself read the
     // current version (read-merge-overwrite), and parquet writes are
@@ -142,10 +292,9 @@ class Catalog(spark: SparkSession, root: String) {
     val writer = if (partitionCols.nonEmpty)
       df.write.partitionBy(partitionCols: _*) else df.write
     writer.mode("overwrite").parquet(dataDir.toString)
-    val previous = if (exists(name)) Some(currentVersionDir(name)) else None
     writeAtomic(pointerFile(name), version)
     if (pks.nonEmpty || !fs.exists(metaFile(name))) writeMeta(name, pks)
-    previous.filter(_.getName != version).foreach(p => fs.delete(p, true))
+    pruneUnreferenced(name)
   }
 
   /** Write-temp + rename-with-OVERWRITE: FileContext.rename(…, OVERWRITE)

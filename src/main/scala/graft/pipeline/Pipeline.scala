@@ -235,14 +235,16 @@ final class Pipeline(
     val pks = catalog.primaryKey(tableName)
     operation match {
       case Operation.Insert =>
-        val merged = MutationOps.insertIgnoreDups(
-          catalog.read(tableName), withOrd.select((ordered :+ "__ord").map(col): _*),
-          pks, col("__ord")).drop("__ord")
-        catalog.overwrite(tableName, merged.select(ordered.map(col): _*))
+        mutateData(tableName, withOrd, pks) { current =>
+          MutationOps.insertIgnoreDups(
+            current, withOrd.select((ordered :+ "__ord").map(col): _*),
+            pks, col("__ord")).select(ordered.map(col): _*)
+        }
       case Operation.Update =>
-        val merged = MutationOps.upsertByPk(
-          catalog.read(tableName), withOrd, pks, col("__ord"))
-        catalog.overwrite(tableName, merged.select(ordered.map(col): _*))
+        mutateData(tableName, withOrd, pks) { current =>
+          MutationOps.upsertByPk(current, withOrd, pks, col("__ord"))
+            .select(ordered.map(col): _*)
+        }
       case Operation.Delete =>
         val base = PathOps.maxQueryId(catalog.read(DeleteControlTable))
         val staged = MutationOps.stageDeletes(
@@ -252,6 +254,32 @@ final class Pipeline(
         catalog.append(DeleteControlTable, staged)
       case other =>
         throw new IllegalArgumentException(s"Unknown operation: $other")
+    }
+  }
+
+  /** Read-merge-overwrite a data table through the narrowest commit the
+    * catalog's layout allows: with a registered PK-hash bucket layout,
+    * only the buckets containing `keyRows`' keys are read and
+    * rewritten (the first such mutation migrates the table into the
+    * layout); otherwise the whole-table rewrite — the honest fallback
+    * when no key partitioning exists.
+    */
+  private def mutateData(tableName: String, keyRows: DataFrame,
+      pks: Seq[String])(mutate: DataFrame => DataFrame): Unit = {
+    catalog.bucketCount(tableName) match {
+      case Some(n) if pks.nonEmpty =>
+        if (catalog.hasBucketManifest(tableName)) {
+          val touched = keyRows
+            .select(catalog.bucketOf(pks, n).as("__b"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          catalog.overwriteBuckets(tableName,
+            mutate(catalog.readBuckets(tableName, touched)), touched)
+        } else {
+          // one-time migration into the bucket layout
+          catalog.overwriteAllBuckets(tableName, mutate(catalog.read(tableName)))
+        }
+      case _ =>
+        catalog.overwrite(tableName, mutate(catalog.read(tableName)))
     }
   }
 
@@ -283,8 +311,8 @@ final class Pipeline(
         val keys = spark.createDataFrame(
           spark.sparkContext.parallelize(keyRows, 1), keySchema)
         if (catalog.exists(table)) {
-          catalog.overwrite(table,
-            MutationOps.deleteByPk(catalog.read(table), keys, pks))
+          mutateData(table, keys, pks)(current =>
+            MutationOps.deleteByPk(current, keys, pks))
           executed ++= rows.map(_.getLong(0))
         } else {
           // missing target = per-table error path: leave ExecutedFlag

@@ -1,5 +1,7 @@
 package graft.catalog
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkTestBase
 
 class CatalogSpec extends SparkTestBase {
@@ -74,5 +76,49 @@ class CatalogSpec extends SparkTestBase {
       .filter(_.isDirectory).map(_.getName)
     assert(dirs.count(_.startsWith("v")) == 1, s"expected 1 live version, got ${dirs.toSeq}")
     assert(cat.read("t").count() == 2)
+  }
+
+  test("bucket layout: partial rewrite touches only the mutated buckets") {
+    val cat = new Catalog(spark, tmpDir("catbuck"))
+    val n = 4
+    cat.createIfAbsent("t", cat.allStringSchema(Seq("id", "v")), Seq("id"))
+    cat.registerBucketLayout("t", n)
+    assert(cat.bucketCount("t").contains(n))
+
+    val rows = (1 to 40).map(i => (i.toString, s"v$i"))
+    cat.overwriteAllBuckets("t", rows.toDF("id", "v"))
+    assert(cat.hasBucketManifest("t"))
+    val refs0 = cat.bucketRefs("t")
+    assert(refs0.keySet == (0 until n).toSet) // 40 ids cover all 4 buckets
+    assert(cat.read("t").count() == 40)
+
+    // rewrite ONE bucket: pick the bucket of id "7" and update its rows
+    val b7 = rows.toDF("id", "v").filter($"id" === "7")
+      .select(cat.bucketOf(Seq("id"), n).as("b")).head().getInt(0)
+    val newBucketRows = cat.readBuckets("t", Seq(b7))
+      .withColumn("v", concat($"v", lit("!")))
+    cat.overwriteBuckets("t", newBucketRows, Seq(b7))
+
+    val refs1 = cat.bucketRefs("t")
+    assert(refs1(b7) != refs0(b7), "touched bucket must get a new directory")
+    // buckets now spread over two live versions, both surviving pruning
+    assert(refs1.values.map(_.split("/").head).toSet.size == 2)
+    refs0.keys.filter(_ != b7).foreach { k =>
+      assert(refs1(k) == refs0(k),
+        s"untouched bucket $k was rewritten: ${refs0(k)} -> ${refs1(k)}")
+    }
+    assert(cat.read("t").filter($"id" === "7").select("v").head().getString(0) == "v7!")
+    assert(cat.read("t").count() == 40)
+
+    // bucket-pruned read scans ONLY the requested bucket's files
+    val files = cat.readBuckets("t", Seq(b7)).inputFiles
+    assert(files.nonEmpty && files.forall(_.contains(s"__b=$b7")),
+      s"readBuckets leaked beyond bucket $b7: ${files.toSeq}")
+
+    // deleting every row of a bucket drops its manifest entry
+    cat.overwriteBuckets("t",
+      cat.readBuckets("t", Seq(b7)).limit(0), Seq(b7))
+    assert(!cat.bucketRefs("t").contains(b7))
+    assert(cat.read("t").count() == 40 - newBucketRows.count())
   }
 }

@@ -220,6 +220,51 @@ class PipelineSpec extends SparkTestBase {
     assert(notifier.sent.count(_.subject.contains("Operation SUCCESS")) == 2)
   }
 
+  test("bucketed data table: approval mutations rewrite only touched buckets") {
+    val (p, _, landing) = freshPipeline()
+    val n = 8
+    land(landing, "b1", "insert/customers.csv",
+      "customer_id,name\n" + (1 to 40).map(i => s"$i,name$i\n").mkString)
+    p.registerArrival(FileEvent("b1", "insert/customers.csv", "bv1"))
+    p.processApproval(approval("bv1", "approve", "insert"))
+    p.catalog.registerPrimaryKey("customers", Seq("customer_id"))
+    p.catalog.registerBucketLayout("customers", n)
+
+    // first post-layout mutation migrates into the bucket layout
+    land(landing, "b1", "update/customers.csv", "customer_id,name\n5,FIVE\n")
+    p.registerArrival(FileEvent("b1", "update/customers.csv", "bv2"))
+    p.processApproval(approval("bv2", "approve", "update"))
+    assert(p.catalog.hasBucketManifest("customers"))
+    val refs0 = p.catalog.bucketRefs("customers")
+
+    // second mutation touches ONLY the bucket of id 9
+    land(landing, "b1", "update/customers.csv", "customer_id,name\n9,NINE\n")
+    p.registerArrival(FileEvent("b1", "update/customers.csv", "bv3"))
+    p.processApproval(approval("bv3", "approve", "update"))
+    val refs1 = p.catalog.bucketRefs("customers")
+    val b9 = Seq("9").toDF("customer_id")
+      .select(p.catalog.bucketOf(Seq("customer_id"), n).as("b")).head().getInt(0)
+    assert(refs1(b9) != refs0(b9))
+    refs0.keys.filter(_ != b9).foreach(k => assert(refs1(k) == refs0(k),
+      s"bucket $k rewritten by an update that never touched it"))
+    assert(p.catalog.read("customers").count() == 40)
+    assert(p.catalog.read("customers").filter($"customer_id" === "9")
+      .select("name").head().getString(0) == "NINE")
+    assert(p.catalog.read("customers").filter($"customer_id" === "5")
+      .select("name").head().getString(0) == "FIVE")
+
+    // staged deletes execute bucket-scoped too
+    land(landing, "b1", "delete/customers.csv", "customer_id\n9\n")
+    p.registerArrival(FileEvent("b1", "delete/customers.csv", "bv4"))
+    p.processApproval(approval("bv4", "approve", "delete"))
+    val refsBeforeDel = p.catalog.bucketRefs("customers")
+    assert(p.executePendingDeletes().nonEmpty)
+    val refsAfterDel = p.catalog.bucketRefs("customers")
+    refsBeforeDel.keys.filter(_ != b9).foreach(k =>
+      assert(refsAfterDel(k) == refsBeforeDel(k)))
+    assert(p.catalog.read("customers").count() == 39)
+  }
+
   test("catalog survives a lost pointer file (crash-recovery fallback)") {
     val root = tmpDir("wh")
     val cat = new Catalog(spark, root)
