@@ -160,6 +160,33 @@ class FunctionsSpec extends SparkTestBase {
     assert(got.filter(not($"fast" <=> $"ref")).isEmpty)
   }
 
+  test("hot expressions survive CODEGEN-ONLY mode; mismatched lengths -> null") {
+    // fallback off: a broken doGenCode throws instead of silently
+    // reverting to interpreted eval
+    val old = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val vecs = Seq(
+        (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f), Array(1L, 2L, 3L), Array(2L, 3L, 4L)),
+        (Array(1.0f, 0.0f), Array(0.0f, 1.0f), Array(5L), Array(5L))
+      ).toDF("a", "b", "sa", "sb")
+      val r = vecs.select(
+        VectorFunctions.cosine($"a", $"b").as("cos"),
+        VectorFunctions.cosineHof($"a", $"b").as("cosRef"),
+        Dedup.jaccardLongSets(sort_array($"sa"), sort_array($"sb"),
+          assumeSorted = true).as("jac"),
+        Dedup.jaccard($"sa", $"sb").as("jacRef"))
+      assert(r.filter(not($"cos" <=> $"cosRef") || not($"jac" <=> $"jacRef")).isEmpty)
+
+      // length mismatch: null, matching the HOF twin's zip_with-pads-null
+      val mism = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)))
+        .toDF("a", "b")
+        .select(VectorFunctions.cosine($"a", $"b").as("fast"),
+          VectorFunctions.cosineHof($"a", $"b").as("ref"))
+      assert(mism.filter($"fast".isNotNull || $"ref".isNotNull).isEmpty)
+    } finally spark.conf.set("spark.sql.codegen.fallback", old)
+  }
+
   test("TopKByScore aggregator matches the rank-window top-k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 5)
