@@ -32,17 +32,25 @@ object Bench {
     }
     spark.catalog.clearCache()
 
+    // a failed query must NOT bench as a plausible small time: record
+    // -1 and list it under "failed" so a regression is visible in the
+    // output JSON, not hidden in a healthy-looking total
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try materialize(name, sfDir)
-      catch { case _: Throwable => () }
+      val ok = try { materialize(name, sfDir); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        false
+      }
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

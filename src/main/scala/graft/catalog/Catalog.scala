@@ -182,6 +182,46 @@ class Catalog(spark: SparkSession, root: String) {
       commitBuckets(name, df, prev, touched)
     }
 
+  // --------------------------------------------- co-located layout
+  // Large analytical tables that are repeatedly joined/aggregated on
+  // one key want Spark's bucketed layout: bucketBy+sortBy persists a
+  // hash-partitioned, sorted file set and registers the spec with the
+  // session catalog — the ONLY metadata path the planner consults to
+  // elide the shuffle on both sides of a key-equality join. (The
+  // versioned bucket-MANIFEST layout above serves mutation workloads;
+  // plain parquet reads cannot declare an outputPartitioning, so the
+  // two layouts are complementary, not redundant.)
+
+  private def coLocatedIdent(name: String) = s"graft_$name"
+
+  /** Persist `df` as a co-located table: repeated equality joins and
+    * aggregations on `bucketCols` between tables sharing (cols, n)
+    * plan with no Exchange on either side. Files live under this
+    * catalog's root; the spec is introspectable via coLocatedSpec.
+    */
+  def saveCoLocated(name: String, df: DataFrame, bucketCols: Seq[String],
+      numBuckets: Int, sortCols: Seq[String] = Nil): Unit = synchronized {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    val sort = if (sortCols.nonEmpty) sortCols else bucketCols
+    df.write
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sort.head, sort.tail: _*)
+      .option("path", new Path(tableDir(name), "colocated").toString)
+      .mode("overwrite")
+      .saveAsTable(coLocatedIdent(name))
+  }
+
+  /** Read a co-located table WITH its bucket metadata attached (a plain
+    * parquet read of the same files would forget the partitioning and
+    * reintroduce the shuffle).
+    */
+  def readCoLocated(name: String): DataFrame =
+    spark.table(coLocatedIdent(name))
+
+  def coLocatedSpec(name: String): Option[(Seq[String], Int)] =
+    org.apache.spark.sql.graftbridge.PlanBridge
+      .bucketSpecOf(spark, coLocatedIdent(name))
+
   private def readRefs(name: String, refs: Seq[String],
       schemaDDL: String): DataFrame =
     if (refs.isEmpty)

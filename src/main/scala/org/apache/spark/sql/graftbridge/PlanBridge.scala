@@ -22,4 +22,13 @@ object PlanBridge {
   def autoBroadcastThresholdBytes(spark: SparkSession): Long =
     spark.asInstanceOf[classic.SparkSession].sessionState.conf
       .autoBroadcastJoinThreshold
+
+  /** Bucket spec (columns, numBuckets) the session catalog holds for a
+    * table — the metadata the planner consults for shuffle-free
+    * co-located joins.
+    */
+  def bucketSpecOf(spark: SparkSession, table: String): Option[(Seq[String], Int)] =
+    spark.asInstanceOf[classic.SparkSession].sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(bs => (bs.bucketColumnNames, bs.numBuckets))
 }

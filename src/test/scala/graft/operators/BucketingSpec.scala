@@ -44,4 +44,31 @@ class BucketingSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
+
+  test("co-located joins through the Catalog API plan shuffle-free") {
+    import graft.catalog.Catalog
+    spark.sql("DROP TABLE IF EXISTS graft_co_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_co_lineitem")
+    val cat = new Catalog(spark, tmpDir("cowh"))
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    cat.saveCoLocated("co_orders", orders, Seq("o_orderkey"), 8)
+    cat.saveCoLocated("co_lineitem", lineitem, Seq("l_orderkey"), 8)
+    assert(cat.coLocatedSpec("co_orders").contains((Seq("o_orderkey"), 8)))
+
+    val joined = cat.readCoLocated("co_lineitem")
+      .join(cat.readCoLocated("co_orders"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    val joinSection = plan.split("HashAggregate").last
+    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey") &&
+      !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+      s"catalog co-located join still shuffles:\n$plan")
+    assert(joined.as[(String, Long)].collect().toSet ==
+      lineitem.join(orders, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toSet)
+    spark.sql("DROP TABLE IF EXISTS graft_co_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_co_lineitem")
+  }
 }
