@@ -38,18 +38,34 @@ class Catalog(spark: SparkSession, root: String) {
   def exists(name: String): Boolean =
     fs.exists(pointerFile(name)) || latestVersionDir(name).isDefined
 
-  /** Newest versioned data directory, by name — version names are
-    * `v<epochMillis>_<uuid8>`, so lexicographic order is commit order
-    * (13-digit millis until year 2286). Crash-recovery fallback only:
-    * the pointer file is the normal resolution path.
+  /** Newest COMMITTED versioned data directory, by name — version names
+    * are `v<epochMillis>_<uuid8>`, so lexicographic order is commit
+    * order (13-digit millis until year 2286). Crash-recovery fallback
+    * only: the pointer file is the normal resolution path.
     */
   private def latestVersionDir(name: String): Option[Path] = {
     if (!fs.exists(tableDir(name))) return None
     fs.listStatus(tableDir(name)).toSeq
       .filter(_.isDirectory).map(_.getPath)
       .filter(_.getName.startsWith("v"))
+      .filter(isCommitted)
       .sortBy(_.getName).lastOption
   }
+
+  /** A version directory counts as a completed commit only when its
+    * parquet job finished (`_SUCCESS`) and, if it holds bucket
+    * subdirectories, its `_manifest.json` landed (the manifest is
+    * written after the parquet job). Without this gate, a crash during
+    * a table's FIRST commit (no pointer yet) would leave a partial data
+    * directory that the pointer-less fallback resurrects as live data —
+    * and a partial first BUCKET commit would be read as plain parquet
+    * with `__b=` dirs inferred as a phantom partition column.
+    */
+  private def isCommitted(dir: Path): Boolean =
+    fs.exists(new Path(dir, "_SUCCESS")) && (
+      !fs.listStatus(dir).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("__b=")) ||
+      fs.exists(manifestFile(dir)))
 
   private def currentVersionDir(name: String): Path = {
     if (!fs.exists(pointerFile(name))) {
@@ -165,6 +181,32 @@ class Catalog(spark: SparkSession, root: String) {
       case None => read(name)
     }
 
+  /** Point read by primary key: on a manifested table the key's bucket
+    * is computed DRIVER-SIDE (the same Murmur3 hash `bucketOf` plans,
+    * evaluated on the literal key — no job, no lookup) and only that
+    * one bucket directory is scanned; 1/numBuckets of the table instead
+    * of all of it. Falls back to a filtered full read when no bucket
+    * layout exists. `key` values align positionally with primaryKey().
+    */
+  def lookupByPk(name: String, key: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash}
+    val pks = primaryKey(name)
+    require(pks.nonEmpty, s"table $name has no registered primary key")
+    require(key.length == pks.length,
+      s"expected ${pks.length} key values for (${pks.mkString(", ")})")
+    val pred = pks.zip(key).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+    (bucketCount(name), readManifest(name)) match {
+      case (Some(n), Some(m)) =>
+        val sch = StructType.fromDDL(m.schemaDDL)
+        val h = new Murmur3Hash(pks.zip(key).map { case (c, v) =>
+          Cast(Literal(v), sch(c).dataType, Some("UTC"))
+        }).eval(null).asInstanceOf[Int]
+        val bucket = ((h % n) + n) % n
+        readRefs(name, m.refs.get(bucket).toSeq, m.schemaDDL).filter(pred)
+      case _ => read(name).filter(pred)
+    }
+  }
+
   /** Migrate/overwrite the WHOLE table into bucket layout. */
   def overwriteAllBuckets(name: String, df: DataFrame): Unit = synchronized {
     commitBuckets(name, df, prev = Map.empty, touched = Nil)
@@ -222,14 +264,45 @@ class Catalog(spark: SparkSession, root: String) {
     org.apache.spark.sql.graftbridge.PlanBridge
       .bucketSpecOf(spark, coLocatedIdent(name))
 
+  /** Convergence of the two bucket layouts: materialize a manifested
+    * (mutation-facing) table as a co-located `bucketBy` table keyed on
+    * its primary key. The manifest layout stays the WRITE face — cheap
+    * bucket-scoped mutations, versioned commits — and this produces the
+    * READ face from it: a session-catalog bucket spec the planner can
+    * use to elide the shuffle on PK-equality joins/aggregations. They
+    * cannot be one layout: plain parquet reads (the manifest path)
+    * cannot declare an outputPartitioning to the planner, and bucketBy
+    * tables cannot be rewritten one bucket at a time through a
+    * versioned pointer — so the engine keeps both and converts
+    * mutation-face → join-face here, typically after a mutation burst
+    * settles. Reuses the manifest's bucket count unless overridden.
+    */
+  def migrateToCoLocated(name: String,
+      numBuckets: Option[Int] = None): (Seq[String], Int) = synchronized {
+    val pks = primaryKey(name)
+    require(pks.nonEmpty,
+      s"co-located migration for $name requires a registered primary key")
+    val n = numBuckets.orElse(bucketCount(name)).getOrElse(throw
+      new IllegalStateException(
+        s"$name has no bucket layout; pass numBuckets explicitly"))
+    saveCoLocated(name, read(name), pks, n, pks)
+    (pks, n)
+  }
+
+  /** All refs of a manifest share its schemaDDL, so they read as ONE
+    * multi-path scan — a single FileScan node regardless of bucket
+    * count. The earlier per-ref `unionByName` fold built an O(buckets)
+    * plan: a 1,024-bucket table became a 1,024-node union tree on every
+    * read, with driver-side analysis cost to match.
+    */
   private def readRefs(name: String, refs: Seq[String],
       schemaDDL: String): DataFrame =
     if (refs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL(schemaDDL))
     else
-      refs.sorted.map(r => spark.read.parquet(new Path(tableDir(name), r).toString))
-        .reduce(_ unionByName _)
+      spark.read.schema(StructType.fromDDL(schemaDDL))
+        .parquet(refs.sorted.map(r => new Path(tableDir(name), r).toString): _*)
 
   private def manifestFile(versionDir: Path) = new Path(versionDir, "_manifest.json")
 

@@ -141,30 +141,40 @@ final class Pipeline(
     val updates = Seq.newBuilder[(String, String, String)]
     val seen = scala.collection.mutable.Set[String]()
     valid.foreach { ev =>
-      if (!done(ev.event_id) && seen.add(ev.event_id)) {
+      if (!done(ev.event_id) && !seen(ev.event_id)) {
         val approvalTs =
           ev.approval_timestamp.filter(_.nonEmpty).getOrElse(nowIso())
+        // an update CONSUMES the event_id: later in-batch duplicates are
+        // skipped exactly as a replayed message would be. An unknown
+        // action persists nothing, so it must NOT consume the id — the
+        // reference drops the message without marking it processed
+        // (process-pipeline.py:469-471), leaving a later valid
+        // approve/reject for the same id free to land.
+        def consume(status: String): Unit = {
+          updates += ((ev.event_id, status, approvalTs))
+          seen += ev.event_id
+        }
         ev.action.toLowerCase match {
           case "approve" =>
             if (Seq(ev.file_name, ev.bucket, ev.table_name, ev.operation)
                 .exists(v => v == null || v.isEmpty)) {
-              updates += ((ev.event_id, Status.Failed, approvalTs))
+              consume(Status.Failed)
             } else try {
               applyOperation(ev.operation.toLowerCase, ev.bucket, ev.file_name,
                 ev.table_name, ev.event_id, approvalTs)
-              updates += ((ev.event_id, Status.Approved, approvalTs))
+              consume(Status.Approved)
               notifier.reportResult(approver, ev.operation, ev.table_name,
                 ev.file_name, ev.event_id, ev.bucket, success = true,
                 "Operation completed successfully", approvalTs)
             } catch {
               case e: Exception =>
-                updates += ((ev.event_id, Status.Failed, approvalTs))
+                consume(Status.Failed)
                 notifier.reportResult(approver, ev.operation, ev.table_name,
                   ev.file_name, ev.event_id, ev.bucket, success = false,
                   s"Operation failed: ${e.getMessage}", approvalTs)
             }
           case "reject" =>
-            updates += ((ev.event_id, Status.Rejected, approvalTs))
+            consume(Status.Rejected)
           case _ => () // unknown action: logged & dropped (process-pipeline.py:469-471)
         }
       }

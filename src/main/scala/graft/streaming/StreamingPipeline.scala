@@ -23,7 +23,11 @@ final class StreamingPipeline(spark: SparkSession, pipeline: Pipeline,
     checkpointRoot: String) {
 
   /** E1 as a stream: file-arrival events (bucket, name, id) arriving as
-    * JSON lines, registered + notified one micro-batch at a time.
+    * JSON lines, registered + notified one micro-batch at a time. A
+    * micro-batch of N arrivals costs ONE control-table commit
+    * (Pipeline.registerArrivals assigns all N versions with a single
+    * window), not N read-modify-write cycles — under arrival bursts the
+    * per-event path is quadratic in control-table size.
     */
   def startIngest(eventsDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
@@ -34,10 +38,9 @@ final class StreamingPipeline(spark: SparkSession, pipeline: Pipeline,
       .option("checkpointLocation", s"$checkpointRoot/ingest")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach { r =>
-          pipeline.registerArrival(FileEvent(
-            r.getAs[String]("bucket"), r.getAs[String]("name"), r.getAs[String]("id")))
-        }
+        pipeline.registerArrivals(batch.collect().toSeq.map(r => FileEvent(
+          r.getAs[String]("bucket"), r.getAs[String]("name"), r.getAs[String]("id"))))
+        ()
       }
       .start()
   }

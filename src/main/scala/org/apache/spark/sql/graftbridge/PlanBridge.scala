@@ -25,10 +25,17 @@ object PlanBridge {
 
   /** Bucket spec (columns, numBuckets) the session catalog holds for a
     * table — the metadata the planner consults for shuffle-free
-    * co-located joins.
+    * co-located joins. None when the table was never saved (or was
+    * dropped), matching the Option contract rather than leaking
+    * NoSuchTableException to callers.
     */
   def bucketSpecOf(spark: SparkSession, table: String): Option[(Seq[String], Int)] =
-    spark.asInstanceOf[classic.SparkSession].sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .bucketSpec.map(bs => (bs.bucketColumnNames, bs.numBuckets))
+    try
+      spark.asInstanceOf[classic.SparkSession].sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .bucketSpec.map(bs => (bs.bucketColumnNames, bs.numBuckets))
+    catch {
+      case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException |
+           _: org.apache.spark.sql.catalyst.analysis.NoSuchDatabaseException => None
+    }
 }

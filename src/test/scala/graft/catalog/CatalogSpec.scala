@@ -51,6 +51,73 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.read("t").count() == 3)
   }
 
+  test("partial FIRST commit is not resurrected by the pointer-less fallback") {
+    val root = tmpDir("catgate")
+    val cat = new Catalog(spark, root)
+    // a writer died mid-parquet-write of a table's first commit: data
+    // files exist, no _SUCCESS, no pointer. The table must not exist.
+    val partial = new java.io.File(s"$root/t/v1700000000000_partial")
+    Seq("x").toDF("a").write.mode("overwrite").parquet(partial.getPath)
+    assert(new java.io.File(partial, "_SUCCESS").delete())
+    assert(!cat.exists("t"))
+    intercept[Exception](cat.read("t"))
+    // ...and a first commit retried on top of the debris works
+    cat.createIfAbsent("t", cat.allStringSchema(Seq("a")))
+    cat.append("t", Seq("y").toDF("a"))
+    assert(cat.read("t").as[String].collect().toSeq == Seq("y"))
+
+    // a partial first BUCKET commit (parquet finished, manifest never
+    // written) must not be read back as plain parquet with a phantom
+    // __b partition column
+    val pb = new java.io.File(s"$root/tb/v1700000000000_pb")
+    Seq(("1", "a")).toDF("id", "v")
+      .withColumn("__b", lit(0)).write.partitionBy("__b").parquet(pb.getPath)
+    assert(new java.io.File(pb, "_SUCCESS").exists()) // parquet job DID finish
+    assert(!cat.exists("tb"))
+    intercept[Exception](cat.read("tb"))
+  }
+
+  test("bucketed-table read is ONE multi-path scan, not a per-bucket union") {
+    val cat = new Catalog(spark, tmpDir("catscan"))
+    val n = 16
+    cat.createIfAbsent("t", cat.allStringSchema(Seq("id", "v")), Seq("id"))
+    cat.registerBucketLayout("t", n)
+    cat.overwriteAllBuckets("t", (1 to 200).map(i => (i.toString, s"v$i")).toDF("id", "v"))
+    assert(cat.bucketRefs("t").size == n)
+    val df = cat.read("t")
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.length == 1,
+      s"expected one scan over $n bucket dirs, got ${scans.length}:\n${df.queryExecution.optimizedPlan}")
+    assert(df.count() == 200)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v")) // no phantom __b
+  }
+
+  test("lookupByPk scans exactly one bucket directory") {
+    val cat = new Catalog(spark, tmpDir("catpk"))
+    val n = 8
+    cat.createIfAbsent("t", cat.allStringSchema(Seq("id", "v")), Seq("id"))
+    cat.registerBucketLayout("t", n)
+    cat.overwriteAllBuckets("t", (1 to 80).map(i => (i.toString, s"v$i")).toDF("id", "v"))
+
+    val hit = cat.lookupByPk("t", Seq("37"))
+    assert(hit.as[(String, String)].collect().toSeq == Seq("37" -> "v37"))
+    // the driver-side bucket computation must agree with the planned one
+    val b = Seq("37").toDF("id")
+      .select(cat.bucketOf(Seq("id"), n).as("b")).head().getInt(0)
+    val files = cat.lookupByPk("t", Seq("37")).inputFiles
+    assert(files.nonEmpty && files.forall(_.contains(s"__b=$b")),
+      s"point read leaked beyond bucket $b: ${files.toSeq}")
+    assert(cat.lookupByPk("t", Seq("no-such-key")).isEmpty)
+
+    // unbucketed fallback: filtered full read
+    cat.createIfAbsent("plain", cat.allStringSchema(Seq("id", "v")), Seq("id"))
+    cat.append("plain", Seq(("1", "a"), ("2", "b")).toDF("id", "v"))
+    assert(cat.lookupByPk("plain", Seq("2")).as[(String, String)]
+      .collect().toSeq == Seq("2" -> "b"))
+  }
+
   test("partitioned overwrite prunes partitions on filtered reads") {
     val cat = new Catalog(spark, tmpDir("catpart"))
     val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

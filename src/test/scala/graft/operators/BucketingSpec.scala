@@ -71,4 +71,35 @@ class BucketingSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS graft_co_orders")
     spark.sql("DROP TABLE IF EXISTS graft_co_lineitem")
   }
+
+  test("migrateToCoLocated converts the mutation-face layout into the join face") {
+    import graft.catalog.Catalog
+    spark.sql("DROP TABLE IF EXISTS graft_mt")
+    spark.sql("DROP TABLE IF EXISTS graft_mt_other")
+    val cat = new Catalog(spark, tmpDir("convwh"))
+    // mutation face: a PK-bucketed manifested table
+    cat.createIfAbsent("mt", cat.allStringSchema(Seq("id", "v")), Seq("id"))
+    cat.registerBucketLayout("mt", 8)
+    cat.overwriteAllBuckets("mt", (1 to 100).map(i => (i.toString, s"v$i")).toDF("id", "v"))
+    assert(cat.hasBucketManifest("mt"))
+
+    // converge: same data, now with a session-catalog bucket spec
+    assert(cat.migrateToCoLocated("mt") == (Seq("id"), 8))
+    assert(cat.coLocatedSpec("mt").contains((Seq("id"), 8)))
+    assert(cat.readCoLocated("mt").count() == 100)
+
+    // and it joins shuffle-free against another co-located table on id
+    cat.saveCoLocated("mt_other",
+      (50 to 150).map(i => (i.toString, i)).toDF("id", "w"), Seq("id"), 8)
+    val joined = cat.readCoLocated("mt")
+      .join(cat.readCoLocated("mt_other"), "id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(id"),
+      s"converged table still shuffles on its PK join:\n$plan")
+    assert(joined.count() == 51)
+    // the mutation face is untouched — further bucket-scoped rewrites work
+    assert(cat.bucketRefs("mt").nonEmpty && cat.read("mt").count() == 100)
+    spark.sql("DROP TABLE IF EXISTS graft_mt")
+    spark.sql("DROP TABLE IF EXISTS graft_mt_other")
+  }
 }

@@ -220,6 +220,21 @@ class PipelineSpec extends SparkTestBase {
     assert(notifier.sent.count(_.subject.contains("Operation SUCCESS")) == 2)
   }
 
+  test("unknown action does not consume the event_id (later valid approval lands)") {
+    val (p, _, landing) = freshPipeline()
+    land(landing, "b1", "insert/customers.csv", "customer_id,name\n1,a\n")
+    p.registerArrival(FileEvent("b1", "insert/customers.csv", "ev1"))
+    // the reference drops an unknown action WITHOUT marking the message
+    // processed — a valid approve for the same id later in the batch
+    // must still apply
+    p.processApprovals(Seq(
+      approval("ev1", "maybe", "insert"),
+      approval("ev1", "approve", "insert")))
+    val row = p.catalog.read(p.ControlTable).as[ProcessedFile].head()
+    assert(row.status == Status.Approved && row.is_processed)
+    assert(p.catalog.read("customers").count() == 1)
+  }
+
   test("bucketed data table: approval mutations rewrite only touched buckets") {
     val (p, _, landing) = freshPipeline()
     val n = 8

@@ -53,6 +53,42 @@ class StreamingSpec extends SparkTestBase {
     assert(notifier.sent.count(_.subject.contains("SUCCESS")) == 1)
   }
 
+  test("ingest micro-batch of N arrivals = ONE control-table commit") {
+    val landing = tmpDir("landing_1c")
+    val notifier = new InMemoryNotifier
+    val counting = new Catalog(spark, tmpDir("wh_1c")) {
+      val appends = scala.collection.mutable.Map[String, Int]()
+      override def append(name: String,
+          df: org.apache.spark.sql.DataFrame): Unit = {
+        appends(name) = appends.getOrElse(name, 0) + 1
+        super.append(name, df)
+      }
+    }
+    val pipeline = new Pipeline(spark, counting, notifier, landing)
+    val sp = new StreamingPipeline(spark, pipeline, tmpDir("ckpt_1c"))
+    val eventsDir = tmpDir("events_1c")
+    // 5 valid arrivals (3 files, one re-upload chain) + 1 filtered, in
+    // one file = one AvailableNow micro-batch
+    write(eventsDir, "e.json",
+      """{"bucket":"b1","name":"insert/customers.csv","id":"iv1"}
+        |{"bucket":"b1","name":"insert/parts.csv","id":"iv2"}
+        |{"bucket":"b1","name":"update/customers.csv","id":"iv3"}
+        |{"bucket":"b1","name":"insert/orders.csv","id":"iv4"}
+        |{"bucket":"b1","name":"update/parts.csv","id":"iv5"}
+        |{"bucket":"b1","name":"archive/skip.csv","id":"iv6"}
+        |""".stripMargin)
+    val q = sp.startIngest(eventsDir)
+    q.awaitTermination()
+    assert(counting.appends(pipeline.ControlTable) == 1,
+      s"control-table appends: ${counting.appends}")
+    val ctrl = pipeline.catalog.read(pipeline.ControlTable).as[ProcessedFile].collect()
+    assert(ctrl.length == 5 && ctrl.forall(_.status == "pending"))
+    // per-file version chains assigned within the single commit
+    assert(ctrl.map(r => r.event_id -> r.file_version).toMap ==
+      Map("iv1" -> 1L, "iv2" -> 1L, "iv3" -> 2L, "iv4" -> 1L, "iv5" -> 2L))
+    assert(notifier.sent.length == 5)
+  }
+
   test("approval stream restart from checkpoint stays exactly-once") {
     val landing = tmpDir("landing2")
     val notifier = new InMemoryNotifier
