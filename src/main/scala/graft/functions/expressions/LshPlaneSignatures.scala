@@ -3,7 +3,7 @@ package graft.functions.expressions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
 
@@ -18,9 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * formulation spends its whole runtime re-hashing plane ids. Double
   * accumulation is left-to-right, bit-identical to the
   * zip_with/aggregate form.
+  *
+  * Whole-stage codegen'd: the generated code fetches the cached sign
+  * matrix through a reference to this instance (`signsFor` is a cheap
+  * bounds check after the first row) and inlines the projection loops.
   */
 case class LshPlaneSignatures(child: Expression, tables: Int, planesPerTable: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(tables >= 1 && planesPerTable >= 1 && planesPerTable <= 30)
 
   private def numPlanes = tables * planesPerTable
@@ -50,6 +54,12 @@ case class LshPlaneSignatures(child: Expression, tables: Int, planesPerTable: In
     signDims = dims
   }
 
+  /** Sign matrix for `dims` dimensions — called from generated code. */
+  def signsFor(dims: Int): Array[Array[Double]] = {
+    ensureSigns(dims)
+    signs
+  }
+
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
@@ -77,6 +87,41 @@ case class LshPlaneSignatures(child: Expression, tables: Int, planesPerTable: In
     }
     new GenericArrayData(out)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, vec => {
+      val self = ctx.addReferenceObj("lshPlanes", this,
+        classOf[LshPlaneSignatures].getName)
+      val dims = ctx.freshName("dims")
+      val signs = ctx.freshName("signs")
+      val v = ctx.freshName("v")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val sig = ctx.freshName("sig")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      val k = ctx.freshName("k")
+      s"""
+         |final int $dims = $vec.numElements();
+         |final double[][] $signs = $self.signsFor($dims);
+         |final double[] $v = new double[$dims];
+         |for (int $i = 0; $i < $dims; $i++) { $v[$i] = (double) $vec.getFloat($i); }
+         |final int[] $out = new int[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  int $sig = 0;
+         |  for (int $j = 0; $j < $planesPerTable; $j++) {
+         |    final double[] $s = $signs[$t * $planesPerTable + $j];
+         |    double $acc = 0.0;
+         |    for (int $k = 0; $k < $dims; $k++) { $acc += $v[$k] * $s[$k]; }
+         |    if ($acc > 0) $sig |= 1 << $j;
+         |  }
+         |  $out[$t] = $sig;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
 
   override def prettyName: String = "lsh_plane_signatures"
 

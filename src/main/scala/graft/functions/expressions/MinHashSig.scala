@@ -3,10 +3,9 @@ package graft.functions.expressions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
-import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.Dedup
 
@@ -19,9 +18,14 @@ import graft.functions.Dedup
   * re-evaluates the md5 column once per seed (Catalyst collapses the
   * hash projection back into every lambda and does not CSE across
   * them), making this expression ~10× faster at 16 seeds.
+  *
+  * Participates in whole-stage codegen (doGenCode mirrors nullSafeEval
+  * exactly; the permutation constants ride along as reference objects,
+  * the MD5 digest as per-instance mutable state) so the signature stage
+  * of the LSH pipeline stays inside one generated function.
   */
 case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(numHashes >= 1)
 
   @transient private lazy val as: Array[Long] =
@@ -63,6 +67,43 @@ case class MinHashSig(child: Expression, numHashes: Int)
     }
     new GenericArrayData(mins)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val md = ctx.addMutableState("java.security.MessageDigest", "minhashMd",
+        v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+                |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }
+                |""".stripMargin)
+      val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+      val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+      val n = ctx.freshName("n")
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val h = ctx.freshName("h")
+      val k = ctx.freshName("k")
+      val v = ctx.freshName("v")
+      s"""
+         |final int $n = $arr.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final long[] $mins = new long[$numHashes];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $md.reset();
+         |    final byte[] $d = $md.digest($arr.getUTF8String($i).getBytes());
+         |    final long $h = (($d[0] & 0xffL) << 24) | (($d[1] & 0xffL) << 16) |
+         |      (($d[2] & 0xffL) << 8) | ($d[3] & 0xffL);
+         |    for (int $k = 0; $k < $numHashes; $k++) {
+         |      final long $v = ($asRef[$k] * $h + $bsRef[$k]) % ${Dedup.MinhashPrime}L;
+         |      if ($v < $mins[$k]) $mins[$k] = $v;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
 
   override def prettyName: String = "minhash_sig"
 

@@ -3,7 +3,7 @@ package graft.functions.expressions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -13,9 +13,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * half the tokens. 60 bits (not 64) keeps the sketch and every
   * intermediate strictly positive in signed-64 engines, so the oracle's
   * integer div/mod arithmetic is exact.
+  *
+  * Whole-stage codegen'd: doGenCode emits the same digest/vote loops as
+  * nullSafeEval so the sketch stage of t06/t11 stays in generated code.
   */
 case class SimHash60(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   @transient private lazy val digest: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
@@ -51,6 +54,41 @@ case class SimHash60(child: Expression)
     }
     out
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val md = ctx.addMutableState("java.security.MessageDigest", "simhashMd",
+        v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+                |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }
+                |""".stripMargin)
+      val n = ctx.freshName("n")
+      val ones = ctx.freshName("ones")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val v = ctx.freshName("v")
+      val b = ctx.freshName("b")
+      val j = ctx.freshName("j")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $arr.numElements();
+         |final int[] $ones = new int[60];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $md.reset();
+         |  final byte[] $d = $md.digest($arr.getUTF8String($i).getBytes());
+         |  long $v = 0L;
+         |  for (int $b = 0; $b < 8; $b++) { $v = ($v << 8) | ($d[$b] & 0xffL); }
+         |  $v >>>= 4;
+         |  for (int $j = 0; $j < 60; $j++) {
+         |    if ((($v >>> $j) & 1L) == 1L) $ones[$j]++;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < 60; $j++) {
+         |  if (2 * $ones[$j] > $n) $out |= 1L << $j;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
 
   override def prettyName: String = "simhash60"
 

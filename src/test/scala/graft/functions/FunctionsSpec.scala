@@ -59,25 +59,64 @@ class FunctionsSpec extends SparkTestBase {
     assert(got.filter(not($"fast" <=> $"ref")).isEmpty)
   }
 
-  test("SimHash60 matches an independent reimplementation; dups collide") {
-    def ref(text: String): Long = {
-      val toks = text.trim.split("\\s+")
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val ones = new Array[Int](60)
-      toks.foreach { t =>
-        md.reset()
-        val d = md.digest(t.getBytes("UTF-8"))
-        val hex = d.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15)
-        val v = java.lang.Long.parseLong(hex, 16)
-        (0 until 60).foreach(j => if (((v >> j) & 1L) == 1L) ones(j) += 1)
-      }
-      (0 until 60).foldLeft(0L)((acc, j) =>
-        if (2 * ones(j) > toks.length) acc | (1L << j) else acc)
+  /** Independent Scala reimplementation of the 60-bit SimHash (shared
+    * by the interpreted and codegen-only equivalence tests).
+    */
+  private def simhash60Ref(text: String): Long = {
+    val toks = text.trim.split("\\s+")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ones = new Array[Int](60)
+    toks.foreach { t =>
+      md.reset()
+      val d = md.digest(t.getBytes("UTF-8"))
+      val hex = d.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15)
+      val v = java.lang.Long.parseLong(hex, 16)
+      (0 until 60).foreach(j => if (((v >> j) & 1L) == 1L) ones(j) += 1)
     }
+    (0 until 60).foldLeft(0L)((acc, j) =>
+      if (2 * ones(j) > toks.length) acc | (1L << j) else acc)
+  }
+
+  test("SimHash60 matches an independent reimplementation; dups collide") {
     val texts = docs.filter(length($"text") > 0).select("text").as[String].collect()
     val got = docs.filter(length($"text") > 0)
       .select($"text", Dedup.simhash60($"text")).as[(String, Long)].collect().toMap
-    texts.foreach(t => assert(got(t) == ref(t), s"mismatch for '$t'"))
+    texts.foreach(t => assert(got(t) == simhash60Ref(t), s"mismatch for '$t'"))
+  }
+
+  test("signature expressions survive CODEGEN-ONLY mode, equal their twins") {
+    // fallback off: a broken doGenCode in MinHashSig / SimHash16 /
+    // SimHash60 / LshPlaneSignatures throws instead of silently
+    // reverting to interpreted eval
+    val old = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val sh = TextFunctions.distinctCharNgrams(TextFunctions.normalize($"text"), 3)
+      val mh = docs.filter(size(sh) > 0).select(
+        Dedup.minhashSignature(sh, 16).as("fast"),
+        Dedup.minhashSignatureFromHashes(Dedup.shingleBaseHashes(sh), 16).as("ref"))
+      assert(mh.filter(not($"fast" <=> $"ref")).isEmpty)
+      // empty shingle set → null signature, also under codegen
+      assert(docs.filter(size(sh) === 0)
+        .select(Dedup.minhashSignature(sh, 16)).collect().forall(_.isNullAt(0)))
+
+      val s16 = docs.filter(length($"text") > 0).select(
+        Dedup.simhash16($"text").as("fast"),
+        Dedup.simhash16Hof($"text").as("ref"))
+      assert(s16.filter(not($"fast" <=> $"ref")).isEmpty)
+
+      docs.filter(length($"text") > 0)
+        .select($"text", Dedup.simhash60($"text")).as[(String, Long)].collect()
+        .foreach { case (t, got) =>
+          assert(got == simhash60Ref(t), s"simhash60 codegen mismatch for '$t'") }
+
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(100)
+      val lsh = emb.select(
+        VectorFunctions.lshTableSignatures($"embedding", 4, 4).as("fast"),
+        VectorFunctions.lshTableSignaturesHof($"embedding", 4, 4).as("ref"))
+      assert(lsh.filter(not($"fast" <=> $"ref")).isEmpty)
+    } finally spark.conf.set("spark.sql.codegen.fallback", old)
   }
 
   test("near-dup broadcast is size-gated: disabled threshold plans shuffle join") {
