@@ -108,20 +108,127 @@ object VectorFunctions {
       .select(col("__aid"), col("__avec"), col("__cid"))
   }
 
+  /** Fixed-point scale (2²⁰) for exact cross-engine cluster means: a
+    * coordinate is floored to floor(x·2²⁰ + 0.5) and summed as a long —
+    * the sum is order-independent, so the mean is bit-identical in any
+    * engine regardless of partitioning or fold order.
+    */
+  private[graft] val CentroidScale = 1048576.0
+
+  /** Scalar twin of the CosineSimilarity expression: fused one-pass
+    * left-to-right double accumulation, used by driver-side centroid
+    * training so trained centroids match the oracle's arithmetic.
+    */
+  private def cosScalar(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Deterministic k-means over an id-ordered sample: farthest-first
+    * (Gonzalez) init seeded at the min-id point — each next centroid is
+    * the sample point minimizing its max cosine to the chosen set, ties
+    * to the earlier id — then `iters` Lloyd steps whose cluster means
+    * are computed in scaled-integer space (see CentroidScale) and
+    * rounded to float. Every step is comparison- or integer-exact, so
+    * the centroids are reproducible bit-for-bit by any engine (the s03
+    * oracle re-derives them in SQL). Empty clusters keep their previous
+    * centroid.
+    */
+  private[graft] def trainKMeansDeterministic(sample: Array[Array[Float]],
+      k: Int, iters: Int): Array[Array[Float]] = {
+    require(sample.length >= k, s"sample ${sample.length} smaller than k=$k")
+    val dims = sample(0).length
+    val chosen = scala.collection.mutable.ArrayBuffer(0)
+    while (chosen.size < k) {
+      var best = -1
+      var bestVal = Double.PositiveInfinity
+      var p = 0
+      while (p < sample.length) {
+        var maxCos = Double.NegativeInfinity
+        chosen.foreach { ci =>
+          val c = cosScalar(sample(p), sample(ci))
+          if (c > maxCos) maxCos = c
+        }
+        if (maxCos < bestVal) { bestVal = maxCos; best = p }
+        p += 1
+      }
+      chosen += best
+    }
+    var cents = chosen.map(i => sample(i).clone()).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Long](k, dims)
+      val cnts = new Array[Long](k)
+      sample.foreach { v =>
+        var bc = 0; var bcos = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          val cs = cosScalar(v, cents(c))
+          if (cs > bcos) { bcos = cs; bc = c } // strict > keeps lowest cid on ties
+          c += 1
+        }
+        cnts(bc) += 1
+        var d = 0
+        while (d < dims) {
+          sums(bc)(d) += math.floor(v(d).toDouble * CentroidScale + 0.5).toLong
+          d += 1
+        }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (cnts(c) == 0) cents(c)
+        else Array.tabulate(dims)(d =>
+          ((sums(c)(d).toDouble / cnts(c)) / CentroidScale).toFloat)
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Trained IVF centroids as a (__cid, __cvec) frame: k-means on a
+    * bounded id-ordered sample, collected to the driver (control-plane:
+    * `sampleSize` rows — the standard sample-train-broadcast shape; at
+    * 100 TB the corpus never moves, only the sample does).
+    */
+  def ivfTrainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, sampleSize: Int = 256, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus.orderBy(col(idCol)).limit(sampleSize)
+      .select(col(vecCol)).as[Array[Float]].collect()
+    trainKMeansDeterministic(sample, k, iters).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("__cid", "__cvec")
+  }
+
+  /** Untrained first-N-ids centroids — kept as the degenerate baseline
+    * the training spec measures against (on skewed corpora these all
+    * land in one region, collapsing list balance and recall).
+    */
+  def firstNCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame =
+    corpus.filter(col(idCol) < k)
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
+
   /** IVF top-k: single-assignment inverted file over `numCentroids`
-    * fixed-seed centroids (the first ids — a production pipeline would
-    * Lloyd-iterate them; the *structure* is what matters at scale:
-    * probe `nprobe` nearest centroid buckets instead of the corpus).
-    * Complement to the hyperplane-LSH path.
+    * trained centroids (deterministic sample k-means, see
+    * trainKMeansDeterministic); probe the `nprobe` nearest centroid
+    * buckets instead of the corpus. Complement to the hyperplane-LSH
+    * path. Pass `centroids` to reuse a pre-trained/persisted set.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, numCentroids: Int = 16,
-      nprobe: Int = 4): DataFrame = {
-    val centroids = corpus.filter(col(idCol) < numCentroids)
-      .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
-    val bucketed = ivfAssign(corpus, idCol, vecCol, centroids)
+      nprobe: Int = 4, centroids: Option[DataFrame] = None,
+      sampleSize: Int = 256, trainIters: Int = 2): DataFrame = {
+    val cents = centroids.getOrElse(
+      ivfTrainCentroids(corpus, idCol, vecCol, numCentroids, sampleSize, trainIters))
+    val bucketed = ivfAssign(corpus, idCol, vecCol, cents)
       .select(col("__aid").as("neighbor_id"), col("__avec").as("__cv"), col("__cid"))
-    val probes = ivfAssign(queries, idCol, vecCol, centroids, nprobe)
+    val probes = ivfAssign(queries, idCol, vecCol, cents, nprobe)
       .select(col("__aid").as("query_id"), col("__avec").as("__qv"), col("__cid"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -142,10 +249,13 @@ object VectorFunctions {
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, tables: Int = 4, planesPerTable: Int = 4): DataFrame = {
+    // merge hint: see Dedup.candidatePairsFromShingles — one reused
+    // Exchange instead of a broadcast build re-running the signature
+    // projections (a corpus-wide broadcast at scale)
     val flat = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .select(col("__id"), col("__v"),
         posexplode(lshTableSignatures(col("__v"), tables, planesPerTable))
-          .as(Seq("__t", "__sig")))
+          .as(Seq("__t", "__sig"))).hint("merge")
     val cand = flat.as("a").join(flat.as("b"),
         col("a.__t") === col("b.__t") && col("a.__sig") === col("b.__sig") &&
           col("a.__id") < col("b.__id"))

@@ -443,7 +443,57 @@ object LlmOps {
         (sqrt(list_sum([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) for i in range(1, len($a)+1)])) *
          sqrt(list_sum([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($b)+1)])))"""
 
-  /** IVF ANN: fixed-seed centroids (first 16 ids), nearest-centroid
+  /** Oracle-side rederivation of VF.trainKMeansDeterministic as CTEs:
+    * farthest-first init over the id-ordered `sampleSize` sample (one
+    * unrolled CTE per centroid, each picking the point minimizing its
+    * max cosine to the chosen set), then `iters` unrolled Lloyd steps
+    * whose per-cluster means are exact scaled-integer sums
+    * (floor(x·2²⁰+0.5) as BIGINT) divided back and cast to FLOAT —
+    * bit-identical to the Spark trainer in every engine because every
+    * step is comparison- or integer-exact. Yields a CTE chain ending in
+    * `cent(cid, cv)`.
+    */
+  private def ivfCentroidSql(k: Int, dims: Int, sampleSize: Int,
+      iters: Int): String = {
+    // every CTE in the chain is MATERIALIZED: DuckDB inlines plain CTEs,
+    // and this chain is recursive (i_j references i_0..i_{j-1}), so
+    // inlining would expand to exponentially many scans of the sample
+    val initCtes = (1 until k).map { j =>
+      val froms = (0 until j).map(i => s"i$i c$i").mkString(", ")
+      val maxCos =
+        if (j == 1) cosSql("s.embedding", "c0.cv")
+        else "greatest(" +
+          (0 until j).map(i => cosSql("s.embedding", s"c$i.cv")).mkString(", ") + ")"
+      s"i$j AS MATERIALIZED (SELECT s.embedding AS cv FROM samp s, $froms ORDER BY $maxCos ASC, s.vec_id LIMIT 1)"
+    }
+    val cent0 = "cent0 AS MATERIALIZED (" +
+      (0 until k).map(i => s"SELECT $i AS cid, cv FROM i$i").mkString(" UNION ALL ") + ")"
+    val lloydCtes = (1 to iters).map { n =>
+      val sums = (1 to dims).map(d =>
+        s"SUM(CAST(floor(CAST(s.embedding[$d] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS s$d")
+        .mkString(", ")
+      val mean = (1 to dims).map(d =>
+        s"CAST((CAST(g.s$d AS DOUBLE) / g.cnt) / 1048576.0 AS FLOAT)").mkString(", ")
+      s"""a$n AS MATERIALIZED (SELECT vec_id, cid FROM (
+            SELECT s.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY s.vec_id
+                     ORDER BY ${cosSql("s.embedding", "c.cv")} DESC, c.cid) AS rn
+            FROM samp s CROSS JOIN cent${n - 1} c) WHERE rn = 1),
+      g$n AS MATERIALIZED (SELECT a.cid, COUNT(*) AS cnt, $sums
+              FROM a$n a JOIN samp s ON a.vec_id = s.vec_id GROUP BY a.cid),
+      cent$n AS MATERIALIZED (SELECT c.cid, CASE WHEN g.cid IS NULL THEN c.cv ELSE [$mean] END AS cv
+                 FROM cent${n - 1} c LEFT JOIN g$n g ON c.cid = g.cid)"""
+    }
+    s"""samp AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $sampleSize),
+      i0 AS MATERIALIZED (SELECT embedding AS cv FROM samp ORDER BY vec_id LIMIT 1),
+      ${initCtes.mkString(",\n      ")},
+      $cent0,
+      ${lloydCtes.mkString(",\n      ")},
+      cent AS MATERIALIZED (SELECT cid, cv FROM cent$iters)"""
+  }
+
+  /** IVF ANN: deterministic-k-means centroids (sample farthest-first
+    * init + Lloyd, see VF.trainKMeansDeterministic), nearest-centroid
     * inverted file, 4-probe query → exact re-rank. The second scale
     * path next to hyperplane LSH.
     */
@@ -457,7 +507,7 @@ object LlmOps {
         .orderBy($"query_id", $"rank")
     },
     Some(s"""
-      WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      WITH ${ivfCentroidSql(k = 16, dims = 64, sampleSize = 256, iters = 2)},
       corpus_assign AS (
         SELECT vec_id, cid FROM (
           SELECT e.vec_id, c.cid,
@@ -485,8 +535,150 @@ object LlmOps {
       ORDER BY query_id, rank
     """.trim))
 
+  /** TF-IDF top terms per document: explode→(doc,term) count→term
+    * document frequency→join→per-doc top-k window. Linear idf (N/df,
+    * no log) so the score is exact integer arithmetic followed by one
+    * IEEE division — bit-identical in every engine; ln() is not
+    * correctly-rounded and may differ in the last ulp across libm
+    * implementations. Scale: two partial-aggregated shuffles (the
+    * second over the much smaller term vocabulary) + one shuffle join
+    * on term + one per-doc window — no corpus² anywhere.
+    */
+  val t12TfidfTopTerms = Q(
+    "t12_tfidf_topterms",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val n = docs.count() // corpus size: one cheap metadata count
+      val tf = docs
+        .select($"doc_id", explode(TF.terms($"text")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+      tf.join(dfreq, "term")
+        .withColumn("score", ($"tf" * lit(n)).cast("double") / $"df")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 3)
+        .select($"doc_id", $"term", $"tf", $"df", $"score", $"rank")
+        .orderBy($"doc_id", $"rank")
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
+      t AS (SELECT doc_id, unnest(ts) AS term FROM tk),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      sc AS (SELECT doc_id, term, tf, df,
+               CAST(tf * (SELECT count(*) FROM documents) AS DOUBLE) / df AS score
+             FROM tf JOIN dfq USING (term))
+      SELECT doc_id, term, tf, df, score, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        FROM sc)
+      WHERE rank <= 3
+      ORDER BY doc_id, rank
+    """.trim))
+
+  /** Deterministic stratified sampling for training-data mixing:
+    * per-language keep rates (basis points of 10000) joined as a
+    * broadcast dim, rows kept when their md5-derived bucket falls under
+    * the rate. No RNG state: the sample is reproducible, exactly
+    * re-materializable, and the filter is a narrow per-row predicate —
+    * sampling 100 TB costs one scan, no shuffle.
+    */
+  val t13StratifiedSample = Q(
+    "t13_stratified_sample",
+    (s, dir) => {
+      import s.implicits._
+      val rates = Seq(("en", 8000L), ("es", 5000L), ("de", 3000L),
+        ("fr", 2000L), ("zh", 1000L)).toDF("lang", "keep_bp")
+      Tables.load(s, dir, "documents")
+        .join(broadcast(rates), Seq("lang"))
+        .withColumn("bucket", TF.samplingBucket($"doc_id"))
+        .filter($"bucket" < $"keep_bp")
+        .select($"doc_id", $"lang", $"bucket")
+        .orderBy($"doc_id")
+    },
+    Some {
+      val hex8 = (1 to 8).map { i =>
+        val w = math.pow(16, 8 - i).toLong
+        s"(strpos('0123456789abcdef', m[$i:$i]) - 1) * $w"
+      }.mkString(" + ")
+      s"""
+      WITH rates(lang, keep_bp) AS (VALUES ('en', 8000), ('es', 5000), ('de', 3000), ('fr', 2000), ('zh', 1000)),
+      b AS (SELECT doc_id, lang, CAST(($hex8) % 10000 AS BIGINT) AS bucket
+            FROM (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents))
+      SELECT doc_id, lang, bucket
+      FROM b JOIN rates USING (lang)
+      WHERE bucket < keep_bp
+      ORDER BY doc_id
+      """.trim
+    })
+
+  /** PII redaction: email/IP/long-number patterns replaced by tags,
+    * plus a per-row match count (counted on the raw text). Narrow
+    * regexp expressions in one codegen'd projection — scales as a
+    * single scan. Patterns are an RE2-compatible subset so every
+    * engine's regex agrees byte-for-byte.
+    */
+  val t14PiiRedaction = Q(
+    "t14_pii_redaction",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          TF.redactPii($"text").as("clean_text"),
+          TF.piiCount($"text").cast("long").as("n_pii"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val red = TF.PiiPatterns.foldLeft("text") { case (acc, (pat, tag)) =>
+        s"regexp_replace($acc, '$pat', '$tag', 'g')"
+      }
+      val cnt = TF.PiiPatterns
+        .map { case (pat, _) => s"len(regexp_extract_all(text, '$pat'))" }
+        .mkString(" + ")
+      s"""
+      SELECT doc_id, $red AS clean_text, CAST($cnt AS BIGINT) AS n_pii
+      FROM documents
+      ORDER BY doc_id
+      """.trim
+    })
+
+  /** Within-document repetition stats: distinct-token ratio and the
+    * highest single-token occurrence count — the standard "loopy
+    * document" quality gate. Quadratic in distinct tokens per row
+    * (docs are bounded at ~100 tokens) but embarrassingly parallel:
+    * a narrow per-row projection, zero shuffles at any corpus size.
+    */
+  val t15RepetitionStats = Q(
+    "t15_repetition_stats",
+    (s, dir) => {
+      import s.implicits._
+      val toks = TF.tokens($"text")
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          (size(array_distinct(toks)).cast("double") / size(toks))
+            .as("distinct_ratio"),
+          TF.maxTokenFreq($"text").cast("long").as("max_token_freq"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents)
+      SELECT doc_id,
+             len(ts) AS n_tokens,
+             len(list_distinct(ts)) AS n_distinct,
+             CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS distinct_ratio,
+             list_max([len(list_filter(ts, t -> t = d)) for d in list_distinct(ts)]) AS max_token_freq
+      FROM tk
+      ORDER BY doc_id
+    """.trim))
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
-    t10EmbeddingDedup, t11SimhashHamming, s01CosineTopK, s02AnnLsh, s03IvfTopK)
+    t10EmbeddingDedup, t11SimhashHamming, t12TfidfTopTerms,
+    t13StratifiedSample, t14PiiRedaction, t15RepetitionStats,
+    s01CosineTopK, s02AnnLsh, s03IvfTopK)
 }
