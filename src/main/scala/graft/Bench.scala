@@ -7,6 +7,11 @@ import org.apache.spark.sql.SparkSession
   * a count() would let Catalyst prune the projected columns and
   * under-measure scan-shaped queries. A warm-up pass at sf0.001 takes
   * JIT/codegen/classloading out of the first timed query.
+  *
+  * Each query is timed SPARK_GRAFT_RUNS times (default 3) and the
+  * median reported: single-shot timing at these sub-2s scales swings
+  * ±70% run to run (GC, JIT recompiles), which can't distinguish a
+  * regression from noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,15 +40,20 @@ object Bench {
     // a failed query must NOT bench as a plausible small time: record
     // -1 and list it under "failed" so a regression is visible in the
     // output JSON, not hidden in a healthy-looking total
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok = try { materialize(name, sfDir); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        false
+      val times = (0 until runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { materialize(name, sfDir); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+        spark.catalog.clearCache()
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      spark.catalog.clearCache()
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      // any failed run fails the query; otherwise the median run
+      name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(runs / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -107,6 +107,14 @@ object Relational {
   /** Multi-way join + aggregate (TPC-H Q5 shape). nation/region are tiny
     * dimensions → broadcast; the fact-side joins shuffle on their keys and
     * AQE picks broadcast for the small build sides at runtime.
+    *
+    * Plan note (round-2 +35% bench drift investigated round 3): the only
+    * code delta vs round 1 is the final `.cast("double")` on the summed
+    * aggregate, which lands in the final HashAggregate's 25-row result
+    * projection — the physical plan is otherwise identical (3-column
+    * pruned lineitem scan, broadcast joins, partial+final hash agg), so
+    * the drift was single-shot timing noise; Bench now reports
+    * median-of-3.
     */
   val q03RevenueByNation = Q(
     "q03_revenue_by_nation",
