@@ -77,6 +77,15 @@ object Dedup {
 
   /** Candidate pairs (idA < idB) from a shingle frame via banded
     * MinHash buckets.
+    *
+    * The self-join carries a `merge` hint: left to the estimator the
+    * small side broadcasts, and a broadcast build is a SEPARATE plan
+    * subtree — the whole scan→shingle→minhash→band pipeline (the md5-
+    * heavy part) executes twice, and at corpus scale the build side is
+    * a corpus-wide broadcast. A shuffle join gives both sides an
+    * identical Exchange which ReuseExchange collapses into one: the
+    * signature pipeline runs exactly once at any scale (asserted by a
+    * plan spec).
     */
   def candidatePairsFromShingles(sh: DataFrame, numHashes: Int,
       bands: Int): DataFrame = {
@@ -85,6 +94,7 @@ object Dedup {
       .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
       .select(col("__id"),
         posexplode(lshBandKeys(col("__sig"), bands, rows)).as(Seq("__b", "__key")))
+      .hint("merge")
     flat.as("a").join(flat.as("b"),
         col("a.__b") === col("b.__b") && col("a.__key") === col("b.__key") &&
           col("a.__id") < col("b.__id"))
@@ -204,10 +214,13 @@ object Dedup {
     val width = 60 / bands
     val sk = df.select(col(idCol).as("__id"), simhash60(col(textCol)).as("__sk"))
       .persist()
+    // merge hint for the same reason as candidatePairsFromShingles: one
+    // reused Exchange instead of a broadcast build that re-runs the
+    // sketch pipeline (and would broadcast the corpus at scale)
     val flat = sk.select(col("__id"), col("__sk"),
       posexplode(array((0 until bands).map { b =>
         shiftright(col("__sk"), b * width) % lit(1L << width)
-      }: _*)).as(Seq("__b", "__key")))
+      }: _*)).as(Seq("__b", "__key"))).hint("merge")
     flat.as("a").join(flat.as("b"),
         col("a.__b") === col("b.__b") && col("a.__key") === col("b.__key") &&
           col("a.__id") < col("b.__id"))

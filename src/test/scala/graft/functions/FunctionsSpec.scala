@@ -135,6 +135,20 @@ class FunctionsSpec extends SparkTestBase {
     finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("LSH band self-join reuses one exchange; signature pipeline runs once") {
+    // the merge hint must turn the self-join's broadcast build (which
+    // would re-run the md5-heavy signature pipeline AND broadcast the
+    // corpus at scale) into a shuffle join whose two identical
+    // exchanges collapse into one reused stage
+    val df = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+    df.collect() // execute through df's own QueryExecution → final AQE plan
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange") ||
+      finalPlan.contains("ReusedQueryStage"), s"no exchange reuse in:\n$finalPlan")
+    assert(!finalPlan.contains("BroadcastHashJoin"),
+      "band self-join must not broadcast a corpus-wide side")
+  }
+
   test("simhash near-dup pairs find the exact dup at distance 0") {
     val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
       .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)].collect()
@@ -254,6 +268,55 @@ class FunctionsSpec extends SparkTestBase {
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.3, s"IVF recall $recall collapsed — bucketing broken?")
+  }
+
+  test("trained IVF centroids beat first-N ids on skewed data") {
+    // Skewed corpus: ids 0..199 form one tight cluster (so "first 16
+    // ids" centroids are 16 near-copies of the same direction), ids
+    // 200..399 spread over four other orthogonal clusters. Cluster
+    // identity lives in dims 0..4, deterministic per-id jitter in dims
+    // 5..31 — so a cross-cluster cosine is pure jitter noise and the 16
+    // degenerate first-N centroids scatter each outer cluster across
+    // arbitrary lists, while spread centroids keep clusters whole.
+    val dims = 32
+    def vec(center: Int, id: Long): Array[Float] = {
+      val v = new Array[Float](dims)
+      var j = 5
+      while (j < dims) {
+        // well-mixed deterministic jitter — (id*31+j)%7 would yield only
+        // 7 distinct jitter vectors and make top-k neighbors exact
+        // jitter-clones that always co-assign
+        var u = id * 2654435761L + j * 97003L
+        u = (u ^ (u >>> 13)) * 1099511628211L
+        v(j) = 0.05f * ((math.floorMod(u, 7L)).toInt - 3)
+        j += 1
+      }
+      v(center) = 1.0f
+      v
+    }
+    val rows = (0L until 200L).map(i => (i, vec(0, i))) ++
+      (200L until 400L).map(i => (i, vec(1 + ((i - 200) / 50).toInt, i)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" >= 200 && $"vec_id" % 50 === 0)
+    val exact = VectorFunctions.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(cents: Option[org.apache.spark.sql.DataFrame]): Double = {
+      val got = VectorFunctions.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        numCentroids = 16, nprobe = 4, centroids = cents)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val firstN = recallOf(Some(
+      VectorFunctions.firstNCentroids(emb, "vec_id", "embedding", 16)))
+    val trained = recallOf(None)
+    // deterministic data → deterministic recalls: 0.25 vs 0.8. The
+    // degenerate centroids scatter each outer cluster across arbitrary
+    // lists (pure jitter-noise assignment); trained centroids keep
+    // clusters whole, 3.2× the recall at the same probe budget.
+    info(s"first-N recall: $firstN, trained recall: $trained")
+    assert(trained >= firstN + 0.3,
+      s"trained recall $trained not well above first-N recall $firstN")
+    assert(trained >= 0.75, s"trained recall $trained below 0.75")
   }
 
   test("LSH ANN recall vs brute force on real embeddings (sf0.001)") {
