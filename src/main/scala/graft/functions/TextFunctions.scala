@@ -97,4 +97,47 @@ object TextFunctions {
       .when(cnt("de") > 0, "de")
       .otherwise("unknown")
   }
+
+  /** Lowercased whitespace terms — the unit of TF-IDF scoring. */
+  def terms(c: Column): Column = tokens(lower(trim(c)))
+
+  /** Deterministic 0..9999 sampling bucket from the leading 32 bits of
+    * md5 of the id — engine-portable (no RNG state), uniform, and
+    * stable across runs/partitionings, so a sampling decision is
+    * reproducible and a sample can be exactly re-materialized later.
+    */
+  def samplingBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 10000
+
+  /** PII redaction patterns, applied in order. Conservative RE2-style
+    * subset (char classes + quantifiers only) so Java and other regex
+    * engines agree byte-for-byte.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "[EMAIL]",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "[IP]",
+    "\\b\\d{7,15}\\b" -> "[NUMBER]")
+
+  /** Redacted text: every PII pattern replaced by its tag. */
+  def redactPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (pat, tag)) =>
+      regexp_replace(acc, pat, tag)
+    }
+
+  /** Count of PII matches across all patterns (on the raw text, so
+    * overlapping rewrites don't hide earlier matches).
+    */
+  def piiCount(c: Column): Column =
+    PiiPatterns.map { case (pat, _) =>
+      size(regexp_extract_all(c, lit(pat), lit(0)))
+    }.reduce(_ + _)
+
+  /** Within-document repetition: highest occurrence count of any single
+    * token. Quadratic in DISTINCT tokens per row but embarrassingly
+    * parallel — a narrow per-row expression, no shuffle; the standard
+    * "loopy document" quality gate.
+    */
+  def maxTokenFreq(c: Column): Column =
+    array_max(transform(array_distinct(tokens(c)),
+      d => size(filter(tokens(c), t => t === d))))
 }
