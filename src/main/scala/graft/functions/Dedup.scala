@@ -54,6 +54,17 @@ object Dedup {
       ColumnBridge.expression(shingles), numHashes))
   }
 
+  /** Signature from pre-computed base hashes via the digest-free
+    * one-pass expression — identical values to `minhashSignature`
+    * because the min is taken over the same hash multiset (and is
+    * invariant to dedup/sort of the input).
+    */
+  def minhashSignatureFromHashesFast(baseHashes: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.MinHashSigFromHashes(
+      ColumnBridge.expression(baseHashes), numHashes))
+  }
+
   /** LSH band keys: signature split into `bands` groups of `rowsPerBand`
     * adjacent minhashes, each group md5-compressed to one bucket key.
     */
@@ -158,20 +169,34 @@ object Dedup {
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingle: Int = 3, numHashes: Int = 16,
       bands: Int = 2): DataFrame = {
-    // shingling is the expensive narrow stage — materialize it once and
-    // feed both the LSH banding and the verification joins (at
+    // shingle + md5 is the expensive narrow stage — materialize ONLY the
+    // distinct 32-bit base-hash sets once and feed both the signature
+    // banding (MinHashSigFromHashes: the minhash min is invariant to the
+    // dedup/sort) and the verification joins, so each shingle is
+    // digested exactly once across the whole query and the persisted
+    // frame holds compact long arrays, not shingle strings (at
     // warehouse scale this would be a checkpointed signature table).
-    // Verification runs on the distinct 32-bit base-hash sets, not the
-    // shingle strings: ~4× smaller shuffle for the candidate joins,
-    // deterministic on every engine; a hash collision merging two
-    // shingles shifts Jaccard by < 1/|set| with probability ~2⁻³²·|set|².
+    // A hash collision merging two shingles shifts Jaccard by < 1/|set|
+    // with probability ~2⁻³²·|set|².
     val sh = shingleFrame(df, idCol, textCol, shingle)
-      .withColumn("__hhd", sort_array(array_distinct(shingleBaseHashes(col("__sh")))))
+      .select(col("__id"),
+        sort_array(array_distinct(shingleBaseHashes(col("__sh")))).as("__hhd"))
       .persist()
+    val rows = numHashes / bands
+    val flat = sh
+      .withColumn("__sig", minhashSignatureFromHashesFast(col("__hhd"), numHashes))
+      .select(col("__id"),
+        posexplode(lshBandKeys(col("__sig"), bands, rows)).as(Seq("__b", "__key")))
+      .hint("merge") // see candidatePairsFromShingles
+    val cand = flat.as("a").join(flat.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__key") === col("b.__key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
     // the per-document hash-set side is small relative to the candidate
     // stream when clusters are dense — broadcast it only when the size
     // estimate says it fits (see maybeBroadcast); otherwise shuffle on id.
-    candidatePairsFromShingles(sh.select("__id", "__sh"), numHashes, bands)
+    cand
       .join(maybeBroadcast(sh.select(col("__id").as("id_a"), col("__hhd").as("__ha"))), "id_a")
       .join(maybeBroadcast(sh.select(col("__id").as("id_b"), col("__hhd").as("__hb"))), "id_b")
       .withColumn("jaccard", jaccardLongSets(col("__ha"), col("__hb"), assumeSorted = true))

@@ -133,11 +133,21 @@ object TextFunctions {
     }.reduce(_ + _)
 
   /** Within-document repetition: highest occurrence count of any single
-    * token. Quadratic in DISTINCT tokens per row but embarrassingly
-    * parallel — a narrow per-row expression, no shuffle; the standard
-    * "loopy document" quality gate.
+    * token — the standard "loopy document" quality gate. One hash-
+    * counting pass per row (see expressions.TokenMaxFreq); narrow,
+    * no shuffle, embarrassingly parallel.
     */
-  def maxTokenFreq(c: Column): Column =
+  def maxTokenFreq(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(expressions.TokenMaxFreq(
+      ColumnBridge.expression(tokens(c))))
+  }
+
+  /** HOF reference formulation of maxTokenFreq (equivalence spec +
+    * documentation of the exact semantics): quadratic and re-splits
+    * the text once per distinct token (no CSE across lambdas).
+    */
+  def maxTokenFreqHof(c: Column): Column =
     array_max(transform(array_distinct(tokens(c)),
       d => size(filter(tokens(c), t => t === d))))
 }

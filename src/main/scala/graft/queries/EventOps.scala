@@ -245,6 +245,39 @@ object EventOps {
       ORDER BY user_id, ws
     """.trim))
 
+  /** Range join (custom operator, graft.operators.RangeJoin): clicks
+    * landing inside a 10-minute incident window opened by each error
+    * event. Bucketized to a shuffle equi-join — a raw BETWEEN join
+    * would plan as a BroadcastNestedLoopJoin (asserted away by
+    * RangeJoinSpec); DuckDB's native range join is the oracle.
+    */
+  val e08RangeJoin = Q(
+    "e08_range_join",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("tus", expr("ts div 1000"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"tus")
+      val incidents = ev.filter($"event_type" === "error")
+        .select($"event_id".as("incident_id"), $"tus".as("w_start"),
+          ($"tus" + lit(600000000L)).as("w_end"))
+      graft.operators.RangeJoin.pointInInterval(clicks, incidents,
+        "tus", "w_start", "w_end", bucketWidth = 600000000L)
+        .select($"incident_id", $"event_id", $"user_id", $"tus")
+        .orderBy($"incident_id", $"event_id")
+    },
+    Some("""
+      SELECT i.incident_id, c.event_id, c.user_id, c.tus
+      FROM (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+            WHERE event_type = 'click') c
+      JOIN (SELECT event_id AS incident_id, epoch_us(ts) AS w_start,
+                   epoch_us(ts) + 600000000 AS w_end
+            FROM events WHERE event_type = 'error') i
+        ON c.tus >= i.w_start AND c.tus < i.w_end
+      ORDER BY incident_id, event_id
+    """.trim))
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
-    e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow)
+    e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin)
 }

@@ -35,6 +35,18 @@ class FunctionsSpec extends SparkTestBase {
       .select(Dedup.minhashSignature(sh, 16)).collect().forall(_.isNullAt(0)))
   }
 
+  test("MinHashSigFromHashes equals MinHashSig on the distinct hash sets") {
+    // the minhash min is invariant to dedup/sort of the base hashes, so
+    // the digest-free signature over the materialized verification sets
+    // must be bit-identical to the from-shingles signature
+    val sh = TextFunctions.distinctCharNgrams(TextFunctions.normalize($"text"), 3)
+    val got = docs.filter(size(sh) > 0).select(
+      Dedup.minhashSignatureFromHashesFast(
+        sort_array(array_distinct(Dedup.shingleBaseHashes(sh))), 16).as("fast"),
+      Dedup.minhashSignature(sh, 16).as("ref"))
+    assert(got.filter(not($"fast" <=> $"ref")).isEmpty)
+  }
+
   test("SimHash16 equals the HOF formulation; dups collide, others differ") {
     val got = docs.filter(length($"text") > 0).select(
       $"doc_id",
@@ -116,7 +128,29 @@ class FunctionsSpec extends SparkTestBase {
         VectorFunctions.lshTableSignatures($"embedding", 4, 4).as("fast"),
         VectorFunctions.lshTableSignaturesHof($"embedding", 4, 4).as("ref"))
       assert(lsh.filter(not($"fast" <=> $"ref")).isEmpty)
+
+      val mf = docs.select(
+        TextFunctions.maxTokenFreq($"text").as("fast"),
+        TextFunctions.maxTokenFreqHof($"text").as("ref"))
+      assert(mf.filter(not($"fast" <=> $"ref")).isEmpty)
+
+      val mhh = docs.filter(size(sh) > 0).select(
+        Dedup.minhashSignatureFromHashesFast(
+          sort_array(array_distinct(Dedup.shingleBaseHashes(sh))), 16).as("fast"),
+        Dedup.minhashSignatureFromHashes(Dedup.shingleBaseHashes(sh), 16).as("ref"))
+      assert(mhh.filter(not($"fast" <=> $"ref")).isEmpty)
     } finally spark.conf.set("spark.sql.codegen.fallback", old)
+  }
+
+  test("TokenMaxFreq equals the quadratic HOF formulation") {
+    val got = docs.select(
+      $"doc_id",
+      TextFunctions.maxTokenFreq($"text").as("fast"),
+      TextFunctions.maxTokenFreqHof($"text").as("ref"))
+    assert(got.filter(not($"fast" <=> $"ref")).isEmpty)
+    // "the" appears twice in doc 0
+    val m = got.select($"doc_id", $"fast").as[(Long, Int)].collect().toMap
+    assert(m(0L) == 2)
   }
 
   test("near-dup broadcast is size-gated: disabled threshold plans shuffle join") {
