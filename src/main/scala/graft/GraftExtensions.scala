@@ -57,6 +57,12 @@ object GraftExtensions {
       args => MinHashSig(args.head, intArg(args(1), "k"))),
     ("simhash16", "_FUNC_(tokens) - 16-bit SimHash of a token array",
       args => SimHash16(args.head)),
+    ("simhash60", "_FUNC_(tokens) - 60-bit SimHash of a token array",
+      args => SimHash60(args.head)),
+    ("minhash_sig_from_hashes", "_FUNC_(hashes, k) - k-hash MinHash signature from precomputed base hashes",
+      args => MinHashSigFromHashes(args.head, intArg(args(1), "k"))),
+    ("token_max_freq", "_FUNC_(tokens) - highest occurrence count of any element",
+      args => TokenMaxFreq(args.head)),
     ("jaccard_long_sets", "_FUNC_(a, b) - Jaccard similarity of two distinct long arrays",
       args => JaccardLongSets(args.head, args(1))),
     ("cosine_similarity", "_FUNC_(a, b) - cosine similarity of two float vectors",

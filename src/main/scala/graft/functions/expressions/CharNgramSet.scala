@@ -1,8 +1,8 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -14,18 +14,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * distinct: ~20× faster on multi-KB documents, which makes it the
   * scan-side workhorse of the MinHash dedup pipeline.
   *
-  * CodegenFallback is deliberate: the surrounding operators stay in
-  * whole-stage codegen and call eval() once per row; the row cost is
-  * dominated by the hash-set construction either way.
+  * Codegen delegates the hash-set pass to `ngramSet` through an
+  * instance reference (hash-set construction dominates the row cost
+  * either way; delegating keeps the surrounding stage in whole-stage
+  * generated code without the fallback's boxed-row eval dispatch).
   */
 case class CharNgramSet(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, "shingle width must be >= 1")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  /** One linear dedup pass; called from interpreted and generated code. */
+  def ngramSet(input: UTF8String): ArrayData = {
+    val s = input.toString
     if (s.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](math.min(s.length * 2, 1 << 16))
     var i = 0
@@ -39,6 +41,16 @@ case class CharNgramSet(child: Expression, n: Int)
     while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
     new GenericArrayData(arr)
   }
+
+  override def nullSafeEval(input: Any): Any =
+    ngramSet(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val self = ctx.addReferenceObj("charNgramSet", this,
+        classOf[CharNgramSet].getName)
+      s"${ev.value} = $self.ngramSet($s);"
+    })
 
   override def prettyName: String = "char_ngram_set"
 

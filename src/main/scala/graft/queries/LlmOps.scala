@@ -675,10 +675,104 @@ object LlmOps {
       ORDER BY doc_id
     """.trim))
 
+  /** Sequence packing for training batches: documents pack greedily
+    * into 512-token sequences by cumulative token offset WITHIN their
+    * source shard — the window is partitioned by source, so packing
+    * parallelizes across shards instead of serializing on one global
+    * running sum (the 100 TB shape: shards ≈ input files). A document
+    * straddling a boundary spills into the next sequence's budget,
+    * standard for LLM prep where sequences are chunked downstream.
+    */
+  val t16SequencePacking = Q(
+    "t16_sequence_packing",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      Tables.load(s, dir, "documents")
+        .select($"source", $"doc_id", TF.tokenCount($"text").cast("long").as("n_tok"))
+        .withColumn("cum", sum($"n_tok").over(w))
+        .withColumn("seq_id", expr("(cum - n_tok) div 512"))
+        .groupBy($"source", $"seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"source", $"seq_id")
+    },
+    Some("""
+      WITH d AS (SELECT source, doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+                 FROM documents),
+      c AS (SELECT source, doc_id, n_tok,
+              CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM d)
+      SELECT source, (cum - n_tok) // 512 AS seq_id, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c
+      GROUP BY 1, 2
+      ORDER BY source, seq_id
+    """.trim))
+
+  /** Int8 max-abs quantization of embeddings, reported as integer
+    * checksums plus the max dequantization error (the driver's hash
+    * comparator cannot hash array cells, so the quantized vector is
+    * pinned by q_sum/q_l1 instead of emitted raw). Narrow per-row
+    * expressions; quantizing 100 TB of vectors is one scan. The
+    * round-to-nearest is floor(x+0.5) — identical on every engine,
+    * unlike round() whose half-away/half-even behavior differs.
+    */
+  val t17EmbeddingQuantization = Q(
+    "t17_embedding_quantization",
+    (s, dir) => {
+      import s.implicits._
+      // Catalyst does not CSE across lambda functions: naively
+      // referencing `scale` inside the quantization lambda re-evaluates
+      // the 64-element max-abs reduction once PER ELEMENT (~35k
+      // interpreted expression nodes per row, 25× slower). Binding
+      // scale — and then the quantized vector — as lambda variables via
+      // single-element-array transforms evaluates each exactly once,
+      // and emitting one struct column keeps CollapseProject from
+      // re-inlining the (expensive) tree into each field selection.
+      val scaleExpr = array_max(transform($"embedding", x => abs(x.cast("double"))))
+      val qz = element_at(transform(array(scaleExpr), sc =>
+        element_at(transform(array(transform($"embedding",
+            x => floor(x.cast("double") / sc * 127 + 0.5).cast("long"))), qv =>
+          struct(
+            sc.as("scale"),
+            aggregate(qv, lit(0L), (a, v) => a + v).as("q_sum"),
+            aggregate(qv, lit(0L), (a, v) => a + abs(v)).as("q_l1"),
+            array_max(zip_with($"embedding", qv,
+              (x, qi) => abs(qi.cast("double") * sc / 127 - x.cast("double"))))
+              .as("max_abs_err"))), 1)), 1)
+      Tables.load(s, dir, "embeddings")
+        .withColumn("__qz", qz)
+        .filter($"__qz.scale" > 0)
+        .select($"vec_id", $"__qz.scale".as("scale"), $"__qz.q_sum".as("q_sum"),
+          $"__qz.q_l1".as("q_l1"), $"__qz.max_abs_err".as("max_abs_err"))
+        .orderBy($"vec_id")
+    },
+    Some("""
+      WITH s AS (SELECT vec_id, embedding,
+                   list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS scale
+                 FROM embeddings),
+      q AS (SELECT vec_id, embedding, scale,
+              [CAST(floor(CAST(x AS DOUBLE) / scale * 127 + 0.5) AS BIGINT) for x in embedding] AS qv
+            FROM s WHERE scale > 0)
+      SELECT vec_id, scale,
+             CAST(list_sum(qv) AS BIGINT) AS q_sum,
+             CAST(list_sum([abs(v) for v in qv]) AS BIGINT) AS q_l1,
+             list_max([abs(CAST(qv[i] AS DOUBLE) * scale / 127 - CAST(embedding[i] AS DOUBLE))
+                       for i in range(1, len(qv)+1)]) AS max_abs_err
+      FROM q
+      ORDER BY vec_id
+    """.trim))
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
     t10EmbeddingDedup, t11SimhashHamming, t12TfidfTopTerms,
     t13StratifiedSample, t14PiiRedaction, t15RepetitionStats,
+    t16SequencePacking, t17EmbeddingQuantization,
     s01CosineTopK, s02AnnLsh, s03IvfTopK)
 }
