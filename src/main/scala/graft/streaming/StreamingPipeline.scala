@@ -99,6 +99,22 @@ object StreamingAnalytics {
     events.withWatermark("ts_utc", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming ingest-time exact dedup of a documents stream: each doc
+    * gets its normalized content fingerprint
+    * (TextFunctions.fingerprint), then stateful dedup keeps the first
+    * occurrence per fingerprint within the watermark horizon — the
+    * training-data dedup gate applied AT INGEST instead of as a later
+    * batch sweep. State holds one 32-byte key per distinct document in
+    * the horizon and ages out past the watermark, so it is bounded by
+    * arrival rate, not corpus size; `docs` must carry
+    * `ts_utc timestamp, text string`.
+    */
+  def dedupDocuments(docs: DataFrame, watermark: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+      .withWatermark("ts_utc", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Stream-stream interval join: each error joins the same user's
     * clicks from the preceding `windowMinutes`. Watermarks on both
     * sides bound the join state Spark must retain.

@@ -201,6 +201,28 @@ class StreamingSpec extends SparkTestBase {
     assert(sessions.toSeq == Seq(ClosedSession(1L, 1000L, 2000L, 2)))
   }
 
+  test("streaming document dedup keeps first occurrence per fingerprint") {
+    val srcDir = tmpDir("docdupsrc")
+    Seq(
+      (10L, "2024-01-01 00:00:00", "the quick brown fox"),
+      (11L, "2024-01-01 00:05:00", "THE  quick   brown fox"), // normalizes equal
+      (12L, "2024-01-01 00:10:00", "a different document"),
+      (13L, "2024-01-01 00:15:00", "the quick brown fox"))
+      .toDF("doc_id", "ts_s", "text")
+      .withColumn("ts_utc", to_timestamp($"ts_s")).drop("ts_s")
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("doc_id long, text string, ts_utc timestamp").parquet(srcDir)
+    val q = StreamingAnalytics.dedupDocuments(stream)
+      .writeStream.outputMode("append").format("memory").queryName("docdedup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val kept = spark.table("docdedup_out").select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(12L))
+    // exactly one survivor of the three normalize-equal docs
+    assert((kept & Set(10L, 11L, 13L)).size == 1)
+  }
+
   test("dropDuplicatesWithinWatermark removes in-stream dup ids") {
     val srcDir = tmpDir("dupsrc")
     Seq((1L, "2024-01-01 00:00:00", "a", 1.0), (1L, "2024-01-01 00:05:00", "a", 1.0),
