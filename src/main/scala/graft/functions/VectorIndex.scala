@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF index: train once, serve many.
+  *
+  * `build` trains deterministic k-means centroids (see
+  * VectorFunctions.trainKMeansDeterministic), assigns the corpus in one
+  * broadcast map-side pass, and writes the inverted lists PARTITIONED
+  * BY list id — one directory per centroid. `topK` then reads ONLY the
+  * `nprobe` lists each query probes: the `__cid IN (...)` filter
+  * becomes a partition filter, so serving cost is proportional to the
+  * probed lists, not the corpus — at 100 TB a query touches
+  * nprobe/numCentroids of the data and the rest is never opened
+  * (asserted by a spec on the scan's input files).
+  */
+object VectorIndex {
+
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, numCentroids: Int = 16, sampleSize: Int = 256,
+      iters: Int = 2): Unit = {
+    val cents = VectorFunctions.ivfTrainCentroids(
+      corpus, idCol, vecCol, numCentroids, sampleSize, iters)
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    VectorFunctions.ivfAssign(corpus, idCol, vecCol, cents)
+      .select(col("__cid"), col("__aid").as("neighbor_id"), col("__avec").as("__cv"))
+      .write.mode("overwrite").partitionBy("__cid")
+      .parquet(s"$indexDir/lists")
+  }
+
+  def topK(spark: SparkSession, indexDir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val probes = VectorFunctions.ivfAssign(queries, idCol, vecCol,
+        broadcastableCentroids(cents), nprobe)
+      .select(col("__aid").as("query_id"), col("__avec").as("__qv"), col("__cid"))
+    // list ids to open: bounded by numCentroids — control-plane collect
+    val needed = probes.select("__cid").distinct().as[Long].collect()
+    val lists = spark.read.parquet(s"$indexDir/lists")
+      .filter(col("__cid").isin(needed.map(x => x: Any): _*))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(lists, Seq("__cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
+      .distinct()
+      .withColumn("cos", VectorFunctions.cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** The centroids frame is tiny (numCentroids rows) — read it as a
+    * local relation so the assignment cross join broadcasts without a
+    * size-estimate gamble on a fresh parquet scan.
+    */
+  private def broadcastableCentroids(cents: DataFrame): DataFrame =
+    broadcast(cents)
+}

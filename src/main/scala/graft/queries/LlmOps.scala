@@ -497,16 +497,13 @@ object LlmOps {
     * inverted file, 4-probe query → exact re-rank. The second scale
     * path next to hyperplane LSH.
     */
-  val s03IvfTopK = Q(
-    "s03_ivf_topk",
-    (s, dir) => {
-      import s.implicits._
-      val emb = Tables.load(s, dir, "embeddings")
-      VF.ivfTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding",
-        k = 3, numCentroids = 16, nprobe = 4)
-        .orderBy($"query_id", $"rank")
-    },
-    Some(s"""
+  /** Shared IVF oracle: trained centroids (ivfCentroidSql) →
+    * single-assignment inverted file → 4-probe → exact re-rank, k=3,
+    * queries vec_id < 8. Used by both s03 (in-memory) and s04 (served
+    * from the persisted partition-pruned index) — the two paths must be
+    * bit-identical.
+    */
+  private lazy val ivfOracleSql: String = s"""
       WITH ${ivfCentroidSql(k = 16, dims = 64, sampleSize = 256, iters = 2)},
       corpus_assign AS (
         SELECT vec_id, cid FROM (
@@ -533,7 +530,37 @@ object LlmOps {
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
       WHERE rank <= 3
       ORDER BY query_id, rank
-    """.trim))
+    """.trim
+
+  val s03IvfTopK = Q(
+    "s03_ivf_topk",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      VF.ivfTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding",
+        k = 3, numCentroids = 16, nprobe = 4)
+        .orderBy($"query_id", $"rank")
+    },
+    Some(ivfOracleSql))
+
+  /** IVF served from the PERSISTED index (build: partitioned inverted
+    * lists; serve: scan only the probed list partitions — see
+    * graft.functions.VectorIndex). Same oracle as s03: the stored-index
+    * path must reproduce the in-memory path bit-for-bit.
+    */
+  val s04IvfIndexTopK = Q(
+    "s04_ivf_index_topk",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_ivf_index").toString
+      graft.functions.VectorIndex.build(emb, "vec_id", "embedding", idx)
+      graft.functions.VectorIndex.topK(s, idx, emb.filter($"vec_id" < 8),
+        "vec_id", "embedding", k = 3, nprobe = 4)
+        .orderBy($"query_id", $"rank")
+    },
+    Some(ivfOracleSql))
 
   /** TF-IDF top terms per document: explode→(doc,term) count→term
     * document frequency→join→per-doc top-k window. Linear idf (N/df,
@@ -774,5 +801,5 @@ object LlmOps {
     t10EmbeddingDedup, t11SimhashHamming, t12TfidfTopTerms,
     t13StratifiedSample, t14PiiRedaction, t15RepetitionStats,
     t16SequencePacking, t17EmbeddingQuantization,
-    s01CosineTopK, s02AnnLsh, s03IvfTopK)
+    s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK)
 }

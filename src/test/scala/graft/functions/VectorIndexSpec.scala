@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class VectorIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("persisted IVF index serves the same top-k as the in-memory path") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = tmpDir("ivfidx")
+    VectorIndex.build(emb, "vec_id", "embedding", dir)
+    val queries = emb.filter($"vec_id" < 8)
+    val served = VectorIndex.topK(spark, dir, queries, "vec_id", "embedding", 3)
+      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Long)]
+      .collect().toSet
+    // the in-memory path trains the SAME deterministic centroids, so
+    // the results must be identical, not merely similar
+    val inMem = VectorFunctions.ivfTopK(emb, queries, "vec_id", "embedding", 3)
+      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(served == inMem && served.nonEmpty)
+  }
+
+  test("serving scans only the probed list partitions (partition pruning)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = tmpDir("ivfprune")
+    VectorIndex.build(emb, "vec_id", "embedding", dir)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    // two queries at nprobe=2 probe at most 4 of the 16 lists
+    val queries = emb.filter($"vec_id" < 2)
+    val probed = VectorFunctions.ivfAssign(queries, "vec_id", "embedding",
+        broadcast(cents), nprobe = 2)
+      .select("__cid").distinct().as[Long].collect().toSet
+    assert(probed.size <= 4)
+    val pruned = spark.read.parquet(s"$dir/lists")
+      .filter($"__cid".isin(probed.toSeq.map(x => x: Any): _*))
+    // inputFiles ignores filters — assert pruning on the physical scan:
+    // the __cid filter must land in PartitionFilters, and the scan's
+    // selected partitions must be exactly the probed list directories
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__cid"),
+      s"no partition pruning in:\n$plan")
+    val scannedCids = pruned.select(input_file_name()).distinct().as[String]
+      .collect().map(f => f.split("__cid=")(1).split("/")(0).toLong).toSet
+    assert(scannedCids == probed || scannedCids.subsetOf(probed),
+      s"scanned $scannedCids, probed $probed")
+    assert(pruned.count() ==
+      spark.read.parquet(s"$dir/lists").filter($"__cid".isin(probed.toSeq.map(x => x: Any): _*)).count())
+  }
+}
