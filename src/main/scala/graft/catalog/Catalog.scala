@@ -212,6 +212,34 @@ class Catalog(spark: SparkSession, root: String) {
     commitBuckets(name, df, prev = Map.empty, touched = Nil)
   }
 
+  /** Compact fragmented buckets: every bucket whose directory holds
+    * more than `maxFilesPerBucket` part-files is rewritten — through
+    * the normal bucket-scoped commit path — after a repartition that
+    * lands each bucket in one task, i.e. ONE file per bucket.
+    * Untouched buckets keep their existing immutable directories, so
+    * compaction cost is proportional to the fragmentation, not the
+    * table (the small-file problem is maintenance, not a rewrite of
+    * 100 TB). Old version directories become unreferenced as their
+    * last buckets compact away and are pruned by the commit. Returns
+    * the compacted bucket ids.
+    */
+  def compact(name: String, maxFilesPerBucket: Int = 1): Seq[Int] = synchronized {
+    val m = readManifest(name).getOrElse(throw new IllegalStateException(
+      s"$name has no bucket manifest; only bucketed tables compact"))
+    val frag = m.refs.filter { case (_, ref) =>
+      fs.listStatus(new Path(tableDir(name), ref))
+        .count(s => s.isFile && s.getPath.getName.startsWith("part-")) >
+        maxFilesPerBucket
+    }.keys.toSeq.sorted
+    if (frag.nonEmpty) {
+      val n = bucketCount(name).get
+      val df = readBuckets(name, frag)
+        .repartition(frag.length, bucketOf(primaryKey(name), n))
+      commitBuckets(name, df, m.refs, frag)
+    }
+    frag
+  }
+
   /** Rewrite only `touched` buckets: `df` must hold exactly the new
     * contents of those buckets; every other bucket keeps its existing
     * (immutable) directory via the carried-over manifest entry.

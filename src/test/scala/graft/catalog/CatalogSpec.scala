@@ -188,4 +188,35 @@ class CatalogSpec extends SparkTestBase {
     assert(!cat.bucketRefs("t").contains(b7))
     assert(cat.read("t").count() == 40 - newBucketRows.count())
   }
+
+  test("compact rewrites fragmented buckets to one file each, data intact") {
+    val cat = new Catalog(spark, tmpDir("catcompact"))
+    val n = 4
+    cat.createIfAbsent("t", cat.allStringSchema(Seq("id", "v")), Seq("id"))
+    cat.registerBucketLayout("t", n)
+    // 8 upstream partitions → each bucket directory collects several
+    // part-files (the fragmentation a mutation burst leaves behind)
+    val rows = (1 to 200).map(i => (i.toString, s"v$i"))
+    cat.overwriteAllBuckets("t", rows.toDF("id", "v").repartition(8))
+    val before = cat.read("t").inputFiles.length
+    assert(before > n, s"expected fragmented buckets, got $before files")
+
+    val compacted = cat.compact("t")
+    assert(compacted.nonEmpty)
+    // one part-file per bucket, identical contents
+    val after = cat.read("t").inputFiles
+    assert(after.length == cat.bucketRefs("t").size,
+      s"expected one file per bucket, got ${after.toSeq}")
+    assert(cat.read("t").count() == 200)
+    assert(cat.read("t").select("id", "v").as[(String, String)].collect().toSet ==
+      rows.toSet)
+
+    // second compact is a no-op: nothing fragmented
+    assert(cat.compact("t").isEmpty)
+
+    // point reads still prune to one bucket after compaction
+    val one = cat.lookupByPk("t", Seq("7"))
+    assert(one.count() == 1)
+    assert(one.inputFiles.length == 1)
+  }
 }
