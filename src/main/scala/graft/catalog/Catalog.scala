@@ -128,6 +128,24 @@ class Catalog(spark: SparkSession, root: String) {
     commit(name, df, primaryKey(name), partitionCols)
   }
 
+  /** Overwrite globally clustered on `sortCols`: range-repartition then
+    * sort within partitions, so each parquet file covers a disjoint
+    * key range and every row group's min/max statistics are tight.
+    * Selective filters on the sort key then skip whole row groups at
+    * scan time (data skipping) — the cheap cousin of directory
+    * partitioning for high-cardinality keys, where `col=value` dirs
+    * would explode. Asserted by a scan-metrics spec: the same filter
+    * reads orders of magnitude fewer rows from a clustered table.
+    */
+  def overwriteSorted(name: String, df: DataFrame,
+      sortCols: Seq[String]): Unit = synchronized {
+    require(sortCols.nonEmpty, "sortCols must be non-empty")
+    val cols = sortCols.map(col)
+    commit(name,
+      df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*),
+      primaryKey(name))
+  }
+
   // ------------------------------------------------- bucket layout
   // A table may opt into a PK-hash bucket layout: rows live in
   // `bucketCount` hash buckets, each materialized as its own directory,

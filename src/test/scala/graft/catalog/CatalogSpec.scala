@@ -189,6 +189,29 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.read("t").count() == 40 - newBucketRows.count())
   }
 
+  test("sorted write enables row-group skipping on the sort key") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      }.sum
+    }
+    val cat = new Catalog(spark, tmpDir("catsort"))
+    val rows = (1 to 100000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    cat.overwrite("shuffled", rows.repartition(8)) // every file spans the full range
+    cat.overwriteSorted("clustered", rows, Seq("id"))
+    assert(cat.read("clustered").count() == 100000)
+
+    val fromShuffled = scanRows(cat.read("shuffled").filter($"id" === 42L))
+    val fromClustered = scanRows(cat.read("clustered").filter($"id" === 42L))
+    // both answers identical; the clustered scan reads a fraction of
+    // the rows because non-matching row groups never decode
+    assert(fromClustered < fromShuffled / 2,
+      s"no data skipping: clustered read $fromClustered rows vs $fromShuffled")
+    assert(cat.read("clustered").filter($"id" === 42L).count() == 1)
+  }
+
   test("compact rewrites fragmented buckets to one file each, data intact") {
     val cat = new Catalog(spark, tmpDir("catcompact"))
     val n = 4
