@@ -118,6 +118,53 @@ class Catalog(spark: SparkSession, root: String) {
     commit(name, df, primaryKey(name))
   }
 
+  /** O(batch) append for GROWING tables: the new rows land in a fresh
+    * version directory and the manifest gains one ref — existing
+    * directories are never read or rewritten, so appending to a 100 TB
+    * log costs the batch, not the table (`append` above is
+    * read+union+rewrite: right for small control tables that also take
+    * updates, quadratic for append-only state). Readers still get ONE
+    * multi-path scan via the manifest. Fragmentation from many small
+    * appends is maintenance: `compactLog` folds the refs back into one
+    * directory.
+    */
+  def appendLog(name: String, df: DataFrame): Unit = synchronized {
+    require(bucketCount(name).isEmpty,
+      s"$name has a PK-bucket layout; its manifest keys are bucket ids, not log refs")
+    val prev: Map[Int, String] = if (exists(name))
+      readManifest(name).map(_.refs).getOrElse(
+        throw new IllegalStateException(
+          s"$name is a plain table; appendLog requires a log/manifest table"))
+    else Map.empty
+    val version = newVersionName()
+    val dataDir = new Path(tableDir(name), version)
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val refs = prev + ((prev.keySet + (-1)).max + 1 -> version)
+    val json = mapper.writeValueAsString(Map(
+      "schemaDDL" -> df.schema.toDDL,
+      "buckets" -> refs.map { case (k, v) => k.toString -> v }))
+    writeAtomic(manifestFile(dataDir), json)
+    writeAtomic(pointerFile(name), version)
+    if (!fs.exists(metaFile(name))) writeMeta(name, primaryKey(name))
+    pruneUnreferenced(name)
+  }
+
+  /** Fold an append-log table's refs into one directory (one commit,
+    * O(table) — run when fragmentation warrants it, like compact()).
+    */
+  def compactLog(name: String): Unit = synchronized {
+    val df = read(name)
+    val version = newVersionName()
+    val dataDir = new Path(tableDir(name), version)
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val json = mapper.writeValueAsString(Map(
+      "schemaDDL" -> df.schema.toDDL,
+      "buckets" -> Map("0" -> version)))
+    writeAtomic(manifestFile(dataDir), json)
+    writeAtomic(pointerFile(name), version)
+    pruneUnreferenced(name)
+  }
+
   /** Overwrite with hive-style partition directories (`col=value/…`).
     * Readers resolve the same `_current` pointer; partition-pruned
     * scans then touch only matching subdirectories — the layout that

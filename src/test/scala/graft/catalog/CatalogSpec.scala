@@ -189,6 +189,30 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.read("t").count() == 40 - newBucketRows.count())
   }
 
+  test("appendLog is O(batch): history refs never rewritten") {
+    val cat = new Catalog(spark, tmpDir("catlog"))
+    cat.appendLog("log", Seq((1L, "a")).toDF("id", "v"))
+    val refs1 = cat.bucketRefs("log")
+    cat.appendLog("log", Seq((2L, "b")).toDF("id", "v"))
+    val refs2 = cat.bucketRefs("log")
+    cat.appendLog("log", Seq((3L, "c")).toDF("id", "v"))
+    val refs3 = cat.bucketRefs("log")
+    // one new ref per append; all prior refs byte-identical
+    assert(refs2.size == refs1.size + 1 && refs3.size == refs2.size + 1)
+    refs1.foreach { case (k, v) => assert(refs2(k) == v && refs3(k) == v) }
+    assert(cat.read("log").select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // still ONE multi-path scan despite three refs
+    val plan = cat.read("log").queryExecution.executedPlan.toString
+    assert(plan.split("Scan parquet").length == 2, s"multiple scans:\n$plan")
+
+    // compaction folds the log into a single ref, contents intact
+    cat.compactLog("log")
+    assert(cat.bucketRefs("log").size == 1)
+    assert(cat.read("log").select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
   test("sorted write enables row-group skipping on the sort key") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
