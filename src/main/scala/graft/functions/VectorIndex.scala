@@ -30,6 +30,24 @@ object VectorIndex {
       .parquet(s"$indexDir/lists")
   }
 
+  /** Incremental maintenance: assign a batch of NEW vectors against the
+    * frozen centroids and append them into the matching list
+    * partitions — no rebuild, no rewrite of existing files, O(batch).
+    * Centroids intentionally stay fixed (rebuild to retrain): a stable
+    * assignment function is what lets the append commute with serving.
+    * Many small appends fragment the list files; rebuild when
+    * maintenance windows allow, as with Catalog.compact.
+    */
+  def append(corpus: DataFrame, idCol: String, vecCol: String,
+      indexDir: String): Unit = {
+    val spark = corpus.sparkSession
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    VectorFunctions.ivfAssign(corpus, idCol, vecCol, broadcast(cents))
+      .select(col("__cid"), col("__aid").as("neighbor_id"), col("__avec").as("__cv"))
+      .write.mode("append").partitionBy("__cid")
+      .parquet(s"$indexDir/lists")
+  }
+
   def topK(spark: SparkSession, indexDir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
     import spark.implicits._

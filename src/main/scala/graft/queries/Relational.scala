@@ -658,11 +658,41 @@ object Relational {
       ORDER BY l_orderkey, l_linenumber
     """.trim))
 
+  /** Salted skew join through the correctness gate: the salted plan
+    * must produce exactly the unsalted join's rows (the oracle is the
+    * plain SQL join). SkewJoinSpec covers the plan mechanics; this
+    * covers end-to-end value equality on real tables.
+    */
+  val q24SaltedJoin = Q(
+    "q24_salted_join",
+    (s, dir) => {
+      import s.implicits._
+      val big = t(s, dir, "lineitem")
+        .select($"l_suppkey".as("suppkey"), $"l_extendedprice", $"l_discount")
+      val small = t(s, dir, "supplier")
+        .select($"s_suppkey".as("suppkey"), $"s_nationkey")
+      graft.operators.SkewJoin.saltedInnerJoin(big, small, Seq("suppkey"))
+        .groupBy($"s_nationkey")
+        .agg(
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"s_nationkey")
+    },
+    Some("""
+      SELECT s_nationkey,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey
+      ORDER BY s_nationkey
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
     q09RunningTotal, q10Rollup, q11Cube, q12SetOps, q13DistinctAgg,
     q14StringFns, q15DateFns, q16JsonFns, q17CaseMath, q18Percentiles,
     q19AboveNationAvg, q20DateArith, q21RegexExtract, q22ArrayFns,
-    q23MathFns)
+    q23MathFns, q24SaltedJoin)
 }

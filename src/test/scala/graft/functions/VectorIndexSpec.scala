@@ -23,6 +23,25 @@ class VectorIndexSpec extends SparkTestBase {
     assert(served == inMem && served.nonEmpty)
   }
 
+  test("incremental append serves identically to a full rebuild") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val first = emb.filter($"vec_id" < 400)
+    val delta = emb.filter($"vec_id" >= 400)
+    val incDir = tmpDir("ivfinc")
+    VectorIndex.build(first, "vec_id", "embedding", incDir)
+    VectorIndex.append(delta, "vec_id", "embedding", incDir)
+    val fullDir = tmpDir("ivffull")
+    VectorIndex.build(emb, "vec_id", "embedding", fullDir)
+    // NOTE: build trains on the id-ordered sample (vec_id < 256 here),
+    // identical for both indexes, so assignments — and results — match
+    val queries = emb.filter($"vec_id" < 8)
+    def serve(dir: String) =
+      VectorIndex.topK(spark, dir, queries, "vec_id", "embedding", 3)
+        .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Long)]
+        .collect().toSet
+    assert(serve(incDir) == serve(fullDir) && serve(incDir).nonEmpty)
+  }
+
   test("serving scans only the probed list partitions (partition pruning)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = tmpDir("ivfprune")
