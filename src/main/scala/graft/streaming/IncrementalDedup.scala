@@ -63,8 +63,12 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
           .as(Seq("band", "key")))
       .persist()
     val hist = catalog.read(bandsTable)
-    // new-vs-history (unordered → normalize) + new-vs-new (a < b)
-    val nh = newFlat.as("a").join(hist.as("b"),
+    // new-vs-history (unordered → normalize) + new-vs-new (a < b).
+    // The batch side broadcasts when its size estimate fits (same gate
+    // as the batch pipeline), so the accumulated history is streamed
+    // map-side and never shuffled — per-batch cost is a history SCAN
+    // plus batch-sized state, not a history shuffle.
+    val nh = Dedup.maybeBroadcast(newFlat).as("a").join(hist.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
