@@ -795,11 +795,74 @@ object LlmOps {
       ORDER BY vec_id
     """.trim))
 
+  /** Composed curation gate: the quality operators (language-ID,
+    * token-count bounds, repetition ratio, PII count) chained into one
+    * keep/drop decision with a first-failure reason — the capstone
+    * filter a training-data pass actually runs. One narrow codegen'd
+    * projection; curating 100 TB is a single scan, and the decision is
+    * deterministic so a curation run is exactly reproducible.
+    */
+  val t18CurationGate = Q(
+    "t18_curation_gate",
+    (s, dir) => {
+      import s.implicits._
+      val toks = TF.tokens($"text")
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          TF.languageId($"text").as("detected_lang"),
+          size(toks).cast("long").as("n_tokens"),
+          (size(array_distinct(toks)).cast("double") / size(toks))
+            .as("distinct_ratio"),
+          TF.piiCount($"text").cast("long").as("n_pii"))
+        .withColumn("reason",
+          when($"detected_lang" === "unknown", "lang_unknown")
+            .when($"n_tokens" < 10 || $"n_tokens" > 1000, "length")
+            .when($"distinct_ratio" < 0.5, "repetitive")
+            .when($"n_pii" > 0, "pii")
+            .otherwise("kept"))
+        .withColumn("keep", ($"reason" === "kept").cast("boolean"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH tk AS (
+        SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ts,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+              t -> t IN ('the','and','of'))) AS en_hits,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+              t -> t IN ('el','la','de'))) AS es_hits,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+              t -> t IN ('der','die','und'))) AS de_hits
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+          CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+               WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+               WHEN de_hits > 0 THEN 'de'
+               ELSE 'unknown' END AS detected_lang,
+          len(ts) AS n_tokens,
+          CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS distinct_ratio,
+          CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+             + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+             + len(regexp_extract_all(text, '\b\d{7,15}\b')) AS BIGINT) AS n_pii
+        FROM tk)
+      SELECT doc_id, detected_lang, n_tokens, distinct_ratio, n_pii,
+             CASE WHEN detected_lang = 'unknown' THEN 'lang_unknown'
+                  WHEN n_tokens < 10 OR n_tokens > 1000 THEN 'length'
+                  WHEN distinct_ratio < 0.5 THEN 'repetitive'
+                  WHEN n_pii > 0 THEN 'pii'
+                  ELSE 'kept' END AS reason,
+             CASE WHEN detected_lang <> 'unknown' AND n_tokens >= 10 AND n_tokens <= 1000
+                       AND distinct_ratio >= 0.5 AND n_pii = 0
+                  THEN TRUE ELSE FALSE END AS keep
+      FROM m
+      ORDER BY doc_id
+    """.trim))
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
     t10EmbeddingDedup, t11SimhashHamming, t12TfidfTopTerms,
     t13StratifiedSample, t14PiiRedaction, t15RepetitionStats,
-    t16SequencePacking, t17EmbeddingQuantization,
+    t16SequencePacking, t17EmbeddingQuantization, t18CurationGate,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK)
 }
