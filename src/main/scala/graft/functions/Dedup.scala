@@ -86,6 +86,18 @@ object Dedup {
           TextFunctions.normalize(col(textCol)), shingle).as("__sh"))
       .filter(size(col("__sh")) > 0)
 
+  /** (id, sorted-distinct-shingle-HASH-set) frame — the fused fast path
+    * (one digest per shingle, no shingle-string array): feeds both the
+    * MinHash signature and the exact-Jaccard verification. Bit-
+    * identical hashes to `shingleBaseHashes(shingleFrame(...))`.
+    */
+  def hashedShingleFrame(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+        TextFunctions.distinctCharNgramHashes(
+          TextFunctions.normalize(col(textCol)), shingle).as("__hhd"))
+      .filter(size(col("__hhd")) > 0)
+
   /** Candidate pairs (idA < idB) from a shingle frame via banded
     * MinHash buckets.
     *
@@ -113,13 +125,33 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate pairs from a hashed shingle frame (`__id`, `__hhd`):
+    * digest-free signature + banded self-join with the same reused-
+    * exchange shape as candidatePairsFromShingles.
+    */
+  def candidatePairsFromHashSets(hs: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val flat = hs
+      .withColumn("__sig", minhashSignatureFromHashesFast(col("__hhd"), numHashes))
+      .select(col("__id"),
+        posexplode(lshBandKeys(col("__sig"), bands, rows)).as(Seq("__b", "__key")))
+      .hint("merge") // see candidatePairsFromShingles
+    flat.as("a").join(flat.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__key") === col("b.__key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+  }
+
   /** Candidate near-duplicate pairs of `df` by MinHash-LSH over
-    * character n-grams of normalized `textCol`.
+    * character n-grams of normalized `textCol`, on the fused
+    * hash-set path (one digest per shingle).
     */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       shingle: Int = 3, numHashes: Int = 16, bands: Int = 2): DataFrame =
-    candidatePairsFromShingles(
-      shingleFrame(df, idCol, textCol, shingle), numHashes, bands)
+    candidatePairsFromHashSets(
+      hashedShingleFrame(df, idCol, textCol, shingle), numHashes, bands)
 
   /** Exact Jaccard similarity between two distinct-element set columns
     * (HOF reference formulation; used for string shingle sets and by
@@ -169,30 +201,18 @@ object Dedup {
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingle: Int = 3, numHashes: Int = 16,
       bands: Int = 2): DataFrame = {
-    // shingle + md5 is the expensive narrow stage — materialize ONLY the
-    // distinct 32-bit base-hash sets once and feed both the signature
-    // banding (MinHashSigFromHashes: the minhash min is invariant to the
-    // dedup/sort) and the verification joins, so each shingle is
-    // digested exactly once across the whole query and the persisted
-    // frame holds compact long arrays, not shingle strings (at
-    // warehouse scale this would be a checkpointed signature table).
-    // A hash collision merging two shingles shifts Jaccard by < 1/|set|
-    // with probability ~2⁻³²·|set|².
-    val sh = shingleFrame(df, idCol, textCol, shingle)
-      .select(col("__id"),
-        sort_array(array_distinct(shingleBaseHashes(col("__sh")))).as("__hhd"))
-      .persist()
-    val rows = numHashes / bands
-    val flat = sh
-      .withColumn("__sig", minhashSignatureFromHashesFast(col("__hhd"), numHashes))
-      .select(col("__id"),
-        posexplode(lshBandKeys(col("__sig"), bands, rows)).as(Seq("__b", "__key")))
-      .hint("merge") // see candidatePairsFromShingles
-    val cand = flat.as("a").join(flat.as("b"),
-        col("a.__b") === col("b.__b") && col("a.__key") === col("b.__key") &&
-          col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .distinct()
+    // shingle + md5 is the expensive narrow stage — the fused
+    // CharNgramHashSet pass materializes ONLY the distinct 32-bit
+    // base-hash sets (no shingle-string array ever exists), persisted
+    // once to feed both the signature banding (MinHashSigFromHashes:
+    // the minhash min is invariant to the dedup/sort) and the
+    // verification joins: one digest per shingle across the whole
+    // query, and the cache holds compact long arrays (at warehouse
+    // scale this would be a checkpointed signature table). A hash
+    // collision merging two shingles shifts Jaccard by < 1/|set| with
+    // probability ~2⁻³²·|set|².
+    val sh = hashedShingleFrame(df, idCol, textCol, shingle).persist()
+    val cand = candidatePairsFromHashSets(sh, numHashes, bands)
     // the per-document hash-set side is small relative to the candidate
     // stream when clusters are dense — broadcast it only when the size
     // estimate says it fits (see maybeBroadcast); otherwise shuffle on id.

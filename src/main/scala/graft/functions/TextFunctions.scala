@@ -43,6 +43,16 @@ object TextFunctions {
       expressions.CharNgramSet(ColumnBridge.expression(c), n))
   }
 
+  /** Sorted distinct leading-32-bit md5 hashes of the n-grams, fused
+    * into one slice-digest-dedup pass (see expressions.CharNgramHashSet)
+    * — the dedup pipelines' scan stage, one digest per shingle total.
+    */
+  def distinctCharNgramHashes(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      expressions.CharNgramHashSet(ColumnBridge.expression(c), n))
+  }
+
   /** Default stopword list shared with the oracle SQL. */
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")

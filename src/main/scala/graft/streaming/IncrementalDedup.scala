@@ -50,9 +50,8 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
     val spark = docs.sparkSession
     ensureTables(spark)
     val known = catalog.read(setsTable).select(col("doc_id"))
-    val fresh = Dedup.shingleFrame(docs, idCol, textCol, shingle)
-      .select(col("__id").cast("long").as("doc_id"),
-        sort_array(array_distinct(Dedup.shingleBaseHashes(col("__sh")))).as("hhd"))
+    val fresh = Dedup.hashedShingleFrame(docs, idCol, textCol, shingle)
+      .select(col("__id").cast("long").as("doc_id"), col("__hhd").as("hhd"))
       .join(known, Seq("doc_id"), "left_anti") // retries re-add nothing
       .persist()
     val rows = numHashes / bands

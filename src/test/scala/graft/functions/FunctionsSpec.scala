@@ -35,6 +35,15 @@ class FunctionsSpec extends SparkTestBase {
       .select(Dedup.minhashSignature(sh, 16)).collect().forall(_.isNullAt(0)))
   }
 
+  test("CharNgramHashSet equals the shingle-then-hash-then-dedup chain") {
+    val norm = TextFunctions.normalize($"text")
+    val got = docs.select(
+      TextFunctions.distinctCharNgramHashes(norm, 3).as("fast"),
+      sort_array(array_distinct(Dedup.shingleBaseHashes(
+        TextFunctions.distinctCharNgrams(norm, 3)))).as("ref"))
+    assert(got.filter(not($"fast" <=> $"ref")).isEmpty)
+  }
+
   test("MinHashSigFromHashes equals MinHashSig on the distinct hash sets") {
     // the minhash min is invariant to dedup/sort of the base hashes, so
     // the digest-free signature over the materialized verification sets
@@ -173,7 +182,11 @@ class FunctionsSpec extends SparkTestBase {
     // the merge hint must turn the self-join's broadcast build (which
     // would re-run the md5-heavy signature pipeline AND broadcast the
     // corpus at scale) into a shuffle join whose two identical
-    // exchanges collapse into one reused stage
+    // exchanges collapse into one reused stage. A lingering cache from
+    // another test would wrap the sides in TableCacheQueryStages, which
+    // AQE does not canonicalize as equal — clear it to pin the real
+    // (scan-fed) plan shape Bench sees.
+    spark.catalog.clearCache()
     val df = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
     df.collect() // execute through df's own QueryExecution → final AQE plan
     val finalPlan = df.queryExecution.executedPlan.toString
