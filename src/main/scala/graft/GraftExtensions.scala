@@ -53,6 +53,8 @@ object GraftExtensions {
   private val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("char_ngram_set", "_FUNC_(str, n) - distinct character n-grams of str",
       args => CharNgramSet(args.head, intArg(args(1), "n"))),
+    ("char_ngram_hash_set", "_FUNC_(str, n) - sorted distinct 32-bit md5 hashes of the n-grams",
+      args => CharNgramHashSet(args.head, intArg(args(1), "n"))),
     ("minhash_sig", "_FUNC_(shingles, k) - k-hash MinHash signature of a string array",
       args => MinHashSig(args.head, intArg(args(1), "k"))),
     ("simhash16", "_FUNC_(tokens) - 16-bit SimHash of a token array",

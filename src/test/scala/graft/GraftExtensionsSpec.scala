@@ -13,6 +13,7 @@ class GraftExtensionsSpec extends SparkTestBase {
              size(minhash_sig(array('x', 'y'), 16)) AS siglen,
              size(lsh_plane_signatures(array(CAST(0.5 AS FLOAT)), 4, 4)) AS nsigs,
              simhash60(array('a', 'b')) AS sh60,
+             size(char_ngram_hash_set('abab', 3)) AS nhashes,
              minhash_sig_from_hashes(array(7L, 9L), 16) AS sigh,
              token_max_freq(array('a', 'b', 'a')) AS tmf
     """).head()
@@ -22,6 +23,7 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(rows.getAs[Int]("siglen") == 16)
     assert(rows.getAs[Int]("nsigs") == 4)
     assert(rows.getAs[Long]("sh60") >= 0L)
+    assert(rows.getAs[Int]("nhashes") == 2) // "aba", "bab"
     assert(rows.getAs[collection.Seq[Long]]("sigh").length == 16)
     assert(rows.getAs[Int]("tmf") == 2)
   }
