@@ -11,13 +11,12 @@ import org.apache.spark.sql.types._
   * iterator per partition, library handles amortized across the whole
   * partition, no per-row UDF dispatch).
   *
-  * The actual codecs are NOT in this container, so `RealImageDecoder`
-  * is an explicit stub (`???`) and tests/pipelines run the
-  * deterministic `FakeImageDecoder`; everything around the decode —
-  * schemas, encoders, partition batching, feature shapes — is real and
-  * is what a 1000-executor job would ship. Decoders are `Serializable`
-  * task-side singletons: one instance per executor task, closed over by
-  * the partition iterator, never per row.
+  * `RealImageDecoder` decodes PNG/JPEG with the JDK's own
+  * `javax.imageio` (headless-safe, zero extra jars); the deterministic
+  * `FakeImageDecoder` remains for plumbing tests that want payload-
+  * derived shapes. Decoders are `Serializable` task-side singletons:
+  * one instance per executor task, closed over by the partition
+  * iterator, never per row.
   */
 object Multimodal {
 
@@ -36,12 +35,85 @@ object Multimodal {
     def decodePixels(bytes: Array[Byte], width: Int, height: Int): Array[Byte]
   }
 
-  /** Production decoder — wire an actual codec here (JAI/ImageIO/ffmpeg
-    * bindings). Deliberately unimplemented in this environment.
+  /** Production decoder on the JDK's `javax.imageio` — PNG + JPEG ship
+    * with every Java 17 runtime, no native libs, headless-safe. The
+    * reader is resolved from the byte stream (no filename sniffing), so
+    * a mixed-format binary column decodes per row.
     */
   object RealImageDecoder extends ImageDecoder {
-    def decodeMeta(bytes: Array[Byte]): (Int, Int, Int, String) = ???
-    def decodePixels(bytes: Array[Byte], width: Int, height: Int): Array[Byte] = ???
+    import java.io.ByteArrayInputStream
+    import javax.imageio.ImageIO
+
+    private def readImage(bytes: Array[Byte]): (java.awt.image.BufferedImage, String) = {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext)
+          throw new IllegalArgumentException("unrecognized image format")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          (reader.read(0), reader.getFormatName.toLowerCase)
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+
+    def decodeMeta(bytes: Array[Byte]): (Int, Int, Int, String) = {
+      val (img, fmt) = readImage(bytes)
+      (img.getWidth, img.getHeight, img.getColorModel.getNumComponents, fmt)
+    }
+
+    /** Row-major RGB bytes at the requested size; resizing is explicit
+      * nearest-neighbor so decoded pixels are bit-identical across JVMs
+      * (AWT's interpolating scalers are not pinned by spec).
+      */
+    def decodePixels(bytes: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      val (img, _) = readImage(bytes)
+      val sw = img.getWidth
+      val sh = img.getHeight
+      val argb = img.getRGB(0, 0, sw, sh, null, 0, sw)
+      val out = new Array[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        val sy = if (height == sh) y else (y.toLong * sh / height).toInt
+        var x = 0
+        while (x < width) {
+          val sx = if (width == sw) x else (x.toLong * sw / width).toInt
+          val rgb = argb(sy * sw + sx)
+          val o = (y * width + x) * 3
+          out(o) = ((rgb >> 16) & 0xff).toByte
+          out(o + 1) = ((rgb >> 8) & 0xff).toByte
+          out(o + 2) = (rgb & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** Encode row-major RGB bytes as a PNG (lossless — decode inverts it
+    * exactly). Used by tests and the t19 oracle query to synthesize
+    * deterministic images whose decoded form DuckDB can re-derive.
+    */
+  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb must be width*height*3 bytes")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val o = (y * width + x) * 3
+        img.setRGB(x, y,
+          ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
   }
 
   /** Deterministic stand-in: dimensions and "pixels" derived from the

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Dedup, TextFunctions => TF, VectorFunctions => VF}
+import graft.multimodal.Multimodal
 
 /** LLM-training-data pipeline operators over the `documents` and
   * `embeddings` tables: exact + near dedup (MinHash-LSH, n-gram
@@ -858,11 +859,57 @@ object LlmOps {
       ORDER BY doc_id
     """.trim))
 
+  /** Real image decode through the JDK `javax.imageio` codec: each
+    * document becomes a deterministic synthetic PNG (dims and pixels
+    * derived from doc_id / byte length), encoded and decoded back with
+    * `RealImageDecoder`. PNG is lossless, so decoded width / height /
+    * channels and the pixel-byte checksum are analytically re-derivable
+    * by the oracle — the decode path is pinned bit-exact, not mocked.
+    * Scale shape: narrow mapPartitions (codec amortized per partition),
+    * zero shuffles before the final order.
+    */
+  val t19ImageDecode = Q(
+    "t19_image_decode",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", length(encode($"text", "UTF-8")).cast("long").as("n_bytes"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (docId, nBytes) =>
+            val w = (8 + nBytes % 24).toInt
+            val h = (8 + docId % 24).toInt
+            val rgb = Array.tabulate(w * h * 3)(i => ((docId * 31 + i) % 256).toByte)
+            val png = Multimodal.encodePng(w, h, rgb)
+            val (dw, dh, dc, fmt) = Multimodal.RealImageDecoder.decodeMeta(png)
+            val px = Multimodal.RealImageDecoder.decodePixels(png, dw, dh)
+            var sum = 0L
+            var i = 0
+            while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+            (docId, dw, dh, dc, fmt, sum)
+          }
+        }
+        .toDF("doc_id", "width", "height", "channels", "format", "px_sum")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+      g AS (SELECT doc_id,
+                   CAST(8 + n_bytes % 24 AS INT) AS width,
+                   CAST(8 + doc_id % 24 AS INT) AS height
+            FROM d)
+      SELECT doc_id, width, height, 3 AS channels, 'png' AS format,
+             CAST(list_sum([(doc_id * 31 + i) % 256 for i in range(0, width * height * 3)]) AS BIGINT) AS px_sum
+      FROM g
+      ORDER BY doc_id
+    """.trim))
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
     t10EmbeddingDedup, t11SimhashHamming, t12TfidfTopTerms,
     t13StratifiedSample, t14PiiRedaction, t15RepetitionStats,
     t16SequencePacking, t17EmbeddingQuantization, t18CurationGate,
+    t19ImageDecode,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK)
 }
