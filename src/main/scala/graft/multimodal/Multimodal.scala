@@ -44,6 +44,11 @@ object Multimodal {
     import java.io.ByteArrayInputStream
     import javax.imageio.ImageIO
 
+    // ImageIO defaults to a disk-backed stream cache — one temp file
+    // per decode. In-memory payloads never need it, and at thousands of
+    // images per task the temp-file churn dominates the codec itself.
+    ImageIO.setUseCache(false)
+
     private def readImage(bytes: Array[Byte]): (java.awt.image.BufferedImage, String) = {
       val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
       try {
@@ -98,6 +103,7 @@ object Multimodal {
     */
   def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
     require(rgb.length == width * height * 3, "rgb must be width*height*3 bytes")
+    javax.imageio.ImageIO.setUseCache(false)
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     var y = 0

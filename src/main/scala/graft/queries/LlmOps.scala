@@ -865,8 +865,11 @@ object LlmOps {
     * `RealImageDecoder`. PNG is lossless, so decoded width / height /
     * channels and the pixel-byte checksum are analytically re-derivable
     * by the oracle — the decode path is pinned bit-exact, not mocked.
-    * Scale shape: narrow mapPartitions (codec amortized per partition),
-    * zero shuffles before the final order.
+    * Scale shape: codec work dominates, so the narrow (id, n_bytes)
+    * projection is round-robin repartitioned first — a few bytes per
+    * row of shuffle buys full-cluster parallelism for the decode stage
+    * (a handful of big input files must not serialize 100 TB of codec
+    * work onto a handful of tasks).
     */
   val t19ImageDecode = Q(
     "t19_image_decode",
@@ -874,6 +877,7 @@ object LlmOps {
       import s.implicits._
       Tables.load(s, dir, "documents")
         .select($"doc_id", length(encode($"text", "UTF-8")).cast("long").as("n_bytes"))
+        .repartition(s.sparkContext.defaultParallelism)
         .as[(Long, Long)]
         .mapPartitions { it =>
           it.map { case (docId, nBytes) =>
