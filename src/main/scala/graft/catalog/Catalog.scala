@@ -23,10 +23,18 @@ import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType
   * leaves the previous version live. Directory renames are atomic on
   * local FS and HDFS; on S3-like stores the pointer-file flip is still
   * the single commit point, which is why we flip a file instead of
-  * renaming the data directory itself. Old versions are pruned on the
-  * next successful commit, never at read time.
+  * renaming the data directory itself.
+  *
+  * Version GC: every commit calls `vacuum` with this catalog's
+  * `graceVersions` retention, deleting version directories that neither
+  * the `_current` pointer nor any live bucket-manifest ref reaches
+  * (ref-counted, never blind). `graceVersions > 0` keeps that many of
+  * the newest unreferenced versions as a grace window so a reader that
+  * resolved the pointer just before a commit still finds its files —
+  * the lakehouse-standard reader/GC contract (snapshot retention);
+  * explicit `vacuum(name, keepLast = 0)` reclaims them on demand.
   */
-class Catalog(spark: SparkSession, root: String) {
+class Catalog(spark: SparkSession, root: String, graceVersions: Int = 0) {
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -131,11 +139,25 @@ class Catalog(spark: SparkSession, root: String) {
   def appendLog(name: String, df: DataFrame): Unit = synchronized {
     require(bucketCount(name).isEmpty,
       s"$name has a PK-bucket layout; its manifest keys are bucket ids, not log refs")
-    val prev: Map[Int, String] = if (exists(name))
-      readManifest(name).map(_.refs).getOrElse(
+    val prevManifest: Option[Manifest] = if (exists(name))
+      Some(readManifest(name).getOrElse(
         throw new IllegalStateException(
-          s"$name is a plain table; appendLog requires a log/manifest table"))
-    else Map.empty
+          s"$name is a plain table; appendLog requires a log/manifest table")))
+    else None
+    // the manifest's schemaDDL reads EVERY historical ref, so a batch
+    // with a renamed/retyped column would silently null out history —
+    // fail fast on drift instead (nullability may differ; names+types
+    // may not)
+    prevManifest.foreach { m =>
+      val stored = StructType.fromDDL(m.schemaDDL)
+      val compatible = stored.length == df.schema.length &&
+        stored.fields.zip(df.schema.fields).forall { case (a, b) =>
+          a.name == b.name && a.dataType == b.dataType }
+      require(compatible,
+        s"appendLog schema drift for $name: table is [${stored.toDDL}], " +
+          s"batch is [${df.schema.toDDL}]")
+    }
+    val prev: Map[Int, String] = prevManifest.map(_.refs).getOrElse(Map.empty)
     val version = newVersionName()
     val dataDir = new Path(tableDir(name), version)
     df.write.mode("overwrite").parquet(dataDir.toString)
@@ -436,18 +458,50 @@ class Catalog(spark: SparkSession, root: String) {
     pruneUnreferenced(name)
   }
 
-  /** Delete version directories the current pointer+manifest no longer
-    * reference. Runs after the pointer flip, so every surviving
-    * directory is reachable from the live table state.
+  /** Version GC. Deletes version directories that are neither the
+    * `_current` pointer target nor reachable from any live bucket-
+    * manifest ref (untouched buckets keep referencing the version that
+    * last rewrote them — those must survive any vacuum, so liveness is
+    * ref-counted from the manifest, never inferred from age).
+    *
+    * `keepLast` additionally retains that many of the NEWEST
+    * unreferenced versions — a grace window for in-flight readers whose
+    * lazy DataFrames resolved the previous pointer. `minAgeMs` guards
+    * cross-process races: a version directory younger than this (by the
+    * epoch millis in its name) may be another writer's in-flight commit
+    * whose pointer flip hasn't landed yet, so it is left alone.
+    * Returns the deleted version names.
     */
-  private def pruneUnreferenced(name: String): Unit = {
+  def vacuum(name: String, keepLast: Int = 0,
+      minAgeMs: Long = 0L): Seq[String] = synchronized {
+    require(keepLast >= 0, "keepLast must be >= 0")
+    if (!exists(name)) return Nil
     val cur = currentVersionDir(name).getName
     val referenced = readManifest(name)
       .map(_.refs.values.map(_.split("/").head).toSet)
       .getOrElse(Set.empty) + cur
-    fs.listStatus(tableDir(name)).toSeq.filter(_.isDirectory).map(_.getPath)
+    val now = System.currentTimeMillis()
+    val expendable = fs.listStatus(tableDir(name)).toSeq
+      .filter(_.isDirectory).map(_.getPath)
       .filter(p => p.getName.startsWith("v") && !referenced(p.getName))
-      .foreach(p => fs.delete(p, true))
+      .sortBy(_.getName)
+      .dropRight(keepLast)
+      .filter(p => versionMillis(p.getName).forall(now - _ >= minAgeMs))
+    expendable.foreach(p => fs.delete(p, true))
+    expendable.map(_.getName)
+  }
+
+  private def versionMillis(v: String): Option[Long] = {
+    val digits = v.stripPrefix("v").takeWhile(_.isDigit)
+    if (digits.isEmpty) None else Some(digits.toLong)
+  }
+
+  /** Post-commit GC: every surviving directory is reachable from the
+    * live table state (or inside the configured grace window).
+    */
+  private def pruneUnreferenced(name: String): Unit = {
+    vacuum(name, keepLast = graceVersions)
+    ()
   }
 
   private def newVersionName(): String =

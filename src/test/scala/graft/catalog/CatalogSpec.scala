@@ -145,6 +145,74 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.read("t").count() == 2)
   }
 
+  test("vacuum: retention grace window, explicit reclaim, reads intact") {
+    val root = tmpDir("catvac")
+    // keep plenty of history so vacuum (not prune-on-commit) does the GC
+    val cat = new Catalog(spark, root, graceVersions = 16)
+    def versionDirs() = new java.io.File(s"$root/t").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("v")).toSet
+
+    cat.createIfAbsent("t", cat.allStringSchema(Seq("id", "v")), Seq("id"))
+    (1 to 4).foreach(i => cat.append("t", Seq((i.toString, s"v$i")).toDF("id", "v")))
+    assert(versionDirs().size == 5, "grace window must retain history")
+
+    // a reader that resolved the pointer BEFORE further commits...
+    val early = cat.read("t")
+    cat.append("t", Seq(("9", "v9")).toDF("id", "v"))
+    // ...still collects inside the grace window
+    assert(early.count() == 4)
+
+    // keepLast=1 keeps the newest unreferenced version, drops the rest
+    val deleted = cat.vacuum("t", keepLast = 1)
+    assert(deleted.nonEmpty && versionDirs().size == 2)
+    assert(cat.read("t").count() == 5, "current read must survive vacuum")
+
+    // minAge guard: versions younger than the floor are never touched
+    assert(cat.vacuum("t", keepLast = 0, minAgeMs = 3600L * 1000).isEmpty)
+    // full reclaim: only the live version remains; reads + fallback fine
+    cat.vacuum("t")
+    assert(versionDirs().size == 1)
+    assert(cat.read("t").count() == 5)
+    // crash fallback (pointer removed) still resolves the live version
+    new java.io.File(s"$root/t/_current").delete()
+    assert(cat.read("t").count() == 5)
+  }
+
+  test("vacuum never deletes manifest-referenced old versions") {
+    val root = tmpDir("catvacb")
+    val cat = new Catalog(spark, root, graceVersions = 16)
+    val n = 4
+    cat.createIfAbsent("t", cat.allStringSchema(Seq("id", "v")), Seq("id"))
+    cat.registerBucketLayout("t", n)
+    val rows = (1 to 40).map(i => (i.toString, s"v$i"))
+    cat.overwriteAllBuckets("t", rows.toDF("id", "v"))
+    val v0 = cat.bucketRefs("t").values.map(_.split("/").head).toSet
+    assert(v0.size == 1)
+
+    // touch one bucket twice: v0 stays referenced by the untouched
+    // buckets; the middle rewrite becomes unreferenced garbage
+    val b7 = rows.toDF("id", "v").filter($"id" === "7")
+      .select(cat.bucketOf(Seq("id"), n).as("b")).head().getInt(0)
+    cat.overwriteBuckets("t",
+      cat.readBuckets("t", Seq(b7)).withColumn("v", concat($"v", lit("!"))), Seq(b7))
+    cat.overwriteBuckets("t",
+      cat.readBuckets("t", Seq(b7)).withColumn("v", concat($"v", lit("?"))), Seq(b7))
+
+    val deleted = cat.vacuum("t")
+    val live = cat.bucketRefs("t").values.map(_.split("/").head).toSet
+    assert(v0.subsetOf(live), "old version referenced by untouched buckets must survive")
+    assert(deleted.forall(!live.contains(_)))
+    val dirs = new java.io.File(s"$root/t").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("v")).toSet
+    assert(dirs == live, s"exactly the referenced versions survive: $dirs vs $live")
+
+    // data + point reads intact after GC
+    assert(cat.read("t").count() == 40)
+    assert(cat.read("t").filter($"id" === "7").select("v").head().getString(0) == "v7!?")
+    assert(cat.lookupByPk("t", Seq("37")).as[(String, String)]
+      .collect().toSeq == Seq("37" -> "v37"))
+  }
+
   test("bucket layout: partial rewrite touches only the mutated buckets") {
     val cat = new Catalog(spark, tmpDir("catbuck"))
     val n = 4
@@ -211,6 +279,18 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.bucketRefs("log").size == 1)
     assert(cat.read("log").select("id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 2L, 3L))
+
+    // schema drift fails fast instead of silently nulling history
+    val renamed = intercept[IllegalArgumentException] {
+      cat.appendLog("log", Seq((4L, "d")).toDF("id", "label"))
+    }
+    assert(renamed.getMessage.contains("schema drift"))
+    intercept[IllegalArgumentException] {
+      cat.appendLog("log", Seq((4, "d")).toDF("id", "v")) // id retyped int
+    }
+    // compatible appends (nullability aside) still land
+    cat.appendLog("log", Seq((4L, "d")).toDF("id", "v"))
+    assert(cat.read("log").count() == 4)
   }
 
   test("sorted write enables row-group skipping on the sort key") {
