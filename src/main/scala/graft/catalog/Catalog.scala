@@ -152,7 +152,9 @@ class Catalog(spark: SparkSession, root: String, graceVersions: Int = 0) {
       val stored = StructType.fromDDL(m.schemaDDL)
       val compatible = stored.length == df.schema.length &&
         stored.fields.zip(df.schema.fields).forall { case (a, b) =>
-          a.name == b.name && a.dataType == b.dataType }
+          // .sql ignores nullability (incl. nested containsNull) —
+          // exactly the drift classes that matter are name + type
+          a.name == b.name && a.dataType.sql == b.dataType.sql }
       require(compatible,
         s"appendLog schema drift for $name: table is [${stored.toDDL}], " +
           s"batch is [${df.schema.toDDL}]")
@@ -160,6 +162,12 @@ class Catalog(spark: SparkSession, root: String, graceVersions: Int = 0) {
     val prev: Map[Int, String] = prevManifest.map(_.refs).getOrElse(Map.empty)
     val version = newVersionName()
     val dataDir = new Path(tableDir(name), version)
+    // NOTE: refs must stay flat parquet — hive-style partition dirs
+    // inside refs are unreadable as one multi-path scan (Spark refuses
+    // partition inference over multiple roots). Callers that want
+    // filtered reads to skip history cluster each batch on the filter
+    // column before appending (range-repartition + sort), so row-group
+    // min/max stats prune instead — see appendLogClustered.
     df.write.mode("overwrite").parquet(dataDir.toString)
     val refs = prev + ((prev.keySet + (-1)).max + 1 -> version)
     val json = mapper.writeValueAsString(Map(
@@ -171,11 +179,31 @@ class Catalog(spark: SparkSession, root: String, graceVersions: Int = 0) {
     pruneUnreferenced(name)
   }
 
-  /** Fold an append-log table's refs into one directory (one commit,
-    * O(table) — run when fragmentation warrants it, like compact()).
+  /** appendLog with the batch range-clustered on `clusterCols`: each
+    * ref's files then carry tight min/max row-group statistics on
+    * those columns, so filtered reads skip row groups across the
+    * entire history — the append-log analogue of overwriteSorted's
+    * data skipping (directory partitioning inside refs is impossible,
+    * see appendLog), and what keeps a serving read bounded as the log
+    * grows.
     */
-  def compactLog(name: String): Unit = synchronized {
-    val df = read(name)
+  def appendLogClustered(name: String, df: DataFrame,
+      clusterCols: Seq[String]): Unit = {
+    require(clusterCols.nonEmpty, "clusterCols must be non-empty")
+    val cols = clusterCols.map(col)
+    appendLog(name,
+      df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*))
+  }
+
+  /** Fold an append-log table's refs into one directory (one commit,
+    * O(table) — run when fragmentation warrants it, like compact());
+    * `clusterCols` re-clusters the fold for row-group skipping.
+    */
+  def compactLog(name: String, clusterCols: Seq[String] = Nil): Unit = synchronized {
+    val df0 = read(name)
+    val df = if (clusterCols.isEmpty) df0
+      else df0.repartitionByRange(clusterCols.map(col): _*)
+        .sortWithinPartitions(clusterCols.map(col): _*)
     val version = newVersionName()
     val dataDir = new Path(tableDir(name), version)
     df.write.mode("overwrite").parquet(dataDir.toString)

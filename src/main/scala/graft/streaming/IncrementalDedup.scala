@@ -10,33 +10,71 @@ import graft.functions.Dedup
 /** Incremental corpus-wide near-duplicate detection: the streaming face
   * of Dedup.nearDuplicatePairs.
   *
-  * State lives in two append-log Catalog tables — the banded MinHash
-  * keys (`<prefix>_bands`) and the distinct base-hash sets
-  * (`<prefix>_sets`). Each batch computes signatures for its TRULY NEW
-  * documents only (retry-idempotent anti-join on already-seen ids),
-  * finds candidates by joining the new band keys against history plus
-  * the in-batch self-join, verifies with exact Jaccard, and APPENDS the
-  * new signatures in O(batch) (Catalog.appendLog never rewrites
-  * history). Per-batch cost is batch-size × band fan-out + candidates —
-  * the history side participates only through the band-key equi-join,
-  * so a 100 TB accumulated corpus is fine as long as band buckets stay
-  * bounded (the same invariant the batch pipeline relies on). Each
-  * cross-batch duplicate pair is emitted exactly once, in the batch
-  * that completes it.
+  * State lives in append-log Catalog tables — the banded MinHash keys
+  * (`<prefix>_bands`), the distinct base-hash sets (`<prefix>_sets`),
+  * and a one-row parameter record (`<prefix>_meta`). Each batch
+  * computes signatures for its TRULY NEW documents only
+  * (retry-idempotent anti-join on already-seen ids), finds candidates
+  * by joining the new band keys against history plus the in-batch
+  * self-join, verifies with exact Jaccard, and APPENDS the new
+  * signatures in O(batch) (Catalog.appendLog never rewrites history).
+  *
+  * Band history carries a key-hash bucket column (`__kb`) and every
+  * append is range-clustered on it (Catalog.appendLogClustered), so
+  * each historical ref's row groups have tight `__kb` min/max stats.
+  * Serving collects the batch's touched buckets driver-side (a bounded
+  * set, ≤ keyBuckets values) and filters history with a static isin —
+  * pushed to the parquet scan, it skips non-matching row groups across
+  * the whole history, so a small batch reads a bounded slice of an
+  * arbitrarily large accumulated history instead of scanning all of it.
+  *
+  * Exactly-once pairs: the streaming path stages a batch's verified
+  * pairs to `<prefix>_pairs` — keyed by the Structured Streaming
+  * batchId — BEFORE the band/set state commits. A crash or foreachBatch
+  * retry in any window replays safely: if state never committed, the
+  * batch's docs are still unseen, the identical pairs recompute, and
+  * the already-staged batchId suppresses a second append; if state did
+  * commit, the replayed batch computes no fresh docs and the staged
+  * pairs are already durable. Pairs are neither lost nor duplicated.
+  *
+  * Parameters (shingle, numHashes, bands, keyBuckets) are persisted on
+  * first creation and validated on every reopen — joining band keys
+  * built under different parameters against history would silently
+  * collapse recall, so drift fails fast instead.
   */
 final class IncrementalDedup(catalog: Catalog, threshold: Double,
     shingle: Int = 3, numHashes: Int = 16, bands: Int = 2,
-    prefix: String = "dedup") {
+    keyBuckets: Int = 16, prefix: String = "dedup") {
 
   private val bandsTable = s"${prefix}_bands"
   private val setsTable = s"${prefix}_sets"
+  private val metaTable = s"${prefix}_meta"
+  private val pairsTable = s"${prefix}_pairs"
+
+  @volatile private var paramsValidated = false
 
   private def ensureTables(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.types._
+    import spark.implicits._
+    if (!catalog.exists(metaTable))
+      catalog.appendLog(metaTable,
+        Seq((shingle, numHashes, bands, keyBuckets))
+          .toDF("shingle", "num_hashes", "bands", "key_buckets"))
+    if (!paramsValidated) {
+      val stored = catalog.read(metaTable)
+        .select("shingle", "num_hashes", "bands", "key_buckets")
+        .as[(Int, Int, Int, Int)].head()
+      val mine = (shingle, numHashes, bands, keyBuckets)
+      require(stored == mine,
+        s"$prefix state was created with (shingle, numHashes, bands, keyBuckets)=" +
+          s"$stored but reopened with $mine — band keys would silently " +
+          "mismatch history and recall would collapse")
+      paramsValidated = true
+    }
     if (!catalog.exists(bandsTable))
       catalog.appendLog(bandsTable, spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType.fromDDL("doc_id BIGINT, band INT, key STRING")))
+        StructType.fromDDL("doc_id BIGINT, band INT, key STRING, __kb INT")))
     if (!catalog.exists(setsTable))
       catalog.appendLog(setsTable, spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -45,8 +83,13 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
 
   /** Process one batch of documents; returns the verified new duplicate
     * pairs (id_a < id_b, jaccard ≥ threshold) this batch completes.
+    * With a `batchId`, the pairs are ALSO staged durably to the pairs
+    * log before the state commits, idempotently per batchId (the
+    * streaming path's exactly-once contract); without one, the caller
+    * owns pair durability and only the band/set state commits.
     */
-  def processBatch(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def processBatch(docs: DataFrame, idCol: String, textCol: String,
+      batchId: Option[Long] = None): DataFrame = {
     val spark = docs.sparkSession
     ensureTables(spark)
     val known = catalog.read(setsTable).select(col("doc_id"))
@@ -60,13 +103,20 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
       .select(col("doc_id"),
         posexplode(Dedup.lshBandKeys(col("__sig"), bands, rows))
           .as(Seq("band", "key")))
+      .withColumn("__kb", pmod(hash(col("key")), lit(keyBuckets)))
       .persist()
-    val hist = catalog.read(bandsTable)
+    // the batch's touched key buckets, collected driver-side — bounded
+    // by keyBuckets, and the static isin filter pushes to the parquet
+    // scan where clustered row-group stats skip non-matching history
+    val kbs = newFlat.select("__kb").distinct().collect().map(_.getInt(0)).toSeq
+    val hist0 = catalog.read(bandsTable)
+    val hist = if (kbs.isEmpty) hist0.filter(lit(false))
+               else hist0.filter(col("__kb").isin(kbs.map(Int.box): _*))
     // new-vs-history (unordered → normalize) + new-vs-new (a < b).
     // The batch side broadcasts when its size estimate fits (same gate
     // as the batch pipeline), so the accumulated history is streamed
-    // map-side and never shuffled — per-batch cost is a history SCAN
-    // plus batch-sized state, not a history shuffle.
+    // map-side and never shuffled — per-batch cost is a PRUNED history
+    // scan plus batch-sized state, not a history shuffle.
     val nh = Dedup.maybeBroadcast(newFlat).as("a").join(hist.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") =!= col("b.doc_id"))
@@ -86,8 +136,18 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .persist()
-    pairs.count() // materialize before the state tables move underneath
-    catalog.appendLog(bandsTable, newFlat)
+    val nPairs = pairs.count() // materialize before state moves underneath
+    // STAGE PAIRS FIRST: durable before bands/sets commit, so no crash
+    // window can lose them; idempotent per batchId so no retry can
+    // double them
+    batchId.foreach { bid =>
+      val staged = catalog.exists(pairsTable) &&
+        catalog.read(pairsTable).filter(col("__batch_id") === bid)
+          .limit(1).count() > 0
+      if (!staged && nPairs > 0)
+        catalog.appendLog(pairsTable, pairs.withColumn("__batch_id", lit(bid)))
+    }
+    catalog.appendLogClustered(bandsTable, newFlat, Seq("__kb", "key"))
     catalog.appendLog(setsTable, fresh.select("doc_id", "hhd"))
     newFlat.unpersist()
     fresh.unpersist()
@@ -95,7 +155,8 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
   }
 
   /** Streaming entry: drain a documents stream through processBatch;
-    * duplicate pairs append to `<prefix>_pairs` (also an append-log).
+    * duplicate pairs land in `<prefix>_pairs` (an append-log) tagged
+    * with the batchId that produced them, exactly once per pair.
     */
   def start(docsStream: DataFrame, idCol: String, textCol: String,
       checkpoint: String,
@@ -103,10 +164,8 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
     docsStream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val pairs = processBatch(batch, idCol, textCol)
-        catalog.appendLog(s"${prefix}_pairs", pairs)
-        pairs.unpersist()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, idCol, textCol, Some(batchId)).unpersist()
         ()
       }
       .start()

@@ -316,6 +316,31 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.read("clustered").filter($"id" === 42L).count() == 1)
   }
 
+  test("appendLogClustered: filtered reads skip history row groups") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      }.sum
+    }
+    val cat = new Catalog(spark, tmpDir("catlogclust"))
+    def batch(seed: Int) = (1 to 50000)
+      .map(i => ((i * 31 + seed) % 64, s"k$seed-$i")).toDF("kb", "key")
+    // same history appended twice: one log clustered on kb, one not
+    (0 until 3).foreach { s =>
+      cat.appendLogClustered("clustered", batch(s), Seq("kb", "key"))
+      cat.appendLog("plain", batch(s).repartition(8))
+    }
+    assert(cat.read("clustered").count() == 150000)
+    val q = (t: String) => cat.read(t).filter($"kb" === 7)
+    assert(q("clustered").count() == q("plain").count())
+    val clustered = scanRows(q("clustered"))
+    val plain = scanRows(q("plain"))
+    assert(clustered < plain / 2,
+      s"no history skipping: clustered read $clustered rows vs $plain")
+  }
+
   test("compact rewrites fragmented buckets to one file each, data intact") {
     val cat = new Catalog(spark, tmpDir("catcompact"))
     val n = 4

@@ -35,6 +35,70 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(p3.isEmpty)
   }
 
+  test("band history is key-bucketed; the bucket filter reaches the scan") {
+    val cat = new Catalog(spark, tmpDir("incdedupkb"))
+    val dd = new IncrementalDedup(cat, threshold = 0.8)
+    dd.processBatch(b1.toDF("doc_id", "text"), "doc_id", "text")
+    dd.processBatch(b2.toDF("doc_id", "text"), "doc_id", "text")
+    val hist = cat.read("dedup_bands")
+    assert(hist.columns.contains("__kb"))
+    val kbs = hist.select($"__kb").distinct().as[Int].collect().toSeq.sorted
+    assert(kbs.nonEmpty && kbs.forall(k => k >= 0 && k < 16))
+    // serving filters history on the batch's buckets; the predicate
+    // must reach the parquet scan, where the clustered row-group stats
+    // do the skipping (mechanism pinned by CatalogSpec's
+    // appendLogClustered test)
+    val plan = hist.filter($"__kb".isin(kbs.head, 99))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("__kb"),
+      s"__kb filter not pushed to the scan:\n$plan")
+    // pruned reads don't change results: replay of a known batch is empty
+    assert(dd.processBatch(b2.toDF("doc_id", "text"), "doc_id", "text").isEmpty)
+  }
+
+  test("pairs are staged before state and exactly-once per batchId") {
+    // reference run: harvest batch 2's true pairs
+    val catA = new Catalog(spark, tmpDir("incdedupA"))
+    val ddA = new IncrementalDedup(catA, threshold = 0.8)
+    ddA.processBatch(b1.toDF("doc_id", "text"), "doc_id", "text", Some(0L))
+    val p2 = ddA.processBatch(b2.toDF("doc_id", "text"), "doc_id", "text", Some(1L))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(p2.map(p => (p._1, p._2)).toSet == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    assert(catA.read("dedup_pairs").count() == 3)
+    // foreachBatch retry AFTER full commit: nothing re-appends
+    ddA.processBatch(b2.toDF("doc_id", "text"), "doc_id", "text", Some(1L))
+    assert(catA.read("dedup_pairs").count() == 3)
+
+    // crash window: pairs staged, state NOT committed. Replay must
+    // commit the state without duplicating the staged pairs.
+    val catB = new Catalog(spark, tmpDir("incdedupB"))
+    val ddB = new IncrementalDedup(catB, threshold = 0.8)
+    ddB.processBatch(b1.toDF("doc_id", "text"), "doc_id", "text", Some(0L))
+    catB.appendLog("dedup_pairs",
+      p2.toDF("id_a", "id_b", "jaccard").withColumn("__batch_id", lit(1L)))
+    val replayed = ddB.processBatch(b2.toDF("doc_id", "text"), "doc_id", "text", Some(1L))
+    assert(replayed.count() == 3, "replay must recompute the batch's pairs")
+    assert(catB.read("dedup_pairs").count() == 3, "staged pairs must not duplicate")
+    // state is now committed: the batch replays as a no-op
+    assert(ddB.processBatch(b2.toDF("doc_id", "text"), "doc_id", "text", Some(1L)).isEmpty)
+    assert(catB.read("dedup_pairs").select($"id_a", $"id_b").as[(Long, Long)]
+      .collect().toSet == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
+  test("reopening with different parameters fails fast") {
+    val cat = new Catalog(spark, tmpDir("incdedupmeta"))
+    new IncrementalDedup(cat, threshold = 0.8)
+      .processBatch(b1.toDF("doc_id", "text"), "doc_id", "text")
+    val drifted = new IncrementalDedup(cat, threshold = 0.8, bands = 4)
+    val e = intercept[IllegalArgumentException] {
+      drifted.processBatch(b2.toDF("doc_id", "text"), "doc_id", "text")
+    }
+    assert(e.getMessage.contains("reopened with"))
+    // same params reopen fine and see the existing state
+    val same = new IncrementalDedup(cat, threshold = 0.8)
+    assert(same.processBatch(b1.toDF("doc_id", "text"), "doc_id", "text").isEmpty)
+  }
+
   test("streaming drain appends pairs to the pairs log exactly once") {
     val cat = new Catalog(spark, tmpDir("incdedupstream"))
     val dd = new IncrementalDedup(cat, threshold = 0.8)
