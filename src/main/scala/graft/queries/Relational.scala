@@ -688,11 +688,126 @@ object Relational {
       ORDER BY s_nationkey
     """.trim))
 
+  /** TPC-H Q7-shaped volume shipping: a 6-table join (lineitem, orders,
+    * customer, supplier, nation×2) with a cross-side nation-pair
+    * predicate — the join-ORDERING workload q03's 3-table shape never
+    * exercises. Scale shape: both nation dims are pre-filtered to the
+    * two trading nations BEFORE their broadcasts (two-row build sides —
+    * constraint propagation isn't trusted to derive this from the
+    * disjunctive pair predicate), the fact table keeps its pushed
+    * shipdate range filter, and the only shuffles are the two big
+    * fact-fact joins on orderkey/custkey.
+    */
+  val q25VolumeShipping = Q(
+    "q25_volume_shipping",
+    (s, dir) => {
+      import s.implicits._
+      val nations = Seq("NATION_3", "NATION_7")
+      val n1 = broadcast(t(s, dir, "nation")
+        .filter($"n_name".isin(nations: _*))
+        .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation")))
+      val n2 = broadcast(t(s, dir, "nation")
+        .filter($"n_name".isin(nations: _*))
+        .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation")))
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+        .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .join(n1, $"s_nationkey" === $"s_nk")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(n2, $"c_nationkey" === $"c_nk")
+        .filter(($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_7") ||
+          ($"supp_nation" === "NATION_7" && $"cust_nation" === "NATION_3"))
+        .groupBy($"supp_nation", $"cust_nation",
+          year($"l_shipdate").cast("long").as("l_year"))
+        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    },
+    Some("""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') OR
+             (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3
+    """.trim),
+    headline = true)
+
+  /** TPC-H Q8-shaped market share: an 8-table join (lineitem, orders,
+    * customer, supplier, part, region, nation×2) computing one supplier
+    * nation's share of a region's order volume for one part type, per
+    * year. The deepest join tree in the suite — join ordering +
+    * broadcast selection under multiple selective dims. The share is a
+    * single IEEE division of two decimal-exact sums (conditional
+    * numerator via a CASE inside the aggregate — one pass, no re-join).
+    */
+  val q26MarketShare = Q(
+    "q26_market_share",
+    (s, dir) => {
+      import s.implicits._
+      val n1 = broadcast(t(s, dir, "nation")
+        .select($"n_nationkey".as("c_nk"), $"n_regionkey"))
+      val n2 = broadcast(t(s, dir, "nation")
+        .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation")))
+      val reg = broadcast(t(s, dir, "region").filter($"r_name" === "EUROPE"))
+      val prt = broadcast(t(s, dir, "part").filter($"p_type" === "STANDARD"))
+      val vol = ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast("decimal(18,4)")
+      t(s, dir, "lineitem")
+        .join(prt, $"l_partkey" === $"p_partkey")
+        .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .join(n2, $"s_nationkey" === $"s_nk")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(n1, $"c_nationkey" === $"c_nk")
+        .join(reg, $"n_regionkey" === $"r_regionkey")
+        .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+        .agg(
+          (sum(when($"supp_nation" === "NATION_3", vol).otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+            sum(vol).cast("double")).as("mkt_share"),
+          sum(vol).cast("double").as("total_volume"))
+        .orderBy($"o_year")
+    },
+    Some("""
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                           THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_volume
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+        AND p_type = 'STANDARD'
+        AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1
+      ORDER BY 1
+    """.trim),
+    headline = true)
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
     q09RunningTotal, q10Rollup, q11Cube, q12SetOps, q13DistinctAgg,
     q14StringFns, q15DateFns, q16JsonFns, q17CaseMath, q18Percentiles,
     q19AboveNationAvg, q20DateArith, q21RegexExtract, q22ArrayFns,
-    q23MathFns, q24SaltedJoin)
+    q23MathFns, q24SaltedJoin, q25VolumeShipping, q26MarketShare)
 }
