@@ -122,6 +122,9 @@ object Dedup {
         col("a.__b") === col("b.__b") && col("a.__key") === col("b.__key") &&
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      // REQUIRED at every band count: a pair whose documents collide in
+      // BOTH bands emits once per band — dropping this under bands=2
+      // duplicates such pairs in the declared output
       .distinct()
   }
 
@@ -141,6 +144,9 @@ object Dedup {
         col("a.__b") === col("b.__b") && col("a.__key") === col("b.__key") &&
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      // REQUIRED at every band count: a pair whose documents collide in
+      // BOTH bands emits once per band — dropping this under bands=2
+      // duplicates such pairs in the declared output
       .distinct()
   }
 
