@@ -44,7 +44,8 @@ import graft.functions.Dedup
   */
 final class IncrementalDedup(catalog: Catalog, threshold: Double,
     shingle: Int = 3, numHashes: Int = 16, bands: Int = 2,
-    keyBuckets: Int = 16, prefix: String = "dedup") {
+    keyBuckets: Int = 16, prefix: String = "dedup",
+    compactEvery: Int = 0) {
 
   private val bandsTable = s"${prefix}_bands"
   private val setsTable = s"${prefix}_sets"
@@ -154,9 +155,27 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
     pairs
   }
 
+  /** State maintenance: fold each append-log's refs into one clustered
+    * directory (bands keep their `__kb` clustering so row-group
+    * skipping survives the fold) and reclaim unreferenced version
+    * directories. Per-run cost is O(state), so it is maintenance to
+    * schedule — every `compactEvery` batches via `start`, or manually
+    * between bursts — not per-batch work.
+    */
+  def maintain(spark: org.apache.spark.sql.SparkSession): Unit = {
+    ensureTables(spark)
+    catalog.compactLog(bandsTable, clusterCols = Seq("__kb", "key"))
+    catalog.compactLog(setsTable)
+    if (catalog.exists(pairsTable)) catalog.compactLog(pairsTable)
+    Seq(metaTable, bandsTable, setsTable, pairsTable)
+      .filter(catalog.exists).foreach(t => catalog.vacuum(t))
+  }
+
   /** Streaming entry: drain a documents stream through processBatch;
     * duplicate pairs land in `<prefix>_pairs` (an append-log) tagged
-    * with the batchId that produced them, exactly once per pair.
+    * with the batchId that produced them, exactly once per pair. With
+    * `compactEvery` = N > 0, every Nth batch ends with `maintain()` —
+    * batchId-based, so the cadence survives restarts.
     */
   def start(docsStream: DataFrame, idCol: String, textCol: String,
       checkpoint: String,
@@ -166,6 +185,8 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, idCol, textCol, Some(batchId)).unpersist()
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          maintain(batch.sparkSession)
         ()
       }
       .start()

@@ -99,6 +99,41 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(same.processBatch(b1.toDF("doc_id", "text"), "doc_id", "text").isEmpty)
   }
 
+  test("maintain folds state to single clustered refs, behavior intact") {
+    val cat = new Catalog(spark, tmpDir("incdedupmaint"))
+    val dd = new IncrementalDedup(cat, threshold = 0.8)
+    dd.processBatch(b1.toDF("doc_id", "text"), "doc_id", "text", Some(0L))
+    dd.processBatch(b2.toDF("doc_id", "text"), "doc_id", "text", Some(1L))
+    assert(cat.bucketRefs("dedup_bands").size >= 3) // create + 2 batches
+    dd.maintain(spark)
+    assert(cat.bucketRefs("dedup_bands").size == 1)
+    assert(cat.bucketRefs("dedup_sets").size == 1)
+    assert(cat.read("dedup_pairs").count() == 3)
+    // exactly one live version dir per folded state table
+    val bandsDirs = new java.io.File(s"${cat.read("dedup_bands").inputFiles.head
+      .stripPrefix("file:").split("/dedup_bands/").head}/dedup_bands")
+      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("v"))
+    assert(bandsDirs.length == 1, s"unvacuumed versions: ${bandsDirs.toSeq}")
+    // post-maintenance the state still dedups: replay is a no-op,
+    // idempotency marker survived the pairs fold
+    assert(dd.processBatch(b2.toDF("doc_id", "text"), "doc_id", "text", Some(1L)).isEmpty)
+    assert(cat.read("dedup_pairs").count() == 3)
+  }
+
+  test("streaming with compactEvery folds state between batches") {
+    val cat = new Catalog(spark, tmpDir("incdedupce"))
+    val dd = new IncrementalDedup(cat, threshold = 0.8, compactEvery = 1)
+    val srcDir = tmpDir("incdedupcesrc")
+    (b1 ++ b2).toDF("doc_id", "text").write.mode("overwrite").parquet(srcDir)
+    val q = dd.start(
+      spark.readStream.schema("doc_id long, text string").parquet(srcDir),
+      "doc_id", "text", checkpoint = tmpDir("incdedupceck"))
+    q.awaitTermination()
+    assert(cat.bucketRefs("dedup_bands").size == 1)
+    assert(cat.read("dedup_pairs").select($"id_a", $"id_b").as[(Long, Long)]
+      .collect().toSet == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
   test("streaming drain appends pairs to the pairs log exactly once") {
     val cat = new Catalog(spark, tmpDir("incdedupstream"))
     val dd = new IncrementalDedup(cat, threshold = 0.8)
