@@ -803,11 +803,52 @@ object Relational {
     """.trim),
     headline = true)
 
+  /** TPC-H Q17-shaped small-quantity revenue through the SQL face: a
+    * CORRELATED scalar subquery (per-part average threshold) that
+    * Catalyst must decorrelate into an aggregate + join — the last
+    * planner behavior the suite didn't exercise. The threshold is
+    * decimal-exact (sum-decimal → one IEEE division → one multiply) so
+    * both engines compare against the identical double. Scale shape
+    * after decorrelation: one partial-agg shuffle on l_partkey + the
+    * brand-filtered join — no per-row re-scan of lineitem.
+    */
+  val q27SmallQtyRevenue = Q(
+    "q27_small_qty_revenue",
+    (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("g_part")
+      s.sql("""
+        SELECT p_brand,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               count(*) AS n_small
+        FROM g_lineitem l1 JOIN g_part ON l1.l_partkey = p_partkey
+        WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+          AND l1.l_quantity < (
+            SELECT 0.5 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*))
+            FROM g_lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+        GROUP BY p_brand
+        ORDER BY p_brand
+      """)
+    },
+    Some("""
+      SELECT p_brand,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             count(*) AS n_small
+      FROM lineitem l1 JOIN part ON l1.l_partkey = p_partkey
+      WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        AND l1.l_quantity < (
+          SELECT 0.5 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*))
+          FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+      GROUP BY p_brand
+      ORDER BY p_brand
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
     q09RunningTotal, q10Rollup, q11Cube, q12SetOps, q13DistinctAgg,
     q14StringFns, q15DateFns, q16JsonFns, q17CaseMath, q18Percentiles,
     q19AboveNationAvg, q20DateArith, q21RegexExtract, q22ArrayFns,
-    q23MathFns, q24SaltedJoin, q25VolumeShipping, q26MarketShare)
+    q23MathFns, q24SaltedJoin, q25VolumeShipping, q26MarketShare,
+    q27SmallQtyRevenue)
 }
