@@ -97,6 +97,46 @@ class Catalog(spark: SparkSession, root: String, graceVersions: Int = 0) {
     }
   }
 
+  /** Committed versions of a table, oldest → newest (version names are
+    * `v<epochMillis>_<uuid8>`, so name order is commit order). With a
+    * `graceVersions` retention this is the time-travel window; with
+    * immediate pruning it is just the live version plus whatever the
+    * current manifest still references.
+    */
+  def versions(name: String): Seq[String] = {
+    if (!fs.exists(tableDir(name))) return Nil
+    fs.listStatus(tableDir(name)).toSeq
+      .filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("v"))
+      .filter(isCommitted)
+      .map(_.getName).sorted
+  }
+
+  def currentVersion(name: String): String = currentVersionDir(name).getName
+
+  /** Time travel: read the table AS OF a specific committed version
+    * (any entry of `versions(name)` that vacuum hasn't reclaimed). A
+    * manifest version resolves ITS OWN refs — the bucket/log contents
+    * as of that commit — not the current pointer's.
+    */
+  def readVersion(name: String, version: String): DataFrame = {
+    val dir = new Path(tableDir(name), version)
+    require(fs.exists(dir) && isCommitted(dir),
+      s"table $name has no committed version $version (vacuumed or never existed)")
+    readManifestAt(dir) match {
+      case None => spark.read.parquet(dir.toString)
+      case Some(m) =>
+        // an old manifest may reference dirs the CURRENT state no
+        // longer does — vacuum only protects the live refs, so time
+        // travel past a vacuum fails loudly, never reads partial data
+        val missing = m.refs.values.map(_.split("/").head).toSet
+          .filterNot(v => fs.exists(new Path(tableDir(name), v)))
+        require(missing.isEmpty,
+          s"version $version of $name references vacuumed dirs: $missing")
+        readRefs(name, m.refs.values.toSeq, m.schemaDDL)
+    }
+  }
+
   /** O9 create-if-absent: template schema (with PKs) when registered,
     * else all-string from the CSV headers (process-pipeline.py:104-130).
     */
@@ -449,8 +489,11 @@ class Catalog(spark: SparkSession, root: String, graceVersions: Int = 0) {
 
   private def manifestFile(versionDir: Path) = new Path(versionDir, "_manifest.json")
 
-  private def readManifest(name: String): Option[Manifest] = {
-    val mf = manifestFile(currentVersionDir(name))
+  private def readManifest(name: String): Option[Manifest] =
+    readManifestAt(currentVersionDir(name))
+
+  private def readManifestAt(versionDir: Path): Option[Manifest] = {
+    val mf = manifestFile(versionDir)
     if (!fs.exists(mf)) return None
     val in = fs.open(mf)
     val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()

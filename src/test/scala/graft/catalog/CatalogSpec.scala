@@ -178,6 +178,38 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.read("t").count() == 5)
   }
 
+  test("time travel: readVersion within the retention window") {
+    val cat = new Catalog(spark, tmpDir("cattt"), graceVersions = 8)
+    cat.createIfAbsent("t", cat.allStringSchema(Seq("id", "v")), Seq("id"))
+    cat.append("t", Seq(("1", "a")).toDF("id", "v"))
+    val v1 = cat.currentVersion("t")
+    cat.append("t", Seq(("2", "b")).toDF("id", "v"))
+    val v2 = cat.currentVersion("t")
+    cat.overwrite("t", Seq(("9", "z")).toDF("id", "v"))
+    assert(cat.versions("t").takeRight(1).head == cat.currentVersion("t"))
+    assert(cat.versions("t").size == 4) // empty-create + 3 commits
+    // each historical version reads its own contents
+    assert(cat.readVersion("t", v1).as[(String, String)].collect().toSeq ==
+      Seq("1" -> "a"))
+    assert(cat.readVersion("t", v2).as[(String, String)].collect().toSet ==
+      Set("1" -> "a", "2" -> "b"))
+    assert(cat.read("t").as[(String, String)].collect().toSeq == Seq("9" -> "z"))
+    // past the vacuum horizon, time travel fails loudly
+    cat.vacuum("t")
+    val e = intercept[IllegalArgumentException] { cat.readVersion("t", v1) }
+    assert(e.getMessage.contains("vacuumed"))
+
+    // manifest tables resolve THEIR OWN refs: an append-log's old
+    // version sees only the refs as of that commit
+    cat.appendLog("log", Seq((1L, "a")).toDF("id", "v"))
+    val lv1 = cat.currentVersion("log")
+    cat.appendLog("log", Seq((2L, "b")).toDF("id", "v"))
+    assert(cat.readVersion("log", lv1).select($"id").as[Long].collect().toSeq ==
+      Seq(1L))
+    assert(cat.read("log").select($"id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+  }
+
   test("vacuum never deletes manifest-referenced old versions") {
     val root = tmpDir("catvacb")
     val cat = new Catalog(spark, root, graceVersions = 16)
