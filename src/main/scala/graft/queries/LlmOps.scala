@@ -929,12 +929,61 @@ object LlmOps {
       ORDER BY doc_id
     """.trim))
 
+  /** Image feature extraction on top of the real decoder: decode the
+    * synthetic PNG, nearest-neighbor resize to 8×8 (the decoder's
+    * integer-exact sampling), then a 16-bin pixel-byte histogram — the
+    * decode→resize→featurize shape of a real multimodal embedding
+    * pipeline, with integer outputs so the oracle re-derives every bin
+    * exactly (sampled indices and pixel values are closed-form).
+    * Histogram bins as 16 BIGINT columns (exact; a normalized-float
+    * vector would leave cross-engine ULP territory).
+    */
+  val t20ImageFeatures = Q(
+    "t20_image_features",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", length(encode($"text", "UTF-8")).cast("long").as("n_bytes"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (docId, nBytes) =>
+            val w = (8 + nBytes % 24).toInt
+            val h = (8 + docId % 24).toInt
+            val rgb = Array.tabulate(w * h * 3)(i => ((docId * 31 + i) % 256).toByte)
+            val png = Multimodal.encodePng(w, h, rgb)
+            val px = Multimodal.RealImageDecoder.decodePixels(png, 8, 8)
+            val hist = new Array[Long](16)
+            px.foreach(b => hist((b & 0xff) >> 4) += 1)
+            (docId, hist(0), hist(1), hist(2), hist(3), hist(4), hist(5),
+              hist(6), hist(7), hist(8), hist(9), hist(10), hist(11),
+              hist(12), hist(13), hist(14), hist(15))
+          }
+        }
+        .toDF("doc_id" +: (0 until 16).map(b => f"h$b%02d"): _*)
+        .orderBy($"doc_id")
+    },
+    Some {
+      val bins = (0 until 16).map(b =>
+        f"count(*) FILTER (WHERE bin = $b) AS h$b%02d").mkString(",\n             ")
+      s"""
+      WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+      g AS (SELECT doc_id, 8 + n_bytes % 24 AS w, 8 + doc_id % 24 AS h FROM d),
+      px AS (SELECT doc_id,
+               ((doc_id * 31 + ((((y.r * h) // 8) * w + ((x.r * w) // 8)) * 3 + c.r)) % 256) // 16 AS bin
+             FROM g, range(8) y(r), range(8) x(r), range(3) c(r))
+      SELECT doc_id,
+             $bins
+      FROM px GROUP BY doc_id ORDER BY doc_id
+      """.trim
+    })
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
     t10EmbeddingDedup, t11SimhashHamming, t12TfidfTopTerms,
     t13StratifiedSample, t14PiiRedaction, t15RepetitionStats,
     t16SequencePacking, t17EmbeddingQuantization, t18CurationGate,
-    t19ImageDecode,
+    t19ImageDecode, t20ImageFeatures,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK)
 }
