@@ -843,6 +843,67 @@ object Relational {
       ORDER BY p_brand
     """.trim))
 
+  /** One co-located warehouse per process per dataset (write once /
+    * join many — the pattern bucketing exists for): lineitem and
+    * orders persisted `bucketBy` their join keys into a temp warehouse
+    * reclaimed at JVM exit. Table idents carry a dir hash so datasets
+    * never cross-contaminate the session catalog.
+    */
+  private val coLocatedRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def coLocatedWarehouse(s: SparkSession,
+      dir: String): (graft.catalog.Catalog, String, String) = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val (liName, ordName) = (s"q28li_$tag", s"q28ord_$tag")
+    val root = coLocatedRoots.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_colocated")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }))
+      val cat = new graft.catalog.Catalog(s, p.toString)
+      cat.saveCoLocated(liName, t(s, dir, "lineitem"), Seq("l_orderkey"), 8)
+      cat.saveCoLocated(ordName, t(s, dir, "orders"), Seq("o_orderkey"), 8)
+      p.toString
+    })
+    (new graft.catalog.Catalog(s, root), liName, ordName)
+  }
+
+  /** Co-located join through the correctness gate: both fact tables are
+    * bucketed on their join keys (same bucket count), so the merge join
+    * plans with NO Exchange on either side — the lever that makes a
+    * repeated 100 TB fact-fact join cost a local sort-merge instead of
+    * a full shuffle of both sides. The oracle is the plain SQL join:
+    * shuffle elision must change the plan, never the rows. (Mechanics
+    * and the no-Exchange plan assert live in BucketingSpec; the merge
+    * hint pins the join shape against auto-broadcast at small SF.)
+    */
+  val q28ColocatedJoin = Q(
+    "q28_colocated_join",
+    (s, dir) => {
+      import s.implicits._
+      val (cat, li, ord) = coLocatedWarehouse(s, dir)
+      cat.readCoLocated(li).hint("merge")
+        .join(cat.readCoLocated(ord), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -850,5 +911,5 @@ object Relational {
     q14StringFns, q15DateFns, q16JsonFns, q17CaseMath, q18Percentiles,
     q19AboveNationAvg, q20DateArith, q21RegexExtract, q22ArrayFns,
     q23MathFns, q24SaltedJoin, q25VolumeShipping, q26MarketShare,
-    q27SmallQtyRevenue)
+    q27SmallQtyRevenue, q28ColocatedJoin)
 }
