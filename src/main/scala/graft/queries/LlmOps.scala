@@ -978,12 +978,49 @@ object LlmOps {
       """.trim
     })
 
+  /** Frame sampling through the oracle gate: documents as video-like
+    * binary payloads split into 32-byte frames, every 2nd kept
+    * (`Multimodal.sampleFrames` — previously spec-only). Outputs are
+    * closed-form for the oracle: kept-frame count, md5 of the first
+    * frame (payloads are ASCII, so byte frames == char frames), and
+    * total kept bytes including the possibly-partial last frame.
+    */
+  val t21FrameSample = Q(
+    "t21_frame_sample",
+    (s, dir) => {
+      import s.implicits._
+      Multimodal.sampleFrames(
+          Tables.load(s, dir, "documents")
+            .select($"doc_id", encode($"text", "UTF-8").as("payload")),
+          "payload", frameSize = 32, stride = 2)
+        .select(
+          $"doc_id",
+          size($"frames").cast("long").as("n_frames"),
+          md5(element_at($"frames", 1)).as("first_frame_md5"),
+          aggregate($"frames", lit(0L),
+            (acc, f) => acc + length(f).cast("long")).as("kept_bytes"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, text, length(text) AS len,
+                        (length(text) + 31) // 32 AS nf
+                 FROM documents)
+      SELECT doc_id,
+             (nf + 1) // 2 AS n_frames,
+             md5(substring(text, 1, 32)) AS first_frame_md5,
+             CASE WHEN (nf - 1) % 2 = 0
+                  THEN 32 * ((nf + 1) // 2 - 1) + (len - 32 * (nf - 1))
+                  ELSE 32 * ((nf + 1) // 2) END AS kept_bytes
+      FROM d
+      ORDER BY doc_id
+    """.trim))
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
     t10EmbeddingDedup, t11SimhashHamming, t12TfidfTopTerms,
     t13StratifiedSample, t14PiiRedaction, t15RepetitionStats,
     t16SequencePacking, t17EmbeddingQuantization, t18CurationGate,
-    t19ImageDecode, t20ImageFeatures,
+    t19ImageDecode, t20ImageFeatures, t21FrameSample,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK)
 }
