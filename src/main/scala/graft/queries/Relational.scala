@@ -904,6 +904,35 @@ object Relational {
       ORDER BY o_orderpriority
     """.trim))
 
+  /** Arbitrary GROUPING SETS (the aggregation face rollup/cube can't
+    * express: two independent single-column groupings + grand total in
+    * ONE pass over the data). gid is assembled explicitly from ANSI
+    * `grouping()` bits so both engines agree on the encoding.
+    */
+  val q29GroupingSets = Q(
+    "q29_grouping_sets",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("g_customer")
+      s.sql("""
+        SELECT c_mktsegment, c_nationkey,
+               CAST(grouping(c_mktsegment) * 2 + grouping(c_nationkey) AS BIGINT) AS gid,
+               count(*) AS n,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS acct_sum
+        FROM g_customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY gid, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+      """)
+    },
+    Some("""
+      SELECT c_mktsegment, c_nationkey,
+             CAST(grouping(c_mktsegment) * 2 + grouping(c_nationkey) AS BIGINT) AS gid,
+             count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS acct_sum
+      FROM customer
+      GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+      ORDER BY gid, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -911,5 +940,5 @@ object Relational {
     q14StringFns, q15DateFns, q16JsonFns, q17CaseMath, q18Percentiles,
     q19AboveNationAvg, q20DateArith, q21RegexExtract, q22ArrayFns,
     q23MathFns, q24SaltedJoin, q25VolumeShipping, q26MarketShare,
-    q27SmallQtyRevenue, q28ColocatedJoin)
+    q27SmallQtyRevenue, q28ColocatedJoin, q29GroupingSets)
 }
