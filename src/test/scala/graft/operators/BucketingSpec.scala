@@ -72,6 +72,18 @@ class BucketingSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS graft_co_lineitem")
   }
 
+  test("q28's declared plan joins without an exchange on the join keys") {
+    val q28 = graft.SparkEntry.queries("q28_colocated_join")(
+      spark, "/root/testdata/sf0.001")
+    val plan = q28.queryExecution.executedPlan.toString
+    val joinSection = plan.split("HashAggregate").last
+    assert(joinSection.contains("SortMergeJoin"),
+      s"q28 must merge-join its bucketed sides:\n$plan")
+    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey") &&
+      !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+      s"q28's co-located join still shuffles:\n$plan")
+  }
+
   test("migrateToCoLocated converts the mutation-face layout into the join face") {
     import graft.catalog.Catalog
     spark.sql("DROP TABLE IF EXISTS graft_mt")
