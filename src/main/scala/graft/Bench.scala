@@ -23,6 +23,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // default 4MB open-cost floors split size, so byte-small files
+      // become 1-2 partitions even when per-row work is CPU-bound
+      // (regex-heavy text ops): a 5MB documents file serialized the
+      // curation gate onto 2 of 32 cores. 128KB lets small hot tables
+      // split to full parallelism; a no-op for scale-sized files.
+      .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -15,6 +15,9 @@ object Verify {
       // events.parquet stores TIMESTAMP(NANOS); Spark reads it as a
       // nanosecond LongType under this flag (queries convert explicitly).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // see Bench: split byte-small files finely so CPU-bound per-row
+      // work parallelizes; no-op for scale-sized files
+      .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
