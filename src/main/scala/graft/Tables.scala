@@ -28,4 +28,23 @@ object Tables {
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Decouple CPU-bound per-row work from the input's file/row-group
+    * layout: when the source resolves to fewer partitions than half the
+    * cluster's parallelism (e.g. a table stored as one parquet row
+    * group — parquet decode cannot split below row-group boundaries),
+    * round-robin repartition it before the expensive stage. A no-op on
+    * well-partitioned inputs, so at warehouse scale (128 MB row groups)
+    * this adds nothing; on coarse inputs it stops a shingle-hash or
+    * regex pipeline from running on one core of a 32-core executor.
+    * Only worth applying where per-row compute dominates the shuffle of
+    * the rows themselves — scans feeding cheap filters/aggregates
+    * should stay shuffle-free.
+    */
+  def parallelized(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < (target + 1) / 2) df.repartition(target)
+    else df
+  }
 }

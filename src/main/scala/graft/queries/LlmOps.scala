@@ -345,7 +345,7 @@ object LlmOps {
     "t09_rolling_fingerprint",
     (s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
+      Tables.parallelized(Tables.load(s, dir, "documents"))
         .select($"doc_id", TF.rollingFingerprint($"text").as("rhash"))
         .orderBy($"doc_id")
     },
@@ -673,7 +673,7 @@ object LlmOps {
     "t14_pii_redaction",
     (s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
+      Tables.parallelized(Tables.load(s, dir, "documents"))
         .select($"doc_id",
           TF.redactPii($"text").as("clean_text"),
           TF.piiCount($"text").cast("long").as("n_pii"))
@@ -829,7 +829,7 @@ object LlmOps {
     (s, dir) => {
       import s.implicits._
       val toks = TF.tokens($"text")
-      Tables.load(s, dir, "documents")
+      Tables.parallelized(Tables.load(s, dir, "documents"))
         .select($"doc_id",
           TF.languageId($"text").as("detected_lang"),
           size(toks).cast("long").as("n_tokens"),
@@ -898,7 +898,7 @@ object LlmOps {
       import s.implicits._
       Tables.load(s, dir, "documents")
         .select($"doc_id", length(encode($"text", "UTF-8")).cast("long").as("n_bytes"))
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.parallelized)
         .as[(Long, Long)]
         .mapPartitions { it =>
           it.map { case (docId, nBytes) =>
@@ -944,7 +944,7 @@ object LlmOps {
       import s.implicits._
       Tables.load(s, dir, "documents")
         .select($"doc_id", length(encode($"text", "UTF-8")).cast("long").as("n_bytes"))
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.parallelized)
         .as[(Long, Long)]
         .mapPartitions { it =>
           it.map { case (docId, nBytes) =>
