@@ -933,6 +933,101 @@ object Relational {
       ORDER BY gid, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
     """.trim))
 
+  /** TPC-H Q20-shaped nested semi join: an IN-subquery whose body is an
+    * aggregate over another IN-subquery — suppliers whose shipped
+    * volume of one part type in one year clears a threshold. Catalyst
+    * must rewrite BOTH predicates to LeftSemi joins with the HAVING
+    * aggregate between them: LeftSemi(supplier, Agg(LeftSemi(lineitem,
+    * σ(part)))) — a planner shape no other query exercises. Scale
+    * shape: part's type filter broadcasts into the inner semi join, the
+    * shipdate range is pushed to the fact scan, the aggregate's
+    * partial/final shuffle is on l_suppkey, and the outer semi join
+    * broadcasts the (supplier-cardinality-bounded) qualifying-key set.
+    */
+  val q30NestedSemiJoin = Q(
+    "q30_nested_semi_join",
+    (s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("g_supplier")
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("g_part")
+      s.sql("""
+        SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
+        FROM g_supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM g_lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM g_part WHERE p_type = 'STANDARD')
+            AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey
+          HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 450.0)
+        ORDER BY s_suppkey
+      """)
+    },
+    Some("""
+      SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
+      FROM supplier
+      WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'STANDARD')
+          AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey
+        HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 450.0)
+      ORDER BY s_suppkey
+    """.trim))
+
+  /** TPC-H Q22-shaped dormant-customer summary: three subquery flavors
+    * in one predicate — an uncorrelated scalar (global avg threshold,
+    * decimal-exact division), a NOT IN over a filtered dimension (the
+    * null-aware anti join, Spark's single-column NAAJ broadcast path —
+    * distinct from q05's NOT EXISTS rewrite), and a correlated NOT
+    * EXISTS over a date-restricted fact ("no orders since 2000", a
+    * plain LeftAnti). Scale shape: the scalar and the two-row NOT IN
+    * build side broadcast; the only shuffle is the anti join against
+    * the pre-filtered orders slice and the final segment aggregate.
+    * NOT IN over a FACT table would be an anti-pattern at 100 TB (the
+    * null-check forces the whole build side resident); keeping it on
+    * the dimension and the fact side as NOT EXISTS is the shape that
+    * survives scale.
+    */
+  val q31DormantCustomers = Q(
+    "q31_dormant_customers",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("g_customer")
+      t(s, dir, "nation").createOrReplaceTempView("g_nation")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT c_mktsegment, count(*) AS n_cust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        FROM g_customer c
+        WHERE c_acctbal > (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+            FROM g_customer WHERE c_acctbal > 0.0)
+          AND c_nationkey NOT IN (
+            SELECT n_nationkey FROM g_nation WHERE n_name IN ('NATION_1', 'NATION_2'))
+          AND NOT EXISTS (
+            SELECT 1 FROM g_orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+      """)
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n_cust,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+      FROM customer c
+      WHERE c_acctbal > (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+          FROM customer WHERE c_acctbal > 0.0)
+        AND c_nationkey NOT IN (
+          SELECT n_nationkey FROM nation WHERE n_name IN ('NATION_1', 'NATION_2'))
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -940,5 +1035,6 @@ object Relational {
     q14StringFns, q15DateFns, q16JsonFns, q17CaseMath, q18Percentiles,
     q19AboveNationAvg, q20DateArith, q21RegexExtract, q22ArrayFns,
     q23MathFns, q24SaltedJoin, q25VolumeShipping, q26MarketShare,
-    q27SmallQtyRevenue, q28ColocatedJoin, q29GroupingSets)
+    q27SmallQtyRevenue, q28ColocatedJoin, q29GroupingSets,
+    q30NestedSemiJoin, q31DormantCustomers)
 }

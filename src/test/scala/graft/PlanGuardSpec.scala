@@ -23,4 +23,35 @@ class PlanGuardSpec extends SparkTestBase {
       }
     assert(offenders.isEmpty, s"nested-loop plans in: ${offenders.mkString(", ")}")
   }
+
+  // AQE's toString appends the pre-adaptive "Initial Plan" — pin only
+  // the final executed section or every operator counts double.
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("q30 plans as nested semi joins with the aggregate between them") {
+    val plan = finalPlan(
+      SparkEntry.queries("q30_nested_semi_join")(spark, "/root/testdata/sf0.001"))
+    assert("LeftSemi".r.findAllIn(plan).size == 2,
+      s"expected both IN predicates as semi joins:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"HAVING aggregate missing between the semi joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"semi joins must broadcast at this scale:\n$plan")
+  }
+
+  test("q31 plans NOT IN as a single-column null-aware anti hash join") {
+    val plan = finalPlan(
+      SparkEntry.queries("q31_dormant_customers")(spark, "/root/testdata/sf0.001"))
+    assert("LeftAnti".r.findAllIn(plan).size == 2,
+      s"expected NOT IN + NOT EXISTS as two anti joins:\n$plan")
+    // BroadcastHashJoinExec renders isNullAwareAntiJoin as the trailing
+    // boolean: "LeftAnti, BuildRight, true" is the NAAJ; the NOT EXISTS
+    // join renders "..., false".
+    assert(plan.contains("LeftAnti, BuildRight, true"),
+      s"NOT IN must take the null-aware anti hash join path, not a nested loop:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
