@@ -131,15 +131,35 @@ object Dedup {
   /** Candidate pairs from a hashed shingle frame (`__id`, `__hhd`):
     * digest-free signature + banded self-join with the same reused-
     * exchange shape as candidatePairsFromShingles.
+    *
+    * `maxBucket` (off by default — declared outputs are exact LSH
+    * semantics) drops band buckets whose population exceeds the cap
+    * BEFORE the self-join. A bucket of b docs contributes b(b−1)/2
+    * candidate pairs, so one boilerplate-heavy bucket (every page
+    * sharing a template header hashes its band to the same key) turns
+    * the candidate stream quadratic while carrying almost no recall —
+    * near-dups that common collide in other bands too. The count rides
+    * the SAME (__b, __key) partitioning the merge self-join shuffles
+    * and sorts on, so the cap adds a window pass but NO new Exchange;
+    * recall is lost only for pairs whose EVERY colliding band is
+    * pathological. At 100 TB this is the difference between a bounded
+    * candidate join and an accidental cross join on template text.
     */
   def candidatePairsFromHashSets(hs: DataFrame, numHashes: Int,
-      bands: Int): DataFrame = {
+      bands: Int, maxBucket: Option[Int] = None): DataFrame = {
     val rows = numHashes / bands
-    val flat = hs
+    val exploded = hs
       .withColumn("__sig", minhashSignatureFromHashesFast(col("__hhd"), numHashes))
       .select(col("__id"),
         posexplode(lshBandKeys(col("__sig"), bands, rows)).as(Seq("__b", "__key")))
-      .hint("merge") // see candidatePairsFromShingles
+    val capped = maxBucket match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("__b", "__key")
+        exploded.withColumn("__pop", count(lit(1)).over(w))
+          .filter(col("__pop") <= cap).drop("__pop")
+      case None => exploded
+    }
+    val flat = capped.hint("merge") // see candidatePairsFromShingles
     flat.as("a").join(flat.as("b"),
         col("a.__b") === col("b.__b") && col("a.__key") === col("b.__key") &&
           col("a.__id") < col("b.__id"))
@@ -155,9 +175,11 @@ object Dedup {
     * hash-set path (one digest per shingle).
     */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      shingle: Int = 3, numHashes: Int = 16, bands: Int = 2): DataFrame =
+      shingle: Int = 3, numHashes: Int = 16, bands: Int = 2,
+      maxBucket: Option[Int] = None): DataFrame =
     candidatePairsFromHashSets(
-      hashedShingleFrame(df, idCol, textCol, shingle), numHashes, bands)
+      hashedShingleFrame(df, idCol, textCol, shingle), numHashes, bands,
+      maxBucket)
 
   /** Exact Jaccard similarity between two distinct-element set columns
     * (HOF reference formulation; used for string shingle sets and by
@@ -206,7 +228,7 @@ object Dedup {
     */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingle: Int = 3, numHashes: Int = 16,
-      bands: Int = 2): DataFrame = {
+      bands: Int = 2, maxBucket: Option[Int] = None): DataFrame = {
     // shingle + md5 is the expensive narrow stage — the fused
     // CharNgramHashSet pass materializes ONLY the distinct 32-bit
     // base-hash sets (no shingle-string array ever exists), persisted
@@ -218,7 +240,7 @@ object Dedup {
     // collision merging two shingles shifts Jaccard by < 1/|set| with
     // probability ~2⁻³²·|set|².
     val sh = hashedShingleFrame(df, idCol, textCol, shingle).persist()
-    val cand = candidatePairsFromHashSets(sh, numHashes, bands)
+    val cand = candidatePairsFromHashSets(sh, numHashes, bands, maxBucket)
     // the per-document hash-set side is small relative to the candidate
     // stream when clusters are dense — broadcast it only when the size
     // estimate says it fits (see maybeBroadcast); otherwise shuffle on id.

@@ -196,6 +196,45 @@ class FunctionsSpec extends SparkTestBase {
       "band self-join must not broadcast a corpus-wide side")
   }
 
+  test("band-bucket cap bounds pathological candidates, keeps real pairs") {
+    // 120 boilerplate-identical docs collide into ONE bucket per band:
+    // uncapped LSH emits all 120·119/2 pairs — the quadratic blowup a
+    // template-heavy crawl produces at scale. Capping drops those
+    // buckets while a genuine near-dup pair (bucket population 2)
+    // survives, and the population count must ride the self-join's own
+    // (__b, __key) Exchange, not add a second one.
+    spark.catalog.clearCache()
+    val template = (0L until 120L).map(i =>
+      (i, "shared boilerplate template header repeated across the whole crawl"))
+    val real = Seq(
+      (500L, "a genuinely unique document about distributed query planning"),
+      (501L, "a genuinely unique document about distributed query planning!"))
+    val corpus = (template ++ real).toDF("doc_id", "text")
+
+    val uncapped = Dedup.minhashCandidatePairs(corpus, "doc_id", "text").count()
+    assert(uncapped >= 120L * 119 / 2, s"expected quadratic blowup, got $uncapped")
+
+    val capped = Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
+      maxBucket = Some(10))
+    // execute the inspected frame itself: ReuseExchange collapses the
+    // two band-key exchanges at AQE time, not in the initial plan
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet.contains((500L, 501L)), "capped LSH lost a real pair")
+    assert(pairs.length < 100,
+      s"cap failed to bound the template bucket: ${pairs.length} candidates")
+
+    val plan = capped.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Window"), s"population count missing from plan:\n$plan")
+    // a ReusedExchange line repeats the referenced exchange's text —
+    // count only real Exchange operators
+    val realExchanges = plan.linesIterator
+      .filterNot(_.contains("ReusedExchange"))
+      .count(_.contains("Exchange hashpartitioning(__b"))
+    assert(realExchanges == 1 && plan.contains("ReusedExchange"),
+      s"cap must reuse the band-key Exchange, not add one:\n$plan")
+  }
+
   test("simhash near-dup pairs find the exact dup at distance 0") {
     val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
       .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)].collect()
