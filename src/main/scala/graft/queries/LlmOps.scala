@@ -1015,12 +1015,50 @@ object LlmOps {
       ORDER BY doc_id
     """.trim))
 
+  /** Corpus heavy-hitter tokens (vocabulary / stopword detection):
+    * tokens whose frequency exceeds 0.1% of all tokens. Scale shape:
+    * ONE corpus pass — explode + partial/final hash aggregate on the
+    * token — persisted at vocab size; the threshold is the persisted
+    * frame's own one-row sum read as a bounded control-plane value
+    * (the t12 `docs.count()` pattern — a constant-key broadcast join
+    * constant-folds its equi-condition away and plans the
+    * PlanGuard-banned nested loop), and the comparison is integer
+    * (n·1000 > total: no division, exact cross-engine). The corpus is
+    * never scanned twice. When the vocabulary itself is
+    * shuffle-prohibitive (token n-grams at 100 TB), the one-pass
+    * bounded-memory `FrequentTokens` (SpaceSaving) summary is the
+    * candidate generator — spec-pinned superset of this exact result —
+    * with this formulation as the exact second pass over candidates.
+    */
+  val t22HeavyHitters = Q(
+    "t22_heavy_hitters",
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(TF.tokens($"text")).as("token"))
+        .filter($"token" =!= "")
+      val counted = toks.groupBy($"token").agg(count(lit(1)).as("n")).persist()
+      val tot = counted.agg(sum($"n")).head().getLong(0)
+      counted.filter($"n" * lit(1000L) > lit(tot))
+        .select($"token", $"n")
+        .orderBy($"token")
+    },
+    Some("""
+      WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                    FROM documents)
+      SELECT token, count(*) AS n
+      FROM toks WHERE token <> ''
+      GROUP BY token
+      HAVING count(*) * 1000 > (SELECT count(*) FROM toks WHERE token <> '')
+      ORDER BY token
+    """.trim))
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
     t10EmbeddingDedup, t11SimhashHamming, t12TfidfTopTerms,
     t13StratifiedSample, t14PiiRedaction, t15RepetitionStats,
     t16SequencePacking, t17EmbeddingQuantization, t18CurationGate,
-    t19ImageDecode, t20ImageFeatures, t21FrameSample,
+    t19ImageDecode, t20ImageFeatures, t21FrameSample, t22HeavyHitters,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK)
 }

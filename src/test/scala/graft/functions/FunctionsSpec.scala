@@ -326,6 +326,35 @@ class FunctionsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.codegen.fallback", old)
   }
 
+  test("FrequentTokens sketch is a bounded superset of exact heavy hitters") {
+    // Zipf-ish corpus with a long rare tail: 10 head tokens with known
+    // counts (1000/2, 1000/3, ...) + 500 singletons. Exact heavy
+    // hitters (count > total/(capacity+1)) must all appear in the
+    // sketch, the sketch never exceeds its capacity, and reported
+    // counts never underestimate — SpaceSaving's three guarantees,
+    // exercised across partitions (the merge path).
+    val head = (0 until 10).flatMap(i => Seq.fill(1000 / (i + 2))(s"head_$i"))
+    val tail = (0 until 500).map(i => s"rare_$i")
+    val corpus = new scala.util.Random(42).shuffle(head ++ tail)
+    val toks = spark.createDataset(corpus).repartition(4)
+
+    val capacity = 20
+    val total = corpus.size.toLong
+    val trueCounts = corpus.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+    val exactHeavy = trueCounts.filter(_._2 * (capacity + 1) > total).keySet
+    assert(exactHeavy.nonEmpty && exactHeavy.size < capacity)
+
+    val sketch = toks.select(new FrequentTokens(capacity).toColumn).head()
+    assert(sketch.size <= capacity, s"capacity violated: ${sketch.size}")
+    val sketchMap = sketch.toMap
+    assert(exactHeavy.subsetOf(sketchMap.keySet),
+      s"lost heavy hitters: ${exactHeavy -- sketchMap.keySet}")
+    exactHeavy.foreach { t =>
+      assert(sketchMap(t) >= trueCounts(t),
+        s"$t underestimated: ${sketchMap(t)} < ${trueCounts(t)}")
+    }
+  }
+
   test("TopKByScore aggregator matches the rank-window top-k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 5)
