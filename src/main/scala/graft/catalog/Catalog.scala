@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+import org.apache.spark.sql.functions.{col, hash, lit, pmod, shiftright, when}
 import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 
 /** Transactional Parquet table layer — the one genuinely custom piece of
@@ -281,6 +281,50 @@ class Catalog(spark: SparkSession, root: String, graceVersions: Int = 0) {
     commit(name,
       df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*),
       primaryKey(name))
+  }
+
+  /** Overwrite with a Z-ORDER (Morton) clustering over numeric `zCols`:
+    * a lexicographic sort skips row groups only for filters on the
+    * LEADING column — every file spans the full range of the others.
+    * Here each column is rank-normalized into 2^bits cells by its
+    * approximate quantile boundaries (rank, not width: skew cannot
+    * collapse the grid into one cell), the cell indices are
+    * bit-interleaved into one Morton key, and the table is
+    * range-partitioned + sorted by that key — so every file covers a
+    * small hyper-rectangle and parquet min/max stats skip for a
+    * selective filter on ANY z-column. The quantile pass is one
+    * bounded driver-side sketch per column (2^bits−1 doubles);
+    * everything else is a codegen'd projection. `numPartitions` sizes
+    * the write fan-out (defaults to the session shuffle parallelism);
+    * at warehouse scale pick it so files land near the row-group
+    * target, since skipping granularity IS the file/row-group grid.
+    */
+  def overwriteZOrdered(name: String, df: DataFrame, zCols: Seq[String],
+      bits: Int = 4, numPartitions: Option[Int] = None): Unit = synchronized {
+    require(zCols.size >= 2, "z-order needs at least two columns")
+    require(bits >= 1 && bits * zCols.size <= 62, "morton key must fit a long")
+    val cells = 1 << bits
+    val probs = (1 until cells).map(_.toDouble / cells).toArray
+    val splits = zCols.map(c => df.stat.approxQuantile(c, probs, 0.001))
+    // cell index = #boundaries ≤ value (nulls land in cell 0)
+    val cellCols = zCols.zip(splits).map { case (c, bs) =>
+      bs.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(c).cast("double") >= lit(b), 1).otherwise(0)
+      }
+    }
+    val z = (0 until bits).flatMap { i =>
+      cellCols.zipWithIndex.map { case (cc, j) =>
+        shiftright(cc, i).bitwiseAND(lit(1)).cast("long") *
+          lit(1L << (i * zCols.size + j))
+      }
+    }.reduce(_ + _)
+    val parts = numPartitions.getOrElse(
+      spark.sessionState.conf.numShufflePartitions)
+    val clustered = df.withColumn("__z", z)
+      .repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    commit(name, clustered, primaryKey(name))
   }
 
   // ------------------------------------------------- bucket layout

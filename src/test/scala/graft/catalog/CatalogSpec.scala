@@ -348,6 +348,39 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.read("clustered").filter($"id" === 42L).count() == 1)
   }
 
+  test("z-ordered write skips on BOTH dimensions; lexicographic only on the first") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      }.sum
+    }
+    val cat = new Catalog(spark, tmpDir("catz"))
+    // 256×392 grid: every (x, y) combination — under lexicographic
+    // (x, y) sort each file spans the FULL y range
+    val rows = (0 until 100352).map(i => (i.toLong, (i % 256).toLong, (i / 256).toLong))
+      .toDF("id", "x", "y")
+    cat.overwriteSorted("lex", rows, Seq("x", "y"))
+    cat.overwriteZOrdered("zed", rows, Seq("x", "y"), bits = 4,
+      numPartitions = Some(16))
+    assert(cat.read("zed").count() == 100352)
+
+    // identical answers on every probe
+    def q(t: String, c: String, v: Long) = cat.read(t).filter(col(c) === v)
+    assert(q("zed", "y", 7).count() == q("lex", "y", 7).count())
+    assert(q("zed", "x", 7).count() == q("lex", "x", 7).count())
+
+    // trailing-column filter: lex reads everything, z-order skips
+    val lexY = scanRows(q("lex", "y", 7))
+    val zedY = scanRows(q("zed", "y", 7))
+    assert(zedY < lexY / 2, s"no y-skipping under z-order: $zedY vs lex $lexY")
+    // leading-column filter must still skip under z-order
+    val fullScan = scanRows(cat.read("zed"))
+    val zedX = scanRows(q("zed", "x", 7))
+    assert(zedX < fullScan / 2, s"no x-skipping under z-order: $zedX of $fullScan")
+  }
+
   test("appendLogClustered: filtered reads skip history row groups") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
