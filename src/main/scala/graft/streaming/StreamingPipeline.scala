@@ -135,6 +135,35 @@ object StreamingAnalytics {
         col("click_id"), col("click_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: every error emits — with
+    * the same user's preceding clicks when they exist, or with null
+    * click columns once the watermark PROVES none can still arrive.
+    * The null row is not emitted when the error is processed; Spark
+    * holds the error in join state and releases the outer result only
+    * after the global watermark (the MIN across both streams'
+    * watermarks) passes the error's match interval — the contract that
+    * keeps outer join correct under late data, and why both sides'
+    * watermarks are mandatory. State is bounded exactly as in the
+    * inner variant: each side retains `watermark + windowMinutes` of
+    * rows keyed by user.
+    */
+  def errorsWithClicks(clicks: DataFrame, errors: DataFrame,
+      windowMinutes: Int = 10, watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts_utc", watermark)
+      .select(col("user_id"), col("ts_utc").as("click_ts"),
+        col("event_id").as("click_id"))
+    val e = errors.withWatermark("ts_utc", watermark)
+      .select(col("user_id").as("e_user"), col("ts_utc").as("error_ts"),
+        col("event_id").as("error_id"))
+    e.join(c,
+        col("user_id") === col("e_user") &&
+          col("click_ts") >= col("error_ts") - expr(s"interval $windowMinutes minutes") &&
+          col("click_ts") <= col("error_ts"),
+        "left_outer")
+      .select(col("e_user").as("user_id"), col("error_id"), col("error_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionization ----
 
   final case class SessionEvent(user_id: Long, ts_us: Long)

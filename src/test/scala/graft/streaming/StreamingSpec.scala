@@ -174,6 +174,52 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stream-stream LEFT OUTER join emits watermark-proven nulls") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .select("user_id", "event_id", "event_type", "ts_utc")
+    val clickDir = tmpDir("ssojc")
+    val errorDir = tmpDir("ssoje")
+    val clicks = base.filter($"event_type" === "click")
+    val errors = base.filter($"event_type" === "error")
+    clicks.write.mode("overwrite").parquet(clickDir)
+    errors.write.mode("overwrite").parquet(errorDir)
+    // Outer rows are released only when the GLOBAL watermark (min over
+    // both streams) passes the error's match interval, and a batch's
+    // watermark takes effect in the NEXT batch — so push each side
+    // twice: the first far-future sentinel advances the watermark, the
+    // second gives Spark the batch in which to evict state and emit
+    // the nulls. maxFilesPerTrigger=1 keeps the sentinels in their own
+    // micro-batches (one big AvailableNow batch would never see the
+    // advanced watermark).
+    val maxTs = base.agg(max($"ts_utc")).head().getTimestamp(0).getTime
+    def sentinel(dir: String, uid: Long, offsetHours: Int): Unit =
+      Seq((uid, uid, "sentinel",
+          new java.sql.Timestamp(maxTs + offsetHours * 3600L * 1000)))
+        .toDF("user_id", "event_id", "event_type", "ts_utc")
+        .write.mode("append").parquet(dir)
+    sentinel(clickDir, -1L, 10); sentinel(errorDir, -2L, 10)
+    sentinel(clickDir, -3L, 11); sentinel(errorDir, -4L, 11)
+
+    val schema = "user_id long, event_id long, event_type string, ts_utc timestamp"
+    def stream(dir: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = StreamingAnalytics.errorsWithClicks(stream(clickDir), stream(errorDir))
+      .writeStream.outputMode("append").format("memory").queryName("ssoj_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("ssoj_out").filter($"user_id" >= 0)
+      .select($"error_id", coalesce($"click_id", lit(-1L)))
+      .as[(Long, Long)].collect().toSet
+    val batch = StreamingAnalytics.errorsWithClicks(clicks, errors)
+      .select($"error_id", coalesce($"click_id", lit(-1L)))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.exists(_._2 == -1L),
+      "no watermark-proven null rows emitted — outer path untested")
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions across batches") {
     import StreamingAnalytics.{SessionEvent, ClosedSession}
     val srcDir = tmpDir("sesssrc")
