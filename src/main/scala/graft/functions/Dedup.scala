@@ -252,6 +252,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over a duplicate-pair edge list: every node
+    * gets the MINIMUM node id reachable from it (`rep`) — the step that
+    * turns near-dup PAIRS into dedup GROUPS so a pipeline can keep one
+    * representative per cluster. Iterative min-label propagation: each
+    * round joins the current labels across the (symmetrized) edges and
+    * keeps the per-node minimum, converging in O(cluster diameter)
+    * rounds. Scale shape: each round is ONE shuffle of the edge list
+    * joined to the vocab-of-nodes label frame (both persisted — lineage
+    * stays flat, no exponential re-execution); near-dup clusters are
+    * dense in practice, so diameters — and rounds — stay small. The
+    * per-round convergence check is an aggregate on the label frame,
+    * not a collect of it. Throws if `maxIter` rounds don't converge
+    * (a pathological chain-shaped graph): raise maxIter, don't drop
+    * the check — an unconverged label map silently under-merges.
+    *
+    * `nodes`: one column, the node id. `edges`: `id_a`, `id_b`.
+    * Output: (<idCol>, rep).
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val idCol = nodes.columns.head
+    val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = nodes.select(col(idCol).as("__n"), col(idCol).as("rep")).persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neigh = e.join(labels, e("dst") === labels("__n"))
+        .groupBy(col("src")).agg(min(col("rep")).as("__nrep"))
+      val next = labels.join(neigh, labels("__n") === neigh("src"), "left")
+        .select(col("__n"),
+          least(col("rep"), coalesce(col("__nrep"), col("rep"))).as("rep"))
+        .persist()
+      val noChange = next.as("n")
+        .join(labels.as("p"), col("n.__n") === col("p.__n"))
+        .filter(col("n.rep") =!= col("p.rep")).isEmpty
+      labels.unpersist()
+      labels = next
+      converged = noChange
+      iter += 1
+    }
+    e.unpersist()
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("__n").as(idCol), col("rep"))
+  }
+
   /** 16-bit SimHash over whitespace tokens: per token take the first 4
     * hex chars of md5 as a 16-bit value; each bit votes ±1; the sketch
     * sets bits with positive vote sums. Small enough to verify in SQL,

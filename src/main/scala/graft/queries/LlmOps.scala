@@ -1053,6 +1053,54 @@ object LlmOps {
       ORDER BY token
     """.trim))
 
+  /** Near-dup GROUPS: t05's pairs folded into connected components,
+    * every document labeled with its cluster representative (minimum
+    * reachable doc_id) and a keep/drop decision — the step that turns
+    * pair detection into an actually-deduplicated corpus. Spark side is
+    * `Dedup.connectedComponents` (iterative min-label propagation, one
+    * shuffle per round, O(cluster diameter) rounds); the oracle
+    * re-derives the same labels with a DuckDB RECURSIVE transitive
+    * closure over the identical pair SQL — two entirely different
+    * fixpoint mechanisms agreeing bit-for-bit. Singletons (including
+    * shingle-less empty docs) keep themselves.
+    */
+  val t23DedupGroups = Q(
+    "t23_dedup_groups",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+        threshold = 0.8).select($"id_a", $"id_b")
+      Dedup.connectedComponents(docs.select($"doc_id"), pairs)
+        .select($"doc_id", $"rep", ($"doc_id" === $"rep").as("keep"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashCandidateCte,
+      hd AS MATERIALIZED (SELECT doc_id, list_distinct(hh) AS h FROM m1),
+      p AS MATERIALIZED (
+        SELECT c.id_a, c.id_b
+        FROM cand c JOIN hd ha ON c.id_a = ha.doc_id
+                    JOIN hd hb ON c.id_b = hb.doc_id
+        WHERE CAST(len(list_intersect(ha.h, hb.h)) AS DOUBLE) /
+              (len(ha.h) + len(hb.h) - len(list_intersect(ha.h, hb.h))) >= 0.8),
+      e AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      reach(src, dst) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+      rep AS (
+        SELECT d.doc_id,
+               least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS rep
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id)
+      SELECT doc_id, rep, doc_id = rep AS keep
+      FROM rep
+      ORDER BY doc_id
+    """.trim))
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
@@ -1060,5 +1108,6 @@ object LlmOps {
     t13StratifiedSample, t14PiiRedaction, t15RepetitionStats,
     t16SequencePacking, t17EmbeddingQuantization, t18CurationGate,
     t19ImageDecode, t20ImageFeatures, t21FrameSample, t22HeavyHitters,
+    t23DedupGroups,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK)
 }

@@ -250,6 +250,19 @@ class FunctionsSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("connectedComponents folds chains and keeps singletons") {
+    // chain 1-2-3-4 has diameter 3: the min label needs three
+    // propagation rounds to reach the far end, exercising the loop
+    // (a single-round bug still passes star-shaped clusters)
+    val nodes = (0L to 6L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L))
+  }
+
   test("exact-dedup fingerprint is whitespace/case insensitive") {
     val fp = Seq("A  b\tc", "a b c", "x").toDF("t")
       .select(TextFunctions.fingerprint($"t")).as[String].collect()
