@@ -327,6 +327,29 @@ class Catalog(spark: SparkSession, root: String, graceVersions: Int = 0) {
     commit(name, clustered, primaryKey(name))
   }
 
+  /** Overwrite with write-time parquet BLOOM FILTERS on point-lookup
+    * columns: min/max row-group stats only skip when the table is
+    * clustered by the filtered column — a bloom filter skips row
+    * groups for equality probes on a column in ANY physical order, the
+    * layout that keeps `lookupByPk`-style point reads cheap on a table
+    * sorted/z-ordered by something else entirely. `expectedNdv` sizes
+    * each filter (parquet allocates ~1.2 bytes/value at its default 1%
+    * FPP); `rowGroupBytes` optionally shrinks the parquet block size,
+    * since skipping granularity IS the row-group grid (at warehouse
+    * scale leave the 128 MB default — a 100 TB table already has ~10⁶
+    * row groups to skip).
+    */
+  def overwriteWithBloom(name: String, df: DataFrame,
+      bloomCols: Seq[String], expectedNdv: Long,
+      rowGroupBytes: Option[Long] = None): Unit = synchronized {
+    require(bloomCols.nonEmpty, "bloomCols must be non-empty")
+    val opts = bloomCols.flatMap(c => Seq(
+      s"parquet.bloom.filter.enabled#$c" -> "true",
+      s"parquet.bloom.filter.expected.ndv#$c" -> expectedNdv.toString)).toMap ++
+      rowGroupBytes.map(b => "parquet.block.size" -> b.toString)
+    commit(name, df, primaryKey(name), Nil, opts)
+  }
+
   // ------------------------------------------------- bucket layout
   // A table may opt into a PK-hash bucket layout: rows live in
   // `bucketCount` hash buckets, each materialized as its own directory,
@@ -658,14 +681,16 @@ class Catalog(spark: SparkSession, root: String, graceVersions: Int = 0) {
   }
 
   private def commit(name: String, df: DataFrame, pks: Seq[String],
-      partitionCols: Seq[String] = Nil): Unit = {
+      partitionCols: Seq[String] = Nil,
+      writeOptions: Map[String, String] = Map.empty): Unit = {
     val version = newVersionName()
     val dataDir = new Path(tableDir(name), version)
     // Materialize BEFORE flipping the pointer: df may itself read the
     // current version (read-merge-overwrite), and parquet writes are
     // lazy per partition.
+    val writer0 = df.write.options(writeOptions)
     val writer = if (partitionCols.nonEmpty)
-      df.write.partitionBy(partitionCols: _*) else df.write
+      writer0.partitionBy(partitionCols: _*) else writer0
     writer.mode("overwrite").parquet(dataDir.toString)
     writeAtomic(pointerFile(name), version)
     if (pks.nonEmpty || !fs.exists(metaFile(name))) writeMeta(name, pks)

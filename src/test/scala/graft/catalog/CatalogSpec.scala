@@ -348,6 +348,37 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.read("clustered").filter($"id" === 42L).count() == 1)
   }
 
+  test("bloom-filtered write skips row groups for point probes on unsorted keys") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      }.sum
+    }
+    val cat = new Catalog(spark, tmpDir("catbloom"))
+    // hash-scrambled key order: every row group's min/max spans nearly
+    // the full key range, so stats-based skipping is useless — exactly
+    // the case bloom filters exist for
+    val rows = spark.range(400000)
+      .select(hash(col("id")).cast("long").as("k"), col("id").as("v"))
+    val blocks = Some(256L * 1024)
+    cat.overwriteWithBloom("bloomed", rows, Seq("k"), expectedNdv = 400000,
+      rowGroupBytes = blocks)
+    // identical layout and block size, bloom only on a column the
+    // probe never filters: min/max stats are all the k-probe gets
+    cat.overwriteWithBloom("plain", rows, Seq("v"), expectedNdv = 400000,
+      rowGroupBytes = blocks)
+
+    val probe = cat.read("bloomed").select(col("k")).head().getLong(0)
+    assert(cat.read("bloomed").filter(col("k") === probe).count() ==
+      cat.read("plain").filter(col("k") === probe).count())
+    val bloomed = scanRows(cat.read("bloomed").filter(col("k") === probe))
+    val plain = scanRows(cat.read("plain").filter(col("k") === probe))
+    assert(bloomed < plain / 2,
+      s"bloom filter not skipping: $bloomed rows vs $plain without")
+  }
+
   test("z-ordered write skips on BOTH dimensions; lexicographic only on the first") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
