@@ -1028,6 +1028,73 @@ object Relational {
       ORDER BY c_mktsegment
     """.trim))
 
+  /** LATERAL correlated subquery with ORDER BY + LIMIT (per-nation
+    * top-3 customers by balance): Catalyst decorrelates the lateral
+    * top-k into `WindowGroupLimit` (a PARTIAL map-side rank-limit
+    * before the shuffle, then the final one) + a broadcast join with
+    * the outer side — the per-group-top-k plan you'd hand-write, but
+    * derived from the declarative per-row subquery. The planner
+    * surface q08's explicit window formulation never touches.
+    */
+  val q32LateralTopK = Q(
+    "q32_lateral_topk",
+    (s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("g_nation")
+      t(s, dir, "customer").createOrReplaceTempView("g_customer")
+      s.sql("""
+        SELECT n_name, c.c_custkey, c.c_acctbal
+        FROM g_nation, LATERAL (
+          SELECT c_custkey, c_acctbal FROM g_customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
+        ORDER BY n_name, c_acctbal DESC, c_custkey
+      """)
+    },
+    Some("""
+      SELECT n_name, c.c_custkey, c.c_acctbal
+      FROM nation, LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
+      ORDER BY n_name, c_acctbal DESC, c_custkey
+    """.trim))
+
+  /** RECURSIVE CTE (new in Spark 4): a data-driven monthly calendar
+    * spine from min to max order date, left-joined to per-month order
+    * counts — the dense-time-series pattern (months with zero orders
+    * appear as 0, which no GROUP BY over the raw data can produce).
+    * The recursion is driver-bounded at one row per month; the heavy
+    * side stays one hash aggregate of the fact table joined to the
+    * tiny spine.
+    */
+  val q33MonthSpine = Q(
+    "q33_month_spine",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        WITH RECURSIVE spine(m) AS (
+          SELECT date_trunc('month', min(o_orderdate)) FROM g_orders
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH FROM spine
+          WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM g_orders)
+        )
+        SELECT m, count(o_orderkey) AS n
+        FROM spine LEFT JOIN g_orders ON date_trunc('month', o_orderdate) = m
+        GROUP BY m ORDER BY m
+      """)
+    },
+    Some("""
+      WITH RECURSIVE spine(m) AS (
+        SELECT date_trunc('month', min(o_orderdate)) FROM orders
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM spine
+        WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+      )
+      SELECT m, count(o_orderkey) AS n
+      FROM spine LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+      GROUP BY m ORDER BY m
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -1036,5 +1103,5 @@ object Relational {
     q19AboveNationAvg, q20DateArith, q21RegexExtract, q22ArrayFns,
     q23MathFns, q24SaltedJoin, q25VolumeShipping, q26MarketShare,
     q27SmallQtyRevenue, q28ColocatedJoin, q29GroupingSets,
-    q30NestedSemiJoin, q31DormantCustomers)
+    q30NestedSemiJoin, q31DormantCustomers, q32LateralTopK, q33MonthSpine)
 }
