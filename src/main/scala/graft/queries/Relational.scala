@@ -1095,6 +1095,54 @@ object Relational {
       GROUP BY m ORDER BY m
     """.trim))
 
+  /** One ORC copy of `orders` per process per dataset (write once /
+    * query many), reclaimed at JVM exit — the q28 warehouse pattern
+    * applied to format parity.
+    */
+  private val orcRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def orcOrders(s: SparkSession, dir: String): String =
+    orcRoots.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_orc")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }))
+      val out = s"$p/orders_orc"
+      t(s, dir, "orders").write.mode("overwrite").orc(out)
+      out
+    })
+
+  /** ORC sink + source parity: orders written to ORC once, the query
+    * reads it back with a pushed date filter and aggregates — the
+    * oracle runs the identical aggregate over the original parquet, so
+    * a round-trip that loses rows, precision, or timestamp semantics
+    * hash-fails. ORC is the second columnar format the engine serves
+    * (same predicate pushdown + column pruning contract as parquet,
+    * asserted in PlanGuard's scan spec below at the ORC scan node).
+    */
+  val q34OrcRoundtrip = Q(
+    "q34_orc_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      s.read.orc(orcOrders(s, dir))
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp"))
+        .groupBy($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(18,4)")).cast("double").as("total"))
+        .orderBy($"o_orderstatus", $"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      GROUP BY o_orderstatus, o_orderpriority
+      ORDER BY o_orderstatus, o_orderpriority
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -1103,5 +1151,6 @@ object Relational {
     q19AboveNationAvg, q20DateArith, q21RegexExtract, q22ArrayFns,
     q23MathFns, q24SaltedJoin, q25VolumeShipping, q26MarketShare,
     q27SmallQtyRevenue, q28ColocatedJoin, q29GroupingSets,
-    q30NestedSemiJoin, q31DormantCustomers, q32LateralTopK, q33MonthSpine)
+    q30NestedSemiJoin, q31DormantCustomers, q32LateralTopK, q33MonthSpine,
+    q34OrcRoundtrip)
 }

@@ -42,6 +42,21 @@ class PlanGuardSpec extends SparkTestBase {
       s"semi joins must broadcast at this scale:\n$plan")
   }
 
+  test("q34's ORC scan pushes the date filter and prunes columns") {
+    val df = SparkEntry.queries("q34_orc_roundtrip")(spark, "/root/testdata/sf0.001")
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val orcScan = formatted.linesIterator
+      .dropWhile(!_.contains("Scan orc")).take(12).mkString("\n")
+    assert(orcScan.nonEmpty, s"no ORC scan in plan:\n$formatted")
+    val section = formatted.split("Scan orc").last.split("\\(\\d+\\) ").head
+    assert(section.contains("PushedFilters") &&
+      section.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date filter not pushed to the ORC scan:\n$section")
+    assert(section.contains("ReadSchema") && !section.contains("o_custkey"),
+      s"unused columns not pruned from the ORC scan:\n$section")
+  }
+
   test("q31 plans NOT IN as a single-column null-aware anti hash join") {
     val plan = finalPlan(
       SparkEntry.queries("q31_dormant_customers")(spark, "/root/testdata/sf0.001"))
