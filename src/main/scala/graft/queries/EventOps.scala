@@ -278,6 +278,42 @@ object EventOps {
       ORDER BY incident_id, event_id
     """.trim))
 
+  /** Unpivot (melt) — the inverse reshape of e05: the per-user pivoted
+    * counts fold back to long form (user_id, event_type, n), zero
+    * cells included (which a plain GROUP BY over the raw events cannot
+    * produce — absent combinations simply don't group). Spark's native
+    * `Dataset.unpivot` (an Expand node: one pass, rows×types output,
+    * no join) vs DuckDB's UNPIVOT clause.
+    */
+  val e09Unpivot = Q(
+    "e09_unpivot",
+    (s, dir) => {
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.load(s, dir, "events")
+        .groupBy($"user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0L)
+        .unpivot(Array($"user_id"), types.map(col).toArray, "event_type", "n")
+        .orderBy($"user_id", $"event_type")
+    },
+    Some("""
+      WITH pv AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        FROM events
+        GROUP BY user_id)
+      SELECT user_id, event_type, n
+      FROM pv UNPIVOT (n FOR event_type IN (click, error, purchase, signup, view))
+      ORDER BY user_id, event_type
+    """.trim))
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
-    e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin)
+    e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin,
+    e09Unpivot)
 }
