@@ -1115,6 +1115,62 @@ object Relational {
       out
     })
 
+  private val csvRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def csvOrders(s: SparkSession, dir: String): String =
+    csvRoots.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_csv")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }))
+      val out = s"$p/orders_csv"
+      t(s, dir, "orders").write.mode("overwrite")
+        .option("header", "true")
+        // ISO-8601 with micros: text round-trip keeps timestamp identity
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .csv(out)
+      out
+    })
+
+  /** CSV sink + source parity — the reference's actual landing format
+    * (O1). orders written once as headered CSV and read back with an
+    * EXPLICIT schema (never inferSchema at scale: inference is a full
+    * extra pass over the data and can type drift per file), then
+    * aggregated; the oracle aggregates the original parquet, so any
+    * text round-trip loss hash-fails. Doubles survive because Spark
+    * writes shortest-round-trip representations; timestamps survive
+    * via an explicit micros format on both write and read.
+    */
+  val q35CsvRoundtrip = Q(
+    "q35_csv_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      s.read
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .schema("o_orderkey bigint, o_custkey bigint, o_orderstatus string, " +
+          "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+        .csv(csvOrders(s, dir))
+        .filter($"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(18,4)")).cast("double").as("total"),
+          max($"o_orderdate").as("last_order"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+             max(o_orderdate) AS last_order
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1996-01-01'
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """.trim))
+
   /** ORC sink + source parity: orders written to ORC once, the query
     * reads it back with a pushed date filter and aggregates — the
     * oracle runs the identical aggregate over the original parquet, so
@@ -1152,5 +1208,5 @@ object Relational {
     q23MathFns, q24SaltedJoin, q25VolumeShipping, q26MarketShare,
     q27SmallQtyRevenue, q28ColocatedJoin, q29GroupingSets,
     q30NestedSemiJoin, q31DormantCustomers, q32LateralTopK, q33MonthSpine,
-    q34OrcRoundtrip)
+    q34OrcRoundtrip, q35CsvRoundtrip)
 }
