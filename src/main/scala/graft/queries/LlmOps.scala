@@ -1101,6 +1101,121 @@ object LlmOps {
       ORDER BY doc_id
     """.trim))
 
+  /** The end-to-end curation pipeline in ONE declared DAG: quality
+    * gate (t18's codegen'd projection) + exact-dedup keeper (t01's
+    * fingerprint, via a window min — no extra join) + near-dup cluster
+    * representative (t05 pairs → t23 connected components), composed
+    * into a per-document status in priority order (gate reason, then
+    * exact_dup, then near_dup, then kept) with the canonical surviving
+    * doc for every casualty. Stages are evaluated corpus-wide and
+    * attributed by priority — the layout that lets each stage run as
+    * its own bounded scan/shuffle at 100 TB instead of re-materializing
+    * a shrinking corpus between stages. The oracle re-derives all
+    * three stages (including the RECURSIVE closure) in one DuckDB
+    * statement.
+    */
+  val t24CurationPipeline = Q(
+    "t24_curation_pipeline",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val toks = TF.tokens($"text")
+      val gate = Tables.parallelized(docs)
+        .select($"doc_id",
+          TF.languageId($"text").as("lang"),
+          size(toks).cast("long").as("ntok"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("dr"),
+          TF.piiCount($"text").cast("long").as("npii"))
+        .select($"doc_id",
+          when($"lang" === "unknown", "lang_unknown")
+            .when($"ntok" < 10 || $"ntok" > 1000, "length")
+            .when($"dr" < 0.5, "repetitive")
+            .when($"npii" > 0, "pii")
+            .otherwise("kept").as("reason"))
+      val fpk = docs
+        .select($"doc_id", TF.fingerprint($"text").as("fp"))
+        .withColumn("keeper", min($"doc_id").over(Window.partitionBy($"fp")))
+        .select($"doc_id", $"keeper")
+      val reps = Dedup.connectedComponents(docs.select($"doc_id"),
+        Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.8)
+          .select($"id_a", $"id_b"))
+      gate.join(fpk, "doc_id").join(reps, "doc_id")
+        .select($"doc_id",
+          when($"reason" =!= "kept", concat(lit("gate_"), $"reason"))
+            .when($"keeper" =!= $"doc_id", lit("exact_dup"))
+            .when($"rep" =!= $"doc_id", lit("near_dup"))
+            .otherwise(lit("kept")).as("status"),
+          when($"reason" =!= "kept", $"doc_id")
+            .when($"keeper" =!= $"doc_id", $"keeper")
+            .when($"rep" =!= $"doc_id", $"rep")
+            .otherwise($"doc_id").as("canonical"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashCandidateCte,
+      hd AS MATERIALIZED (SELECT doc_id, list_distinct(hh) AS h FROM m1),
+      p AS MATERIALIZED (
+        SELECT c.id_a, c.id_b
+        FROM cand c JOIN hd ha ON c.id_a = ha.doc_id
+                    JOIN hd hb ON c.id_b = hb.doc_id
+        WHERE CAST(len(list_intersect(ha.h, hb.h)) AS DOUBLE) /
+              (len(ha.h) + len(hb.h) - len(list_intersect(ha.h, hb.h))) >= 0.8),
+      e AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      reach(src, dst) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+      ccrep AS (
+        SELECT d.doc_id,
+               least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS rep
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id),
+      gtk AS (
+        SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS ts,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+              t -> t IN ('the','and','of'))) AS en_hits,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+              t -> t IN ('el','la','de'))) AS es_hits,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+              t -> t IN ('der','die','und'))) AS de_hits
+        FROM documents),
+      gate AS (
+        SELECT doc_id,
+          CASE WHEN (CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+                          WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+                          WHEN de_hits > 0 THEN 'de'
+                          ELSE 'unknown' END) = 'unknown' THEN 'lang_unknown'
+               WHEN len(ts) < 10 OR len(ts) > 1000 THEN 'length'
+               WHEN CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) < 0.5 THEN 'repetitive'
+               WHEN len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+                  + len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                  + len(regexp_extract_all(text, '\\b\\d{7,15}\\b')) > 0 THEN 'pii'
+               ELSE 'kept' END AS reason
+        FROM gtk),
+      fpk AS (
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY
+                 md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS keeper
+        FROM documents)
+      SELECT d.doc_id,
+             CASE WHEN g.reason <> 'kept' THEN 'gate_' || g.reason
+                  WHEN f.keeper <> d.doc_id THEN 'exact_dup'
+                  WHEN c.rep <> d.doc_id THEN 'near_dup'
+                  ELSE 'kept' END AS status,
+             CASE WHEN g.reason <> 'kept' THEN d.doc_id
+                  WHEN f.keeper <> d.doc_id THEN f.keeper
+                  WHEN c.rep <> d.doc_id THEN c.rep
+                  ELSE d.doc_id END AS canonical
+      FROM documents d
+      JOIN gate g ON g.doc_id = d.doc_id
+      JOIN fpk f ON f.doc_id = d.doc_id
+      JOIN ccrep c ON c.doc_id = d.doc_id
+      ORDER BY d.doc_id
+    """.trim))
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
@@ -1108,6 +1223,6 @@ object LlmOps {
     t13StratifiedSample, t14PiiRedaction, t15RepetitionStats,
     t16SequencePacking, t17EmbeddingQuantization, t18CurationGate,
     t19ImageDecode, t20ImageFeatures, t21FrameSample, t22HeavyHitters,
-    t23DedupGroups,
+    t23DedupGroups, t24CurationPipeline,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK)
 }
