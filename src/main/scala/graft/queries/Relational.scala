@@ -1124,6 +1124,38 @@ object Relational {
       out
     })
 
+  /** Time-based RANGE window frame (90-day rolling revenue per
+    * customer): the frame boundary is an event-time INTERVAL on the
+    * ORDER BY column, not a row count — ties share one frame value and
+    * gaps shrink it, which no ROWS frame (q09) can express. Exercises
+    * Spark's RangeFrame + interval-bound window path. One shuffle on
+    * the partition key; the frame scan is a per-partition sliding
+    * aggregate, never a per-row re-scan.
+    */
+  val q36RangeFrame = Q(
+    "q36_range_frame",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL '90' DAY PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS rolling_90d
+        FROM g_orders
+        ORDER BY o_custkey, o_orderdate, o_orderkey
+      """)
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS rolling_90d
+      FROM orders
+      ORDER BY o_custkey, o_orderdate, o_orderkey
+    """.trim))
+
   private val csvRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1217,5 +1249,5 @@ object Relational {
     q23MathFns, q24SaltedJoin, q25VolumeShipping, q26MarketShare,
     q27SmallQtyRevenue, q28ColocatedJoin, q29GroupingSets,
     q30NestedSemiJoin, q31DormantCustomers, q32LateralTopK, q33MonthSpine,
-    q34OrcRoundtrip, q35CsvRoundtrip)
+    q34OrcRoundtrip, q35CsvRoundtrip, q36RangeFrame)
 }
