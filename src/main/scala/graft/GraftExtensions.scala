@@ -34,12 +34,26 @@ object GraftExtensions {
 
   /** Register into an already-built session (withExtensions only applies
     * at build time; this path serves notebooks/tests on a live session).
+    *
+    * The typed Aggregators go through the session UDF registry instead
+    * of the FunctionRegistry — an Aggregator carries its encoders,
+    * which `functions.udaf` packages and an `Expression` builder
+    * cannot. SQL can't pass constructor parameters, so each registers
+    * at a named default capacity/k; other sizes stay a DataFrame-API
+    * call away.
     */
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (name, usage, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name), info(name, usage), builder)
     }
+    import org.apache.spark.sql.{functions => F, Encoders}
+    spark.udf.register("frequent_tokens_1k",
+      F.udaf(new graft.functions.FrequentTokens(1024), Encoders.STRING))
+    spark.udf.register("topk10_by_score",
+      F.udaf(new graft.functions.TopKByScore(10),
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)))
+  }
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")

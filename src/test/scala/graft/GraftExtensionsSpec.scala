@@ -27,4 +27,21 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(rows.getAs[collection.Seq[Long]]("sigh").length == 16)
     assert(rows.getAs[Int]("tmf") == 2)
   }
+
+  test("typed aggregators are callable from SQL") {
+    GraftExtensions.registerAll(spark)
+    spark.sql("SELECT explode(array('a','b','a','c','a','b')) AS tok")
+      .createOrReplaceTempView("ext_toks")
+    val ft = spark.sql(
+      "SELECT frequent_tokens_1k(tok) AS hh FROM ext_toks").head()
+      .getAs[collection.Seq[org.apache.spark.sql.Row]]("hh")
+    assert(ft.head.getString(0) == "a" && ft.head.getLong(1) == 3L)
+
+    spark.sql("SELECT * FROM VALUES (1L, 0.5D), (2L, 0.9D), (3L, 0.1D) AS t(id, score)")
+      .createOrReplaceTempView("ext_scores")
+    val tk = spark.sql(
+      "SELECT topk10_by_score(id, score) AS tk FROM ext_scores").head()
+      .getAs[collection.Seq[org.apache.spark.sql.Row]]("tk")
+    assert(tk.map(_.getLong(0)) == Seq(2L, 1L, 3L))
+  }
 }
