@@ -164,6 +164,20 @@ object StreamingAnalytics {
         col("click_id"), col("click_ts"))
   }
 
+  /** Stream-static join: enrich a stream with a dimension table.
+    * Stateless — no watermark on either side; Spark re-executes the
+    * static subplan every micro-batch, so a broadcast dim costs one
+    * broadcast per batch (dimension-sized by assumption; persist() the
+    * dim to avoid re-reading storage each batch). Catalog interplay
+    * worth knowing: `Catalog.read` resolves the `_current` pointer at
+    * PLAN time, so a mid-stream catalog commit is not picked up until
+    * the stream restarts — version-pinned enrichment, which is what a
+    * reproducible pipeline wants (restart to adopt a new dim version).
+    */
+  def enrichEvents(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   // ---- custom state: flatMapGroupsWithState sessionization ----
 
   final case class SessionEvent(user_id: Long, ts_us: Long)

@@ -220,6 +220,31 @@ class StreamingSpec extends SparkTestBase {
       "no watermark-proven null rows emitted — outer path untested")
   }
 
+  test("stream-static broadcast enrichment matches the batch join") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .select("user_id", "event_id", "event_type", "ts_utc")
+    val srcDir = tmpDir("enrichsrc")
+    base.write.mode("overwrite").parquet(srcDir)
+    // dimension: per-user segment derived from customer (left join —
+    // users without a customer row keep null segment)
+    val dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val schema = "user_id long, event_id long, event_type string, ts_utc timestamp"
+    val q = StreamingAnalytics.enrichEvents(
+        spark.readStream.schema(schema).parquet(srcDir), dim, "user_id")
+      .writeStream.outputMode("append").format("memory").queryName("enrich_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("enrich_out")
+      .select($"event_id", coalesce($"segment", lit("-")))
+      .as[(Long, String)].collect().toSet
+    val batch = StreamingAnalytics.enrichEvents(base, dim, "user_id")
+      .select($"event_id", coalesce($"segment", lit("-")))
+      .as[(Long, String)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions across batches") {
     import StreamingAnalytics.{SessionEvent, ClosedSession}
     val srcDir = tmpDir("sesssrc")
