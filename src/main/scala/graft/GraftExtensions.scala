@@ -85,5 +85,14 @@ object GraftExtensions {
       args => CosineSimilarity(args.head, args(1))),
     ("lsh_plane_signatures", "_FUNC_(vec, tables, planes) - multi-table hyperplane LSH bucket keys",
       args => LshPlaneSignatures(args.head,
-        intArg(args(1), "tables"), intArg(args(2), "planes"))))
+        intArg(args(1), "tables"), intArg(args(2), "planes"))),
+    ("unicode_normalize", "_FUNC_(str, form) - Unicode-normalize str to NFC/NFD/NFKC/NFKD",
+      args => UnicodeNormalize(args.head, strArg(args(1), "form"))))
+
+  private def strArg(e: Expression, name: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$name must be a string literal, got $other")
+  }
 }

@@ -19,6 +19,23 @@ object TextFunctions {
   /** Exact-dedup document fingerprint: md5 of the normalized text. */
   def fingerprint(c: Column): Column = md5(normalize(c))
 
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) — canonicalize BEFORE
+    * fingerprinting so composed and decomposed spellings dedup
+    * together. Codegen'd expression; ASCII fast-path. See
+    * expressions.UnicodeNormalize.
+    */
+  def unicodeNormalize(c: Column, form: String = "NFC"): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      expressions.UnicodeNormalize(ColumnBridge.expression(c), form))
+  }
+
+  /** NFC-canonical fingerprint: unicode-normalize, then the standard
+    * whitespace/case normalization and md5.
+    */
+  def unicodeFingerprint(c: Column): Column =
+    fingerprint(unicodeNormalize(c, "NFC"))
+
   /** Whitespace tokens of the raw text. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 

@@ -1216,6 +1216,38 @@ object LlmOps {
       ORDER BY d.doc_id
     """.trim))
 
+  /** Unicode NFC canonicalization through the oracle gate: the corpus
+    * is ASCII, so each doc gets a deterministic DECOMPOSED suffix
+    * ("cafe" + combining acute U+0301, plus the ﬁ ligature U+FB01) —
+    * raw byte comparison sees the decomposed form, NFC composes it
+    * (é becomes one codepoint; the ligature survives NFC, only NFKC
+    * folds it). Character counts and the md5 fingerprint of the
+    * normalized text must match DuckDB's independent `nfc_normalize`
+    * implementation exactly — two Unicode libraries agreeing byte-wise
+    * is the guarantee a cross-engine dedup pipeline needs. Narrow
+    * codegen'd projection with an ASCII `isNormalized` fast path.
+    */
+  val t25UnicodeNfc = Q(
+    "t25_unicode_nfc",
+    (s, dir) => {
+      import s.implicits._
+      val suffixed = concat($"text", lit(" café ﬁ"))
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          length(suffixed).cast("long").as("n_chars_raw"),
+          length(TF.unicodeNormalize(suffixed, "NFC")).cast("long").as("n_chars_nfc"),
+          md5(TF.unicodeNormalize(suffixed, "NFC")).as("nfc_fp"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             length(text || ' cafe' || chr(769) || ' ' || chr(64257)) AS n_chars_raw,
+             length(nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(64257))) AS n_chars_nfc,
+             md5(nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(64257))) AS nfc_fp
+      FROM documents
+      ORDER BY doc_id
+    """.trim))
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
@@ -1223,6 +1255,6 @@ object LlmOps {
     t13StratifiedSample, t14PiiRedaction, t15RepetitionStats,
     t16SequencePacking, t17EmbeddingQuantization, t18CurationGate,
     t19ImageDecode, t20ImageFeatures, t21FrameSample, t22HeavyHitters,
-    t23DedupGroups, t24CurationPipeline,
+    t23DedupGroups, t24CurationPipeline, t25UnicodeNfc,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK)
 }

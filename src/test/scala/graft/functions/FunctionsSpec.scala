@@ -250,6 +250,20 @@ class FunctionsSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("UnicodeNormalize: NFC composes, NFKC folds compatibility forms") {
+    val df = Seq(("café", "café", "ﬁn １")).toDF("dec", "comp", "compat")
+    val r = df.select(
+      TextFunctions.unicodeNormalize($"dec", "NFC").as("nfc"),
+      ($"dec" === $"comp").as("raw_eq"),
+      (TextFunctions.unicodeNormalize($"dec", "NFC") === $"comp").as("nfc_eq"),
+      (TextFunctions.unicodeFingerprint($"dec") === TextFunctions.unicodeFingerprint($"comp")).as("fp_eq"),
+      TextFunctions.unicodeNormalize($"compat", "NFKC").as("nfkc")).head()
+    assert(!r.getAs[Boolean]("raw_eq"), "decomposed must differ byte-wise")
+    assert(r.getAs[Boolean]("nfc_eq") && r.getAs[Boolean]("fp_eq"))
+    assert(r.getAs[String]("nfc") == "café")
+    assert(r.getAs[String]("nfkc") == "fin 1", "NFKC must fold ligature + full-width")
+  }
+
   test("connectedComponents folds chains and keeps singletons") {
     // chain 1-2-3-4 has diameter 3: the min label needs three
     // propagation rounds to reach the far end, exercising the loop
