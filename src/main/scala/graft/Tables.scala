@@ -41,6 +41,26 @@ object Tables {
     * the rows themselves — scans feeding cheap filters/aggregates
     * should stay shuffle-free.
     */
+  /** One lazily-built temp root per (cache, dataset dir), reclaimed by
+    * a shutdown hook — the write-once / serve-many pattern shared by
+    * the co-located-warehouse, format-parity, and persisted-index
+    * queries. `build` receives the fresh temp directory and returns
+    * the path the caller should serve from. NOTE computeIfAbsent
+    * caches nothing if `build` throws, but the temp dir and hook are
+    * already registered — the hook still reclaims the orphan at exit.
+    */
+  def cachedTempRoot(cache: java.util.concurrent.ConcurrentHashMap[String, String],
+      dir: String, prefix: String)(build: java.nio.file.Path => String): String =
+    cache.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory(prefix)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }))
+      build(p)
+    })
+
   def parallelized(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism

@@ -305,7 +305,9 @@ class Catalog(spark: SparkSession, root: String, graceVersions: Int = 0) {
     require(bits >= 1 && bits * zCols.size <= 62, "morton key must fit a long")
     val cells = 1 << bits
     val probs = (1 until cells).map(_.toDouble / cells).toArray
-    val splits = zCols.map(c => df.stat.approxQuantile(c, probs, 0.001))
+    // ONE pass for all columns' sketches — the per-column overload
+    // would rescan the whole input zCols.size times
+    val splits = df.stat.approxQuantile(zCols.toArray, probs, 0.001).toSeq
     // cell index = #boundaries ≤ value (nulls land in cell 0)
     val cellCols = zCols.zip(splits).map { case (c, bs) =>
       bs.foldLeft(lit(0)) { (acc, b) =>

@@ -25,7 +25,11 @@ class FrequentTokens(capacity: Int)
   override def zero: Map[String, Long] = Map.empty
 
   override def reduce(buf: Map[String, Long], token: String): Map[String, Long] =
-    buf.get(token) match {
+    // NULL tokens are absent values, not countable items (built-in
+    // aggregate convention) — admitting one would NPE the String
+    // tie-break in merge/finish
+    if (token == null) buf
+    else buf.get(token) match {
       case Some(c) => buf.updated(token, c + 1)
       case None if buf.size < capacity => buf.updated(token, 1L)
       case None =>

@@ -560,18 +560,11 @@ object LlmOps {
 
   private def ivfIndexFor(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    ivfIndexCache.computeIfAbsent(dir, { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_ivf_index")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      }))
-      import s.implicits._
+    Tables.cachedTempRoot(ivfIndexCache, dir, "graft_ivf_index") { p =>
       graft.functions.VectorIndex.build(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding", p.toString)
       p.toString
-    })
+    }
 
   val s04IvfIndexTopK = Q(
     "s04_ivf_index_topk",
@@ -996,7 +989,11 @@ object LlmOps {
         .select(
           $"doc_id",
           size($"frames").cast("long").as("n_frames"),
-          md5(element_at($"frames", 1)).as("first_frame_md5"),
+          // empty payload → empty frames array: element_at([], 1)
+          // throws under ANSI; the oracle's substring('',1,32) is '' —
+          // match it with md5('') instead
+          when(size($"frames") > 0, md5(element_at($"frames", 1)))
+            .otherwise(md5(lit(""))).as("first_frame_md5"),
           aggregate($"frames", lit(0L),
             (acc, f) => acc + length(f).cast("long")).as("kept_bytes"))
         .orderBy($"doc_id")

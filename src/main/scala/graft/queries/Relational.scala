@@ -857,18 +857,12 @@ object Relational {
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     val (liName, ordName) = (s"q28li_$tag", s"q28ord_$tag")
-    val root = coLocatedRoots.computeIfAbsent(dir, { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_colocated")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      }))
+    val root = Tables.cachedTempRoot(coLocatedRoots, dir, "graft_colocated") { p =>
       val cat = new graft.catalog.Catalog(s, p.toString)
       cat.saveCoLocated(liName, t(s, dir, "lineitem"), Seq("l_orderkey"), 8)
       cat.saveCoLocated(ordName, t(s, dir, "orders"), Seq("o_orderkey"), 8)
       p.toString
-    })
+    }
     (new graft.catalog.Catalog(s, root), liName, ordName)
   }
 
@@ -1070,22 +1064,28 @@ object Relational {
   val q33MonthSpine = Q(
     "q33_month_spine",
     (s, dir) => {
-      import org.apache.spark.sql.functions.{date_trunc, max => smax, min => smin}
+      import org.apache.spark.sql.functions.{date_format, date_trunc, max => smax, min => smin}
       t(s, dir, "orders").createOrReplaceTempView("g_orders")
       // bounds once, as a bounded control-plane read: a subquery in the
       // recursive step's WHERE is re-evaluated EVERY iteration — ~80
       // full scans of the fact table for two constants (measured 12.2 s
       // at sf0.1; literals bring it to 1.3 s, the floor set by the ~80
-      // single-row recursion iterations themselves)
+      // single-row recursion iterations themselves). The literals are
+      // rendered by date_format IN the session timezone — collecting a
+      // Timestamp and toString-ing it would render in the JVM default
+      // zone and re-parse in the session zone, shifting the spine on
+      // any non-UTC driver.
       val b = t(s, dir, "orders").agg(
-        date_trunc("month", smin(col("o_orderdate"))).as("lo"),
-        date_trunc("month", smax(col("o_orderdate"))).as("hi")).head()
+        date_format(date_trunc("month", smin(col("o_orderdate"))),
+          "yyyy-MM-dd HH:mm:ss").as("lo"),
+        date_format(date_trunc("month", smax(col("o_orderdate"))),
+          "yyyy-MM-dd HH:mm:ss").as("hi")).head()
       s.sql(s"""
         WITH RECURSIVE spine(m) AS (
-          SELECT TIMESTAMP '${b.getTimestamp(0)}'
+          SELECT TIMESTAMP '${b.getString(0)}'
           UNION ALL
           SELECT m + INTERVAL '1' MONTH FROM spine
-          WHERE m < TIMESTAMP '${b.getTimestamp(1)}'
+          WHERE m < TIMESTAMP '${b.getString(1)}'
         )
         SELECT m, count(o_orderkey) AS n
         FROM spine LEFT JOIN g_orders ON date_trunc('month', o_orderdate) = m
@@ -1112,17 +1112,11 @@ object Relational {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def orcOrders(s: SparkSession, dir: String): String =
-    orcRoots.computeIfAbsent(dir, { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_orc")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      }))
+    Tables.cachedTempRoot(orcRoots, dir, "graft_orc") { p =>
       val out = s"$p/orders_orc"
       t(s, dir, "orders").write.mode("overwrite").orc(out)
       out
-    })
+    }
 
   /** Time-based RANGE window frame (90-day rolling revenue per
     * customer): the frame boundary is an event-time INTERVAL on the
@@ -1160,13 +1154,7 @@ object Relational {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def csvOrders(s: SparkSession, dir: String): String =
-    csvRoots.computeIfAbsent(dir, { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_csv")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      }))
+    Tables.cachedTempRoot(csvRoots, dir, "graft_csv") { p =>
       val out = s"$p/orders_csv"
       t(s, dir, "orders").write.mode("overwrite")
         .option("header", "true")
@@ -1174,7 +1162,7 @@ object Relational {
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
         .csv(out)
       out
-    })
+    }
 
   /** CSV sink + source parity — the reference's actual landing format
     * (O1). orders written once as headered CSV and read back with an

@@ -28,14 +28,17 @@ import graft.functions.Dedup
   * the whole history, so a small batch reads a bounded slice of an
   * arbitrarily large accumulated history instead of scanning all of it.
   *
-  * Exactly-once pairs: the streaming path stages a batch's verified
-  * pairs to `<prefix>_pairs` — keyed by the Structured Streaming
-  * batchId — BEFORE the band/set state commits. A crash or foreachBatch
-  * retry in any window replays safely: if state never committed, the
-  * batch's docs are still unseen, the identical pairs recompute, and
-  * the already-staged batchId suppresses a second append; if state did
-  * commit, the replayed batch computes no fresh docs and the staged
-  * pairs are already durable. Pairs are neither lost nor duplicated.
+  * Exactly-once pairs AND state: the streaming path stages a batch's
+  * verified pairs to `<prefix>_pairs` — keyed by the Structured
+  * Streaming batchId — BEFORE the band/set state commits, and the band
+  * append itself is batchId-guarded. A crash or foreachBatch retry in
+  * any window replays safely: if nothing committed, everything
+  * recomputes identically and the staged batchId suppresses double
+  * appends; if bands committed but sets didn't, the replay recomputes
+  * (docs still unseen by the sets-driven anti-join) and the band guard
+  * skips the duplicate state append; once sets commit, the batch's
+  * docs are known and the replay is a no-op. Pairs are neither lost
+  * nor duplicated, and band history never accumulates replay bloat.
   *
   * Parameters (shingle, numHashes, bands, keyBuckets) are persisted on
   * first creation and validated on every reopen — joining band keys
@@ -75,7 +78,8 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
     if (!catalog.exists(bandsTable))
       catalog.appendLog(bandsTable, spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType.fromDDL("doc_id BIGINT, band INT, key STRING, __kb INT")))
+        StructType.fromDDL(
+          "doc_id BIGINT, band INT, key STRING, __kb INT, __batch_id BIGINT")))
     if (!catalog.exists(setsTable))
       catalog.appendLog(setsTable, spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -105,6 +109,7 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
         posexplode(Dedup.lshBandKeys(col("__sig"), bands, rows))
           .as(Seq("band", "key")))
       .withColumn("__kb", pmod(hash(col("key")), lit(keyBuckets)))
+      .withColumn("__batch_id", lit(batchId.getOrElse(-1L)))
       .persist()
     // the batch's touched key buckets, collected driver-side — bounded
     // by keyBuckets, and the static isin filter pushes to the parquet
@@ -148,7 +153,19 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
       if (!staged && nPairs > 0)
         catalog.appendLog(pairsTable, pairs.withColumn("__batch_id", lit(bid)))
     }
-    catalog.appendLogClustered(bandsTable, newFlat, Seq("__kb", "key"))
+    // Band append is batchId-idempotent: a crash AFTER this commit but
+    // BEFORE the sets commit replays the batch (docs still unseen by
+    // the sets-driven anti-join) — without the guard the identical
+    // band rows would append a second time and every future history
+    // probe would pay the duplicates forever. The commit ORDER
+    // (bands, then sets) is what makes the guard sufficient: once sets
+    // commit, the batch can't replay at all.
+    val bandsStaged = batchId.exists { bid =>
+      catalog.read(bandsTable).filter(col("__batch_id") === bid)
+        .limit(1).count() > 0
+    }
+    if (!bandsStaged)
+      catalog.appendLogClustered(bandsTable, newFlat, Seq("__kb", "key"))
     catalog.appendLog(setsTable, fresh.select("doc_id", "hhd"))
     newFlat.unpersist()
     fresh.unpersist()

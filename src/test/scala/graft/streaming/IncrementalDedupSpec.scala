@@ -85,6 +85,37 @@ class IncrementalDedupSpec extends SparkTestBase {
       .collect().toSet == Set((0L, 1L), (0L, 3L), (1L, 3L)))
   }
 
+  test("crash between bands and sets commits: replay adds no duplicate band rows") {
+    // reference run: harvest batch 2's TRUE band rows
+    val catA = new Catalog(spark, tmpDir("incdedupBA"))
+    val ddA = new IncrementalDedup(catA, threshold = 0.8)
+    ddA.processBatch(b1.toDF("doc_id", "text"), "doc_id", "text", Some(0L))
+    ddA.processBatch(b2.toDF("doc_id", "text"), "doc_id", "text", Some(1L))
+    val trueBands = catA.read("dedup_bands").filter($"__batch_id" === 1L)
+    val nTrue = trueBands.count()
+    assert(nTrue > 0)
+
+    // crashed attempt: pairs staged AND bands committed, sets NOT
+    val catB = new Catalog(spark, tmpDir("incdedupBB"))
+    val ddB = new IncrementalDedup(catB, threshold = 0.8)
+    ddB.processBatch(b1.toDF("doc_id", "text"), "doc_id", "text", Some(0L))
+    catB.appendLog("dedup_pairs", catA.read("dedup_pairs")
+      .filter($"__batch_id" === 1L))
+    catB.appendLog("dedup_bands", trueBands)
+
+    // replay recomputes (docs still unseen by the sets anti-join) but
+    // must NOT append the band rows a second time
+    val replayed = ddB.processBatch(b2.toDF("doc_id", "text"), "doc_id", "text", Some(1L))
+    assert(replayed.count() == 3)
+    assert(catB.read("dedup_bands").filter($"__batch_id" === 1L).count() == nTrue,
+      "replay duplicated band history")
+    assert(catB.read("dedup_pairs").count() == 3)
+    // sets now committed: a further replay is a no-op, and the state
+    // equals the crash-free reference run's
+    assert(ddB.processBatch(b2.toDF("doc_id", "text"), "doc_id", "text", Some(1L)).isEmpty)
+    assert(catB.read("dedup_sets").count() == catA.read("dedup_sets").count())
+  }
+
   test("reopening with different parameters fails fast") {
     val cat = new Catalog(spark, tmpDir("incdedupmeta"))
     new IncrementalDedup(cat, threshold = 0.8)
