@@ -34,7 +34,7 @@ import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType
   * the lakehouse-standard reader/GC contract (snapshot retention);
   * explicit `vacuum(name, keepLast = 0)` reclaims them on demand.
   */
-class Catalog(spark: SparkSession, root: String, graceVersions: Int = 0) {
+class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0) {
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -493,6 +493,9 @@ class Catalog(spark: SparkSession, root: String, graceVersions: Int = 0) {
     * plan with no Exchange on either side. Files live under this
     * catalog's root; the spec is introspectable via coLocatedSpec.
     */
+  private def coLocatedSpecFile(name: String) =
+    new Path(tableDir(name), "_colocated_spec.json")
+
   def saveCoLocated(name: String, df: DataFrame, bucketCols: Seq[String],
       numBuckets: Int, sortCols: Seq[String] = Nil): Unit = synchronized {
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
@@ -503,14 +506,47 @@ class Catalog(spark: SparkSession, root: String, graceVersions: Int = 0) {
       .option("path", new Path(tableDir(name), "colocated").toString)
       .mode("overwrite")
       .saveAsTable(coLocatedIdent(name))
+    // saveAsTable registers the ident only in the catalog of the
+    // session that ran the build. Persist the bucket spec beside the
+    // files so readCoLocated can re-attach the metadata from ANY
+    // SparkSession (another session in this JVM, or a later process
+    // pointed at the same root) instead of failing table-not-found.
+    writeAtomic(coLocatedSpecFile(name), mapper.writeValueAsString(Map(
+      "schemaDDL" -> df.schema.toDDL,
+      "bucketCols" -> bucketCols,
+      "sortCols" -> sort,
+      "numBuckets" -> numBuckets)))
   }
 
   /** Read a co-located table WITH its bucket metadata attached (a plain
     * parquet read of the same files would forget the partitioning and
-    * reintroduce the shuffle).
+    * reintroduce the shuffle). If this session's catalog lacks the
+    * ident — the warehouse was built by a different SparkSession — the
+    * table is re-registered from the persisted spec first, as an
+    * external table over the existing files (no data is rewritten).
     */
-  def readCoLocated(name: String): DataFrame =
-    spark.table(coLocatedIdent(name))
+  def readCoLocated(name: String): DataFrame = synchronized {
+    val ident = coLocatedIdent(name)
+    if (!spark.catalog.tableExists(ident)) {
+      val f = coLocatedSpecFile(name)
+      if (!fs.exists(f))
+        throw new IllegalStateException(
+          s"no co-located table '$name' under $root")
+      val in = fs.open(f)
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      val node = mapper.readTree(txt)
+      def cols(field: String) = node.get(field).elements.asScala
+        .map(n => s"`${n.asText()}`").mkString(", ")
+      spark.sql(
+        s"""CREATE TABLE $ident (${node.get("schemaDDL").asText()})
+           |USING PARQUET
+           |CLUSTERED BY (${cols("bucketCols")})
+           |SORTED BY (${cols("sortCols")})
+           |INTO ${node.get("numBuckets").asInt()} BUCKETS
+           |LOCATION '${new Path(tableDir(name), "colocated")}'""".stripMargin)
+    }
+    spark.table(ident)
+  }
 
   def coLocatedSpec(name: String): Option[(Seq[String], Int)] =
     org.apache.spark.sql.graftbridge.PlanBridge

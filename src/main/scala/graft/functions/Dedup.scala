@@ -295,8 +295,20 @@ object Dedup {
       iter += 1
     }
     e.unpersist()
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("__n").as(idCol), col("rep"))
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    }
+    // Materialize the result OUT of the cache before returning:
+    // localCheckpoint(eager) copies the (already cached — cheap) final
+    // labels into ContextCleaner-managed RDD blocks that are freed when
+    // the caller drops the frame, so the library leaves no CacheManager
+    // entry behind that only an explicit unpersist could reclaim.
+    val out = labels.select(col("__n").as(idCol), col("rep"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   /** 16-bit SimHash over whitespace tokens: per token take the first 4

@@ -40,8 +40,17 @@ class FrequentTokens(capacity: Int)
     }
 
   override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val union = (a.keySet ++ b.keySet).iterator
-      .map(t => t -> (a.getOrElse(t, 0L) + b.getOrElse(t, 0L))).toMap
+    // Mergeable-summaries compensation (Agarwal et al. 2012): a token
+    // absent from a FULL summary may have been evicted there with count
+    // up to that summary's minimum counter, so charge the minimum to
+    // one-sided tokens. A below-capacity summary never evicted — its
+    // floor is 0. This keeps every merged count an overestimate of the
+    // true count (the 'never underestimate' guarantee).
+    val floorA = if (a.size >= capacity) a.valuesIterator.min else 0L
+    val floorB = if (b.size >= capacity) b.valuesIterator.min else 0L
+    val union = (a.keySet ++ b.keySet).iterator.map { t =>
+      t -> (a.getOrElse(t, floorA) + b.getOrElse(t, floorB))
+    }.toMap
     if (union.size <= capacity) union
     else union.toSeq.sortBy { case (t, c) => (-c, t) }.take(capacity).toMap
   }

@@ -1036,9 +1036,16 @@ object LlmOps {
         .filter($"token" =!= "")
       val counted = toks.groupBy($"token").agg(count(lit(1)).as("n")).persist()
       val tot = counted.agg(sum($"n")).head().getLong(0)
-      counted.filter($"n" * lit(1000L) > lit(tot))
+      // ≤ 999 rows can pass the 0.1% threshold, so eagerly materializing
+      // the result (localCheckpoint) is bounded — and it lets the
+      // vocab-sized cache be released here instead of leaking until
+      // some caller-side clearCache()
+      val out = counted.filter($"n" * lit(1000L) > lit(tot))
         .select($"token", $"n")
         .orderBy($"token")
+        .localCheckpoint(true)
+      counted.unpersist()
+      out
     },
     Some("""
       WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token

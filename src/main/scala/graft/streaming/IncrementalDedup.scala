@@ -166,7 +166,13 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
     }
     if (!bandsStaged)
       catalog.appendLogClustered(bandsTable, newFlat, Seq("__kb", "key"))
-    catalog.appendLog(setsTable, fresh.select("doc_id", "hhd"))
+    // An empty `fresh` means every doc in the batch is already known —
+    // a replay after a fully committed batch, or a genuinely empty
+    // batch. Appending an empty ref would grow the manifest ref list
+    // on every retry until the next compactLog, so skip it (cheap:
+    // `fresh` is already persisted and materialized by the joins above).
+    if (!fresh.isEmpty)
+      catalog.appendLog(setsTable, fresh.select("doc_id", "hhd"))
     newFlat.unpersist()
     fresh.unpersist()
     pairs
@@ -184,8 +190,13 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
     catalog.compactLog(bandsTable, clusterCols = Seq("__kb", "key"))
     catalog.compactLog(setsTable)
     if (catalog.exists(pairsTable)) catalog.compactLog(pairsTable)
+    // Honor the catalog's configured reader grace window — reclaiming
+    // to keepLast=0 here would strand an in-flight reader that resolved
+    // the previous pointer, defeating the retention the catalog was
+    // constructed with.
     Seq(metaTable, bandsTable, setsTable, pairsTable)
-      .filter(catalog.exists).foreach(t => catalog.vacuum(t))
+      .filter(catalog.exists)
+      .foreach(t => catalog.vacuum(t, keepLast = catalog.graceVersions))
   }
 
   /** Streaming entry: drain a documents stream through processBatch;

@@ -382,6 +382,22 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("FrequentTokens merge charges one-sided tokens the other side's floor") {
+    // A token absent from a FULL summary may have been evicted there
+    // with count up to that summary's minimum counter — the merge must
+    // add that floor (Agarwal et al. mergeable-summaries compensation)
+    // or a token that lost mass to an eviction gets underestimated.
+    val agg = new FrequentTokens(2)
+    val a = Map("x" -> 2L, "y" -> 1L) // full: floor 1
+    val b = Map("z" -> 2L, "w" -> 1L) // full: floor 1
+    // x: 2 + b's floor 1 = 3; z: 2 + a's floor 1 = 3; y/w: 2 each, cut
+    assert(agg.merge(a, b) == Map("x" -> 3L, "z" -> 3L))
+    // a below-capacity summary never evicted — its floor is 0
+    val small = Map("z" -> 5L) // size 1 < capacity: floor 0
+    // z: 5 + a's floor 1 = 6; x: 2 + 0 = 2; y: 1 + 0 = 1, cut
+    assert(agg.merge(a, small) == Map("z" -> 6L, "x" -> 2L))
+  }
+
   test("TopKByScore aggregator matches the rank-window top-k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 5)

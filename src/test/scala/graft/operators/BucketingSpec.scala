@@ -84,6 +84,31 @@ class BucketingSpec extends SparkTestBase {
       s"q28's co-located join still shuffles:\n$plan")
   }
 
+  test("readCoLocated re-registers the ident from the persisted spec") {
+    import graft.catalog.Catalog
+    spark.sql("DROP TABLE IF EXISTS graft_rr_orders")
+    val cat = new Catalog(spark, tmpDir("rrwh"))
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cat.saveCoLocated("rr_orders", orders, Seq("o_orderkey"), 8)
+    // Simulate a SparkSession that never ran the build: the ident is
+    // absent from its catalog but the files + persisted spec exist
+    // (DROP on the external table keeps the data).
+    spark.sql("DROP TABLE graft_rr_orders")
+    assert(!spark.catalog.tableExists("graft_rr_orders"))
+
+    val re = cat.readCoLocated("rr_orders")
+    assert(re.count() == orders.count())
+    // the re-registered table must carry the bucket spec — a plain
+    // parquet re-read would lose it and reintroduce the shuffle
+    assert(cat.coLocatedSpec("rr_orders").contains((Seq("o_orderkey"), 8)))
+    val selfJoined = re.as("a").join(cat.readCoLocated("rr_orders").as("b"),
+      $"a.o_orderkey" === $"b.o_orderkey")
+    val plan = selfJoined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"re-registered table lost its bucket metadata:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS graft_rr_orders")
+  }
+
   test("migrateToCoLocated converts the mutation-face layout into the join face") {
     import graft.catalog.Catalog
     spark.sql("DROP TABLE IF EXISTS graft_mt")

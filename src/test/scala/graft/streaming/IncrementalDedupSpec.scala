@@ -85,6 +85,21 @@ class IncrementalDedupSpec extends SparkTestBase {
       .collect().toSet == Set((0L, 1L), (0L, 3L), (1L, 3L)))
   }
 
+  test("replay after a fully committed batch appends no empty sets ref") {
+    val cat = new Catalog(spark, tmpDir("incdedupER"))
+    val dd = new IncrementalDedup(cat, threshold = 0.8)
+    dd.processBatch(b1.toDF("doc_id", "text"), "doc_id", "text", Some(0L))
+    dd.processBatch(b2.toDF("doc_id", "text"), "doc_id", "text", Some(1L))
+    val refsBefore = cat.bucketRefs("dedup_sets").size
+    // foreachBatch retries after the full commit recompute an empty
+    // `fresh` — without the empty-skip guard every retry appended an
+    // empty ref, growing the manifest until the next compactLog
+    dd.processBatch(b2.toDF("doc_id", "text"), "doc_id", "text", Some(1L))
+    dd.processBatch(b2.toDF("doc_id", "text"), "doc_id", "text", Some(1L))
+    assert(cat.bucketRefs("dedup_sets").size == refsBefore,
+      "replays after full commit must not grow the sets manifest")
+  }
+
   test("crash between bands and sets commits: replay adds no duplicate band rows") {
     // reference run: harvest batch 2's TRUE band rows
     val catA = new Catalog(spark, tmpDir("incdedupBA"))
