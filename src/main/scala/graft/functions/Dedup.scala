@@ -282,13 +282,23 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val neigh = e.join(labels, e("dst") === labels("__n"))
         .groupBy(col("src")).agg(min(col("rep")).as("__nrep"))
+      // carry a changed flag in the same projection — labels only ever
+      // DECREASE, so `__nrep < rep` is the complete change predicate
+      // and the convergence check runs over this round's cached frame
+      // instead of a next-vs-previous join (one join + shuffle fewer
+      // per round)
       val next = labels.join(neigh, labels("__n") === neigh("src"), "left")
         .select(col("__n"),
-          least(col("rep"), coalesce(col("__nrep"), col("rep"))).as("rep"))
+          least(col("rep"), coalesce(col("__nrep"), col("rep"))).as("rep"),
+          (col("__nrep") < col("rep")).as("__chg"))
         .persist()
-      val noChange = next.as("n")
-        .join(labels.as("p"), col("n.__n") === col("p.__n"))
-        .filter(col("n.rep") =!= col("p.rep")).isEmpty
+      // full-scan aggregate, NOT filter(...).isEmpty: the check must
+      // materialize EVERY partition of next's cache before the previous
+      // round's cache is released below — an early-stopping take(1)
+      // leaves unscanned partitions to recompute from unpersisted
+      // lineage, which chains back through every earlier round
+      val noChange = !next.agg(coalesce(max(col("__chg")), lit(false)))
+        .head().getBoolean(0)
       labels.unpersist()
       labels = next
       converged = noChange

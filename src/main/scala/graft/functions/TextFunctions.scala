@@ -50,6 +50,19 @@ object TextFunctions {
       transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n))))
       .otherwise(array())
 
+  /** Word n-grams (space-joined token windows) — the unit of
+    * benchmark-contamination screening (t26). Empty array below n
+    * tokens (same `sequence` guard as charNgrams). Codegen'd built-ins
+    * end to end: tokens → transform/slice/array_join.
+    */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => array_join(slice(t, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Distinct shingle set via the custom Catalyst expression (one
     * linear pass; see graft.functions.expressions.CharNgramSet). Equal
     * to `array_distinct(charNgrams(c, n))` — pinned by a test.

@@ -1252,6 +1252,55 @@ object LlmOps {
       ORDER BY doc_id
     """.trim))
 
+  /** Benchmark-contamination screening (decontamination): training
+    * documents sharing any word 5-gram with the held-out eval slice
+    * (every 50th doc stands in for the benchmark suite), with the
+    * count of distinct shared 5-grams — the standard n-gram-overlap
+    * decontamination check run before training (production pipelines
+    * use 8–13 grams; 5 keeps overlap observable in the synthetic
+    * small-vocabulary corpus). Scale shape: the eval side is bounded
+    * by the BENCHMARK size, not the corpus (a few thousand docs no
+    * matter how big training gets), so its distinct gram set is always
+    * broadcastable — the corpus-side gram explode is a narrow
+    * projection and the probe join ships no corpus data. Grams are
+    * per-doc distinct (array_distinct before explode), so the count is
+    * exact distinct-gram overlap with zero extra shuffle.
+    */
+  val t26Contamination = Q(
+    "t26_contamination",
+    (s, dir) => {
+      import s.implicits._
+      val grams = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          explode(array_distinct(TF.wordNgrams($"text", 5))).as("g"))
+      val eval = grams.filter($"doc_id" % 50 === 0).select($"g").distinct()
+      grams.filter($"doc_id" % 50 =!= 0)
+        .join(broadcast(eval), "g")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      grams AS (
+        -- DuckDB's range() table function refuses lateral column
+        -- parameters; the scalar range() inside a list comprehension
+        -- builds the same 5-gram list per row
+        SELECT DISTINCT doc_id, g FROM (
+          SELECT doc_id,
+            unnest([array_to_string(t[i:i+4], ' ')
+                    for i in range(1, len(t) - 3)]) AS g
+          FROM toks
+          WHERE len(t) >= 5)),
+      ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+      SELECT doc_id, count(*) AS n_shared
+      FROM grams JOIN ev USING (g)
+      WHERE doc_id % 50 <> 0
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """.trim))
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
@@ -1259,6 +1308,6 @@ object LlmOps {
     t13StratifiedSample, t14PiiRedaction, t15RepetitionStats,
     t16SequencePacking, t17EmbeddingQuantization, t18CurationGate,
     t19ImageDecode, t20ImageFeatures, t21FrameSample, t22HeavyHitters,
-    t23DedupGroups, t24CurationPipeline, t25UnicodeNfc,
+    t23DedupGroups, t24CurationPipeline, t25UnicodeNfc, t26Contamination,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK)
 }

@@ -284,15 +284,22 @@ object Relational {
 
   /** ROLLUP grouping sets. NULLS FIRST is explicit on both sides —
     * Spark defaults nulls-first ASC, DuckDB defaults nulls-last.
+    * Runs through PreAggGroupingSets: a direct `.rollup` Expands every
+    * lineitem row once per grouping set (3× the scan output at any
+    * scale); pre-aggregating to one row per (returnflag, linestatus)
+    * first leaves Expand a handful of rows. count(*) re-aggregates as
+    * sum of partial counts; the decimal partial sums re-sum exactly.
     */
   val q10Rollup = Q(
     "q10_rollup",
     (s, dir) => {
       import s.implicits._
-      t(s, dir, "lineitem")
-        .rollup($"l_returnflag", $"l_linestatus")
-        .agg(count(lit(1)).as("n"),
-          sum($"l_quantity".cast("decimal(12,2)")).cast("double").as("sum_qty"))
+      graft.operators.PreAggGroupingSets.rollup(
+        t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"),
+        partials = Seq(count(lit(1)).as("__n"),
+          sum($"l_quantity".cast("decimal(12,2)")).as("__q")),
+        finals = Seq(sum($"__n").as("n"),
+          sum($"__q").cast("double").as("sum_qty")))
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     },
     Some("""
@@ -303,15 +310,20 @@ object Relational {
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
     """.trim))
 
-  /** CUBE grouping sets over orders. */
+  /** CUBE grouping sets over orders — pre-aggregated like q10 (a
+    * 2-dim cube Expands 4×; the pre-aggregate leaves Expand the
+    * status×priority tuples only).
+    */
   val q11Cube = Q(
     "q11_cube",
     (s, dir) => {
       import s.implicits._
-      t(s, dir, "orders")
-        .cube($"o_orderstatus", $"o_orderpriority")
-        .agg(count(lit(1)).as("n"),
-          sum($"o_totalprice".cast("decimal(14,2)")).cast("double").as("sum_price"))
+      graft.operators.PreAggGroupingSets.cube(
+        t(s, dir, "orders"), Seq("o_orderstatus", "o_orderpriority"),
+        partials = Seq(count(lit(1)).as("__n"),
+          sum($"o_totalprice".cast("decimal(14,2)")).as("__p")),
+        finals = Seq(sum($"__n").as("n"),
+          sum($"__p").cast("double").as("sum_price")))
         .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
     },
     Some("""
@@ -1228,6 +1240,50 @@ object Relational {
       ORDER BY o_orderstatus, o_orderpriority
     """.trim))
 
+  private val jsonRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def jsonCustomer(s: SparkSession, dir: String): String =
+    Tables.cachedTempRoot(jsonRoots, dir, "graft_json") { p =>
+      val out = s"$p/customer_json"
+      t(s, dir, "customer").write.mode("overwrite").json(out)
+      out
+    }
+
+  /** JSON-lines sink + source parity, completing the format matrix
+    * (parquet / ORC / CSV / JSON — the four formats a landing pipeline
+    * actually meets). customer written once as JSON-lines and read back
+    * with an EXPLICIT schema (inference is a full extra pass and can
+    * type-drift per file), then aggregated; the oracle aggregates the
+    * original parquet, so any round-trip loss (doubles, key order,
+    * nulls) hash-fails. Doubles survive because Spark writes
+    * shortest-round-trip representations in JSON as in CSV.
+    */
+  val q37JsonRoundtrip = Q(
+    "q37_json_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      s.read
+        .schema("c_custkey bigint, c_name string, c_nationkey int, " +
+          "c_acctbal double, c_mktsegment string")
+        .json(jsonCustomer(s, dir))
+        .filter($"c_acctbal" > 0.0)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum($"c_acctbal".cast("decimal(18,4)")).cast("double").as("total_bal"),
+          max($"c_name").as("last_name"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal,
+             max(c_name) AS last_name
+      FROM customer
+      WHERE c_acctbal > 0.0
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -1237,5 +1293,5 @@ object Relational {
     q23MathFns, q24SaltedJoin, q25VolumeShipping, q26MarketShare,
     q27SmallQtyRevenue, q28ColocatedJoin, q29GroupingSets,
     q30NestedSemiJoin, q31DormantCustomers, q32LateralTopK, q33MonthSpine,
-    q34OrcRoundtrip, q35CsvRoundtrip, q36RangeFrame)
+    q34OrcRoundtrip, q35CsvRoundtrip, q36RangeFrame, q37JsonRoundtrip)
 }
