@@ -63,6 +63,19 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Non-overlapping n-token chunks (stride = n, tail remainder
+    * dropped) — the unit of paragraph/line-level dedup. Codegen'd
+    * built-ins end to end, like wordNgrams.
+    */
+  def wordChunks(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    val k = floor(size(t) / lit(n)).cast("int")
+    when(size(t) >= n,
+      transform(sequence(lit(0), k - 1),
+        i => array_join(slice(t, i * n + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Distinct shingle set via the custom Catalyst expression (one
     * linear pass; see graft.functions.expressions.CharNgramSet). Equal
     * to `array_distinct(charNgrams(c, n))` — pinned by a test.

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1301,6 +1302,249 @@ object LlmOps {
       ORDER BY doc_id
     """.trim))
 
+  /** Leading-32-bit value of an md5 hex digest held in column `m`,
+    * nibble by nibble — DuckDB-side twin of `conv(substring(md5,1,8),
+    * 16, 10)`. Same construction as t13's sampling bucket.
+    */
+  private def oracleHex8(m: String): String =
+    (1 to 8).map { i =>
+      val w = math.pow(16, 8 - i).toLong
+      s"(strpos('0123456789abcdef', $m[$i:$i]) - 1) * $w"
+    }.mkString(" + ")
+
+  /** Token-budget mixture sampling — the training-data mixing step: each
+    * source gets a weight, the engine computes per-source deterministic
+    * keep-rates that hit a global token budget in proportion to weight,
+    * then materializes the sample. Two passes by design (the standard
+    * mixture recipe): a stats pass — one map-side-combined aggregate at
+    * SOURCE cardinality, tiny — and a sampling pass that is a narrow
+    * per-row hash filter against broadcast rates. All rate math is
+    * integer (div/least on longs), so the sample is bit-reproducible and
+    * exactly re-materializable on any engine; no RNG state anywhere.
+    * Sampling 100 TB costs one stats scan + one filter scan, no
+    * data-sized shuffle.
+    */
+  val t27MixtureBudget = Q(
+    "t27_mixture_budget",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source", TF.tokenCount($"text").cast("long").as("toks"))
+      val stats = docs.groupBy($"source")
+        .agg(sum($"toks").as("src_toks"))
+        .withColumn("w", substring($"source", 4, 10).cast("long") % 5 + 1)
+      // global weight total via an empty-partition window: stats is
+      // SOURCE-cardinality (tiny control data), so the single-partition
+      // window is bounded — and it keeps the plan free of the scalar
+      // cross join PlanGuardSpec forbids.
+      val rates = stats
+        .withColumn("tw", sum($"w").over(Window.partitionBy()))
+        .withColumn("rate_bp",
+          least(lit(10000L), expr("(((50000 * w) div tw) * 10000) div src_toks")))
+        .select($"source", $"src_toks", $"rate_bp")
+      val kept = docs.join(broadcast(rates), "source")
+        .filter(TF.samplingBucket($"doc_id") < $"rate_bp")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"), sum($"toks").as("kept_toks"))
+      rates.join(kept, Seq("source"), "left")
+        .select($"source", $"src_toks", $"rate_bp",
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          coalesce($"kept_toks", lit(0L)).as("kept_toks"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, source,
+                        len(regexp_split_to_array(trim(text), '\\s+')) AS toks
+                 FROM documents),
+      st AS (SELECT source, CAST(sum(toks) AS BIGINT) AS src_toks,
+                    CAST(source[4:] AS BIGINT) % 5 + 1 AS w
+             FROM d GROUP BY source),
+      r AS (SELECT source, src_toks,
+                   -- sum() returns HUGEINT in DuckDB (-> float64 in pandas);
+                   -- BIGINT-cast it so rate_bp stays int64 like Spark's long
+                   CAST(least(10000, (((50000 * w) // tw) * 10000) // src_toks) AS BIGINT) AS rate_bp
+            FROM st, (SELECT CAST(sum(w) AS BIGINT) AS tw FROM st)),
+      b AS (SELECT doc_id, source, toks,
+                   CAST((${oracleHex8("m")}) % 10000 AS BIGINT) AS bucket
+            FROM (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS m FROM d)),
+      k AS (SELECT source, count(*) AS n_kept, CAST(sum(toks) AS BIGINT) AS kept_toks
+            FROM b JOIN r USING (source)
+            WHERE bucket < rate_bp GROUP BY source)
+      SELECT r.source, src_toks, rate_bp,
+             coalesce(n_kept, 0) AS n_kept, coalesce(kept_toks, 0) AS kept_toks
+      FROM r LEFT JOIN k USING (source)
+      ORDER BY r.source
+    """.trim))
+
+  /** Deterministic global shuffle into training shards: every doc gets a
+    * keyed-hash position (md5 of a salted id), the hash's leading bits
+    * pick the shard, and the within-shard order is the hash order — a
+    * reproducible corpus permutation with no RNG state. This IS the
+    * "global shuffle" step before sequence packing: at 100 TB it is one
+    * hash-partitioned exchange on the shard key plus a per-shard sort
+    * (Spark's sort-based shuffle machinery, never a global single-node
+    * sort). The order_sum checksum (Σ position·doc_id, exact long math)
+    * pins the entire permutation — any engine that shuffles differently
+    * hash-fails — without materializing per-shard doc lists.
+    */
+  val t28ShuffleShard = Q(
+    "t28_shuffle_shard",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", TF.tokenCount($"text").cast("long").as("toks"))
+        .withColumn("h", md5(concat(lit("shuf_"), $"doc_id".cast("string"))))
+        .withColumn("shard", conv(substring($"h", 1, 8), 16, 10).cast("long") % 8)
+      val w = Window.partitionBy($"shard").orderBy($"h", $"doc_id")
+      docs.withColumn("pos", row_number().over(w).cast("long"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"toks").as("n_tokens"),
+          sum($"pos" * $"doc_id").as("order_sum"),
+          max(when($"pos" === 1, $"doc_id")).as("head_doc"))
+        .orderBy($"shard")
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id,
+                        len(regexp_split_to_array(trim(text), '\\s+')) AS toks,
+                        md5('shuf_' || CAST(doc_id AS VARCHAR)) AS h
+                 FROM documents),
+      sh AS (SELECT doc_id, toks, h,
+                    CAST((${oracleHex8("h")}) % 8 AS BIGINT) AS shard
+             FROM d),
+      p AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+            FROM sh)
+      SELECT shard, count(*) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS n_tokens,
+             CAST(sum(pos * doc_id) AS BIGINT) AS order_sum,
+             max(CASE WHEN pos = 1 THEN doc_id END) AS head_doc
+      FROM p GROUP BY shard ORDER BY shard
+    """.trim))
+
+  /** Chunk-granular (paragraph/line-level) dedup, the CCNet/RefinedWeb
+    * recipe at the sub-document unit: docs split into non-overlapping
+    * 4-token chunks, chunks fingerprinted corpus-wide, and each doc
+    * reports how many of its chunks also occur elsewhere (or again in
+    * itself). Scale shape: one explode at chunk granularity (tokens/4,
+    * CHEAPER than per-token ops), one count shuffle at chunk-fingerprint
+    * cardinality, and the count join rides the same Exchange the groupBy
+    * already built — the per-doc re-aggregation shuffles doc ids only.
+    */
+  val t29ChunkDedup = Q(
+    "t29_chunk_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val chunks = docs
+        .select($"doc_id", explode(TF.wordChunks($"text", 4)).as("chunk"))
+        .select($"doc_id", md5($"chunk").as("fp"))
+      val counts = chunks.groupBy($"fp").agg(count(lit(1)).as("n_occ"))
+      val perDoc = chunks.join(counts, "fp")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when($"n_occ" > 1, 1L).otherwise(0L)).as("n_dup"))
+      docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_chunks", lit(0L)).as("n_chunks"),
+          coalesce($"n_dup", lit(0L)).as("n_dup"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                  FROM documents),
+      ch AS (SELECT doc_id,
+                    unnest([array_to_string(t[i*4+1 : i*4+4], ' ')
+                            for i in range(0, len(t) // 4)]) AS chunk
+             FROM tk WHERE len(t) >= 4),
+      f AS (SELECT doc_id, md5(chunk) AS fp FROM ch),
+      cnt AS (SELECT fp, count(*) AS n_occ FROM f GROUP BY fp),
+      pd AS (SELECT doc_id, count(*) AS n_chunks,
+                    sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS n_dup
+             FROM f JOIN cnt USING (fp) GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(n_chunks, 0) AS BIGINT) AS n_chunks,
+             CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup
+      FROM documents d LEFT JOIN pd USING (doc_id)
+      ORDER BY doc_id
+    """.trim))
+
+  /** ANN quality evaluation: recall@3 of the hyperplane-LSH index (s02)
+    * against the exact brute-force answer (s01), per query. The eval an
+    * ANN deployment runs before trusting the index — and exactly the
+    * computation that must NOT run at corpus scale blindly: the exact
+    * side is the labeled cross-join baseline over the (bounded) query
+    * set, the ANN side is the bucketed candidate path, and the recall
+    * join touches 2·k·|queries| rows. Whitelisted next to s01 in
+    * PlanGuardSpec for the baseline's cross join.
+    */
+  val s05AnnRecall = Q(
+    "s05_ann_recall",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" < 8)
+      val exact = VF.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3)
+        .select($"query_id", $"neighbor_id")
+      val ann = VF.lshTopK(emb, q, "vec_id", "embedding",
+        k = 3, tables = 4, planesPerTable = 4)
+        .select($"query_id", $"neighbor_id")
+      val hits = exact.join(ann, Seq("query_id", "neighbor_id"))
+        .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
+      q.select($"vec_id".as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select($"query_id",
+          coalesce($"n_hit", lit(0L)).as("n_hit"),
+          (coalesce($"n_hit", lit(0L)) / lit(3.0)).as("recall"))
+        .orderBy($"query_id")
+    },
+    Some {
+      // brute-force top-3 (s01's construction) and LSH top-3 (s02's),
+      // joined into per-query recall — formulas kept in lockstep with
+      // those queries' oracles.
+      val signedSum = (p: Int) =>
+        s"""list_sum([CAST(v[i] AS DOUBLE) * (CASE WHEN (strpos('0123456789abcdef', md5('plane${p}_' || (i-1))[32:32]) - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END) for i in range(1, len(v)+1)])"""
+      def tableSig(t: Int) = (0 until 4)
+        .map(j => s"(CASE WHEN ${signedSum(t * 4 + j)} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      val sigCase = (0 until 4)
+        .map(t => s"WHEN $t THEN sig$t").mkString("CASE tt ", " ", " END")
+      val cosine =
+        """list_sum([CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(qv)+1)]) /
+               (sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) for i in range(1, len(qv)+1)])) *
+                sqrt(list_sum([CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(cv)+1)])))"""
+      s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      bsc AS (SELECT query_id, neighbor_id, $cosine AS cos
+              FROM q, c WHERE query_id <> neighbor_id),
+      bf AS (SELECT query_id, neighbor_id
+             FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM bsc)
+             WHERE rank <= 3),
+      sigs AS (SELECT vec_id, embedding AS v,
+                      ${(0 until 4).map(t => s"${tableSig(t)} AS sig$t").mkString(", ")}
+               FROM embeddings),
+      flat AS (SELECT vec_id, v, tt, $sigCase AS sig
+               FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS tt)),
+      cand AS (SELECT DISTINCT fq.vec_id AS query_id, fc.vec_id AS neighbor_id
+               FROM flat fq JOIN flat fc ON fq.tt = fc.tt AND fq.sig = fc.sig
+               WHERE fq.vec_id < 8 AND fq.vec_id <> fc.vec_id),
+      asc2 AS (SELECT query_id, neighbor_id, $cosine AS cos
+               FROM (SELECT cand.query_id, cand.neighbor_id, eq.embedding AS qv, ec.embedding AS cv
+                     FROM cand JOIN embeddings eq ON cand.query_id = eq.vec_id
+                               JOIN embeddings ec ON cand.neighbor_id = ec.vec_id)),
+      ann AS (SELECT query_id, neighbor_id
+              FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM asc2)
+              WHERE rank <= 3),
+      h AS (SELECT query_id, count(*) AS n_hit
+            FROM bf JOIN ann USING (query_id, neighbor_id) GROUP BY query_id)
+      SELECT qq.query_id, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+             coalesce(n_hit, 0) / 3.0 AS recall
+      FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 8) qq
+      LEFT JOIN h USING (query_id)
+      ORDER BY qq.query_id
+      """.trim
+    })
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
@@ -1309,5 +1553,6 @@ object LlmOps {
     t16SequencePacking, t17EmbeddingQuantization, t18CurationGate,
     t19ImageDecode, t20ImageFeatures, t21FrameSample, t22HeavyHitters,
     t23DedupGroups, t24CurationPipeline, t25UnicodeNfc, t26Contamination,
-    s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK)
+    t27MixtureBudget, t28ShuffleShard, t29ChunkDedup,
+    s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall)
 }

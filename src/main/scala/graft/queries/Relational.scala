@@ -1284,6 +1284,118 @@ object Relational {
       ORDER BY c_mktsegment
     """.trim))
 
+  /** Analytic-window breadth: lag/lead offsets, ntile bucketing, and the
+    * rank-family ratios (percent_rank, cume_dist) in one pass over each
+    * customer's order history. One shuffle on o_custkey serves every
+    * function (a single Window operator computes all six), and the full
+    * (o_orderdate, o_orderkey) ordering makes offsets and ratios
+    * deterministic under date ties. The ratio functions divide exact
+    * integer rank counts in binary64, so both engines produce identical
+    * doubles.
+    */
+  val q38WindowBreadth = Q(
+    "q38_window_breadth",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      t(s, dir, "orders")
+        .filter($"o_custkey" % 10 === 0)
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+          lag($"o_totalprice", 1).over(w).as("prev_price"),
+          lead($"o_totalprice", 1).over(w).as("next_price"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             lag(o_totalprice, 1) OVER w AS prev_price,
+             lead(o_totalprice, 1) OVER w AS next_price,
+             ntile(4) OVER w AS quartile,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd
+      FROM orders
+      WHERE o_custkey % 10 = 0
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderdate, o_orderkey
+    """.trim))
+
+  /** Multiset set-ops: INTERSECT ALL / EXCEPT ALL between two order-year
+    * customer multisets (one element per order, so multiplicities carry
+    * purchase frequency). Spark plans both as aggregate-style joins on a
+    * replicated row-count — no row explosion beyond min/max counts —
+    * and the final per-key counts pin the multiplicity semantics the
+    * bag-operators guarantee (min(a,b) for INTERSECT ALL, a-b floor 0
+    * for EXCEPT ALL), which DISTINCT set ops (q12) cannot express.
+    */
+  val q39SetOpsAll = Q(
+    "q39_set_ops_all",
+    (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      def custs(y: Int) = o
+        .filter(year($"o_orderdate") === y)
+        .select($"o_custkey")
+      val i = custs(1995).intersectAll(custs(1996))
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("intersect_all"))
+      val e = custs(1995).exceptAll(custs(1996))
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except_all"))
+      i.unionByName(e)
+        .select($"op", $"o_custkey", $"n")
+        .orderBy($"op", $"o_custkey")
+    },
+    Some("""
+      WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+      b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+      i AS (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b),
+      e AS (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+      SELECT 'intersect_all' AS op, o_custkey, count(*) AS n FROM i GROUP BY 2
+      UNION ALL
+      SELECT 'except_all' AS op, o_custkey, count(*) AS n FROM e GROUP BY 2
+      ORDER BY op, o_custkey
+    """.trim))
+
+  /** NULL-semantics surface: NULLIF-manufactured nulls, a null-safe
+    * equality join (<=> / IS NOT DISTINCT FROM) against a dimension that
+    * itself carries a NULL key, and the count(*) vs count(col) vs
+    * count(DISTINCT col) split that nulls drive apart. The null-safe
+    * join stays a hash join (null keys hash like any other value under
+    * <=>), so the NULL bucket routes to one partition rather than
+    * degenerating to a nested loop.
+    */
+  val q40NullSemantics = Q(
+    "q40_null_semantics",
+    (s, dir) => {
+      import s.implicits._
+      val dim = Seq(
+        ("2-HIGH", "fast"), ("3-MEDIUM", "mid"), ("4-NOT SPECIFIED", "mid"),
+        ("5-LOW", "slow"), (null.asInstanceOf[String], "urgent"))
+        .toDF("prio", "speed")
+      val o = t(s, dir, "orders")
+        .withColumn("prio", nullif($"o_orderpriority", lit("1-URGENT")))
+      o.join(broadcast(dim), o("prio") <=> dim("prio"))
+        .groupBy($"speed")
+        .agg(count(lit(1)).as("n_rows"),
+          count(o("prio")).as("n_prio"),
+          countDistinct($"o_custkey").as("n_custs"))
+        .orderBy($"speed")
+    },
+    Some("""
+      WITH dim(prio, speed) AS (VALUES
+        ('2-HIGH', 'fast'), ('3-MEDIUM', 'mid'), ('4-NOT SPECIFIED', 'mid'),
+        ('5-LOW', 'slow'), (NULL, 'urgent')),
+      o AS (SELECT nullif(o_orderpriority, '1-URGENT') AS prio, o_custkey FROM orders)
+      SELECT speed, count(*) AS n_rows, count(o.prio) AS n_prio,
+             count(DISTINCT o_custkey) AS n_custs
+      FROM o JOIN dim ON o.prio IS NOT DISTINCT FROM dim.prio
+      GROUP BY speed
+      ORDER BY speed
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -1293,5 +1405,6 @@ object Relational {
     q23MathFns, q24SaltedJoin, q25VolumeShipping, q26MarketShare,
     q27SmallQtyRevenue, q28ColocatedJoin, q29GroupingSets,
     q30NestedSemiJoin, q31DormantCustomers, q32LateralTopK, q33MonthSpine,
-    q34OrcRoundtrip, q35CsvRoundtrip, q36RangeFrame, q37JsonRoundtrip)
+    q34OrcRoundtrip, q35CsvRoundtrip, q36RangeFrame, q37JsonRoundtrip,
+    q38WindowBreadth, q39SetOpsAll, q40NullSemantics)
 }
