@@ -76,6 +76,17 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Sorted distinct 60-bit md5 hashes of the word n-grams, fused into
+    * one pass (see expressions.WordNgramHashSet). Equal to
+    * `sort_array(array_distinct(transform(wordNgrams(c, n), g ->
+    * conv(substring(md5(g), 1, 15), 16, 10))))` — pinned by a test.
+    */
+  def wordNgramHashes(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      expressions.WordNgramHashSet(ColumnBridge.expression(tokens(c)), n))
+  }
+
   /** Distinct shingle set via the custom Catalyst expression (one
     * linear pass; see graft.functions.expressions.CharNgramSet). Equal
     * to `array_distinct(charNgrams(c, n))` — pinned by a test.

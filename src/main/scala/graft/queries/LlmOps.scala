@@ -1263,37 +1263,41 @@ object LlmOps {
     * by the BENCHMARK size, not the corpus (a few thousand docs no
     * matter how big training gets), so its distinct gram set is always
     * broadcastable — the corpus-side gram explode is a narrow
-    * projection and the probe join ships no corpus data. Grams are
-    * per-doc distinct (array_distinct before explode), so the count is
-    * exact distinct-gram overlap with zero extra shuffle.
+    * projection and the probe join ships no corpus data. Grams travel
+    * as fused 60-bit md5 hashes (one digest per gram, one pass, no
+    * gram-string array ever materialized — expressions.
+    * WordNgramHashSet), already per-doc distinct, so the count is exact
+    * distinct-gram overlap with zero extra shuffle and the broadcast
+    * set holds 8-byte longs instead of ~30-byte strings.
     */
   val t26Contamination = Q(
     "t26_contamination",
     (s, dir) => {
       import s.implicits._
       val grams = Tables.load(s, dir, "documents")
-        .select($"doc_id",
-          explode(array_distinct(TF.wordNgrams($"text", 5))).as("g"))
+        .select($"doc_id", explode(TF.wordNgramHashes($"text", 5)).as("g"))
       val eval = grams.filter($"doc_id" % 50 === 0).select($"g").distinct()
       grams.filter($"doc_id" % 50 =!= 0)
         .join(broadcast(eval), "g")
         .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
         .orderBy($"doc_id")
     },
-    Some("""
+    Some(s"""
       WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
         FROM documents),
-      grams AS (
+      gs AS (
         -- DuckDB's range() table function refuses lateral column
         -- parameters; the scalar range() inside a list comprehension
         -- builds the same 5-gram list per row
-        SELECT DISTINCT doc_id, g FROM (
-          SELECT doc_id,
-            unnest([array_to_string(t[i:i+4], ' ')
-                    for i in range(1, len(t) - 3)]) AS g
-          FROM toks
-          WHERE len(t) >= 5)),
+        SELECT doc_id,
+          unnest([md5(array_to_string(t[i:i+4], ' '))
+                  for i in range(1, len(t) - 3)]) AS m
+        FROM toks
+        WHERE len(t) >= 5),
+      grams AS (
+        SELECT DISTINCT doc_id, CAST(${oracleHex("m", 15)} AS BIGINT) AS g
+        FROM gs),
       ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
       SELECT doc_id, count(*) AS n_shared
       FROM grams JOIN ev USING (g)
@@ -1302,15 +1306,19 @@ object LlmOps {
       ORDER BY doc_id
     """.trim))
 
-  /** Leading-32-bit value of an md5 hex digest held in column `m`,
-    * nibble by nibble — DuckDB-side twin of `conv(substring(md5,1,8),
-    * 16, 10)`. Same construction as t13's sampling bucket.
+  /** Leading-`width`-nibble value of an md5 hex digest held in column
+    * `m`, nibble by nibble — DuckDB-side twin of
+    * `conv(substring(md5, 1, width), 16, 10)`. Same construction as
+    * t13's sampling bucket. Weights are exact: 16^(width-1) ≤ 16^14 =
+    * 2^56 is a power of two, representable in both double and long.
     */
-  private def oracleHex8(m: String): String =
-    (1 to 8).map { i =>
-      val w = math.pow(16, 8 - i).toLong
+  private def oracleHex(m: String, width: Int = 8): String =
+    (1 to width).map { i =>
+      val w = math.pow(16, width - i).toLong
       s"(strpos('0123456789abcdef', $m[$i:$i]) - 1) * $w"
     }.mkString(" + ")
+
+  private def oracleHex8(m: String): String = oracleHex(m, 8)
 
   /** Token-budget mixture sampling — the training-data mixing step: each
     * source gets a weight, the engine computes per-source deterministic

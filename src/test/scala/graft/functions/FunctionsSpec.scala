@@ -44,6 +44,19 @@ class FunctionsSpec extends SparkTestBase {
     assert(got.filter(not($"fast" <=> $"ref")).isEmpty)
   }
 
+  test("WordNgramHashSet equals the gram-then-hash-then-dedup chain") {
+    val got = docs.select(
+      TextFunctions.wordNgramHashes($"text", 5).as("fast"),
+      sort_array(array_distinct(transform(
+        TextFunctions.wordNgrams($"text", 5),
+        g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("ref"))
+    assert(got.filter(not($"fast" <=> $"ref")).isEmpty)
+    // below-n token counts → empty set, like wordNgrams' guard
+    assert(Seq("a b c", "", "one").toDF("text")
+      .select(TextFunctions.wordNgramHashes($"text", 5).as("h"))
+      .collect().forall(_.getSeq[Long](0).isEmpty))
+  }
+
   test("MinHashSigFromHashes equals MinHashSig on the distinct hash sets") {
     // the minhash min is invariant to dedup/sort of the base hashes, so
     // the digest-free signature over the materialized verification sets
