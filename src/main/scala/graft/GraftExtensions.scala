@@ -89,7 +89,9 @@ object GraftExtensions {
     ("unicode_normalize", "_FUNC_(str, form) - Unicode-normalize str to NFC/NFD/NFKC/NFKD",
       args => UnicodeNormalize(args.head, strArg(args(1), "form"))),
     ("word_ngram_hash_set", "_FUNC_(tokens, n) - sorted distinct 60-bit md5 hashes of the word n-grams",
-      args => WordNgramHashSet(args.head, intArg(args(1), "n"))))
+      args => WordNgramHashSet(args.head, intArg(args(1), "n"))),
+    ("word_chunk_hashes", "_FUNC_(tokens, n) - 60-bit md5 hashes of the stride-n token chunks, in order",
+      args => WordChunkHashes(args.head, intArg(args(1), "n"))))
 
   private def strArg(e: Expression, name: String): String = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>

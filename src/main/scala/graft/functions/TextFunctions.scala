@@ -76,6 +76,17 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** 60-bit md5 hashes of the non-overlapping n-token chunks, in chunk
+    * order, fused into one pass (see expressions.WordChunkHashes).
+    * Equal to `transform(wordChunks(c, n), g ->
+    * conv(substring(md5(g), 1, 15), 16, 10))` — pinned by a test.
+    */
+  def wordChunkHashes(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      expressions.WordChunkHashes(ColumnBridge.expression(tokens(c)), n))
+  }
+
   /** Sorted distinct 60-bit md5 hashes of the word n-grams, fused into
     * one pass (see expressions.WordNgramHashSet). Equal to
     * `sort_array(array_distinct(transform(wordNgrams(c, n), g ->

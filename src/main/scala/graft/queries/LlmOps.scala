@@ -1437,6 +1437,9 @@ object LlmOps {
     * CHEAPER than per-token ops), one count shuffle at chunk-fingerprint
     * cardinality, and the count join rides the same Exchange the groupBy
     * already built — the per-doc re-aggregation shuffles doc ids only.
+    * Chunks travel as fused 60-bit md5 longs (one digest per chunk, no
+    * chunk-string array materialized — expressions.WordChunkHashes), so
+    * both shuffles move 8-byte keys.
     */
   val t29ChunkDedup = Q(
     "t29_chunk_dedup",
@@ -1444,8 +1447,7 @@ object LlmOps {
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
       val chunks = docs
-        .select($"doc_id", explode(TF.wordChunks($"text", 4)).as("chunk"))
-        .select($"doc_id", md5($"chunk").as("fp"))
+        .select($"doc_id", explode(TF.wordChunkHashes($"text", 4)).as("fp"))
       val counts = chunks.groupBy($"fp").agg(count(lit(1)).as("n_occ"))
       val perDoc = chunks.join(counts, "fp")
         .groupBy($"doc_id")
@@ -1457,14 +1459,14 @@ object LlmOps {
           coalesce($"n_dup", lit(0L)).as("n_dup"))
         .orderBy($"doc_id")
     },
-    Some("""
-      WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+    Some(s"""
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
                   FROM documents),
       ch AS (SELECT doc_id,
-                    unnest([array_to_string(t[i*4+1 : i*4+4], ' ')
-                            for i in range(0, len(t) // 4)]) AS chunk
+                    unnest([md5(array_to_string(t[i*4+1 : i*4+4], ' '))
+                            for i in range(0, len(t) // 4)]) AS m
              FROM tk WHERE len(t) >= 4),
-      f AS (SELECT doc_id, md5(chunk) AS fp FROM ch),
+      f AS (SELECT doc_id, CAST(${oracleHex("m", 15)} AS BIGINT) AS fp FROM ch),
       cnt AS (SELECT fp, count(*) AS n_occ FROM f GROUP BY fp),
       pd AS (SELECT doc_id, count(*) AS n_chunks,
                     sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS n_dup

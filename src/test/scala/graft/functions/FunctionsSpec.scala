@@ -57,6 +57,17 @@ class FunctionsSpec extends SparkTestBase {
       .collect().forall(_.getSeq[Long](0).isEmpty))
   }
 
+  test("WordChunkHashes equals the chunk-then-hash chain, order kept") {
+    val got = docs.select(
+      TextFunctions.wordChunkHashes($"text", 4).as("fast"),
+      transform(TextFunctions.wordChunks($"text", 4),
+        g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")).as("ref"))
+    assert(got.filter(not($"fast" <=> $"ref")).isEmpty)
+    assert(Seq("a b c", "").toDF("text")
+      .select(TextFunctions.wordChunkHashes($"text", 4).as("h"))
+      .collect().forall(_.getSeq[Long](0).isEmpty))
+  }
+
   test("MinHashSigFromHashes equals MinHashSig on the distinct hash sets") {
     // the minhash min is invariant to dedup/sort of the base hashes, so
     // the digest-free signature over the materialized verification sets
