@@ -1478,6 +1478,139 @@ object LlmOps {
       ORDER BY doc_id
     """.trim))
 
+  /** Corpus-trained bigram language-model quality scoring — the
+    * KenLM/CCNet-style perplexity filter, with integer-exact surrogate
+    * math so the score is bit-reproducible on any engine: each doc's
+    * score is the mean scaled transition probability
+    * `avg_i (C(w_i,w_{i+1}) * 10000 div C(w_i,*))` in basis points,
+    * where the counts are trained on the corpus itself (all math on
+    * longs; no IEEE log, whose last-bit rounding differs per libm).
+    * Low-scoring docs are the gibberish/boilerplate a quality gate
+    * drops. Scale shape: ONE data-sized shuffle — the per-doc bigram
+    * count on (doc_id,w1,w2) — after map-side partial aggregation;
+    * the global bigram table C2 and unigram table C1 are re-aggregations
+    * OF that output (vocab²- and vocab-cardinality, tiny next to the
+    * corpus), so training and scoring share one pass over the text.
+    * The C2/C1 score joins are AQE-broadcast at model cardinality —
+    * an n-gram LM's parameters ship to executors, never the corpus
+    * to the model.
+    */
+  val t30LmQuality = Q(
+    "t30_lm_quality",
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tables.load(s, dir, "documents")
+        .select($"doc_id", TF.tokens($"text").as("t"))
+        .filter(size($"t") >= 2)
+      val tr = toks.select($"doc_id", explode(expr(
+          "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
+        .select($"doc_id", $"b.w1", $"b.w2")
+        // explicit, so every downstream branch carries the SAME null
+        // filter: the joins infer isnotnull(w1,w2) on the dk branch but
+        // only isnotnull(w1) on the c1 branch, and the asymmetry breaks
+        // canonical plan equality — AQE then re-runs the corpus scan +
+        // explode instead of reusing the dk shuffle stage
+        .filter($"w1".isNotNull && $"w2".isNotNull)
+      // per-doc transition multiplicities: the single data-sized shuffle
+      val dk = tr.groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("k"))
+      // LM training = re-aggregation of dk (reuses dk's Exchange)
+      val c2 = dk.groupBy($"w1", $"w2").agg(sum($"k").as("c2"))
+      val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+      dk.join(c2, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .withColumn("contrib", $"k" * expr("(c2 * 10000L) div c1"))
+        .groupBy($"doc_id")
+        .agg(sum($"k").as("n_trans"),
+          expr("sum(contrib) div sum(k)").as("lm_bp"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      tr AS (
+        SELECT doc_id,
+               unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                       for i in range(1, len(t))], recursive := true)
+        FROM toks WHERE len(t) >= 2),
+      dk AS (SELECT doc_id, w1, w2, count(*) AS k FROM tr GROUP BY 1, 2, 3),
+      c2 AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c2 FROM dk GROUP BY 1, 2),
+      c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
+      SELECT doc_id,
+             CAST(sum(k) AS BIGINT) AS n_trans,
+             CAST(sum(k * ((c2.c2 * 10000) // c1.c1)) // sum(k) AS BIGINT) AS lm_bp
+      FROM dk JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """.trim))
+
+  /** URL-based curation over a web-style corpus: host/path extraction,
+    * registrable-domain rollup, domain blocklisting, and a per-host
+    * document cap — the C4/RefinedWeb URL-filtering stage. Documents
+    * get a deterministic synthetic URL derived from (source, lang,
+    * doc_id) since the corpus ships none; the OPS under test are the
+    * extraction + filter + cap. Extraction uses anchored regexes
+    * (codegen'd, identical RE2/Java semantics both engines) rather
+    * than `parse_url`, whose Catalyst expression is non-codegen.
+    * Scale shape: extraction and blocklist are narrow per-row work
+    * (the blocklist is a broadcast anti-join at blocklist cardinality);
+    * the per-host cap is ONE window shuffle on host — at web scale
+    * hosts are many and the heavy tail is exactly what the cap trims,
+    * so the skewed hosts' partitions shrink as the cap bites.
+    */
+  val t31UrlOps = Q(
+    "t31_url_ops",
+    (s, dir) => {
+      import s.implicits._
+      val tld = expr("element_at(array('com','org','net'), CAST(doc_id % 3 AS INT) + 1)")
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("url", concat(
+          lit("https://"), $"source", lit(".example."), tld,
+          lit("/"), $"lang", lit("/doc"), $"doc_id",
+          lit("?ref=r"), $"doc_id" % 7))
+      val parsed = docs.select($"doc_id", $"url",
+          regexp_extract($"url", "^[a-z]+://([^/?#]+)", 1).as("host"),
+          regexp_extract($"url", "^[a-z]+://[^/?#]+([^?#]*)", 1).as("path"),
+          regexp_extract($"url", "[?&]ref=([^&#]*)", 1).as("ref"))
+        .withColumn("domain", regexp_extract($"host", "([^.]+\\.[^.]+)$", 1))
+      val blocklist = Seq("example.net").toDF("domain")
+      val kept = parsed.join(broadcast(blocklist), Seq("domain"), "left_anti")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"host").orderBy($"doc_id")))
+      kept.groupBy($"host", $"domain")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"rn" <= 150, 1L).otherwise(0L)).as("n_capped"),
+          min($"path").as("first_path"),
+          max($"ref").as("max_ref"))
+        .orderBy($"host")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               'https://' || source || '.example.' ||
+                 ['com','org','net'][CAST(doc_id % 3 AS INT) + 1] ||
+                 '/' || lang || '/doc' || CAST(doc_id AS VARCHAR) ||
+                 '?ref=r' || CAST(doc_id % 7 AS VARCHAR) AS url
+        FROM documents),
+      p AS (
+        SELECT doc_id, url,
+               regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+               regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+               regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref
+        FROM d),
+      pd AS (SELECT *, regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain FROM p),
+      kept AS (
+        SELECT *, row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+        FROM pd WHERE domain <> 'example.net')
+      SELECT host, domain, count(*) AS n_docs,
+             CAST(sum(CASE WHEN rn <= 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+             min(path) AS first_path,
+             max(ref) AS max_ref
+      FROM kept
+      GROUP BY host, domain
+      ORDER BY host
+    """.trim))
+
   /** ANN quality evaluation: recall@3 of the hyperplane-LSH index (s02)
     * against the exact brute-force answer (s01), per query. The eval an
     * ANN deployment runs before trusting the index — and exactly the
@@ -1563,6 +1696,7 @@ object LlmOps {
     t16SequencePacking, t17EmbeddingQuantization, t18CurationGate,
     t19ImageDecode, t20ImageFeatures, t21FrameSample, t22HeavyHitters,
     t23DedupGroups, t24CurationPipeline, t25UnicodeNfc, t26Contamination,
-    t27MixtureBudget, t28ShuffleShard, t29ChunkDedup,
+    t27MixtureBudget, t28ShuffleShard, t29ChunkDedup, t30LmQuality,
+    t31UrlOps,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall)
 }

@@ -1396,6 +1396,62 @@ object Relational {
       ORDER BY speed
     """.trim))
 
+  /** Semi-structured VARIANT path (Spark 4's open-schema column type):
+    * nested order documents — an items array of per-line structs — are
+    * serialized to JSON, parsed to VARIANT, and re-extracted with typed
+    * `variant_get` paths including array indexing. VARIANT is the
+    * engine's answer to schema-on-read event payloads: the binary
+    * encoding is columnar-shredded-friendly and typed extraction stays
+    * in codegen. The oracle verifies the roundtrip preserved every
+    * value by computing the same facts relationally (arg_min for the
+    * items[0] probe). Scale shape: one shuffle join orders⋈lineitem
+    * after the selective orderkey filter pushes to both scans, one
+    * collect_list aggregation at order granularity; the VARIANT
+    * encode/decode is narrow per-row work.
+    */
+  val q41Variant = Q(
+    "q41_variant",
+    (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders").filter($"o_orderkey" % 20 === 0)
+      val l = t(s, dir, "lineitem").filter($"l_orderkey" % 20 === 0)
+      val docs = o.join(l, $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderkey", $"o_custkey", $"o_orderstatus")
+        .agg(sort_array(collect_list(struct(
+          $"l_linenumber".cast("long").as("ln"),
+          $"l_quantity".cast("decimal(12,2)").as("qty")))).as("items"))
+        .select($"o_orderkey", to_json(struct(
+          $"o_custkey".as("cust"), $"o_orderstatus".as("status"),
+          $"items")).as("js"))
+      docs.withColumn("v", parse_json($"js"))
+        .select($"o_orderkey",
+          variant_get($"v", "$.cust", "bigint").as("cust"),
+          variant_get($"v", "$.status", "string").as("status"),
+          expr("array_size(variant_get(v, '$.items', 'array<variant>'))")
+            .cast("long").as("n_items"),
+          variant_get($"v", "$.items[0].qty", "decimal(12,2)")
+            .cast("double").as("first_qty"),
+          variant_get($"v", "$.absent", "string").as("missing"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o.o_orderkey,
+             o.o_custkey AS cust,
+             o.o_orderstatus AS status,
+             count(*) AS n_items,
+             -- l_linenumber is NOT unique per order in this corpus:
+             -- sort by the full (ln, qty) struct exactly like the
+             -- Spark side's sort_array, or ties pick arbitrary rows
+             CAST(list_sort(list(struct_pack(
+               ln := l_linenumber,
+               qty := CAST(l_quantity AS DECIMAL(12,2)))))[1].qty AS DOUBLE) AS first_qty,
+             CAST(NULL AS VARCHAR) AS missing
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey % 20 = 0
+      GROUP BY 1, 2, 3
+      ORDER BY o_orderkey
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -1406,5 +1462,5 @@ object Relational {
     q27SmallQtyRevenue, q28ColocatedJoin, q29GroupingSets,
     q30NestedSemiJoin, q31DormantCustomers, q32LateralTopK, q33MonthSpine,
     q34OrcRoundtrip, q35CsvRoundtrip, q36RangeFrame, q37JsonRoundtrip,
-    q38WindowBreadth, q39SetOpsAll, q40NullSemantics)
+    q38WindowBreadth, q39SetOpsAll, q40NullSemantics, q41Variant)
 }

@@ -59,6 +59,22 @@ class PlanGuardSpec extends SparkTestBase {
       s"unused columns not pruned from the ORC scan:\n$section")
   }
 
+  test("t30 trains and scores the bigram LM in one corpus pass") {
+    // dk (per-doc transition counts), c2 (bigram model) and c1 (unigram
+    // model) must all derive from ONE scan+explode: the model branches
+    // reuse the dk shuffle stage. Without the explicit null filter on
+    // the transition frame, branch-asymmetric inferred isnotnull
+    // constraints break canonical equality and AQE re-scans the corpus
+    // per branch (3 scans, 3 explodes).
+    spark.catalog.clearCache()
+    val plan = finalPlan(
+      SparkEntry.queries("t30_lm_quality")(spark, "/root/testdata/sf0.001"))
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected ONE corpus scan, got $scans:\n$plan")
+    assert("ReusedExchange".r.findAllIn(plan).size == 2,
+      s"model branches must reuse the dk shuffle stage:\n$plan")
+  }
+
   test("q31 plans NOT IN as a single-column null-aware anti hash join") {
     val plan = finalPlan(
       SparkEntry.queries("q31_dormant_customers")(spark, "/root/testdata/sf0.001"))
