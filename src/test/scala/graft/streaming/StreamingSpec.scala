@@ -272,6 +272,60 @@ class StreamingSpec extends SparkTestBase {
     assert(sessions.toSeq == Seq(ClosedSession(1L, 1000L, 2000L, 2)))
   }
 
+  test("transformWithState sessionizer closes idle sessions via event-time timers") {
+    import StreamingAnalytics.ClosedSession
+    val srcDir = tmpDir("twssrc")
+    val gapUs = 30L * 60 * 1000 * 1000
+    val t0 = 1700000000000000L // 2023-11-14, microseconds
+    // user 1: two events close together, then one > gap later (two
+    // sessions); user 2: a single event. The second user-1 session and
+    // user 2's session never see a later same-key event — only the
+    // event-time timer can close them.
+    // ONE part file: under maxFilesPerTrigger=1 every part file becomes
+    // its own micro-batch, and a multi-file first write would replay
+    // these events in arbitrary file order across batches
+    Seq((1L, t0), (1L, t0 + 1000000L), (1L, t0 + 2 * gapUs), (2L, t0))
+      .toDF("user_id", "ts_us").repartition(1)
+      .write.mode("overwrite").parquet(srcDir)
+    // two far-future sentinel batches: the first advances the
+    // watermark, the second gives the operator a batch in which the
+    // advanced watermark fires the timers (a batch's watermark takes
+    // effect in the NEXT batch); maxFilesPerTrigger=1 keeps them in
+    // their own micro-batches
+    Seq((99L, t0 + 100 * gapUs)).toDF("user_id", "ts_us")
+      .write.mode("append").parquet(srcDir)
+    Seq((98L, t0 + 101 * gapUs)).toDF("user_id", "ts_us")
+      .write.mode("append").parquet(srcDir)
+
+    // the v2 operator's multi-column-family state (value + timers)
+    // exists only in the RocksDB provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema("user_id long, ts_us long")
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = StatefulV2.sessionizeWithTimers(stream, gapUs)
+        .writeStream.outputMode("append").format("memory").queryName("tws_out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table("tws_out").as[ClosedSession]
+        .collect().filter(_.user_id < 90).toSet
+      // with timers the stream emits EVERY session, including the two
+      // trailing idle ones the v1 operator could never close
+      assert(got == Set(
+        ClosedSession(1L, t0, t0 + 1000000L, 2),
+        ClosedSession(1L, t0 + 2 * gapUs, t0 + 2 * gapUs, 1),
+        ClosedSession(2L, t0, t0, 1)))
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming document dedup keeps first occurrence per fingerprint") {
     val srcDir = tmpDir("docdupsrc")
     Seq(
