@@ -1452,6 +1452,62 @@ object Relational {
       ORDER BY o_orderkey
     """.trim))
 
+  /** FULL OUTER join — the reconciliation shape: per-month order
+    * revenue (orders side) against per-month shipped quantity
+    * (lineitem side), keeping months present on either side and
+    * classifying each row's provenance. Spark plans a full outer
+    * sort-merge join; both inputs are pre-aggregated to month
+    * cardinality first, so the expensive join runs on tiny frames no
+    * matter the fact-table size — the aggregate-then-outer-join order
+    * is the difference between a month-sized and a corpus-sized
+    * shuffle at 100 TB.
+    */
+  val q42FullOuter = Q(
+    "q42_full_outer",
+    (s, dir) => {
+      import s.implicits._
+      val om = t(s, dir, "orders")
+        .groupBy(trunc($"o_orderdate", "mm").as("mon"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast("decimal(14,2)")).cast("double").as("revenue"))
+      val sm = t(s, dir, "lineitem")
+        .groupBy(trunc($"l_shipdate", "mm").as("mon"))
+        .agg(count(lit(1)).as("n_ship"),
+          sum($"l_quantity".cast("decimal(14,2)")).cast("double").as("qty"))
+      om.join(sm, Seq("mon"), "full")
+        .select($"mon",
+          coalesce($"n_orders", lit(0L)).as("n_orders"),
+          coalesce($"revenue", lit(0.0)).as("revenue"),
+          coalesce($"n_ship", lit(0L)).as("n_ship"),
+          coalesce($"qty", lit(0.0)).as("qty"),
+          when($"n_orders".isNotNull && $"n_ship".isNotNull, "both")
+            .when($"n_orders".isNotNull, "orders_only")
+            .otherwise("ship_only").as("presence"))
+        .orderBy($"mon")
+    },
+    Some("""
+      WITH om AS (
+        SELECT date_trunc('month', o_orderdate) AS mon,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1),
+      sm AS (
+        SELECT date_trunc('month', l_shipdate) AS mon,
+               count(*) AS n_ship,
+               CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY 1)
+      SELECT coalesce(om.mon, sm.mon) AS mon,
+             coalesce(n_orders, 0) AS n_orders,
+             coalesce(revenue, 0.0) AS revenue,
+             coalesce(n_ship, 0) AS n_ship,
+             coalesce(qty, 0.0) AS qty,
+             CASE WHEN om.mon IS NOT NULL AND sm.mon IS NOT NULL THEN 'both'
+                  WHEN om.mon IS NOT NULL THEN 'orders_only'
+                  ELSE 'ship_only' END AS presence
+      FROM om FULL OUTER JOIN sm ON om.mon = sm.mon
+      ORDER BY mon
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -1462,5 +1518,6 @@ object Relational {
     q27SmallQtyRevenue, q28ColocatedJoin, q29GroupingSets,
     q30NestedSemiJoin, q31DormantCustomers, q32LateralTopK, q33MonthSpine,
     q34OrcRoundtrip, q35CsvRoundtrip, q36RangeFrame, q37JsonRoundtrip,
-    q38WindowBreadth, q39SetOpsAll, q40NullSemantics, q41Variant)
+    q38WindowBreadth, q39SetOpsAll, q40NullSemantics, q41Variant,
+    q42FullOuter)
 }

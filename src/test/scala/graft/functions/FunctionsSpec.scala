@@ -501,6 +501,31 @@ class FunctionsSpec extends SparkTestBase {
     assert(trained >= 0.75, s"trained recall $trained below 0.75")
   }
 
+  test("observed metrics match a separate aggregation pass, zero extra scan") {
+    // telemetry counters ride the frame's own execution: materialize
+    // the observed curation gate ONCE, then check the accumulated
+    // counts against an independent groupBy over the same frame
+    val gate = graft.SparkEntry.queries("t18_curation_gate")(
+      spark, "/root/testdata/sf0.001")
+    val reasons = Seq("lang_unknown", "length", "repetitive", "pii", "kept")
+    val (observed, obs) = ObservedMetrics.observeCuration(gate, reasons)
+    observed.write.format("noop").mode("overwrite").save()
+    val got = obs.get
+    val expected = gate.groupBy($"reason").count()
+      .as[(String, Long)].collect().toMap
+    assert(got("n_docs") == expected.values.sum)
+    reasons.foreach { r =>
+      assert(got(s"n_$r") == expected.getOrElse(r, 0L),
+        s"counter n_$r=${got(s"n_$r")} != ${expected.getOrElse(r, 0L)}")
+    }
+
+    val (odf, comp) = ObservedMetrics.observeCompleteness(
+      Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "c"))
+        .toDF("id", "v"), Seq("v"))
+    odf.write.format("noop").mode("overwrite").save()
+    assert(comp.get("n_rows") == 3L && comp.get("nulls_v") == 1L)
+  }
+
   test("LSH ANN recall vs brute force on real embeddings (sf0.001)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 20)
