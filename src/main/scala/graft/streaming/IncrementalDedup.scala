@@ -43,17 +43,31 @@ import graft.functions.Dedup
   * Parameters (shingle, numHashes, bands, keyBuckets) are persisted on
   * first creation and validated on every reopen — joining band keys
   * built under different parameters against history would silently
-  * collapse recall, so drift fails fast instead.
+  * collapse recall, so drift fails fast instead. `maxBucket` is NOT
+  * part of that contract: band keys don't depend on it, so it can be
+  * raised/lowered/enabled on a live corpus without corrupting state —
+  * it only gates which candidate buckets the NEXT batches consider
+  * (pairs already emitted from a since-capped bucket stand; the staged
+  * per-batchId pairs keep replays consistent even across a cap change).
+  *
+  * Bucket populations for the cap come from a dedicated stats log
+  * (`<prefix>_bstats`): one batch-sized aggregate appended per batch,
+  * read back pruned by the same `__kb` isin as the band history. The
+  * alternative — counting over the pruned band history itself — would
+  * shuffle that slice every batch, exactly the history-sized work the
+  * broadcast-new-side design avoids; stats are maintained even with
+  * the cap off so it can be enabled later with full history counts.
   */
 final class IncrementalDedup(catalog: Catalog, threshold: Double,
     shingle: Int = 3, numHashes: Int = 16, bands: Int = 2,
     keyBuckets: Int = 16, prefix: String = "dedup",
-    compactEvery: Int = 0) {
+    compactEvery: Int = 0, maxBucket: Int = 0) {
 
   private val bandsTable = s"${prefix}_bands"
   private val setsTable = s"${prefix}_sets"
   private val metaTable = s"${prefix}_meta"
   private val pairsTable = s"${prefix}_pairs"
+  private val bstatsTable = s"${prefix}_bstats"
 
   @volatile private var paramsValidated = false
 
@@ -84,6 +98,11 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
       catalog.appendLog(setsTable, spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL("doc_id BIGINT, hhd ARRAY<BIGINT>")))
+    if (!catalog.exists(bstatsTable))
+      catalog.appendLog(bstatsTable, spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(
+          "band INT, key STRING, __kb INT, n BIGINT, __batch_id BIGINT")))
   }
 
   /** Process one batch of documents; returns the verified new duplicate
@@ -118,17 +137,39 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
     val hist0 = catalog.read(bandsTable)
     val hist = if (kbs.isEmpty) hist0.filter(lit(false))
                else hist0.filter(col("__kb").isin(kbs.map(Int.box): _*))
+    // per-batch bucket-population stats: a batch-sized aggregate,
+    // appended to the stats log below alongside the bands
+    val batchStats = newFlat.groupBy(col("band"), col("key"), col("__kb"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    // the cap reads CUMULATIVE populations (history stats, pruned by
+    // the same touched-bucket isin, plus this batch) and removes
+    // over-populated buckets from the PROBE side — which starves both
+    // the new-vs-history and new-vs-new joins of those buckets, so a
+    // template-heavy burst can't go quadratic against a big history
+    val probe = if (maxBucket <= 0) newFlat else {
+      val histStats =
+        if (kbs.isEmpty) catalog.read(bstatsTable).filter(lit(false))
+        else catalog.read(bstatsTable)
+          .filter(col("__kb").isin(kbs.map(Int.box): _*))
+      val over = batchStats
+        .join(histStats.groupBy(col("band"), col("key"))
+          .agg(sum(col("n")).as("hist_n")), Seq("band", "key"), "left")
+        .filter(coalesce(col("hist_n"), lit(0L)) + col("n") > maxBucket)
+        .select(col("band"), col("key"))
+      newFlat.join(Dedup.maybeBroadcast(over), Seq("band", "key"), "left_anti")
+    }
     // new-vs-history (unordered → normalize) + new-vs-new (a < b).
     // The batch side broadcasts when its size estimate fits (same gate
     // as the batch pipeline), so the accumulated history is streamed
     // map-side and never shuffled — per-batch cost is a PRUNED history
     // scan plus batch-sized state, not a history shuffle.
-    val nh = Dedup.maybeBroadcast(newFlat).as("a").join(hist.as("b"),
+    val nh = Dedup.maybeBroadcast(probe).as("a").join(hist.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
-    val nn = newFlat.as("a").join(newFlat.as("b"),
+    val nn = probe.as("a").join(probe.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -160,6 +201,18 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
     // probe would pay the duplicates forever. The commit ORDER
     // (bands, then sets) is what makes the guard sufficient: once sets
     // commit, the batch can't replay at all.
+    // Stats commit FIRST with their own batchId guard (not piggybacked
+    // on the bands guard): a crash between the two appends then replays
+    // into "stats staged, skip; bands missing, append" — nothing is
+    // lost or double-counted in either log.
+    val statsStaged = batchId.exists { bid =>
+      catalog.read(bstatsTable).filter(col("__batch_id") === bid)
+        .limit(1).count() > 0
+    }
+    if (!statsStaged && !batchStats.isEmpty)
+      catalog.appendLogClustered(bstatsTable,
+        batchStats.withColumn("__batch_id", lit(batchId.getOrElse(-1L))),
+        Seq("__kb"))
     val bandsStaged = batchId.exists { bid =>
       catalog.read(bandsTable).filter(col("__batch_id") === bid)
         .limit(1).count() > 0
@@ -174,6 +227,7 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
     if (!fresh.isEmpty)
       catalog.appendLog(setsTable, fresh.select("doc_id", "hhd"))
     newFlat.unpersist()
+    batchStats.unpersist()
     fresh.unpersist()
     pairs
   }
@@ -189,12 +243,13 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
     ensureTables(spark)
     catalog.compactLog(bandsTable, clusterCols = Seq("__kb", "key"))
     catalog.compactLog(setsTable)
+    catalog.compactLog(bstatsTable, clusterCols = Seq("__kb"))
     if (catalog.exists(pairsTable)) catalog.compactLog(pairsTable)
     // Honor the catalog's configured reader grace window — reclaiming
     // to keepLast=0 here would strand an in-flight reader that resolved
     // the previous pointer, defeating the retention the catalog was
     // constructed with.
-    Seq(metaTable, bandsTable, setsTable, pairsTable)
+    Seq(metaTable, bandsTable, setsTable, pairsTable, bstatsTable)
       .filter(catalog.exists)
       .foreach(t => catalog.vacuum(t, keepLast = catalog.graceVersions))
   }

@@ -145,6 +145,44 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(same.processBatch(b1.toDF("doc_id", "text"), "doc_id", "text").isEmpty)
   }
 
+  test("maxBucket caps template buckets against cumulative history, keeps real pairs") {
+    val template = "lorem ipsum dolor sit amet consectetur adipiscing elit boilerplate"
+    val c1 = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (10L, template), (11L, template), (12L, template), (13L, template))
+    val c2 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog!"), // near-dup of 0
+      (14L, template)) // would pair with all four historical templates
+
+    // uncapped control: the template bucket goes quadratic
+    val catU = new Catalog(spark, tmpDir("incdedupU"))
+    val ddU = new IncrementalDedup(catU, threshold = 0.8)
+    val u = (ddU.processBatch(c1.toDF("doc_id", "text"), "doc_id", "text")
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      ++ ddU.processBatch(c2.toDF("doc_id", "text"), "doc_id", "text")
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet)
+    assert(u.contains((0L, 1L)) && u.count(p => p._1 >= 10L) == 10,
+      s"control run should emit all 4C2 + 4 template pairs, got $u")
+
+    // capped: population counts accumulate ACROSS batches (4 in batch
+    // 1, +1 in batch 2 — both over the cap), so neither the in-batch
+    // self-join nor the vs-history join ever explodes the bucket;
+    // the genuine pair (population 2) is untouched
+    val cat = new Catalog(spark, tmpDir("incdedupcap"))
+    val dd = new IncrementalDedup(cat, threshold = 0.8, maxBucket = 3)
+    val p1 = dd.processBatch(c1.toDF("doc_id", "text"), "doc_id", "text", Some(0L))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(p1.isEmpty, s"template bucket (population 4 > 3) must be capped: $p1")
+    val p2 = dd.processBatch(c2.toDF("doc_id", "text"), "doc_id", "text", Some(1L))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(p2 == Set((0L, 1L)),
+      s"history population must keep the template capped, real pair kept: $p2")
+    // the stats log carries the cumulative populations the cap read
+    val pops = cat.read("dedup_bstats").groupBy($"band", $"key")
+      .agg(sum($"n").as("pop")).select($"pop").as[Long].collect().toSeq
+    assert(pops.contains(5L), s"expected a population-5 template bucket in $pops")
+  }
+
   test("maintain folds state to single clustered refs, behavior intact") {
     val cat = new Catalog(spark, tmpDir("incdedupmaint"))
     val dd = new IncrementalDedup(cat, threshold = 0.8)
