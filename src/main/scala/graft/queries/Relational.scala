@@ -1508,6 +1508,107 @@ object Relational {
       ORDER BY mon
     """.trim))
 
+  /** IGNORE NULLS window breadth — the gap-fill (last observation
+    * carried forward) shape: prices observable only on finalized
+    * orders, filled forward per customer with `last(..., ignoreNulls)`
+    * over a running frame, plus first-known and previous-known
+    * variants. One Window operator computes all three; values pass
+    * through untouched (no double aggregation), so cross-engine
+    * equality is structural.
+    */
+  val q43GapFill = Q(
+    "q43_gap_fill",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .filter($"o_custkey" % 50 === 0)
+        .withColumn("price_f", when($"o_orderstatus" === "F", $"o_totalprice"))
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"price_f",
+          last($"price_f", ignoreNulls = true).over(run).as("filled"),
+          first($"price_f", ignoreNulls = true).over(run).as("first_f"),
+          lag($"price_f", 1, null, ignoreNulls = true).over(w).as("prev_f"))
+        .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate, price_f,
+             last_value(price_f IGNORE NULLS) OVER run AS filled,
+             first_value(price_f IGNORE NULLS) OVER run AS first_f,
+             lag(price_f, 1 IGNORE NULLS) OVER w AS prev_f
+      FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                   CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS price_f
+            FROM orders WHERE o_custkey % 50 = 0)
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderdate, o_orderkey
+    """.trim))
+
+  /** Aggregate-function breadth: max_by/min_by (arg-extrema — made
+    * deterministic under spend ties with a fixed-width digit-string
+    * total order, which both engines compare bytewise), count_if,
+    * bool_and/bool_or, and EXACT second moments — variance derived in
+    * one IEEE expression from integer-exact decimal sums of x and x²,
+    * the only way an unordered distributed sum of squares is
+    * bit-reproducible (a raw double var_pop depends on partition
+    * order). Two aggregations: customer-grain spend, then
+    * nation-grain stats.
+    */
+  val q44AggBreadth = Q(
+    "q44_agg_breadth",
+    (s, dir) => {
+      import s.implicits._
+      val spend = t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg((sum($"o_totalprice".cast("decimal(14,2)")) * 100)
+          .cast("long").as("spend_c"))
+      val cust = t(s, dir, "customer")
+        .join(spend, $"c_custkey" === $"o_custkey")
+        .withColumn("ord", format_string("%020d%012d", $"spend_c", $"c_custkey"))
+      cust.join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_custs"),
+          max_by($"c_custkey", $"ord").as("top_cust"),
+          min_by($"c_custkey", $"ord").as("bottom_cust"),
+          expr("count_if(spend_c > 10000000)").as("n_big"),
+          expr("bool_and(spend_c > 0)").as("all_positive"),
+          expr("bool_or(spend_c > 50000000)").as("any_huge"),
+          sum($"spend_c".cast("decimal(19,0)")).as("s1"),
+          sum($"spend_c".cast("decimal(19,0)") * $"spend_c").as("s2"),
+          count(lit(1)).cast("double").as("n"))
+        .select($"n_name", $"n_custs", $"top_cust", $"bottom_cust",
+          $"n_big", $"all_positive", $"any_huge",
+          (($"s2".cast("double") -
+            $"s1".cast("double") * $"s1".cast("double") / $"n") / $"n")
+            .as("var_spend"))
+        .orderBy($"n_name")
+    },
+    Some("""
+      WITH spend AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT) AS spend_c
+        FROM orders GROUP BY o_custkey),
+      cust AS (
+        SELECT c_custkey, c_nationkey, spend_c,
+               printf('%020d%012d', spend_c, c_custkey) AS ord
+        FROM customer JOIN spend ON c_custkey = o_custkey)
+      SELECT n_name,
+             count(*) AS n_custs,
+             arg_max(c_custkey, ord) AS top_cust,
+             arg_min(c_custkey, ord) AS bottom_cust,
+             CAST(count_if(spend_c > 10000000) AS BIGINT) AS n_big,
+             bool_and(spend_c > 0) AS all_positive,
+             bool_or(spend_c > 50000000) AS any_huge,
+             (CAST(sum(CAST(spend_c AS DECIMAL(19,0)) * spend_c) AS DOUBLE) -
+              CAST(sum(CAST(spend_c AS DECIMAL(19,0))) AS DOUBLE) *
+              CAST(sum(CAST(spend_c AS DECIMAL(19,0))) AS DOUBLE) /
+              CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE) AS var_spend
+      FROM cust JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -1519,5 +1620,5 @@ object Relational {
     q30NestedSemiJoin, q31DormantCustomers, q32LateralTopK, q33MonthSpine,
     q34OrcRoundtrip, q35CsvRoundtrip, q36RangeFrame, q37JsonRoundtrip,
     q38WindowBreadth, q39SetOpsAll, q40NullSemantics, q41Variant,
-    q42FullOuter)
+    q42FullOuter, q43GapFill, q44AggBreadth)
 }
