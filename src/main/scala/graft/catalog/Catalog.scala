@@ -176,7 +176,8 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0) {
     * appends is maintenance: `compactLog` folds the refs back into one
     * directory.
     */
-  def appendLog(name: String, df: DataFrame): Unit = synchronized {
+  def appendLog(name: String, df: DataFrame,
+      evolveSchema: Boolean = false): Unit = synchronized {
     require(bucketCount(name).isEmpty,
       s"$name has a PK-bucket layout; its manifest keys are bucket ids, not log refs")
     val prevManifest: Option[Manifest] = if (exists(name))
@@ -187,17 +188,42 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0) {
     // the manifest's schemaDDL reads EVERY historical ref, so a batch
     // with a renamed/retyped column would silently null out history —
     // fail fast on drift instead (nullability may differ; names+types
-    // may not)
-    prevManifest.foreach { m =>
-      val stored = StructType.fromDDL(m.schemaDDL)
-      val compatible = stored.length == df.schema.length &&
-        stored.fields.zip(df.schema.fields).forall { case (a, b) =>
-          // .sql ignores nullability (incl. nested containsNull) —
-          // exactly the drift classes that matter are name + type
-          a.name == b.name && a.dataType.sql == b.dataType.sql }
-      require(compatible,
-        s"appendLog schema drift for $name: table is [${stored.toDDL}], " +
-          s"batch is [${df.schema.toDDL}]")
+    // may not). With evolveSchema, column ADDS (and a batch missing a
+    // stored column) are legal: parquet refs resolve by NAME under the
+    // manifest's explicit read schema, so refs lacking a column yield
+    // nulls — only same-name type changes stay fatal. The manifest
+    // then carries the union schema (stored order first, new columns
+    // appended), so history and new batches read as one frame.
+    val unionSchema: StructType = prevManifest match {
+      case None => df.schema
+      case Some(m) =>
+        val stored = StructType.fromDDL(m.schemaDDL)
+        if (!evolveSchema) {
+          val compatible = stored.length == df.schema.length &&
+            stored.fields.zip(df.schema.fields).forall { case (a, b) =>
+              // .sql ignores nullability (incl. nested containsNull) —
+              // exactly the drift classes that matter are name + type
+              a.name == b.name && a.dataType.sql == b.dataType.sql }
+          require(compatible,
+            s"appendLog schema drift for $name: table is [${stored.toDDL}], " +
+              s"batch is [${df.schema.toDDL}] (pass evolveSchema=true to " +
+              "accept column adds)")
+          stored
+        } else {
+          val byName = df.schema.fields.map(f => f.name -> f).toMap
+          stored.fields.foreach { a =>
+            byName.get(a.name).foreach { b =>
+              require(a.dataType.sql == b.dataType.sql,
+                s"appendLog type drift for $name.${a.name}: " +
+                  s"${a.dataType.sql} -> ${b.dataType.sql} — evolution " +
+                  "covers column adds, never retypes")
+            }
+          }
+          val storedNames = stored.fieldNames.toSet
+          StructType(stored.fields ++
+            df.schema.fields.filterNot(f => storedNames(f.name))
+              .map(_.copy(nullable = true)))
+        }
     }
     val prev: Map[Int, String] = prevManifest.map(_.refs).getOrElse(Map.empty)
     val version = newVersionName()
@@ -211,7 +237,7 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0) {
     df.write.mode("overwrite").parquet(dataDir.toString)
     val refs = prev + ((prev.keySet + (-1)).max + 1 -> version)
     val json = mapper.writeValueAsString(Map(
-      "schemaDDL" -> df.schema.toDDL,
+      "schemaDDL" -> unionSchema.toDDL,
       "buckets" -> refs.map { case (k, v) => k.toString -> v }))
     writeAtomic(manifestFile(dataDir), json)
     writeAtomic(pointerFile(name), version)

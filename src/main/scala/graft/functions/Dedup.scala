@@ -271,7 +271,7 @@ object Dedup {
     * Output: (<idCol>, rep).
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, pointerJump: Boolean = false): DataFrame = {
     val idCol = nodes.columns.head
     val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -287,11 +287,24 @@ object Dedup {
       // and the convergence check runs over this round's cached frame
       // instead of a next-vs-previous join (one join + shuffle fewer
       // per round)
-      val next = labels.join(neigh, labels("__n") === neigh("src"), "left")
+      val combined = labels.join(neigh, labels("__n") === neigh("src"), "left")
         .select(col("__n"),
           least(col("rep"), coalesce(col("__nrep"), col("rep"))).as("rep"),
           (col("__nrep") < col("rep")).as("__chg"))
-        .persist()
+      // pointerJump adds rep := rep(rep) each round — pointer doubling
+      // halves chain length per round, so convergence is O(log
+      // diameter) instead of O(diameter), at the cost of one extra
+      // label-table (vocab-sized, not edge-sized) self-join per round.
+      // Default off: near-dup clusters are dense and shallow, where
+      // the plain rounds are cheaper; turn on for chain-shaped graphs.
+      val next = (if (!pointerJump) combined else {
+        val reps = combined.select(col("__n").as("__rn"), col("rep").as("__rrep"))
+        combined.join(reps, combined("rep") === reps("__rn"), "left")
+          .select(col("__n"),
+            least(col("rep"), coalesce(col("__rrep"), col("rep"))).as("rep"),
+            coalesce(col("__chg"), lit(false))
+              .or(col("__rrep") < col("rep")).as("__chg"))
+      }).persist()
       // full-scan aggregate, NOT filter(...).isEmpty: the check must
       // materialize EVERY partition of next's cache before the previous
       // round's cache is released below — an early-stopping take(1)

@@ -325,6 +325,39 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.read("log").count() == 4)
   }
 
+  test("appendLog schema evolution: column adds read as one frame, retypes still fatal") {
+    val cat = new Catalog(spark, tmpDir("catevolve"))
+    cat.appendLog("log", Seq((1L, "a")).toDF("id", "v"))
+    // evolved batch adds a nullable column; history refs resolve by
+    // name under the union schema and yield nulls for the missing one
+    cat.appendLog("log",
+      Seq((2L, "b", 0.5)).toDF("id", "v", "score"), evolveSchema = true)
+    val got = cat.read("log").orderBy("id")
+      .as[(Long, String, Option[Double])].collect().toSeq
+    assert(got == Seq((1L, "a", None), (2L, "b", Some(0.5))))
+    // an evolved append may also OMIT a stored column (old writer,
+    // new table): its rows read back null for it
+    cat.appendLog("log", Seq((3L, "c")).toDF("id", "v"), evolveSchema = true)
+    assert(cat.read("log").filter($"id" === 3L)
+      .select($"score").as[Option[Double]].head().isEmpty)
+    // a NON-evolved append still requires the full current schema
+    intercept[IllegalArgumentException] {
+      cat.appendLog("log", Seq((4L, "d")).toDF("id", "v"))
+    }
+    // same-name type changes are never evolution
+    val retyped = intercept[IllegalArgumentException] {
+      cat.appendLog("log",
+        Seq((4L, "d", "high")).toDF("id", "v", "score"), evolveSchema = true)
+    }
+    assert(retyped.getMessage.contains("type drift"))
+    // compaction folds under the union schema, contents intact
+    cat.compactLog("log")
+    assert(cat.bucketRefs("log").size == 1)
+    assert(cat.read("log").orderBy("id")
+      .as[(Long, String, Option[Double])].collect().toSeq ==
+      Seq((1L, "a", None), (2L, "b", Some(0.5)), (3L, "c", None)))
+  }
+
   test("sorted write enables row-group skipping on the sort key") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     def scanRows(df: org.apache.spark.sql.DataFrame): Long = {

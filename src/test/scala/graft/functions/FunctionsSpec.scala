@@ -301,6 +301,29 @@ class FunctionsSpec extends SparkTestBase {
       5L -> 5L, 6L -> 5L))
   }
 
+  test("pointerJump converges in O(log diameter) where plain propagation cannot") {
+    // a 17-node chain has diameter 16: plain min-label propagation
+    // needs 16 rounds and must throw at maxIter=8; pointer doubling
+    // halves the path each round and finishes inside the same budget
+    // (both sides capped at 8 rounds — driving the plain variant to
+    // its default 20 in the shared test JVM exhausts it for nothing)
+    val nodes = (0L to 16L).toDF("id")
+    val edges = (0L until 16L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, edges, maxIter = 8)
+    }
+    val cc = Dedup.connectedComponents(nodes, edges, maxIter = 8,
+        pointerJump = true)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == 17 && cc.values.forall(_ == 0L))
+    // same answer as plain propagation on a graph both can solve
+    val n2 = (0L to 6L).toDF("id")
+    val e2 = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(n2, e2, pointerJump = true)
+      .as[(Long, Long)].collect().toMap ==
+      Dedup.connectedComponents(n2, e2).as[(Long, Long)].collect().toMap)
+  }
+
   test("exact-dedup fingerprint is whitespace/case insensitive") {
     val fp = Seq("A  b\tc", "a b c", "x").toDF("t")
       .select(TextFunctions.fingerprint($"t")).as[String].collect()
