@@ -1609,6 +1609,47 @@ object Relational {
       ORDER BY n_name
     """.trim))
 
+  /** Multi-column IN subquery — the two-key semi join the planner must
+    * NOT degrade to a single-key join plus residual filter: line items
+    * restricted to "hot" (part, supplier) pairs, then re-aggregated at
+    * order-year grain. Catalyst plans the pair-IN as a LeftSemi hash
+    * join keyed on BOTH columns; the subquery's aggregate shrinks the
+    * build side to hot-pair cardinality before the join, so at scale
+    * the semi join broadcasts a filtered dimension, never the fact.
+    */
+  val q45MultiColIn = Q(
+    "q45_multicol_in",
+    (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS n_items,
+               CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+        FROM g_lineitem JOIN g_orders ON l_orderkey = o_orderkey
+        WHERE (l_partkey, l_suppkey) IN (
+          SELECT l_partkey, l_suppkey FROM g_lineitem
+          GROUP BY l_partkey, l_suppkey
+          HAVING count(*) >= 4)
+        GROUP BY year(o_orderdate)
+        ORDER BY yr
+      """)
+    },
+    Some("""
+      -- DuckDB has no row-valued IN subquery: the hot set is unique by
+      -- construction (grouped), so an inner join is the exact semi join
+      WITH hot AS (
+        SELECT l_partkey, l_suppkey FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+        HAVING count(*) >= 4)
+      SELECT year(o_orderdate) AS yr, count(*) AS n_items,
+             CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN hot USING (l_partkey, l_suppkey)
+      GROUP BY year(o_orderdate)
+      ORDER BY yr
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -1620,5 +1661,5 @@ object Relational {
     q30NestedSemiJoin, q31DormantCustomers, q32LateralTopK, q33MonthSpine,
     q34OrcRoundtrip, q35CsvRoundtrip, q36RangeFrame, q37JsonRoundtrip,
     q38WindowBreadth, q39SetOpsAll, q40NullSemantics, q41Variant,
-    q42FullOuter, q43GapFill, q44AggBreadth)
+    q42FullOuter, q43GapFill, q44AggBreadth, q45MultiColIn)
 }
