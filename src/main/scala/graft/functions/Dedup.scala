@@ -297,21 +297,35 @@ object Dedup {
       // label-table (vocab-sized, not edge-sized) self-join per round.
       // Default off: near-dup clusters are dense and shallow, where
       // the plain rounds are cheaper; turn on for chain-shaped graphs.
-      val next = (if (!pointerJump) combined else {
-        val reps = combined.select(col("__n").as("__rn"), col("rep").as("__rrep"))
-        combined.join(reps, combined("rep") === reps("__rn"), "left")
+      // `combined` is persisted for the self-join — both join sides
+      // reference it and they shuffle on DIFFERENT keys (rep vs __n),
+      // so without the cache the edge-sized neighbor aggregation would
+      // execute twice per round, erasing the O(log) win.
+      val combinedCached = if (pointerJump) combined.persist() else combined
+      val next = (if (!pointerJump) combinedCached else {
+        val reps = combinedCached
+          .select(col("__n").as("__rn"), col("rep").as("__rrep"))
+        combinedCached.join(reps, combinedCached("rep") === reps("__rn"), "left")
           .select(col("__n"),
             least(col("rep"), coalesce(col("__rrep"), col("rep"))).as("rep"),
             coalesce(col("__chg"), lit(false))
               .or(col("__rrep") < col("rep")).as("__chg"))
-      }).persist()
-      // full-scan aggregate, NOT filter(...).isEmpty: the check must
-      // materialize EVERY partition of next's cache before the previous
-      // round's cache is released below — an early-stopping take(1)
-      // leaves unscanned partitions to recompute from unpersisted
-      // lineage, which chains back through every earlier round
+      // localCheckpoint(eager), not persist: each round's plan
+      // references `labels` TWICE (label frame + neighbor aggregation;
+      // with pointerJump, `combined` twice more), so carrying lineage
+      // DOUBLES the logical tree per round — by round ~20 Catalyst
+      // re-analyzes a ~2^20-node plan and the driver OOMs building
+      // plan strings. Checkpointing truncates each round to a flat
+      // LogicalRDD: per-round planning cost stays constant no matter
+      // the round count, and the eager materialization doubles as the
+      // convergence check's full scan.
+      }).localCheckpoint(true)
       val noChange = !next.agg(coalesce(max(col("__chg")), lit(false)))
         .head().getBoolean(0)
+      // next is safely materialized out of lineage, so the round's
+      // scratch caches can go (a dropped round's checkpoint blocks are
+      // freed by the ContextCleaner once the frame goes unreferenced)
+      if (pointerJump) combinedCached.unpersist()
       labels.unpersist()
       labels = next
       converged = noChange

@@ -58,9 +58,16 @@ case class WordNgramHashSet(child: Expression, n: Int)
     while (i + n <= m) {
       md.reset()
       var j = 0
+      var wrote = false
       while (j < n) {
-        if (j > 0) md.update(space)
-        md.update(input.getUTF8String(i + j).getBytes)
+        // null elements never come from split(), but the function is
+        // SQL-registered: skip them exactly like the reference chain's
+        // array_join does (no NPE, no doubled separator)
+        if (!input.isNullAt(i + j)) {
+          if (wrote) md.update(space)
+          md.update(input.getUTF8String(i + j).getBytes)
+          wrote = true
+        }
         j += 1
       }
       val d = md.digest()

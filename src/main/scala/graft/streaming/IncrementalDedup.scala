@@ -148,10 +148,17 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
     // the new-vs-history and new-vs-new joins of those buckets, so a
     // template-heavy burst can't go quadratic against a big history
     val probe = if (maxBucket <= 0) newFlat else {
-      val histStats =
+      val histStats0 =
         if (kbs.isEmpty) catalog.read(bstatsTable).filter(lit(false))
         else catalog.read(bstatsTable)
           .filter(col("__kb").isin(kbs.map(Int.box): _*))
+      // a replay must not count the batch's OWN staged stats as
+      // history (stats commit before bands, so the crash window
+      // replays with them durable): double-counting would cap buckets
+      // the original attempt probed, silently dropping pairs from the
+      // returned frame that the first attempt already staged
+      val histStats = batchId.map(bid =>
+        histStats0.filter(col("__batch_id") =!= bid)).getOrElse(histStats0)
       val over = batchStats
         .join(histStats.groupBy(col("band"), col("key"))
           .agg(sum(col("n")).as("hist_n")), Seq("band", "key"), "left")

@@ -68,6 +68,26 @@ class FunctionsSpec extends SparkTestBase {
       .collect().forall(_.getSeq[Long](0).isEmpty))
   }
 
+  test("fused word hashes skip null tokens like array_join, no NPE") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // the functions are SQL-registered, so arbitrary arrays (not just
+    // split() output) reach them — a null element must hash like the
+    // reference chain's array_join (skipped, single separator), not NPE
+    val arr = array(lit("a"), lit(null).cast("string"), lit("b"), lit("c"))
+    def ng(c: org.apache.spark.sql.Column) = ColumnBridge.column(
+      expressions.WordNgramHashSet(ColumnBridge.expression(c), 2))
+    def ch(c: org.apache.spark.sql.Column) = ColumnBridge.column(
+      expressions.WordChunkHashes(ColumnBridge.expression(c), 4))
+    def h(s: String) = conv(substring(md5(lit(s)), 1, 15), 16, 10).cast("long")
+    val got = spark.range(1).select(
+      ng(arr).as("grams"),
+      ch(arr).as("chunks"),
+      sort_array(array_distinct(array(h("a"), h("b"), h("b c")))).as("grams_ref"),
+      array(h("a b c")).as("chunks_ref"))
+    assert(got.filter(not($"grams" <=> $"grams_ref")).isEmpty &&
+      got.filter(not($"chunks" <=> $"chunks_ref")).isEmpty)
+  }
+
   test("MinHashSigFromHashes equals MinHashSig on the distinct hash sets") {
     // the minhash min is invariant to dedup/sort of the base hashes, so
     // the digest-free signature over the materialized verification sets
@@ -302,20 +322,20 @@ class FunctionsSpec extends SparkTestBase {
   }
 
   test("pointerJump converges in O(log diameter) where plain propagation cannot") {
-    // a 17-node chain has diameter 16: plain min-label propagation
-    // needs 16 rounds and must throw at maxIter=8; pointer doubling
-    // halves the path each round and finishes inside the same budget
-    // (both sides capped at 8 rounds — driving the plain variant to
-    // its default 20 in the shared test JVM exhausts it for nothing)
-    val nodes = (0L to 16L).toDF("id")
-    val edges = (0L until 16L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // a 41-node chain has diameter 40: plain min-label propagation
+    // needs 40 rounds and must throw cleanly at the default 20 — this
+    // drives 20 full rounds, the regression case for the exponential
+    // logical-plan growth that used to OOM the driver before rounds
+    // were lineage-truncated with localCheckpoint. Pointer doubling
+    // halves the path each round and converges well inside the budget.
+    val nodes = (0L to 40L).toDF("id")
+    val edges = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(nodes, edges, maxIter = 8)
+      Dedup.connectedComponents(nodes, edges)
     }
-    val cc = Dedup.connectedComponents(nodes, edges, maxIter = 8,
-        pointerJump = true)
+    val cc = Dedup.connectedComponents(nodes, edges, pointerJump = true)
       .as[(Long, Long)].collect().toMap
-    assert(cc.size == 17 && cc.values.forall(_ == 0L))
+    assert(cc.size == 41 && cc.values.forall(_ == 0L))
     // same answer as plain propagation on a graph both can solve
     val n2 = (0L to 6L).toDF("id")
     val e2 = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")

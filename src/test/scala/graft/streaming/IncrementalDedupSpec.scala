@@ -183,6 +183,37 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(pops.contains(5L), s"expected a population-5 template bucket in $pops")
   }
 
+  test("maxBucket replay does not double-count the batch's own staged stats") {
+    val template = "lorem ipsum dolor sit amet consectetur adipiscing elit boilerplate"
+    val c1 = (10L to 13L).map(i => (i, template)) // bucket population 4
+    val c2 = Seq((14L, template)) // +1 → population 5, exactly at the cap
+
+    // reference: cap 5 keeps the bucket; batch 2 pairs 14 with all four
+    val catA = new Catalog(spark, tmpDir("incdedupRA"))
+    val ddA = new IncrementalDedup(catA, threshold = 0.8, maxBucket = 5)
+    ddA.processBatch(c1.toDF("doc_id", "text"), "doc_id", "text", Some(0L))
+    val ref = ddA.processBatch(c2.toDF("doc_id", "text"), "doc_id", "text", Some(1L))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(ref == (10L to 13L).map((_, 14L)).toSet)
+
+    // crash window: batch 2's STATS committed (they stage before the
+    // bands), bands/sets did not. The replay reads its own staged
+    // stats as history — counted, population would look like 6 > 5
+    // and the returned pairs would silently vanish.
+    val catB = new Catalog(spark, tmpDir("incdedupRB"))
+    val ddB = new IncrementalDedup(catB, threshold = 0.8, maxBucket = 5)
+    ddB.processBatch(c1.toDF("doc_id", "text"), "doc_id", "text", Some(0L))
+    val staged = catA.read("dedup_bstats").filter($"__batch_id" === 1L)
+    catB.appendLogClustered("dedup_bstats", staged, Seq("__kb"))
+    val replayed = ddB.processBatch(c2.toDF("doc_id", "text"), "doc_id", "text", Some(1L))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(replayed == ref,
+      s"replay with staged stats must return the same pairs: $replayed != $ref")
+    // and the stats themselves did not double-append
+    assert(catB.read("dedup_bstats").filter($"__batch_id" === 1L).count() ==
+      staged.count())
+  }
+
   test("maintain folds state to single clustered refs, behavior intact") {
     val cat = new Catalog(spark, tmpDir("incdedupmaint"))
     val dd = new IncrementalDedup(cat, threshold = 0.8)
