@@ -164,6 +164,33 @@ object StreamingAnalytics {
         col("click_id"), col("click_ts"))
   }
 
+  /** Stream-stream FULL OUTER interval join — the audit shape: every
+    * error emits (with its preceding clicks or null-click once proven
+    * alone), AND every click that matched no error's interval also
+    * emits with null error columns once the watermark proves no error
+    * can still claim it. Both unmatched directions are
+    * watermark-gated; state on each side stays bounded to
+    * `watermark + windowMinutes` of rows keyed by user, exactly as in
+    * the inner/left variants — the condition bounds each side's
+    * eviction horizon with respect to the other.
+    */
+  def clickErrorAudit(clicks: DataFrame, errors: DataFrame,
+      windowMinutes: Int = 10, watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts_utc", watermark)
+      .select(col("user_id"), col("ts_utc").as("click_ts"),
+        col("event_id").as("click_id"))
+    val e = errors.withWatermark("ts_utc", watermark)
+      .select(col("user_id").as("e_user"), col("ts_utc").as("error_ts"),
+        col("event_id").as("error_id"))
+    e.join(c,
+        col("user_id") === col("e_user") &&
+          col("click_ts") >= col("error_ts") - expr(s"interval $windowMinutes minutes") &&
+          col("click_ts") <= col("error_ts"),
+        "full_outer")
+      .select(coalesce(col("e_user"), col("user_id")).as("user_id"),
+        col("error_id"), col("error_ts"), col("click_id"), col("click_ts"))
+  }
+
   /** Stream-static join: enrich a stream with a dimension table.
     * Stateless — no watermark on either side; Spark re-executes the
     * static subplan every micro-batch, so a broadcast dim costs one

@@ -220,6 +220,47 @@ class StreamingSpec extends SparkTestBase {
       "no watermark-proven null rows emitted — outer path untested")
   }
 
+  test("stream-stream FULL OUTER join accounts for both unmatched directions") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .select("user_id", "event_id", "event_type", "ts_utc")
+    val clickDir = tmpDir("ssfjc")
+    val errorDir = tmpDir("ssfje")
+    val clicks = base.filter($"event_type" === "click")
+    val errors = base.filter($"event_type" === "error")
+    clicks.write.mode("overwrite").parquet(clickDir)
+    errors.write.mode("overwrite").parquet(errorDir)
+    // same watermark-pusher mechanics as the LEFT OUTER test: two
+    // far-future sentinel batches per side under maxFilesPerTrigger=1
+    val maxTs = base.agg(max($"ts_utc")).head().getTimestamp(0).getTime
+    def sentinel(dir: String, uid: Long, offsetHours: Int): Unit =
+      Seq((uid, uid, "sentinel",
+          new java.sql.Timestamp(maxTs + offsetHours * 3600L * 1000)))
+        .toDF("user_id", "event_id", "event_type", "ts_utc")
+        .write.mode("append").parquet(dir)
+    sentinel(clickDir, -1L, 10); sentinel(errorDir, -2L, 10)
+    sentinel(clickDir, -3L, 11); sentinel(errorDir, -4L, 11)
+
+    val schema = "user_id long, event_id long, event_type string, ts_utc timestamp"
+    def stream(dir: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = StreamingAnalytics.clickErrorAudit(stream(clickDir), stream(errorDir))
+      .writeStream.outputMode("append").format("memory").queryName("ssfj_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(coalesce($"error_id", lit(-1L)), coalesce($"click_id", lit(-1L)))
+      .as[(Long, Long)].collect().toSet
+    val streamed = norm(spark.table("ssfj_out").filter($"user_id" >= 0))
+    val batch = norm(StreamingAnalytics.clickErrorAudit(clicks, errors))
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.exists(_._2 == -1L),
+      "no error-without-click rows — left-outer direction untested")
+    assert(streamed.exists(_._1 == -1L),
+      "no click-without-error rows — right-outer direction untested")
+  }
+
   test("stream-static broadcast enrichment matches the batch join") {
     val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
