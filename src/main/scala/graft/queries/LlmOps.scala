@@ -1611,6 +1611,63 @@ object LlmOps {
       ORDER BY host
     """.trim))
 
+  /** Embedding-space cluster profiling — the corpus-inspection step
+    * before cluster-balanced sampling or topic pruning: k-means
+    * cluster sizes, label diversity, and purity (dominant-label share)
+    * per cluster. Centroids are the deterministic trained set (s03's
+    * machinery; the oracle re-derives them in SQL bit-for-bit), so the
+    * profile is exactly reproducible. Scale shape: the only corpus-
+    * sized work is one broadcast-centroid assignment projection (a
+    * ≤16-row build side by construction) and one (cid, label)-grain
+    * aggregate; everything after is cluster-cardinality.
+    */
+  val t32ClusterProfile = Q(
+    "t32_cluster_profile",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = VF.ivfTrainCentroids(emb, "vec_id", "embedding", k = 16)
+      val assigned = VF.ivfAssign(emb, "vec_id", "embedding", cents)
+        .select(col("__aid").as("vec_id"), col("__cid").as("cid"))
+      val byLabel = assigned.join(emb.select($"vec_id", $"label"), "vec_id")
+        .groupBy($"cid", $"label").agg(count(lit(1)).as("n"))
+      val dom = byLabel.withColumn("rn", row_number().over(
+          Window.partitionBy($"cid").orderBy($"n".desc, $"label")))
+        .filter($"rn" === 1)
+        .select($"cid", $"label".as("top_label"), $"n".as("top_n"))
+      byLabel.groupBy($"cid")
+        .agg(sum($"n").as("n_vecs"), countDistinct($"label").as("n_labels"))
+        .join(dom, "cid")
+        .select($"cid", $"n_vecs", $"n_labels", $"top_label",
+          ($"top_n".cast("double") / $"n_vecs").as("purity"))
+        .orderBy($"cid")
+    },
+    Some(s"""
+      WITH ${ivfCentroidSql(k = 16, dims = 64, sampleSize = 256, iters = 2)},
+      corpus_assign AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+          FROM embeddings e CROSS JOIN cent c)
+        WHERE rn = 1),
+      bl AS (SELECT a.cid, e.label, count(*) AS n
+             FROM corpus_assign a JOIN embeddings e USING (vec_id)
+             GROUP BY a.cid, e.label),
+      dom AS (SELECT cid, label AS top_label, n AS top_n FROM (
+                SELECT *, row_number() OVER (PARTITION BY cid ORDER BY n DESC, label) AS rn
+                FROM bl)
+              WHERE rn = 1)
+      SELECT CAST(bl.cid AS BIGINT) AS cid,
+             CAST(sum(bl.n) AS BIGINT) AS n_vecs,
+             count(DISTINCT bl.label) AS n_labels,
+             max(dom.top_label) AS top_label,
+             CAST(max(dom.top_n) AS DOUBLE) / CAST(sum(bl.n) AS BIGINT) AS purity
+      FROM bl JOIN dom ON bl.cid = dom.cid
+      GROUP BY bl.cid
+      ORDER BY cid
+    """.trim))
+
   /** ANN quality evaluation: recall@3 of the hyperplane-LSH index (s02)
     * against the exact brute-force answer (s01), per query. The eval an
     * ANN deployment runs before trusting the index — and exactly the
@@ -1697,6 +1754,6 @@ object LlmOps {
     t19ImageDecode, t20ImageFeatures, t21FrameSample, t22HeavyHitters,
     t23DedupGroups, t24CurationPipeline, t25UnicodeNfc, t26Contamination,
     t27MixtureBudget, t28ShuffleShard, t29ChunkDedup, t30LmQuality,
-    t31UrlOps,
+    t31UrlOps, t32ClusterProfile,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall)
 }

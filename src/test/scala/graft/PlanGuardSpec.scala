@@ -12,7 +12,8 @@ class PlanGuardSpec extends SparkTestBase {
 
   private val allowedCross = Set(
     "s01_cosine_topk", "s03_ivf_topk", "s04_ivf_index_topk",
-    "s05_ann_recall") // s05's exact side is the s01 baseline cross join
+    "s05_ann_recall", // s05's exact side is the s01 baseline cross join
+    "t32_cluster_profile") // broadcast-centroid assignment, ≤16-row build side
 
   test("no query plans nested-loop or cartesian joins (labeled baselines excepted)") {
     val offenders = SparkEntry.allQueries
