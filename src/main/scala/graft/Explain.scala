@@ -1,10 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 /** Dump formatted physical plans of the named (or all) declared queries
-  * — the iterate-on-the-plan loop from the build brief.
+  * — the iterate-on-the-plan loop from the build brief. With a leading
+  * `--exec`, each query is also executed and its FINAL AQE plan printed
+  * — the only place runtime stage reuse (ReusedExchange across AQE
+  * query stages) is visible; the static plan can show three scans
+  * where execution runs one.
   */
 object Explain {
-  def main(args: Array[String]): Unit = {
+  def main(rawArgs: Array[String]): Unit = {
+    val exec = rawArgs.headOption.contains("--exec")
+    val args = if (exec) rawArgs.tail else rawArgs
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
@@ -15,7 +21,14 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       println(s"===== $n =====")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, dir)
+      df.explain("formatted")
+      if (exec) {
+        df.collect()
+        println(s"----- $n: final AQE plan -----")
+        println(df.queryExecution.executedPlan.toString)
+      }
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
