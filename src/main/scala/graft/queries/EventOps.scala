@@ -313,7 +313,57 @@ object EventOps {
       ORDER BY user_id, event_type
     """.trim))
 
+  /** Dynamic-gap session windows: the inactivity gap is a PER-EVENT
+    * expression (errors hold a session open 60 minutes, everything
+    * else 30) — `session_window(ts, gapExpr)`. Merge semantics differ
+    * from the fixed-gap case in a way a lag-based oracle cannot
+    * express: a session's end is the MAX of (event + its own gap) over
+    * the merged set, so the oracle tracks a running-max end over all
+    * preceding events, not the previous event's end. Streaming face is
+    * the same operator under a watermark; batch face here for the
+    * oracle.
+    */
+  val e10DynamicSession = Q(
+    "e10_dynamic_session",
+    (s, dir) => {
+      import s.implicits._
+      // dynamic gaps require CalendarIntervalType; ANSI interval
+      // literals are DayTimeIntervalType and the operator rejects them
+      val gap = when($"event_type" === "error",
+          expr("cast('60 minutes' as interval)"))
+        .otherwise(expr("cast('30 minutes' as interval)"))
+      Tables.load(s, dir, "events")
+        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+        .groupBy(session_window($"ts_utc", gap), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", $"session_window.start".as("ws"),
+          $"session_window.end".as("we"), $"n_events")
+        .orderBy($"user_id", $"ws")
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus,
+               CASE WHEN event_type = 'error' THEN 3600000000 ELSE 1800000000 END AS gap_us
+        FROM events),
+      r AS (SELECT *,
+              max(tus + gap_us) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+            FROM g),
+      f AS (SELECT *, CASE WHEN prev_end IS NULL OR tus >= prev_end THEN 1 ELSE 0 END AS new_session
+            FROM r),
+      sess AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+               FROM f)
+      SELECT user_id,
+             make_timestamp(min(tus)) AS ws,
+             make_timestamp(max(tus + gap_us)) AS we,
+             count(*) AS n_events
+      FROM sess
+      GROUP BY user_id, session_idx
+      ORDER BY user_id, ws
+    """.trim))
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
     e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin,
-    e09Unpivot)
+    e09Unpivot, e10DynamicSession)
 }
