@@ -505,15 +505,21 @@ object LlmOps {
     * from the persisted partition-pruned index) — the two paths must be
     * bit-identical.
     */
-  private lazy val ivfOracleSql: String = s"""
-      WITH ${ivfCentroidSql(k = 16, dims = 64, sampleSize = 256, iters = 2)},
-      corpus_assign AS (
+  /** Nearest-centroid single-assignment CTE — the `cos DESC, cid`
+    * tie-break is the bit-exactness contract shared by s03/s04/t32;
+    * ONE copy so a change can't leave one oracle divergent.
+    */
+  private def corpusAssignCte: String = s"""corpus_assign AS (
         SELECT vec_id, cid FROM (
           SELECT e.vec_id, c.cid,
                  row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
           FROM embeddings e CROSS JOIN cent c)
-        WHERE rn = 1),
+        WHERE rn = 1)"""
+
+  private lazy val ivfOracleSql: String = s"""
+      WITH ${ivfCentroidSql(k = 16, dims = 64, sampleSize = 256, iters = 2)},
+      $corpusAssignCte,
       probes AS (
         SELECT vec_id, cid FROM (
           SELECT e.vec_id, c.cid,
@@ -1644,13 +1650,7 @@ object LlmOps {
     },
     Some(s"""
       WITH ${ivfCentroidSql(k = 16, dims = 64, sampleSize = 256, iters = 2)},
-      corpus_assign AS (
-        SELECT vec_id, cid FROM (
-          SELECT e.vec_id, c.cid,
-                 row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
-          FROM embeddings e CROSS JOIN cent c)
-        WHERE rn = 1),
+      $corpusAssignCte,
       bl AS (SELECT a.cid, e.label, count(*) AS n
              FROM corpus_assign a JOIN embeddings e USING (vec_id)
              GROUP BY a.cid, e.label),

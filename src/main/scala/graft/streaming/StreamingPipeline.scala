@@ -115,12 +115,15 @@ object StreamingAnalytics {
       .withWatermark("ts_utc", watermark)
       .dropDuplicatesWithinWatermark("fp")
 
-  /** Stream-stream interval join: each error joins the same user's
-    * clicks from the preceding `windowMinutes`. Watermarks on both
-    * sides bound the join state Spark must retain.
+  /** Shared core of the stream-stream interval joins: watermarked
+    * sides, equi-key + time-range condition (each error matches the
+    * same user's clicks from its preceding `windowMinutes`). ONE copy
+    * of the condition — it is the state-eviction contract for all
+    * three join types, and three drifting copies is how an outer
+    * variant silently stops evicting.
     */
-  def clicksBeforeErrors(clicks: DataFrame, errors: DataFrame,
-      windowMinutes: Int = 10, watermark: String = "1 hour"): DataFrame = {
+  private def intervalJoined(clicks: DataFrame, errors: DataFrame,
+      windowMinutes: Int, watermark: String, joinType: String): DataFrame = {
     val c = clicks.withWatermark("ts_utc", watermark)
       .select(col("user_id"), col("ts_utc").as("click_ts"),
         col("event_id").as("click_id"))
@@ -130,10 +133,19 @@ object StreamingAnalytics {
     e.join(c,
       col("user_id") === col("e_user") &&
         col("click_ts") >= col("error_ts") - expr(s"interval $windowMinutes minutes") &&
-        col("click_ts") <= col("error_ts"))
+        col("click_ts") <= col("error_ts"),
+      joinType)
+  }
+
+  /** Stream-stream interval join: each error joins the same user's
+    * clicks from the preceding `windowMinutes`. Watermarks on both
+    * sides bound the join state Spark must retain.
+    */
+  def clicksBeforeErrors(clicks: DataFrame, errors: DataFrame,
+      windowMinutes: Int = 10, watermark: String = "1 hour"): DataFrame =
+    intervalJoined(clicks, errors, windowMinutes, watermark, "inner")
       .select(col("user_id"), col("error_id"), col("error_ts"),
         col("click_id"), col("click_ts"))
-  }
 
   /** Stream-stream LEFT OUTER interval join: every error emits — with
     * the same user's preceding clicks when they exist, or with null
@@ -148,21 +160,10 @@ object StreamingAnalytics {
     * rows keyed by user.
     */
   def errorsWithClicks(clicks: DataFrame, errors: DataFrame,
-      windowMinutes: Int = 10, watermark: String = "1 hour"): DataFrame = {
-    val c = clicks.withWatermark("ts_utc", watermark)
-      .select(col("user_id"), col("ts_utc").as("click_ts"),
-        col("event_id").as("click_id"))
-    val e = errors.withWatermark("ts_utc", watermark)
-      .select(col("user_id").as("e_user"), col("ts_utc").as("error_ts"),
-        col("event_id").as("error_id"))
-    e.join(c,
-        col("user_id") === col("e_user") &&
-          col("click_ts") >= col("error_ts") - expr(s"interval $windowMinutes minutes") &&
-          col("click_ts") <= col("error_ts"),
-        "left_outer")
+      windowMinutes: Int = 10, watermark: String = "1 hour"): DataFrame =
+    intervalJoined(clicks, errors, windowMinutes, watermark, "left_outer")
       .select(col("e_user").as("user_id"), col("error_id"), col("error_ts"),
         col("click_id"), col("click_ts"))
-  }
 
   /** Stream-stream FULL OUTER interval join — the audit shape: every
     * error emits (with its preceding clicks or null-click once proven
@@ -175,21 +176,10 @@ object StreamingAnalytics {
     * eviction horizon with respect to the other.
     */
   def clickErrorAudit(clicks: DataFrame, errors: DataFrame,
-      windowMinutes: Int = 10, watermark: String = "1 hour"): DataFrame = {
-    val c = clicks.withWatermark("ts_utc", watermark)
-      .select(col("user_id"), col("ts_utc").as("click_ts"),
-        col("event_id").as("click_id"))
-    val e = errors.withWatermark("ts_utc", watermark)
-      .select(col("user_id").as("e_user"), col("ts_utc").as("error_ts"),
-        col("event_id").as("error_id"))
-    e.join(c,
-        col("user_id") === col("e_user") &&
-          col("click_ts") >= col("error_ts") - expr(s"interval $windowMinutes minutes") &&
-          col("click_ts") <= col("error_ts"),
-        "full_outer")
+      windowMinutes: Int = 10, watermark: String = "1 hour"): DataFrame =
+    intervalJoined(clicks, errors, windowMinutes, watermark, "full_outer")
       .select(coalesce(col("e_user"), col("user_id")).as("user_id"),
         col("error_id"), col("error_ts"), col("click_id"), col("click_ts"))
-  }
 
   /** Stream-static join: enrich a stream with a dimension table.
     * Stateless — no watermark on either side; Spark re-executes the

@@ -46,7 +46,8 @@ class HashPropertiesSpec extends SparkTestBase {
       val bad = df.filter(size($"t") >= n)
         .select(fused.as("fast"), refGrams(n).as("ref"))
         .filter(not($"fast" <=> $"ref"))
-      assert(bad.isEmpty, s"n=$n diverges: ${bad.collect().mkString}")
+        .collect() // once — assert(cond, clue) evaluates the clue eagerly
+      assert(bad.isEmpty, s"n=$n diverges: ${bad.mkString}")
       // below-n arrays yield the empty set
       assert(df.filter(size($"t") < n).select(fused.as("h"))
         .collect().forall(_.getSeq[Long](0).isEmpty))
@@ -66,7 +67,8 @@ class HashPropertiesSpec extends SparkTestBase {
       val bad = df.filter(size($"t") >= n)
         .select(fused.as("fast"), refChunks(n).as("ref"))
         .filter(not($"fast" <=> $"ref"))
-      assert(bad.isEmpty, s"n=$n diverges: ${bad.collect().mkString}")
+        .collect()
+      assert(bad.isEmpty, s"n=$n diverges: ${bad.mkString}")
       assert(df.filter(size($"t") < n).select(fused.as("h"))
         .collect().forall(_.getSeq[Long](0).isEmpty))
     }

@@ -174,24 +174,31 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
-  test("stream-stream LEFT OUTER join emits watermark-proven nulls") {
+  /** Fixture for the outer stream-stream join tests: click/error dirs
+    * split from events, plus the watermark-pusher mechanics — outer
+    * rows are released only when the GLOBAL watermark (min over both
+    * streams) passes the match interval, and a batch's watermark takes
+    * effect in the NEXT batch, so each side gets TWO far-future
+    * sentinel batches: the first advances the watermark, the second
+    * gives Spark the batch in which to evict state and emit the nulls.
+    * maxFilesPerTrigger=1 keeps the sentinels in their own
+    * micro-batches (one big AvailableNow batch would never see the
+    * advanced watermark). Returns (clicks, errors, clickStream,
+    * errorStream); sentinel user_ids are negative, so tests filter
+    * `user_id >= 0`.
+    */
+  private def outerJoinFixture(tag: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
     val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
       .select("user_id", "event_id", "event_type", "ts_utc")
-    val clickDir = tmpDir("ssojc")
-    val errorDir = tmpDir("ssoje")
+    val clickDir = tmpDir(s"${tag}c")
+    val errorDir = tmpDir(s"${tag}e")
     val clicks = base.filter($"event_type" === "click")
     val errors = base.filter($"event_type" === "error")
     clicks.write.mode("overwrite").parquet(clickDir)
     errors.write.mode("overwrite").parquet(errorDir)
-    // Outer rows are released only when the GLOBAL watermark (min over
-    // both streams) passes the error's match interval, and a batch's
-    // watermark takes effect in the NEXT batch — so push each side
-    // twice: the first far-future sentinel advances the watermark, the
-    // second gives Spark the batch in which to evict state and emit
-    // the nulls. maxFilesPerTrigger=1 keeps the sentinels in their own
-    // micro-batches (one big AvailableNow batch would never see the
-    // advanced watermark).
     val maxTs = base.agg(max($"ts_utc")).head().getTimestamp(0).getTime
     def sentinel(dir: String, uid: Long, offsetHours: Int): Unit =
       Seq((uid, uid, "sentinel",
@@ -200,11 +207,15 @@ class StreamingSpec extends SparkTestBase {
         .write.mode("append").parquet(dir)
     sentinel(clickDir, -1L, 10); sentinel(errorDir, -2L, 10)
     sentinel(clickDir, -3L, 11); sentinel(errorDir, -4L, 11)
-
     val schema = "user_id long, event_id long, event_type string, ts_utc timestamp"
     def stream(dir: String) = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
-    val q = StreamingAnalytics.errorsWithClicks(stream(clickDir), stream(errorDir))
+    (clicks, errors, stream(clickDir), stream(errorDir))
+  }
+
+  test("stream-stream LEFT OUTER join emits watermark-proven nulls") {
+    val (clicks, errors, clickStream, errorStream) = outerJoinFixture("ssoj")
+    val q = StreamingAnalytics.errorsWithClicks(clickStream, errorStream)
       .writeStream.outputMode("append").format("memory").queryName("ssoj_out")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
@@ -221,30 +232,8 @@ class StreamingSpec extends SparkTestBase {
   }
 
   test("stream-stream FULL OUTER join accounts for both unmatched directions") {
-    val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
-      .select("user_id", "event_id", "event_type", "ts_utc")
-    val clickDir = tmpDir("ssfjc")
-    val errorDir = tmpDir("ssfje")
-    val clicks = base.filter($"event_type" === "click")
-    val errors = base.filter($"event_type" === "error")
-    clicks.write.mode("overwrite").parquet(clickDir)
-    errors.write.mode("overwrite").parquet(errorDir)
-    // same watermark-pusher mechanics as the LEFT OUTER test: two
-    // far-future sentinel batches per side under maxFilesPerTrigger=1
-    val maxTs = base.agg(max($"ts_utc")).head().getTimestamp(0).getTime
-    def sentinel(dir: String, uid: Long, offsetHours: Int): Unit =
-      Seq((uid, uid, "sentinel",
-          new java.sql.Timestamp(maxTs + offsetHours * 3600L * 1000)))
-        .toDF("user_id", "event_id", "event_type", "ts_utc")
-        .write.mode("append").parquet(dir)
-    sentinel(clickDir, -1L, 10); sentinel(errorDir, -2L, 10)
-    sentinel(clickDir, -3L, 11); sentinel(errorDir, -4L, 11)
-
-    val schema = "user_id long, event_id long, event_type string, ts_utc timestamp"
-    def stream(dir: String) = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(dir)
-    val q = StreamingAnalytics.clickErrorAudit(stream(clickDir), stream(errorDir))
+    val (clicks, errors, clickStream, errorStream) = outerJoinFixture("ssfj")
+    val q = StreamingAnalytics.clickErrorAudit(clickStream, errorStream)
       .writeStream.outputMode("append").format("memory").queryName("ssfj_out")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
