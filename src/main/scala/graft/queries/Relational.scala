@@ -1650,6 +1650,42 @@ object Relational {
       ORDER BY yr
     """.trim))
 
+  /** Disjunctive EXISTS — `EXISTS(...) OR EXISTS(...)` cannot be two
+    * semi joins (a semi join FILTERS; OR needs both outcomes), so
+    * Catalyst plans each subquery as an ExistenceJoin that materializes
+    * a boolean column and filters on the disjunction afterwards — the
+    * planner shape this query exists to cover. Both existence probes
+    * stay hash joins with their filters pushed to the orders scans.
+    */
+  val q46DisjunctiveExists = Q(
+    "q46_disjunctive_exists",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("g_customer")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment
+        FROM g_customer c
+        WHERE EXISTS (SELECT 1 FROM g_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+           OR EXISTS (SELECT 1 FROM g_orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderpriority = '1-URGENT'
+                        AND year(o2.o_orderdate) = 1995)
+        ORDER BY c_custkey
+      """)
+    },
+    Some("""
+      SELECT c_custkey, c_mktsegment
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+         OR EXISTS (SELECT 1 FROM orders o2
+                    WHERE o2.o_custkey = c.c_custkey
+                      AND o2.o_orderpriority = '1-URGENT'
+                      AND year(o2.o_orderdate) = 1995)
+      ORDER BY c_custkey
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -1661,5 +1697,6 @@ object Relational {
     q30NestedSemiJoin, q31DormantCustomers, q32LateralTopK, q33MonthSpine,
     q34OrcRoundtrip, q35CsvRoundtrip, q36RangeFrame, q37JsonRoundtrip,
     q38WindowBreadth, q39SetOpsAll, q40NullSemantics, q41Variant,
-    q42FullOuter, q43GapFill, q44AggBreadth, q45MultiColIn)
+    q42FullOuter, q43GapFill, q44AggBreadth, q45MultiColIn,
+    q46DisjunctiveExists)
 }

@@ -76,6 +76,17 @@ class PlanGuardSpec extends SparkTestBase {
       s"model branches must reuse the dk shuffle stage:\n$plan")
   }
 
+  test("q46 plans OR-EXISTS as existence hash joins, not a nested loop") {
+    // a semi join FILTERS, so EXISTS OR EXISTS can't be two semi
+    // joins: each subquery must become an ExistenceJoin materializing
+    // a boolean, with the disjunction filtered afterwards
+    val plan = finalPlan(
+      SparkEntry.queries("q46_disjunctive_exists")(spark, "/root/testdata/sf0.001"))
+    assert("ExistenceJoin".r.findAllIn(plan).size == 2,
+      s"expected two existence joins:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q31 plans NOT IN as a single-column null-aware anti hash join") {
     val plan = finalPlan(
       SparkEntry.queries("q31_dormant_customers")(spark, "/root/testdata/sf0.001"))
