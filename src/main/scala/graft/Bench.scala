@@ -12,6 +12,16 @@ import org.apache.spark.sql.SparkSession
   * median reported: single-shot timing at these sub-2s scales swings
   * ±70% run to run (GC, JIT recompiles), which can't distinguish a
   * regression from noise.
+  *
+  * The runs are INTERLEAVED — the suite executes as SPARK_GRAFT_RUNS
+  * complete passes, and each query's median is taken across passes —
+  * not 3 back-to-back runs per query. Back-to-back runs put one
+  * query's whole sample in a single ~5s wall-clock window, so a
+  * co-tenant load spike poisons a contiguous alphabetical block and
+  * its medians (BENCH_r05 showed phantom 4-8x regressions this way:
+  * t24 "14.9s" under load vs 2.9s isolated). Spreading a query's
+  * samples across the full suite duration means a transient spike
+  * inflates at most one of its samples, which the median discards.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -51,8 +61,10 @@ object Bench {
     // -1 and list it under "failed" so a regression is visible in the
     // output JSON, not hidden in a healthy-looking total
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
-    val results = names.map { name =>
-      val times = (0 until runs).map { _ =>
+    val times = scala.collection.mutable.Map
+      .empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    for (pass <- 1 to runs) {
+      names.foreach { name =>
         val t0 = System.nanoTime()
         val ok = try { materialize(name, sfDir); true }
         catch { case e: Throwable =>
@@ -63,14 +75,16 @@ object Bench {
         // unpersist AFTER the clock stops: cache teardown is harness
         // hygiene between runs, not part of the query's cost
         spark.catalog.clearCache()
-        dt
+        times(name) = times(name) :+ dt
+        // per-run times to stderr so a weird median is explainable
+        // from the round's log instead of needing a re-run
+        System.err.println(f"[bench] pass $pass $name: $dt%.3f")
       }
-      // per-run times to stderr so a weird median is explainable from
-      // the round's log instead of needing a re-run
-      System.err.println(
-        s"[bench] $name runs: " + times.map(t => f"$t%.3f").mkString(", "))
-      // any failed run fails the query; otherwise the median run
-      name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(runs / 2))
+    }
+    val results = names.map { name =>
+      val ts = times(name)
+      // any failed pass fails the query; otherwise the median pass
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(runs / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

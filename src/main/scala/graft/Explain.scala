@@ -24,7 +24,11 @@ object Explain {
       val df = SparkEntry.queries(n)(spark, dir)
       df.explain("formatted")
       if (exec) {
-        df.collect()
+        // foreach(no-op), not collect(): executes THIS df's
+        // queryExecution (a noop write would build its own) without
+        // materializing probe-scale results on the driver, so the
+        // final AQE plan below is still the executed one
+        df.foreach(_ => ())
         println(s"----- $n: final AQE plan -----")
         println(df.queryExecution.executedPlan.toString)
       }

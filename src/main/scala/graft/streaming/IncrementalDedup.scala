@@ -114,6 +114,15 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
     */
   def processBatch(docs: DataFrame, idCol: String, textCol: String,
       batchId: Option[Long] = None): DataFrame = {
+    // The bucket-stats replay guard keys on batchId: without one, a
+    // crash between the bstats append and the bands append re-appends
+    // the same batch's stats under __batch_id=-1 on retry, permanently
+    // double-counting populations and silently tightening the
+    // maxBucket cap. So stats maintenance REQUIRES a batchId.
+    require(batchId.isDefined || maxBucket <= 0,
+      "maxBucket > 0 maintains bucket-population stats whose " +
+        "crash-replay idempotency depends on a batchId; pass " +
+        "batchId=Some(n) (foreachBatch provides one) or set maxBucket=0")
     val spark = docs.sparkSession
     ensureTables(spark)
     val known = catalog.read(setsTable).select(col("doc_id"))

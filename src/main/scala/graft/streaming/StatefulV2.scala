@@ -67,7 +67,10 @@ object StatefulV2 {
         // one timer per key: replace the previous deadline with the
         // new one (+1 ms: the batch gap rule is strict `> gap`, and
         // timers fire at watermark >= expiry)
-        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        // materialize before deleting: deleteTimer-while-iterating the
+        // state-store iterator is safe on RocksDB snapshots today but
+        // undefined against other providers
+        getHandle.listTimers().toList.foreach(getHandle.deleteTimer)
         getHandle.registerTimer((s.last_us + gapUs) / 1000 + 1)
       }
       closed.result().iterator

@@ -214,6 +214,18 @@ class IncrementalDedupSpec extends SparkTestBase {
       staged.count())
   }
 
+  test("maxBucket > 0 without a batchId is rejected up front") {
+    // the bstats replay guard keys on batchId; without one a crash
+    // between the stats and bands appends would double-count forever
+    val cat = new Catalog(spark, tmpDir("incdedupreq"))
+    val dd = new IncrementalDedup(cat, threshold = 0.8, maxBucket = 3)
+    val ex = intercept[IllegalArgumentException] {
+      dd.processBatch(Seq((1L, "a")).toDF("doc_id", "text"),
+        "doc_id", "text", None)
+    }
+    assert(ex.getMessage.contains("batchId"))
+  }
+
   test("maintain folds state to single clustered refs, behavior intact") {
     val cat = new Catalog(spark, tmpDir("incdedupmaint"))
     val dd = new IncrementalDedup(cat, threshold = 0.8)
