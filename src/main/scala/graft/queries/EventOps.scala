@@ -188,10 +188,18 @@ object EventOps {
       ORDER BY user_id
     """.trim))
 
-  /** Sketch aggregation: approx_count_distinct (HLL++). No portable
-    * oracle — DuckDB's approx sketch differs — so the driver records
-    * the weaker rows-only check; the exact-vs-approx error bound is
-    * pinned in RelationalSpec instead.
+  /** Sketch aggregation: approx_count_distinct (HLL++). The sketch
+    * value itself has no portable oracle (DuckDB's approx sketch
+    * differs bit-for-bit), so the query emits the exact distinct count
+    * alongside a `within_bound` flag checking the sketch's relative
+    * error against 3x the configured rsd ON THE SPARK SIDE; the oracle
+    * computes the exact counts and pins `within_bound` to TRUE. A
+    * sketch drifting past the bound flips the flag and fails the hash
+    * compare — the bound is a checked invariant, not a rows-only hope.
+    * (3x rsd: rsd is one standard deviation of the HLL++ estimator;
+    * the fixed test corpora sit well inside it — observed rel_err at
+    * sf0.001/sf0.01 is < 1x rsd — and 3 sigma leaves headroom without
+    * accepting a broken sketch.)
     */
   val e06ApproxDistinct = Q(
     "e06_approx_distinct",
@@ -199,11 +207,24 @@ object EventOps {
       import s.implicits._
       Tables.load(s, dir, "events")
         .groupBy($"event_type")
-        .agg(approx_count_distinct($"user_id", rsd = 0.02).as("approx_users"),
+        .agg(approx_count_distinct($"user_id", rsd = 0.02).as("__approx"),
+          countDistinct($"user_id").as("exact_users"),
           count(lit(1)).as("n"))
+        .withColumn("within_bound",
+          abs($"__approx".cast("double") / $"exact_users".cast("double")
+            - lit(1.0)) <= lit(3 * 0.02))
+        .select($"event_type", $"exact_users", $"n", $"within_bound")
         .orderBy($"event_type")
     },
-    None)
+    Some("""
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             CAST(count(*) AS BIGINT) AS n,
+             TRUE AS within_bound
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """.trim))
 
   /** Native session windows (30-min gap): Spark's session_window merges
     * events closer than the gap; the oracle reconstructs the same
