@@ -33,8 +33,25 @@ import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType
   * resolved the pointer just before a commit still finds its files —
   * the lakehouse-standard reader/GC contract (snapshot retention);
   * explicit `vacuum(name, keepLast = 0)` reclaims them on demand.
+  *
+  * Cross-process writer safety: `synchronized` serializes mutations
+  * within one JVM, but every public mutation is a read-modify-write
+  * (append resolves the current version, merges, then flips the
+  * pointer), so two DRIVER PROCESSES sharing a root could interleave
+  * and silently drop a commit — the reference never faced this because
+  * Postgres gave it transactions. Each mutation therefore also holds a
+  * per-table `_commit.lock` file for its whole read→write→flip span,
+  * acquired create-exclusive (atomic on the local FS via O_EXCL and on
+  * HDFS via the namenode; the same lock-file protocol HDFS-backed
+  * lakehouse formats use for their commit protocol). A crashed holder's
+  * lock goes stale after `lockStaleMs` and is broken by renaming it
+  * aside (rename is the atomic claim — only one breaker wins) — size
+  * `lockStaleMs` above your slowest expected commit, since a breaker
+  * can't tell a dead holder from a slow one. Acquisition waits up to
+  * `lockTimeoutMs` then fails loudly rather than deadlocking a job.
   */
-class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0) {
+class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0,
+    val lockTimeoutMs: Long = 60000, val lockStaleMs: Long = 1800000) {
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -42,6 +59,88 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0) {
   private def tableDir(name: String) = new Path(root, name)
   private def pointerFile(name: String) = new Path(tableDir(name), "_current")
   private def metaFile(name: String) = new Path(tableDir(name), "_meta.json")
+  private def lockFile(name: String) = new Path(tableDir(name), "_commit.lock")
+
+  // tables whose _commit.lock THIS instance's current mutation already
+  // holds — mutators call each other (compact → commitBuckets,
+  // overwriteCoLocated → saveCoLocated) and the file lock, unlike
+  // `synchronized`, is not reentrant. Only touched under the instance
+  // monitor (every locked() body runs synchronized), so a plain Set.
+  private val heldLocks = scala.collection.mutable.Set.empty[String]
+
+  /** Atomic create-exclusive of the lock file: O_EXCL via NIO on the
+    * local FS (Hadoop's RawLocalFileSystem `create(…, overwrite=false)`
+    * is check-then-act, NOT atomic); `FileSystem.create` elsewhere,
+    * where the namenode makes it atomic. Returns false when the lock is
+    * already held.
+    */
+  private def tryAcquire(lock: Path): Boolean = {
+    val content = s"""{"pid":${ProcessHandle.current().pid()},"epochMs":${System.currentTimeMillis()}}"""
+    if (fs.getScheme == "file") {
+      val f = new java.io.File(fs.makeQualified(lock).toUri.getPath)
+      try {
+        if (!f.createNewFile()) false
+        else {
+          val out = new java.io.FileOutputStream(f)
+          try out.write(content.getBytes("UTF-8")) finally out.close()
+          true
+        }
+      } catch { case _: java.io.IOException => false }
+    } else {
+      try {
+        val out = fs.create(lock, false)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
+  /** Cross-process per-table mutual exclusion around a mutation's whole
+    * read→write→pointer-flip span. Reentrant within this instance. A
+    * lock older than `lockStaleMs` (crashed holder) is broken by
+    * renaming it to a unique grave name first — rename succeeds for
+    * exactly one breaker, so two processes can't both "delete stale,
+    * create fresh" and end up holding the lock together.
+    */
+  private def withTableLock[T](name: String)(body: => T): T = {
+    if (heldLocks(name)) return body
+    val lock = lockFile(name)
+    fs.mkdirs(tableDir(name))
+    val deadline = System.currentTimeMillis() + lockTimeoutMs
+    var acquired = tryAcquire(lock)
+    while (!acquired) {
+      val heldSinceMs = try {
+        Some(System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime)
+      } catch { case _: java.io.FileNotFoundException => None }
+      if (heldSinceMs.exists(_ > lockStaleMs)) {
+        val grave = new Path(lock.getParent,
+          s".${lock.getName}.stale.${java.util.UUID.randomUUID().toString.take(8)}")
+        try { if (fs.rename(lock, grave)) fs.delete(grave, false) }
+        catch { case _: java.io.IOException => () }
+      } else if (System.currentTimeMillis() > deadline) {
+        throw new IllegalStateException(
+          s"could not acquire commit lock for table $name within " +
+            s"${lockTimeoutMs}ms — another writer holds $lock " +
+            s"(held ${heldSinceMs.getOrElse(0L)}ms; breaks as stale after " +
+            s"${lockStaleMs}ms if its holder crashed)")
+      } else Thread.sleep(25 + scala.util.Random.nextInt(50))
+      acquired = tryAcquire(lock)
+    }
+    heldLocks += name
+    try body
+    finally {
+      heldLocks -= name
+      try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Every public mutation runs under BOTH the instance monitor
+    * (in-JVM serialization, reentrancy guard) and the table's
+    * cross-process commit lock.
+    */
+  private def locked[T](name: String)(body: => T): T =
+    synchronized { withTableLock(name)(body) }
 
   def exists(name: String): Boolean =
     fs.exists(pointerFile(name)) || latestVersionDir(name).isDefined
@@ -141,7 +240,7 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0) {
     * else all-string from the CSV headers (process-pipeline.py:104-130).
     */
   def createIfAbsent(name: String, schema: StructType,
-      primaryKey: Seq[String] = Nil): Unit = synchronized {
+      primaryKey: Seq[String] = Nil): Unit = locked(name) {
     if (!exists(name)) {
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -157,12 +256,12 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0) {
     * so the rewrite is cheap; large data tables only ever commit whole
     * new contents through overwrite().
     */
-  def append(name: String, df: DataFrame): Unit = synchronized {
+  def append(name: String, df: DataFrame): Unit = locked(name) {
     val merged = if (exists(name)) read(name).unionByName(df) else df
     commit(name, merged, primaryKey(name))
   }
 
-  def overwrite(name: String, df: DataFrame): Unit = synchronized {
+  def overwrite(name: String, df: DataFrame): Unit = locked(name) {
     commit(name, df, primaryKey(name))
   }
 
@@ -177,7 +276,7 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0) {
     * directory.
     */
   def appendLog(name: String, df: DataFrame,
-      evolveSchema: Boolean = false): Unit = synchronized {
+      evolveSchema: Boolean = false): Unit = locked(name) {
     require(bucketCount(name).isEmpty,
       s"$name has a PK-bucket layout; its manifest keys are bucket ids, not log refs")
     val prevManifest: Option[Manifest] = if (exists(name))
@@ -265,7 +364,7 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0) {
     * O(table) — run when fragmentation warrants it, like compact());
     * `clusterCols` re-clusters the fold for row-group skipping.
     */
-  def compactLog(name: String, clusterCols: Seq[String] = Nil): Unit = synchronized {
+  def compactLog(name: String, clusterCols: Seq[String] = Nil): Unit = locked(name) {
     val df0 = read(name)
     val df = if (clusterCols.isEmpty) df0
       else df0.repartitionByRange(clusterCols.map(col): _*)
@@ -287,7 +386,7 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0) {
     * keeps a 100 TB table's time/tenant slices independently readable.
     */
   def overwritePartitioned(name: String, df: DataFrame,
-      partitionCols: Seq[String]): Unit = synchronized {
+      partitionCols: Seq[String]): Unit = locked(name) {
     commit(name, df, primaryKey(name), partitionCols)
   }
 
@@ -301,7 +400,7 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0) {
     * reads orders of magnitude fewer rows from a clustered table.
     */
   def overwriteSorted(name: String, df: DataFrame,
-      sortCols: Seq[String]): Unit = synchronized {
+      sortCols: Seq[String]): Unit = locked(name) {
     require(sortCols.nonEmpty, "sortCols must be non-empty")
     val cols = sortCols.map(col)
     commit(name,
@@ -326,7 +425,7 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0) {
     * target, since skipping granularity IS the file/row-group grid.
     */
   def overwriteZOrdered(name: String, df: DataFrame, zCols: Seq[String],
-      bits: Int = 4, numPartitions: Option[Int] = None): Unit = synchronized {
+      bits: Int = 4, numPartitions: Option[Int] = None): Unit = locked(name) {
     require(zCols.size >= 2, "z-order needs at least two columns")
     require(bits >= 1 && bits * zCols.size <= 62, "morton key must fit a long")
     val cells = 1 << bits
@@ -369,7 +468,7 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0) {
     */
   def overwriteWithBloom(name: String, df: DataFrame,
       bloomCols: Seq[String], expectedNdv: Long,
-      rowGroupBytes: Option[Long] = None): Unit = synchronized {
+      rowGroupBytes: Option[Long] = None): Unit = locked(name) {
     require(bloomCols.nonEmpty, "bloomCols must be non-empty")
     val opts = bloomCols.flatMap(c => Seq(
       s"parquet.bloom.filter.enabled#$c" -> "true",
@@ -400,7 +499,7 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0) {
   /** Opt a table into the bucket layout (the layout itself materializes
     * on its next mutation). Requires a registered primary key.
     */
-  def registerBucketLayout(name: String, numBuckets: Int): Unit = synchronized {
+  def registerBucketLayout(name: String, numBuckets: Int): Unit = locked(name) {
     require(numBuckets > 0, "numBuckets must be positive")
     require(primaryKey(name).nonEmpty,
       s"bucket layout for $name requires a registered primary key")
@@ -458,7 +557,7 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0) {
   }
 
   /** Migrate/overwrite the WHOLE table into bucket layout. */
-  def overwriteAllBuckets(name: String, df: DataFrame): Unit = synchronized {
+  def overwriteAllBuckets(name: String, df: DataFrame): Unit = locked(name) {
     commitBuckets(name, df, prev = Map.empty, touched = Nil)
   }
 
@@ -473,7 +572,7 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0) {
     * last buckets compact away and are pruned by the commit. Returns
     * the compacted bucket ids.
     */
-  def compact(name: String, maxFilesPerBucket: Int = 1): Seq[Int] = synchronized {
+  def compact(name: String, maxFilesPerBucket: Int = 1): Seq[Int] = locked(name) {
     val m = readManifest(name).getOrElse(throw new IllegalStateException(
       s"$name has no bucket manifest; only bucketed tables compact"))
     val frag = m.refs.filter { case (_, ref) =>
@@ -495,7 +594,7 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0) {
     * (immutable) directory via the carried-over manifest entry.
     */
   def overwriteBuckets(name: String, df: DataFrame, touched: Seq[Int]): Unit =
-    synchronized {
+    locked(name) {
       val prev = readManifest(name).map(_.refs).getOrElse(
         throw new IllegalStateException(
           s"$name has no bucket manifest; use overwriteAllBuckets first"))
@@ -523,7 +622,7 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0) {
     new Path(tableDir(name), "_colocated_spec.json")
 
   def saveCoLocated(name: String, df: DataFrame, bucketCols: Seq[String],
-      numBuckets: Int, sortCols: Seq[String] = Nil): Unit = synchronized {
+      numBuckets: Int, sortCols: Seq[String] = Nil): Unit = locked(name) {
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
     val sort = if (sortCols.nonEmpty) sortCols else bucketCols
     df.write
@@ -592,7 +691,7 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0) {
     * settles. Reuses the manifest's bucket count unless overridden.
     */
   def migrateToCoLocated(name: String,
-      numBuckets: Option[Int] = None): (Seq[String], Int) = synchronized {
+      numBuckets: Option[Int] = None): (Seq[String], Int) = locked(name) {
     val pks = primaryKey(name)
     require(pks.nonEmpty,
       s"co-located migration for $name requires a registered primary key")
@@ -675,7 +774,7 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0) {
     * Returns the deleted version names.
     */
   def vacuum(name: String, keepLast: Int = 0,
-      minAgeMs: Long = 0L): Seq[String] = synchronized {
+      minAgeMs: Long = 0L): Seq[String] = locked(name) {
     require(keepLast >= 0, "keepLast must be >= 0")
     if (!exists(name)) return Nil
     val cur = currentVersionDir(name).getName
@@ -725,7 +824,7 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0) {
   }
 
   def registerPrimaryKey(name: String, pks: Seq[String]): Unit =
-    writeMeta(name, pks)
+    locked(name) { writeMeta(name, pks) }
 
   def listTables(): Seq[String] =
     if (!fs.exists(new Path(root))) Nil

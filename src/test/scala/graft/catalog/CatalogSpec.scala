@@ -470,6 +470,55 @@ class CatalogSpec extends SparkTestBase {
       s"no history skipping: clustered read $clustered rows vs $plain")
   }
 
+  test("commit lock: two catalog instances racing appends lose no update") {
+    // Two Catalog INSTANCES over one root model two driver processes:
+    // `synchronized` is per-instance, so only the _commit.lock file
+    // serializes them. Each append is read-current + union + pointer
+    // flip; without the lock, interleaved appends resolve the same
+    // parent version and the second flip silently drops the first's
+    // rows (lost update).
+    val root = tmpDir("catrace")
+    val catA = new Catalog(spark, root)
+    val catB = new Catalog(spark, root)
+    catA.createIfAbsent("t", catA.allStringSchema(Seq("id")), Seq("id"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val n = 12
+    try {
+      val futures = (1 to n).map { i =>
+        val c = if (i % 2 == 0) catA else catB
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = c.append("t", Seq(i.toString).toDF("id"))
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    assert(catA.read("t").as[String].collect().toSet ==
+      (1 to n).map(_.toString).toSet, "a racing append was lost")
+    // both held and released: no lock file survives
+    assert(!new java.io.File(s"$root/t/_commit.lock").exists())
+  }
+
+  test("commit lock: held lock times out loudly, stale lock is broken") {
+    val root = tmpDir("catstale")
+    val lock = new java.io.File(s"$root/t/_commit.lock")
+    // a FRESH foreign lock (live holder) must time out, not deadlock
+    val catSlow = new Catalog(spark, root, lockTimeoutMs = 300)
+    catSlow.createIfAbsent("t", catSlow.allStringSchema(Seq("id")), Nil)
+    lock.getParentFile.mkdirs()
+    assert(lock.createNewFile())
+    val ex = intercept[IllegalStateException] {
+      catSlow.append("t", Seq("x").toDF("id"))
+    }
+    assert(ex.getMessage.contains("commit lock"))
+    // a STALE lock (crashed holder) is broken and the commit proceeds
+    val catFast = new Catalog(spark, root, lockTimeoutMs = 2000,
+      lockStaleMs = 100)
+    assert(lock.setLastModified(System.currentTimeMillis() - 10000))
+    catFast.append("t", Seq("y").toDF("id"))
+    assert(catFast.read("t").as[String].collect().toSeq == Seq("y"))
+    assert(!lock.exists(), "broken stale lock must not linger")
+  }
+
   test("compact rewrites fragmented buckets to one file each, data intact") {
     val cat = new Catalog(spark, tmpDir("catcompact"))
     val n = 4
