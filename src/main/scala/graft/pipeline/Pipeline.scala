@@ -21,18 +21,46 @@ import graft.ops.{MutationOps, PathOps}
   *
   * @param landingRoot directory standing in for the GCS bucket: CSVs
   *   land under `landingRoot/<bucket>/<operation>/<file>.csv`.
+  * @param maxControlRows guard on the control-plane `.collect()`s: the
+  *   driver-side orchestration assumes control rows scale with FILE
+  *   EVENTS, not data rows (SURVEY §7). That assumption is sound for
+  *   this pipeline's design but nothing enforced it — a misuse that
+  *   routed data-scale rows through a control path would OOM the
+  *   driver with no hint why. Past this many rows, the collect fails
+  *   loudly with guidance instead.
   */
 final class Pipeline(
     spark: SparkSession,
     val catalog: Catalog,
     notifier: Notifier,
     landingRoot: String,
-    approver: String = "owner@example.com") {
+    approver: String = "owner@example.com",
+    val maxControlRows: Int = 1000000) {
 
   val ControlTable = "processed_files"
   val DeleteControlTable = "delete_control"
 
   private def nowIso(): String = Instant.now().toString
+
+  /** Driver-side materialization of a CONTROL frame, capped: collects
+    * at most `maxControlRows + 1` rows (the limit bounds driver memory
+    * even when the input is huge) and fails with guidance when the cap
+    * is exceeded — control tables hold file/approval/delete-control
+    * rows, so blowing the cap means data rows were routed through a
+    * control path, and the fix is the data path, not a bigger driver.
+    */
+  private def collectControl(df: DataFrame,
+      what: String): Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(maxControlRows + 1).collect()
+    if (rows.length > maxControlRows)
+      throw new IllegalStateException(
+        s"control-plane guard: $what exceeded maxControlRows=" +
+          s"$maxControlRows. Control rows scale with file events, not " +
+          "data volume — route data-scale rows through the distributed " +
+          "data path (or raise maxControlRows if this volume of control " +
+          "events is intended).")
+    rows
+  }
 
   private def ensureControlTables(): Unit = {
     catalog.createIfAbsent(ControlTable, ProcessedFile.schema)
@@ -88,13 +116,13 @@ final class Pipeline(
       .withColumn("operation", lower(element_at(col("__segs"), 1)))
       .filter(graft.ops.PathOps.isValidOperation(col("operation")))
       .withColumn("file_name", element_at(col("__segs"), -1))
-    val versioned = graft.ops.PathOps.assignVersions(
+    val versioned = collectControl(graft.ops.PathOps.assignVersions(
         catalog.read(ControlTable), arrivals, ord = col("id"))
       .select(col("file_name"), col("id").as("event_id"),
         col("file_version"), lit(false).as("is_processed"),
         col("bucket"), col("operation"), lit(Status.Pending).as("status"),
-        lit(null).cast("timestamp").as("approval_timestamp"))
-      .collect()
+        lit(null).cast("timestamp").as("approval_timestamp")),
+      "registerArrivals' versioned file events")
     if (versioned.isEmpty) return Map.empty
     catalog.append(ControlTable,
       spark.createDataFrame(spark.sparkContext.parallelize(versioned.toSeq, 1),
@@ -194,10 +222,17 @@ final class Pipeline(
     */
   private def alreadyProcessedSet(eventIds: Seq[String]): Set[String] =
     try {
-      catalog.read(ControlTable)
+      collectControl(catalog.read(ControlTable)
         .filter(col("event_id").isin(eventIds.distinct: _*) && col("is_processed"))
-        .select("event_id").collect().map(_.getString(0)).toSet
-    } catch { case _: Exception => Set.empty }
+        .select("event_id"), "alreadyProcessed's idempotency lookup")
+        .map(_.getString(0)).toSet
+    } catch {
+      // read errors → "none processed" is the preserved reference
+      // quirk, but the guard tripping is NOT a read error — a batch
+      // that large must fail loudly, never silently reprocess
+      case e: IllegalStateException => throw e
+      case _: Exception => Set.empty
+    }
 
   /** Apply a batch of (event_id, status, approval_ts) control updates in
     * ONE rewrite: left-join the (tiny, broadcast) update set against the
@@ -302,8 +337,10 @@ final class Pipeline(
   def executePendingDeletes(): Seq[Long] = {
     ensureControlTables()
     val ctrl = catalog.read(DeleteControlTable)
-    val pending = ctrl.filter(col("DeleteFlag") && !col("ExecutedFlag"))
-      .select("QueryId", "target_table", "pk_values").collect()
+    val pending = collectControl(
+      ctrl.filter(col("DeleteFlag") && !col("ExecutedFlag"))
+        .select("QueryId", "target_table", "pk_values"),
+      "executePendingDeletes' staged delete rows")
     if (pending.isEmpty) return Nil
     val executed = Seq.newBuilder[Long]
     pending.groupBy(_.getString(1)).foreach { case (table, rows) =>

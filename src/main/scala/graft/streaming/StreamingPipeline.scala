@@ -38,8 +38,10 @@ final class StreamingPipeline(spark: SparkSession, pipeline: Pipeline,
       .option("checkpointLocation", s"$checkpointRoot/ingest")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        pipeline.registerArrivals(batch.collect().toSeq.map(r => FileEvent(
-          r.getAs[String]("bucket"), r.getAs[String]("name"), r.getAs[String]("id"))))
+        pipeline.registerArrivals(
+          collectEvents(batch, "file-arrival").map(r => FileEvent(
+            r.getAs[String]("bucket"), r.getAs[String]("name"),
+            r.getAs[String]("id"))))
         ()
       }
       .start()
@@ -59,9 +61,27 @@ final class StreamingPipeline(spark: SparkSession, pipeline: Pipeline,
       .option("checkpointLocation", s"$checkpointRoot/approvals")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        pipeline.processApprovals(batch.collect().toSeq.map(rowToEvent))
+        pipeline.processApprovals(
+          collectEvents(batch, "approval").map(rowToEvent))
       }
       .start()
+  }
+
+  /** Control-event micro-batches move to the driver for orchestration;
+    * the same cap Pipeline puts on its own control collects bounds that
+    * materialization — a control stream past the cap means data-scale
+    * rows on a control topic, which must fail loudly, not OOM.
+    */
+  private def collectEvents(batch: DataFrame, what: String): Seq[Row] = {
+    val cap = pipeline.maxControlRows
+    val rows = batch.limit(cap + 1).collect().toSeq
+    if (rows.length > cap)
+      throw new IllegalStateException(
+        s"control-plane guard: a $what micro-batch exceeded " +
+          s"maxControlRows=$cap — control streams carry file/approval " +
+          "events, not data rows; route data through the data path or " +
+          "raise maxControlRows if this event volume is intended")
+    rows
   }
 
   private def rowToEvent(r: Row): ApprovalEvent = {

@@ -280,6 +280,24 @@ class PipelineSpec extends SparkTestBase {
     assert(p.catalog.read("customers").count() == 39)
   }
 
+  test("control-plane guard trips loudly past maxControlRows") {
+    // control collects assume rows scale with file events; the cap
+    // turns a data-scale misuse into a diagnosis instead of a driver OOM
+    val landing = tmpDir("landing")
+    val p = new Pipeline(spark, new Catalog(spark, tmpDir("wh")),
+      new InMemoryNotifier, landing, maxControlRows = 3)
+    val events = (1 to 5).map(i =>
+      FileEvent("b1", s"insert/f$i.csv", s"ev$i"))
+    val ex = intercept[IllegalStateException] {
+      p.registerArrivals(events)
+    }
+    assert(ex.getMessage.contains("maxControlRows"))
+    // under the cap, the same batch registers normally
+    val p2 = new Pipeline(spark, new Catalog(spark, tmpDir("wh")),
+      new InMemoryNotifier, landing, maxControlRows = 10)
+    assert(p2.registerArrivals(events).size == 5)
+  }
+
   test("catalog survives a lost pointer file (crash-recovery fallback)") {
     val root = tmpDir("wh")
     val cat = new Catalog(spark, root)
