@@ -181,6 +181,101 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /** Animated multi-frame GIF from grayscale frames — the JDK's own
+    * `javax.imageio` GIF plugin writes frame sequences natively
+    * (prepareWriteSequence/writeToSequence), the same zero-jar trick
+    * that makes RealImageDecoder real. Frames use an EXPLICIT 256-level
+    * gray palette: GIF is indexed color, and a full gray palette makes
+    * palette index == gray value, so every pixel byte survives the
+    * round trip bit-exact — which is what lets an oracle re-derive
+    * decoded checksums analytically.
+    */
+  def encodeAnimatedGif(width: Int, height: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "a GIF needs at least one frame")
+    require(frames.forall(_.length == width * height),
+      "each frame must be width*height grayscale bytes")
+    javax.imageio.ImageIO.setUseCache(false)
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val baos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { px =>
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        img.getRaster.setDataElements(0, 0, width, height, px)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
+  /** Decode EVERY frame of a multi-frame container (animated GIF) to
+    * (width, height, grayscale bytes) — gray taken from the low channel
+    * of the decoded ARGB, exact for gray-palette GIFs.
+    */
+  def decodeAllFrames(bytes: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext)
+        throw new IllegalArgumentException("unrecognized container format")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        // allowSearch=true: GIF has no frame-count header, the reader
+        // must walk the stream — fine for in-memory payloads
+        val n = reader.getNumImages(true)
+        (0 until n).map { i =>
+          val img = reader.read(i)
+          val w = img.getWidth
+          val h = img.getHeight
+          val argb = img.getRGB(0, 0, w, h, null, 0, w)
+          val px = new Array[Byte](w * h)
+          var j = 0
+          while (j < px.length) { px(j) = (argb(j) & 0xff).toByte; j += 1 }
+          (w, h, px)
+        }
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Frame sampling on a REAL container column: decode each row's
+    * animated GIF, keep every `stride`-th frame (by original frame
+    * index). Output schema = input ++ (n_frames int, frames
+    * array<binary>) — n_frames is the DECODER's total frame count, so a
+    * container the codec can't fully walk fails here, not downstream.
+    * Same batched-mapPartitions shape as the byte-slicing sampleFrames
+    * below: codec state amortizes across the partition, rows never pay
+    * per-row UDF dispatch.
+    */
+  def sampleContainerFrames(df: DataFrame, binCol: String,
+      stride: Int): DataFrame = {
+    require(stride > 0)
+    val outSchema = StructType(df.schema
+      :+ StructField("n_frames", IntegerType, nullable = false)
+      :+ StructField("frames", ArrayType(BinaryType, containsNull = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val all = decodeAllFrames(r.getAs[Array[Byte]](binIdx))
+        val kept = all.zipWithIndex
+          .collect { case ((_, _, px), i) if i % stride == 0 => px }
+        Row.fromSeq(r.toSeq :+ all.length :+ kept)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** Frame sampling for video-like payloads: split the payload into
     * `frameSize`-byte frames and keep every `stride`-th — array<binary>
     * output, the batch shape a real frame sampler produces.

@@ -1019,6 +1019,71 @@ object LlmOps {
       ORDER BY doc_id
     """.trim))
 
+  /** Frame sampling on a REAL multi-frame container: each document
+    * becomes a deterministic animated GIF (2–6 grayscale frames, dims
+    * and pixels closed-form in doc_id / byte length), encoded and
+    * decoded back frame-by-frame with the JDK's own `javax.imageio`
+    * GIF plugin (`Multimodal.encodeAnimatedGif` writes an explicit
+    * 256-gray palette, so every pixel byte round-trips bit-exact).
+    * `sampleContainerFrames` keeps every 2nd frame; the oracle pins the
+    * DECODER's frame count, the kept count, the kept-pixel sum, and an
+    * index-weighted sum ((f+1)·framesum — attributes every byte to its
+    * ORIGINAL frame position, so dropping the wrong frame or reordering
+    * cannot cancel out). Complements t21, which pins byte-slicing
+    * strides on opaque payloads. Scale shape: same as t19 — narrow
+    * (id, n_bytes) projection round-robin repartitioned so codec work
+    * gets full-cluster parallelism regardless of input file layout.
+    */
+  val t21bGifFrames = Q(
+    "t21b_gif_frames",
+    (s, dir) => {
+      import s.implicits._
+      val gifs = Tables.load(s, dir, "documents")
+        .select($"doc_id", length(encode($"text", "UTF-8")).cast("long").as("n_bytes"))
+        .transform(Tables.parallelized)
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (docId, nBytes) =>
+            val w = (8 + nBytes % 8).toInt
+            val h = 8
+            val nf = (2 + docId % 5).toInt
+            val frames = (0 until nf).map(f =>
+              Array.tabulate(w * h)(i => ((docId * 31 + f * 7 + i) % 256).toByte))
+            (docId, Multimodal.encodeAnimatedGif(w, h, frames))
+          }
+        }
+        .toDF("doc_id", "gif")
+      Multimodal.sampleContainerFrames(gifs, "gif", stride = 2)
+        .select($"doc_id", $"n_frames", $"frames")
+        .as[(Long, Int, Array[Array[Byte]])]
+        .map { case (docId, nf, kept) =>
+          var sum = 0L
+          var wsum = 0L
+          kept.zipWithIndex.foreach { case (fr, k) =>
+            var fs = 0L
+            fr.foreach(b => fs += b & 0xff)
+            sum += fs
+            wsum += (2L * k + 1) * fs // original frame index f = 2k
+          }
+          (docId, nf.toLong, kept.length.toLong, sum, wsum)
+        }
+        .toDF("doc_id", "n_frames", "n_kept", "kept_px_sum", "kept_px_wsum")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+      g AS (SELECT doc_id, 8 + n_bytes % 8 AS w, 8 AS h, 2 + doc_id % 5 AS nf FROM d)
+      SELECT doc_id,
+             CAST(nf AS BIGINT) AS n_frames,
+             CAST((nf + 1) // 2 AS BIGINT) AS n_kept,
+             CAST(list_sum([list_sum([(doc_id * 31 + f * 7 + i) % 256 for i in range(0, w * h)])
+                            for f in range(0, nf) if f % 2 = 0]) AS BIGINT) AS kept_px_sum,
+             CAST(list_sum([(f + 1) * list_sum([(doc_id * 31 + f * 7 + i) % 256 for i in range(0, w * h)])
+                            for f in range(0, nf) if f % 2 = 0]) AS BIGINT) AS kept_px_wsum
+      FROM g
+      ORDER BY doc_id
+    """.trim))
+
   /** Corpus heavy-hitter tokens (vocabulary / stopword detection):
     * tokens whose frequency exceeds 0.1% of all tokens. Scale shape:
     * ONE corpus pass — explode + partial/final hash aggregate on the
@@ -1751,7 +1816,8 @@ object LlmOps {
     t10EmbeddingDedup, t11SimhashHamming, t12TfidfTopTerms,
     t13StratifiedSample, t14PiiRedaction, t15RepetitionStats,
     t16SequencePacking, t17EmbeddingQuantization, t18CurationGate,
-    t19ImageDecode, t20ImageFeatures, t21FrameSample, t22HeavyHitters,
+    t19ImageDecode, t20ImageFeatures, t21FrameSample, t21bGifFrames,
+    t22HeavyHitters,
     t23DedupGroups, t24CurationPipeline, t25UnicodeNfc, t26Contamination,
     t27MixtureBudget, t28ShuffleShard, t29ChunkDedup, t30LmQuality,
     t31UrlOps, t32ClusterProfile,

@@ -42,6 +42,40 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames(1).toSeq == (20 until 30).map(_.toByte))
   }
 
+  test("animated GIF round-trips every frame's gray bytes exactly") {
+    val w = 11; val h = 5
+    val frames = (0 until 4).map(f =>
+      Array.tabulate(w * h)(i => ((f * 7 + i * 13) % 256).toByte))
+    val gif = Multimodal.encodeAnimatedGif(w, h, frames)
+    // a real multi-frame container, not concatenated stills
+    assert(gif.take(6).map(_.toChar).mkString.startsWith("GIF8"))
+    val decoded = Multimodal.decodeAllFrames(gif)
+    assert(decoded.length == 4)
+    decoded.zip(frames).foreach { case ((dw, dh, px), expected) =>
+      assert((dw, dh) == (w, h))
+      assert(px.toSeq == expected.toSeq) // full gray palette: lossless
+    }
+  }
+
+  test("sampleContainerFrames decodes real GIF frames, keeps stride-th") {
+    val w = 8; val h = 8
+    val mk = (docId: Int) => (0 until 5).map(f =>
+      Array.tabulate(w * h)(i => ((docId * 31 + f * 7 + i) % 256).toByte))
+    val df = Seq(
+      (1, Multimodal.encodeAnimatedGif(w, h, mk(1))),
+      (2, Multimodal.encodeAnimatedGif(w, h, mk(2)))).toDF("id", "gif")
+    val out = Multimodal.sampleContainerFrames(df, "gif", stride = 2)
+      .select($"id", $"n_frames", $"frames")
+      .as[(Int, Int, Seq[Array[Byte]])].collect().sortBy(_._1)
+    out.foreach { case (id, nf, kept) =>
+      assert(nf == 5)
+      assert(kept.length == 3) // frames 0, 2, 4
+      kept.zip(Seq(0, 2, 4)).foreach { case (px, f) =>
+        assert(px.toSeq == mk(id)(f).toSeq, s"doc $id frame $f")
+      }
+    }
+  }
+
   test("RealImageDecoder round-trips PNG pixels exactly") {
     val w = 13; val h = 7
     val rgb = Array.tabulate(w * h * 3)(i => ((i * 17 + 3) % 256).toByte)
