@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.catalog.Catalog
+import graft.streaming.{IncrementalDedup, StatefulV2}
+
+/** Streaming throughput benchmark — the perf signal for the two
+  * stateful streaming surfaces (sessionizer, incremental dedup), which
+  * the batch `Bench` never exercises. Prints ONE JSON line with
+  * events/s, docs/s and per-batch latency.
+  *
+  * Method: the sf events table is split into time-ordered chunks,
+  * landed as one file each, and drained through
+  * `StatefulV2.sessionizeWithTimers` under `maxFilesPerTrigger=1` +
+  * AvailableNow — every chunk is a micro-batch, mirroring steady-state
+  * arrival, with two far-future sentinel batches to flush the trailing
+  * timers. Per-batch wall times come from the query's own progress
+  * events (`batchDuration`), throughput from total input / drain wall
+  * time. The dedup side drives `IncrementalDedup.processBatch` (the
+  * foreachBatch body) over document chunks against a fresh catalog.
+  */
+object StreamBench {
+
+  case class SideResult(rows: Long, wallSec: Double, batches: Int,
+      batchSecs: Seq[Double]) {
+    def rate: Double = if (wallSec > 0) rows / wallSec else 0.0
+    def medianBatchSec: Double =
+      if (batchSecs.isEmpty) 0.0
+      else batchSecs.sorted.apply(batchSecs.size / 2)
+    def json(rowsName: String): String =
+      f"""{"$rowsName":$rows,"wall_sec":$wallSec%.3f,"${rowsName}_per_sec":$rate%.1f,""" +
+        f""""batches":$batches,"batch_sec_median":$medianBatchSec%.3f}"""
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Drain the events table through the timer sessionizer. */
+  def benchSessionize(spark: SparkSession, sfDir: String,
+      chunks: Int): SideResult = {
+    val srcDir = tmp("sbench-src")
+    val ckpt = tmp("sbench-ckpt")
+    // ts is TIMESTAMP(NANOS) read as long under nanosAsLong
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+    // time-ordered chunks, one file per chunk = one micro-batch each
+    // (the ntile global sort is harness setup, outside the clock)
+    val chunked = ev
+      .withColumn("__c", ntile(chunks).over(Window.orderBy("ts_us")))
+      .persist()
+    val total = chunked.count()
+    (1 to chunks).foreach { c =>
+      chunked.filter(col("__c") === c).drop("__c")
+        .repartition(1).write.mode("append").parquet(srcDir)
+    }
+    chunked.unpersist()
+    val maxTs = ev.agg(max("ts_us")).head().getLong(0)
+    // two sentinels: batch N advances the watermark, batch N+1 lets the
+    // advanced watermark fire the timers that close trailing sessions
+    import spark.implicits._
+    Seq(1, 2).foreach { i =>
+      Seq((-1L, maxTs + i * 3600000000L)).toDF("user_id", "ts_us")
+        .repartition(1).write.mode("append").parquet(srcDir)
+    }
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema("user_id long, ts_us long")
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val t0 = System.nanoTime()
+      val q = StatefulV2.sessionizeWithTimers(stream, gapUs = 30L * 60 * 1000 * 1000)
+        .writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      SideResult(total, wall, progress.size,
+        progress.map(_.batchDuration / 1000.0))
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  /** Drive IncrementalDedup.processBatch over document chunks. */
+  def benchIncrementalDedup(spark: SparkSession, sfDir: String,
+      chunks: Int): SideResult = {
+    val cat = new Catalog(spark, tmp("sbench-cat"))
+    val dd = new IncrementalDedup(cat, threshold = 0.8)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).persist()
+    val total = docs.count()
+    val batchSecs = (0 until chunks).map { k =>
+      val batch = docs.filter(pmod(col("doc_id"), lit(chunks)) === k)
+      val t0 = System.nanoTime()
+      dd.processBatch(batch, "doc_id", "text", Some(k.toLong))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    docs.unpersist()
+    SideResult(total, batchSecs.sum, chunks, batchSecs)
+  }
+
+  def run(spark: SparkSession, sfDir: String, sessionChunks: Int = 10,
+      dedupChunks: Int = 5): String = {
+    val sess = benchSessionize(spark, sfDir, sessionChunks)
+    val dd = benchIncrementalDedup(spark, sfDir, dedupChunks)
+    s"""{"metric":"stream_bench","sessionize":${sess.json("events")},""" +
+      s""""incremental_dedup":${dd.json("docs")},"sf":"$sfDir"}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // chunk counts size the micro-batches: small batches measure
+    // per-batch overhead (steady trickle), large ones peak throughput
+    val sessionChunks = sys.env.getOrElse("SPARK_GRAFT_SESSION_CHUNKS", "10").toInt
+    val dedupChunks = sys.env.getOrElse("SPARK_GRAFT_DEDUP_CHUNKS", "5").toInt
+    println(run(spark, sfDir, sessionChunks, dedupChunks))
+    spark.stop()
+  }
+}
