@@ -40,7 +40,48 @@ object MakeProbe {
     rep("customer", Seq("c_custkey"))
     rep("supplier", Seq("s_suppkey"))
     rep("part", Seq("p_partkey"))
-    rep("documents", Seq("doc_id"))
+    // documents: id shifts alone leave TEXT identical across replicas,
+    // so every doc gains n-1 verbatim twins — near-dup pair counts and
+    // LSH bucket populations then grow QUADRATICALLY in n, a probe
+    // artifact no real corpus has (10× mostly hid it; at 30× it
+    // drowns the signal: t04 went ~80× and connected components
+    // stopped converging through cross-replica dup chains). And
+    // because shingles are CHARACTER n-grams, token-level tags don't
+    // help — most trigrams inside a word survive a suffix. Each
+    // replica instead gets its own AFFINE CHARACTER CIPHER (separate
+    // affine maps on the 26 letters — applied case-consistently — and
+    // the 10 digits, via one `translate`): a bijection on characters
+    // keeps every replica's char-trigram structure, token counts,
+    // distinct ratios and word-bigram vocabulary exactly isomorphic to
+    // the original, while cross-replica trigram overlap collapses to
+    // punctuation-only — so dup structure AND vocab scale linearly.
+    // (Language-ID labels ciphered replicas 'unknown'; none of the
+    // heavy composites gate their compute volume on detection, so only
+    // the gate's cheap reason distribution shifts.)
+    locally {
+      val lower = "abcdefghijklmnopqrstuvwxyz"
+      val digits = "0123456789"
+      val cop26 = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+      val cop10 = Seq(1, 3, 7, 9)
+      def cipher(i: Int): (String, String) = {
+        val aL = cop26((i / 26) % cop26.length); val bL = i % 26
+        val aD = cop10((i / 10) % cop10.length); val bD = i % 10
+        val mapL = lower.indices.map(j => lower((aL * j + bL) % 26)).mkString
+        val mapD = digits.indices.map(j => digits((aD * j + bD) % 10)).mkString
+        (lower + lower.toUpperCase + digits,
+          mapL + mapL.toUpperCase + mapD)
+      }
+      val df = spark.read.parquet(s"$src/documents.parquet")
+      (0 until n).map { i =>
+        val shifted = df.withColumn("doc_id", col("doc_id") + lit(shift * i))
+        if (i == 0) shifted
+        else {
+          val (from, to) = cipher(i)
+          shifted.withColumn("text", translate(col("text"), from, to))
+        }
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
     rep("embeddings", Seq("vec_id"))
     rep("events", Seq("event_id", "user_id"))
     Seq("nation", "region").foreach { name =>
