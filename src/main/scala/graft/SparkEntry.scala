@@ -2,13 +2,13 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EventOps, LlmOps, ParityOps, Q, Relational}
+import graft.queries.{EventOps, JdbcParity, LlmOps, ParityOps, Q, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Every declared query, in registration order. */
   def allQueries: Seq[Q] =
-    Relational.all ++ ParityOps.all ++ EventOps.all ++ LlmOps.all
+    Relational.all ++ ParityOps.all ++ JdbcParity.all ++ EventOps.all ++ LlmOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

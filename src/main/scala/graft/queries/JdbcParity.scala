@@ -1,0 +1,141 @@
+package graft.queries
+
+import java.util.UUID
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sinks.JdbcSink
+
+/** The JDBC sink (graft.sinks.JdbcSink) through the correctness gate:
+  * each query materializes real writes into an in-process Derby database
+  * (create → append/merge/delete → read back through Spark's JDBC
+  * source), so the DuckDB oracle checks the sink's end state relationally
+  * — the 1:1 runnable twin of the reference's Postgres surface
+  * (process-pipeline.py:152-234). op08 intentionally reproduces op02's
+  * batch: the JDBC path and the parquet-catalog path must agree on the
+  * same relation.
+  *
+  * Each invocation writes to a fresh UUID-named in-memory database; it
+  * lives until JVM exit (the read-back DataFrame is lazy, so the store
+  * must outlive the query function).
+  */
+object JdbcParity {
+
+  private def freshUrl(tag: String): String =
+    s"jdbc:derby:memory:$tag${UUID.randomUUID().toString.replace("-", "").take(12)};create=true"
+
+  /** Append + partitioned read-back round trip (the reference's plain
+    * INSERT path, batched per BATCH_SIZE).
+    */
+  val op06JdbcRoundtrip = Q(
+    "op06_jdbc_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      val supplier = Tables.load(s, dir, "supplier")
+      val url = freshUrl("rt")
+      JdbcSink.createTableIfAbsent(url, "supplier", supplier.schema, Seq("s_suppkey"))
+      JdbcSink.append(supplier, url, "supplier")
+      JdbcSink.read(s, url, "supplier", partitionCol = Some("s_suppkey"))
+        .orderBy($"s_suppkey")
+    },
+    Some("""
+      SELECT * FROM supplier ORDER BY s_suppkey
+    """.trim))
+
+  /** Insert-ignore against a seeded table: seed = keys not divisible by 3,
+    * incoming = every customer re-keyed to 2× with upper-cased name —
+    * collisions with seeded keys are dropped, novel keys land.
+    */
+  val op07JdbcInsertIgnore = Q(
+    "op07_jdbc_insert_ignore",
+    (s, dir) => {
+      import s.implicits._
+      val customer = Tables.load(s, dir, "customer")
+      val url = freshUrl("ii")
+      JdbcSink.createTableIfAbsent(url, "customer", customer.schema, Seq("c_custkey"))
+      JdbcSink.append(customer.filter($"c_custkey" % 3 =!= 0), url, "customer")
+      val incoming = customer.select(
+        ($"c_custkey" * 2).as("c_custkey"), upper($"c_name").as("c_name"),
+        $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+      JdbcSink.insertIgnore(incoming, url, "customer", Seq("c_custkey"), $"c_custkey")
+      JdbcSink.read(s, url, "customer").orderBy($"c_custkey")
+    },
+    Some("""
+      WITH seed AS (SELECT * FROM customer WHERE c_custkey % 3 <> 0),
+      inc AS (
+        SELECT c_custkey * 2 AS c_custkey, upper(c_name) AS c_name,
+               c_nationkey, c_acctbal, c_mktsegment
+        FROM customer)
+      SELECT * FROM seed
+      UNION ALL
+      SELECT * FROM inc WHERE c_custkey NOT IN (SELECT c_custkey FROM seed)
+      ORDER BY c_custkey
+    """.trim))
+
+  /** Upsert with in-batch keep-last — op02's exact batch driven through
+    * the JDBC MERGE path; the oracle is the same relation op02 pins.
+    */
+  val op08JdbcUpsert = Q(
+    "op08_jdbc_upsert",
+    (s, dir) => {
+      import s.implicits._
+      val customer = Tables.load(s, dir, "customer")
+      val url = freshUrl("up")
+      JdbcSink.createTableIfAbsent(url, "customer", customer.schema, Seq("c_custkey"))
+      JdbcSink.append(customer, url, "customer")
+      val b1 = customer.filter($"c_custkey" % 3 === 0)
+        .select($"c_custkey", concat(lit("v1_"), $"c_name").as("c_name"),
+          $"c_nationkey", $"c_acctbal", $"c_mktsegment", lit(1L).as("__ord"))
+      val b2 = customer.filter($"c_custkey" % 6 === 0)
+        .select($"c_custkey", concat(lit("v2_"), $"c_name").as("c_name"),
+          $"c_nationkey", $"c_acctbal", $"c_mktsegment", lit(2L).as("__ord"))
+      val batch = b1.unionByName(b2)
+      JdbcSink.upsert(batch, url, "customer", Seq("c_custkey"), $"__ord")
+      JdbcSink.read(s, url, "customer").orderBy($"c_custkey")
+    },
+    Some("""
+      WITH b AS (
+        SELECT c_custkey, 'v1_' || c_name AS c_name, c_nationkey, c_acctbal,
+               c_mktsegment, 1 AS ord FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, 'v2_' || c_name, c_nationkey, c_acctbal,
+               c_mktsegment, 2 FROM customer WHERE c_custkey % 6 = 0),
+      last AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY ord DESC) AS rn FROM b)
+        WHERE rn = 1)
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM b)
+      UNION ALL
+      SELECT * FROM last
+      ORDER BY c_custkey
+    """.trim))
+
+  /** Batched delete-by-PK over the date-free order columns; op03's key
+    * set (finished orders of every 10th customer) through real DELETEs.
+    */
+  val op09JdbcDelete = Q(
+    "op09_jdbc_delete",
+    (s, dir) => {
+      import s.implicits._
+      val orders = Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      val url = freshUrl("del")
+      JdbcSink.createTableIfAbsent(url, "orders", orders.schema, Seq("o_orderkey"))
+      JdbcSink.append(orders, url, "orders")
+      val keys = orders.filter($"o_orderstatus" === "F" && $"o_custkey" % 10 === 0)
+      JdbcSink.deleteByPk(keys, url, "orders", Seq("o_orderkey"))
+      JdbcSink.read(s, url, "orders", partitionCol = Some("o_orderkey"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey NOT IN
+        (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' AND o_custkey % 10 = 0)
+      ORDER BY o_orderkey
+    """.trim))
+
+  val all: Seq[Q] = Seq(op06JdbcRoundtrip, op07JdbcInsertIgnore,
+    op08JdbcUpsert, op09JdbcDelete)
+}
