@@ -1,0 +1,145 @@
+package graft.sources.bus
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.{Base64, UUID}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.types._
+
+/** Durable partitioned event log backing the `graftbus` source — the
+  * engine's stand-in for the reference's push event bus
+  * (approval-handler.py:72-75, process-pipeline.py:435-448 consume
+  * Pub/Sub push deliveries). Semantics follow the partitioned-log model:
+  * a bus has N partitions; each publish appends one immutable segment
+  * file with a per-partition monotonically increasing sequence number;
+  * consumers track a (partition → seq) offset vector. Replay is free
+  * (segments are immutable), which is what gives the Spark source
+  * exactly-once: a restarted query re-plans the same (start, end] seq
+  * range and reads identical bytes.
+  *
+  * Segment format: one record per line, `tsMillis<TAB>base64(value)` —
+  * no escaping ambiguity for arbitrary payloads. Segment commit is
+  * write-temp + atomic same-directory rename; a seq collision between
+  * concurrent publishers surfaces as FileAlreadyExists and retries with
+  * a fresh seq (same create-exclusive pattern as the catalog's commit
+  * lock). On an object store the rename step would instead target a
+  * manifest, as the Catalog does.
+  *
+  * Scale shape: publish is O(batch); listing for latestOffset is one
+  * directory list per partition (control-plane, proportional to segment
+  * count, bounded by retention/`vacuum`, never by data rows).
+  */
+object BusLog {
+
+  val schema: StructType = StructType(Seq(
+    StructField("partition", IntegerType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("idx", IntegerType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+
+  private def partDir(root: String, p: Int): Path =
+    Paths.get(root, f"p$p%05d")
+
+  private val SegmentRe = raw"(\d{20})\.log".r
+
+  def create(root: String, numPartitions: Int): Unit = {
+    require(numPartitions > 0, "bus needs at least one partition")
+    (0 until numPartitions).foreach(p => Files.createDirectories(partDir(root, p)))
+  }
+
+  def partitions(root: String): Seq[Int] = {
+    val d = Paths.get(root)
+    if (!Files.isDirectory(d)) Seq.empty
+    else Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("p\\d{5}") => s.drop(1).toInt }
+      .toSeq.sorted
+  }
+
+  /** Highest committed seq per partition (0 = nothing published). */
+  def latestSeqs(root: String): Map[Int, Long] =
+    partitions(root).map { p =>
+      val d = partDir(root, p)
+      val max = Files.list(d).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case SegmentRe(s) => s.toLong }
+        .foldLeft(0L)(math.max)
+      p -> max
+    }.toMap
+
+  /** Append one segment of records to a partition; returns its seq.
+    *
+    * Publishers serialize per partition through a create-exclusive lock
+    * file (`Files.createFile` = O_EXCL, atomic; a POSIX rename silently
+    * REPLACES an existing target, so rename alone cannot arbitrate the
+    * seq). Serialized commits also keep seqs gap-free and in order,
+    * which the source's offset model requires: `latestOffset` must
+    * never advance past a seq that is still being written. This is the
+    * partition-leader model — appends to one partition are ordered;
+    * throughput scales by adding partitions. A lock older than
+    * `staleLockMs` is presumed abandoned by a crashed publisher and
+    * broken.
+    */
+  def publish(root: String, partition: Int, records: Seq[(Long, String)],
+      staleLockMs: Long = 30000L): Long = {
+    require(records.nonEmpty, "empty publish")
+    val dir = partDir(root, partition)
+    require(Files.isDirectory(dir), s"bus partition $partition missing under $root")
+    val body = records.map { case (tsMillis, value) =>
+      tsMillis.toString + "\t" +
+        Base64.getEncoder.encodeToString(value.getBytes(StandardCharsets.UTF_8))
+    }.mkString("", "\n", "\n")
+    val lock = dir.resolve("_lock")
+    var attempt = 0
+    while (attempt < 10000) {
+      try {
+        Files.createFile(lock)
+        try {
+          val seq = latestSeqs(root).getOrElse(partition, 0L) + 1
+          val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
+          Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+          // exclusive under the lock: the target cannot exist
+          Files.move(tmp, dir.resolve(f"$seq%020d.log"),
+            StandardCopyOption.ATOMIC_MOVE)
+          return seq
+        } finally Files.deleteIfExists(lock)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          try {
+            val age = System.currentTimeMillis() -
+              Files.getLastModifiedTime(lock).toMillis
+            if (age > staleLockMs) Files.deleteIfExists(lock)
+          } catch { case _: java.io.IOException => () } // lock vanished: retry
+          attempt += 1
+          Thread.sleep(math.min(attempt, 20).toLong)
+      }
+    }
+    throw new IllegalStateException(s"bus publish livelock on partition $partition")
+  }
+
+  /** Read records of one partition with seq in (fromExclusive, toInclusive].
+    * Returns (seq, idx, tsMillis, valueBytes) in order.
+    */
+  def readRange(root: String, partition: Int, fromExclusive: Long,
+      toInclusive: Long): Iterator[(Long, Int, Long, Array[Byte])] = {
+    val dir = partDir(root, partition)
+    val seqs = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case SegmentRe(s) => s.toLong }
+      .filter(s => s > fromExclusive && s <= toInclusive)
+      .toSeq.sorted
+    seqs.iterator.flatMap { seq =>
+      val lines = Files.readAllLines(
+        dir.resolve(f"$seq%020d.log"), StandardCharsets.UTF_8).asScala
+      lines.iterator.filter(_.nonEmpty).zipWithIndex.map { case (line, idx) =>
+        val tab = line.indexOf('\t')
+        val ts = line.substring(0, tab).toLong
+        val bytes = Base64.getDecoder.decode(line.substring(tab + 1))
+        (seq, idx, ts, bytes)
+      }
+    }
+  }
+}

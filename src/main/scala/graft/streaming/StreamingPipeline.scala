@@ -9,9 +9,11 @@ import graft.pipeline.Pipeline
 
 /** Streaming faces of the pipeline (SURVEY §3 lifecycle + §2.b streaming
   * rows): the reference's push boundaries (GCS CloudEvents, approval
-  * Pub/Sub) become JSON-lines file streams — the only streaming source
-  * format available without extra jars — processed with Structured
-  * Streaming and committed through the same idempotent batch paths.
+  * Pub/Sub) arrive either as JSON-lines file streams or through the
+  * `graftbus` partitioned event log (graft.sources.bus — a DataSource V2
+  * micro-batch source with Kafka-shaped offset semantics), processed
+  * with Structured Streaming and committed through the same idempotent
+  * batch paths.
   *
   * Exactly-once: `dropDuplicates` handles duplicates within the stream,
   * and the persisted control table guards across restarts
@@ -59,6 +61,28 @@ final class StreamingPipeline(spark: SparkSession, pipeline: Pipeline,
       .dropDuplicates("event_id")
       .writeStream
       .option("checkpointLocation", s"$checkpointRoot/approvals")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        pipeline.processApprovals(
+          collectEvents(batch, "approval").map(rowToEvent))
+      }
+      .start()
+  }
+
+  /** O20 over a real event bus: approvals consumed from a `graftbus`
+    * log instead of JSON-lines files — the closest runnable twin of the
+    * reference's Pub/Sub push subscription (approval-handler.py:72-75).
+    * The payload JSON rides in `value`; offsets give replay, the
+    * event_id dedup + idempotent control commits give exactly-once.
+    */
+  def startApprovalsFromBus(busRoot: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream.format("graftbus").option("path", busRoot).load()
+      .select(from_json(col("value"), ApprovalEvent.schema).as("e"))
+      .select("e.*")
+      .dropDuplicates("event_id")
+      .writeStream
+      .option("checkpointLocation", s"$checkpointRoot/approvals_bus")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         pipeline.processApprovals(

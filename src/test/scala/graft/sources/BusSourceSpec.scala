@@ -1,0 +1,116 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.catalog.Catalog
+import graft.model.ProcessedFile
+import graft.notify.InMemoryNotifier
+import graft.pipeline.Pipeline
+import graft.sources.bus.{BusLog, BusOffset}
+import graft.streaming.StreamingPipeline
+
+/** The graftbus DSv2 source: batch==stream totality, exactly-once across
+  * a checkpointed restart, concurrent-publisher seq allocation, offset
+  * codec round-trip, and the approval pipeline consuming from the bus.
+  */
+class BusSourceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("offset json round-trips") {
+    val o = BusOffset(Map(0 -> 5L, 3 -> 17L, 12 -> 0L))
+    assert(BusOffset.fromJson(o.json()) == o)
+    assert(BusOffset.fromJson(BusOffset(Map.empty).json()) == BusOffset(Map.empty))
+  }
+
+  test("batch read sees every published record exactly once") {
+    val root = tmpDir("bus_b")
+    BusLog.create(root, 3)
+    BusLog.publish(root, 0, Seq((1000L, "a0"), (2000L, "a1")))
+    BusLog.publish(root, 1, Seq((1500L, "b0")))
+    BusLog.publish(root, 0, Seq((3000L, "a2")))
+    val got = spark.read.format("graftbus").option("path", root).load()
+      .select($"partition", $"seq", $"idx", $"value")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(got == Set((0, 1L, 0, "a0"), (0, 1L, 1, "a1"), (1, 1L, 0, "b0"),
+      (0, 2L, 0, "a2")))
+  }
+
+  test("stream equals batch and restart is exactly-once (no dups, no loss)") {
+    val root = tmpDir("bus_s")
+    val out = tmpDir("bus_out")
+    val ckpt = tmpDir("bus_ckpt")
+    BusLog.create(root, 2)
+    BusLog.publish(root, 0, Seq((1000L, "x1"), (1000L, "x2")))
+    BusLog.publish(root, 1, Seq((1000L, "y1")))
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftbus").option("path", root).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    // second wave lands after the first checkpointed drain
+    BusLog.publish(root, 0, Seq((2000L, "x3")))
+    BusLog.publish(root, 1, Seq((2000L, "y2"), (2000L, "y3")))
+    drain()
+    // a third drain with nothing new must add nothing (replay safety)
+    drain()
+
+    val streamed = spark.read.parquet(out)
+      .select($"partition", $"seq", $"idx", $"value").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    assert(streamed.length == 6, "restart must not duplicate or drop records")
+    val batch = spark.read.format("graftbus").option("path", root).load()
+      .select($"partition", $"seq", $"idx", $"value").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    assert(streamed.toSet == batch.toSet)
+  }
+
+  test("concurrent publishers to one partition allocate distinct seqs") {
+    val root = tmpDir("bus_c")
+    BusLog.create(root, 1)
+    val threads = (1 to 4).map { t =>
+      new Thread(() => (1 to 5).foreach { i =>
+        BusLog.publish(root, 0, Seq((i.toLong, s"t$t-$i")))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(BusLog.latestSeqs(root)(0) == 20L)
+    val n = spark.read.format("graftbus").option("path", root).load().count()
+    assert(n == 20L)
+  }
+
+  test("approval pipeline consumes from the bus end to end") {
+    val landing = tmpDir("bus_landing")
+    val notifier = new InMemoryNotifier
+    val pipeline = new Pipeline(spark, new Catalog(spark, tmpDir("bus_wh")), notifier, landing)
+    val sp = new StreamingPipeline(spark, pipeline, tmpDir("bus_ckpt2"))
+
+    val p = Paths.get(landing, "b1/insert/customers.csv")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, "customer_id,name\n1,alice\n2,bob\n")
+    pipeline.registerArrivals(Seq(graft.model.FileEvent("b1", "insert/customers.csv", "ev1")))
+
+    val bus = tmpDir("bus_appr")
+    BusLog.create(bus, 2)
+    val approval =
+      """{"event_id":"ev1","action":"approve","file_name":"insert/customers.csv","table_name":"customers","operation":"insert","bucket":"b1","file_version":1}"""
+    // duplicate delivery on another partition — event_id dedup absorbs it
+    BusLog.publish(bus, 0, Seq((1000L, approval)))
+    BusLog.publish(bus, 1, Seq((1001L, approval)))
+    val q = sp.startApprovalsFromBus(bus)
+    q.awaitTermination()
+
+    assert(pipeline.catalog.read("customers").count() == 2)
+    val done = pipeline.catalog.read(pipeline.ControlTable).as[ProcessedFile].head()
+    assert(done.status == "approved" && done.is_processed)
+    assert(notifier.sent.count(_.subject.contains("SUCCESS")) == 1)
+  }
+}
