@@ -384,7 +384,60 @@ object EventOps {
       ORDER BY user_id, ws
     """.trim))
 
+  /** The `graftbus` event-bus source through the oracle gate: every
+    * Spark partition PUBLISHES its split of the events table to a bus
+    * partition from the executors (no driver collect — distributed
+    * publish is the 100 TB shape), then the relation is read back
+    * through the DSv2 batch scan and aggregated. The oracle aggregates
+    * the same parquet directly, so rows/schema/hash pin the full
+    * publish → segment encode → offset-planned scan → decode loop.
+    * Doubles survive the payload round trip exactly because Spark's
+    * double→string cast emits the shortest decimal representation,
+    * which parses back to the identical bits.
+    */
+  val e11BusRoundtrip = Q(
+    "e11_bus_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      val busPartitions = 8
+      val root = java.nio.file.Files.createTempDirectory("bus_e11").toString
+      graft.sources.bus.BusLog.create(root, busPartitions)
+      Tables.load(s, dir, "events")
+        .select(concat_ws("\u0001", $"event_id", $"user_id", $"event_type",
+          $"value".cast("string")).as("v"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          val recs = rows.map(r => (0L, r.getString(0))).toSeq
+          if (recs.nonEmpty) {
+            val p = org.apache.spark.TaskContext.getPartitionId() % busPartitions
+            graft.sources.bus.BusLog.publish(root, p, recs)
+          }
+          ()
+        }
+      val parts = split($"value", "\u0001")
+      s.read.format("graftbus").option("path", root).load()
+        .select(
+          parts.getItem(0).cast("long").as("event_id"),
+          parts.getItem(1).cast("long").as("user_id"),
+          parts.getItem(2).as("event_type"),
+          parts.getItem(3).cast("double").as("value"))
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"),
+          sum($"value".cast("decimal(14,2)")).cast("double").as("sum_value"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type,
+             count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """.trim))
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
     e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin,
-    e09Unpivot, e10DynamicSession)
+    e09Unpivot, e10DynamicSession, e11BusRoundtrip)
 }

@@ -59,16 +59,60 @@ object BusLog {
       .toSeq.sorted
   }
 
-  /** Highest committed seq per partition (0 = nothing published). */
+  /** Highest committed seq per partition (0 = nothing published).
+    * Includes the vacuum high-watermark: a fully vacuumed partition
+    * must never hand its seqs out again, or a replayed offset range
+    * would read different data.
+    */
   def latestSeqs(root: String): Map[Int, Long] =
     partitions(root).map { p =>
       val d = partDir(root, p)
       val max = Files.list(d).iterator().asScala
         .map(_.getFileName.toString)
         .collect { case SegmentRe(s) => s.toLong }
-        .foldLeft(0L)(math.max)
+        .foldLeft(readHwm(d))(math.max)
       p -> max
     }.toMap
+
+  private def readHwm(dir: Path): Long = {
+    val f = dir.resolve("_hwm")
+    if (Files.exists(f))
+      new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toLong
+    else 0L
+  }
+
+  /** Retention: delete segments with seq ≤ the consumer's committed
+    * watermark (mirrors the catalog's vacuum contract — the log is
+    * bounded by retention policy, not by time). Runs under the
+    * partition's publish lock; the deleted range is recorded in a
+    * high-watermark file so those seqs are never reallocated. Readers
+    * of already-vacuumed ranges fail by omission (fewer rows), never by
+    * misattribution.
+    */
+  def vacuum(root: String, uptoSeqs: Map[Int, Long],
+      staleLockMs: Long = 30000L): Unit =
+    uptoSeqs.foreach { case (p, upto) =>
+      if (upto > 0) {
+        val dir = partDir(root, p)
+        withPartitionLock(dir, staleLockMs, s"vacuum partition $p") {
+          Files.list(dir).iterator().asScala
+            .filter { f =>
+              f.getFileName.toString match {
+                case SegmentRe(s) => s.toLong <= upto
+                case _ => false
+              }
+            }
+            .toSeq.foreach(Files.delete)
+          if (upto > readHwm(dir)) {
+            val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
+            Files.write(tmp, upto.toString.getBytes(StandardCharsets.UTF_8))
+            Files.move(tmp, dir.resolve("_hwm"),
+              StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+      }
+    }
 
   /** Append one segment of records to a partition; returns its seq.
     *
@@ -92,20 +136,29 @@ object BusLog {
       tsMillis.toString + "\t" +
         Base64.getEncoder.encodeToString(value.getBytes(StandardCharsets.UTF_8))
     }.mkString("", "\n", "\n")
+    withPartitionLock(dir, staleLockMs, s"publish to partition $partition") {
+      val seq = latestSeqs(root).getOrElse(partition, 0L) + 1
+      val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      // exclusive under the lock: the target cannot exist
+      Files.move(tmp, dir.resolve(f"$seq%020d.log"),
+        StandardCopyOption.ATOMIC_MOVE)
+      seq
+    }
+  }
+
+  /** Create-exclusive lock file with stale-break: `Files.createFile` is
+    * O_EXCL-atomic, which POSIX rename is not (it silently replaces).
+    */
+  private def withPartitionLock[A](dir: Path, staleLockMs: Long,
+      what: String)(body: => A): A = {
     val lock = dir.resolve("_lock")
     var attempt = 0
     while (attempt < 10000) {
       try {
         Files.createFile(lock)
-        try {
-          val seq = latestSeqs(root).getOrElse(partition, 0L) + 1
-          val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
-          Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-          // exclusive under the lock: the target cannot exist
-          Files.move(tmp, dir.resolve(f"$seq%020d.log"),
-            StandardCopyOption.ATOMIC_MOVE)
-          return seq
-        } finally Files.deleteIfExists(lock)
+        try return body
+        finally Files.deleteIfExists(lock)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           try {
@@ -117,7 +170,7 @@ object BusLog {
           Thread.sleep(math.min(attempt, 20).toLong)
       }
     }
-    throw new IllegalStateException(s"bus publish livelock on partition $partition")
+    throw new IllegalStateException(s"bus $what livelock")
   }
 
   /** Read records of one partition with seq in (fromExclusive, toInclusive].

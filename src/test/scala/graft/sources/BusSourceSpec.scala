@@ -87,6 +87,22 @@ class BusSourceSpec extends SparkTestBase {
     assert(n == 20L)
   }
 
+  test("vacuum deletes consumed segments but never reallocates their seqs") {
+    val root = tmpDir("bus_v")
+    BusLog.create(root, 1)
+    BusLog.publish(root, 0, Seq((1L, "s1")))
+    BusLog.publish(root, 0, Seq((2L, "s2")))
+    BusLog.publish(root, 0, Seq((3L, "s3")))
+    BusLog.vacuum(root, Map(0 -> 2L))
+    val left = spark.read.format("graftbus").option("path", root).load()
+      .select($"seq", $"value").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(left.toSeq == Seq((3L, "s3")))
+    // a fully vacuumed partition still advances, never reuses seqs
+    BusLog.vacuum(root, Map(0 -> 3L))
+    assert(BusLog.latestSeqs(root)(0) == 3L)
+    assert(BusLog.publish(root, 0, Seq((4L, "s4"))) == 4L)
+  }
+
   test("approval pipeline consumes from the bus end to end") {
     val landing = tmpDir("bus_landing")
     val notifier = new InMemoryNotifier
