@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.catalog.Catalog
+import graft.sources.bus.BusLog
 import graft.streaming.{IncrementalDedup, StatefulV2}
 
 /** Streaming throughput benchmark — the perf signal for the two
@@ -115,12 +116,63 @@ object StreamBench {
     SideResult(total, batchSecs.sum, chunks, batchSecs)
   }
 
+  /** Publish the events table to a graftbus log from the executors and
+    * drain it back through the DSv2 stream — end-to-end bus throughput
+    * on both faces. One Spark partition per bus partition on the
+    * publish side (repartition = the routing shuffle a real producer
+    * layer does), so partition locks never contend.
+    */
+  def benchBus(spark: SparkSession, sfDir: String,
+      busParts: Int): (SideResult, SideResult) = {
+    val root = tmp("sbench-bus")
+    val ckpt = tmp("sbench-busckpt")
+    BusLog.create(root, busParts)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(concat_ws("\u0001", col("event_id"), col("user_id"),
+        col("event_type"), col("value").cast("string")).as("v"))
+      .repartition(busParts)
+      .persist()
+    val total = ev.count()
+    val t0 = System.nanoTime()
+    ev.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      val recs = rows.map(r => (0L, r.getString(0))).toSeq
+      if (recs.nonEmpty) {
+        val p = org.apache.spark.TaskContext.getPartitionId() % busParts
+        BusLog.publish(root, p, recs)
+      }
+      ()
+    }
+    val pubWall = (System.nanoTime() - t0) / 1e9
+    ev.unpersist()
+
+    val t1 = System.nanoTime()
+    val parts = split(col("value"), "\u0001")
+    val q = spark.readStream.format("graftbus").option("path", root).load()
+      .select(parts.getItem(0).cast("long").as("event_id"),
+        parts.getItem(1).cast("long").as("user_id"),
+        parts.getItem(2).as("event_type"),
+        parts.getItem(3).cast("double").as("value"))
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val conWall = (System.nanoTime() - t1) / 1e9
+    val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    (SideResult(total, pubWall, busParts, Seq.empty),
+      SideResult(total, conWall, progress.size,
+        progress.map(_.batchDuration / 1000.0)))
+  }
+
   def run(spark: SparkSession, sfDir: String, sessionChunks: Int = 10,
-      dedupChunks: Int = 5): String = {
+      dedupChunks: Int = 5, busParts: Int = 8): String = {
     val sess = benchSessionize(spark, sfDir, sessionChunks)
     val dd = benchIncrementalDedup(spark, sfDir, dedupChunks)
+    val (pub, con) = benchBus(spark, sfDir, busParts)
     s"""{"metric":"stream_bench","sessionize":${sess.json("events")},""" +
-      s""""incremental_dedup":${dd.json("docs")},"sf":"$sfDir"}"""
+      s""""incremental_dedup":${dd.json("docs")},""" +
+      s""""bus_publish":${pub.json("events")},""" +
+      s""""bus_consume":${con.json("events")},"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -138,7 +190,8 @@ object StreamBench {
     // per-batch overhead (steady trickle), large ones peak throughput
     val sessionChunks = sys.env.getOrElse("SPARK_GRAFT_SESSION_CHUNKS", "10").toInt
     val dedupChunks = sys.env.getOrElse("SPARK_GRAFT_DEDUP_CHUNKS", "5").toInt
-    println(run(spark, sfDir, sessionChunks, dedupChunks))
+    val busParts = sys.env.getOrElse("SPARK_GRAFT_BUS_PARTS", "8").toInt
+    println(run(spark, sfDir, sessionChunks, dedupChunks, busParts))
     spark.stop()
   }
 }

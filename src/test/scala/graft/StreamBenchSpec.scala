@@ -9,19 +9,21 @@ import graft.SparkTestBase
   */
 class StreamBenchSpec extends SparkTestBase {
 
-  test("stream bench drains both surfaces and reports positive rates") {
+  test("stream bench drains all surfaces and reports positive rates") {
     val json = StreamBench.run(spark, "/root/testdata/sf0.001",
       sessionChunks = 3, dedupChunks = 2)
     assert(json.contains("\"metric\":\"stream_bench\""))
-    val eventsRate =
-      "\"events_per_sec\":([0-9.]+)".r.findFirstMatchIn(json).map(_.group(1).toDouble)
-    val docsRate =
-      "\"docs_per_sec\":([0-9.]+)".r.findFirstMatchIn(json).map(_.group(1).toDouble)
-    assert(eventsRate.exists(_ > 0), s"no sessionizer rate in $json")
-    assert(docsRate.exists(_ > 0), s"no dedup rate in $json")
-    // every chunk became its own micro-batch (the harness's contract:
-    // per-batch latency is meaningless if batches collapsed)
-    assert("\"batches\":([0-9]+)".r.findAllMatchIn(json)
-      .map(_.group(1).toInt).forall(_ >= 2), json)
+    val rates =
+      "_per_sec\":([0-9.]+)".r.findAllMatchIn(json).map(_.group(1).toDouble).toSeq
+    assert(rates.size == 4 && rates.forall(_ > 0),
+      s"expected 4 positive rates (sessionize, dedup, bus pub/consume) in $json")
+    // chunked surfaces: every chunk became its own micro-batch (the
+    // harness's contract: per-batch latency is meaningless if batches
+    // collapsed). The bus consume side legitimately drains in ONE
+    // AvailableNow batch — its offset range is pinned at start.
+    val batches = "\"batches\":([0-9]+)".r.findAllMatchIn(json)
+      .map(_.group(1).toInt).toSeq
+    assert(batches.take(2).forall(_ >= 2), json)
+    assert(batches.forall(_ >= 1), json)
   }
 }
