@@ -6,7 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
@@ -42,20 +43,25 @@ class BusDataSource extends TableProvider with DataSourceRegister {
   }
 }
 
-final class BusTable(root: String) extends Table with SupportsRead {
+final class BusTable(root: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graftbus(`$root`)"
   override def schema(): StructType = BusLog.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder { override def build(): Scan = new BusScan(root) }
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new BusWrite.Builder(root, info)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxSeg = Option(options.get("maxSegmentsPerTrigger")).map(_.toLong)
+    new ScanBuilder { override def build(): Scan = new BusScan(root, maxSeg) }
+  }
 }
 
-final class BusScan(root: String) extends Scan {
+final class BusScan(root: String, maxSegmentsPerTrigger: Option[Long]) extends Scan {
   override def readSchema(): StructType = BusLog.schema
   override def toBatch: Batch = new BusBatch(root)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new BusMicroBatchStream(root)
+    new BusMicroBatchStream(root, maxSegmentsPerTrigger)
 }
 
 /** Offset = highest consumed seq per bus partition; 0 = nothing. */
@@ -81,16 +87,28 @@ object BusOffset {
 final case class BusInputPartition(root: String, partition: Int,
     fromExclusive: Long, toInclusive: Long) extends InputPartition
 
-final class BusMicroBatchStream(root: String)
+final class BusMicroBatchStream(root: String,
+    maxSegmentsPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   // Trigger.AvailableNow contract: pin the end offset once at query
   // start so the run drains exactly what existed then and terminates,
-  // even while publishers keep appending.
+  // even while publishers keep appending. Admission control
+  // (maxSegmentsPerTrigger) still applies per trigger — the run takes
+  // several bounded batches to reach the pinned target.
   @volatile private var availableNowTarget: Option[BusOffset] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(BusOffset(BusLog.latestSeqs(root)))
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    availableNowTarget.getOrElse(BusOffset(BusLog.latestSeqs(root)))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowTarget.getOrElse(BusOffset(BusLog.latestSeqs(root)))
+    maxSegmentsPerTrigger match {
+      case None => target
+      case Some(cap) =>
+        val s = start.asInstanceOf[BusOffset].seqs
+        BusOffset(target.seqs.map { case (p, hi) =>
+          p -> math.min(hi, s.getOrElse(p, 0L) + cap)
+        })
+    }
+  }
   override def reportLatestOffset(): Offset = BusOffset(BusLog.latestSeqs(root))
   override def latestOffset(): Offset = BusOffset(BusLog.latestSeqs(root))
   override def initialOffset(): Offset =

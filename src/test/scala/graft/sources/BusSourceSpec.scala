@@ -87,6 +87,25 @@ class BusSourceSpec extends SparkTestBase {
     assert(n == 20L)
   }
 
+  test("maxSegmentsPerTrigger bounds each micro-batch; AvailableNow still drains all") {
+    val root = tmpDir("bus_adm")
+    val out = tmpDir("bus_adm_out")
+    val ckpt = tmpDir("bus_adm_ckpt")
+    BusLog.create(root, 1)
+    (1 to 5).foreach(i => BusLog.publish(root, 0, Seq((i.toLong, s"r$i"))))
+    val q = spark.readStream.format("graftbus").option("path", root)
+      .option("maxSegmentsPerTrigger", "2").load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    assert(batches.size == 3, s"5 segments / cap 2 = 3 batches, got ${batches.size}")
+    assert(batches.map(_.numInputRows).sum == 5)
+    assert(spark.read.parquet(out).count() == 5)
+  }
+
   test("vacuum deletes consumed segments but never reallocates their seqs") {
     val root = tmpDir("bus_v")
     BusLog.create(root, 1)
@@ -101,6 +120,57 @@ class BusSourceSpec extends SparkTestBase {
     BusLog.vacuum(root, Map(0 -> 3L))
     assert(BusLog.latestSeqs(root)(0) == 3L)
     assert(BusLog.publish(root, 0, Seq((4L, "s4"))) == 4L)
+  }
+
+  test("batch write publishes through the two-phase commit") {
+    val root = tmpDir("bus_w")
+    BusLog.create(root, 2)
+    val df = Seq(
+      (0, 0L, 0, new java.sql.Timestamp(1000L), "w1"),
+      (1, 0L, 0, new java.sql.Timestamp(2000L), "w2"),
+      (0, 0L, 0, new java.sql.Timestamp(3000L), "w3")
+    ).toDF("partition", "seq", "idx", "ts", "value")
+    df.write.format("graftbus").option("path", root).mode("append").save()
+    val got = spark.read.format("graftbus").option("path", root).load()
+      .select($"partition", $"value").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((0, "w1"), (0, "w3"), (1, "w2")))
+    // staging area drained
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, ".staging")) ||
+      java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, ".staging")).count() == 0)
+  }
+
+  test("streaming write commits epochs idempotently (replay publishes nothing)") {
+    val root = tmpDir("bus_sw")
+    val src = tmpDir("bus_sw_src")
+    val ckpt = tmpDir("bus_sw_ckpt")
+    BusLog.create(root, 1)
+    def land(name: String, rows: Seq[String]): Unit = {
+      val p = java.nio.file.Paths.get(src, name)
+      java.nio.file.Files.writeString(p,
+        rows.map(v => s"""{"v":"$v"}""").mkString("", "\n", "\n"))
+    }
+    land("a.json", Seq("s1", "s2"))
+    def drain(): Unit = {
+      val q = spark.readStream.schema("v string").json(src)
+        .select(lit(0).as("partition"), lit(0L).as("seq"), lit(0).as("idx"),
+          lit(new java.sql.Timestamp(0L)).as("ts"), $"v".as("value"))
+        .writeStream.format("graftbus")
+        .option("path", root).option("writerId", "spec_writer")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    land("b.json", Seq("s3"))
+    drain()
+    drain() // nothing new: must publish nothing
+    val got = spark.read.format("graftbus").option("path", root).load()
+      .select($"value").collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("s1", "s2", "s3"), got.mkString(","))
   }
 
   test("approval pipeline consumes from the bus end to end") {
