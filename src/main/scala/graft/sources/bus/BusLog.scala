@@ -147,6 +147,23 @@ object BusLog {
     }
   }
 
+  /** Commit an already-formatted segment file (ts<TAB>base64 lines) by
+    * RENAMING it into the next seq under the partition lock — metadata
+    * only, no byte rewrite; the sink's two-phase commit stays O(files)
+    * on the driver no matter how many bytes the executors staged.
+    */
+  def commitSegmentFile(root: String, partition: Int, file: Path,
+      staleLockMs: Long = 30000L): Long = {
+    val dir = partDir(root, partition)
+    require(Files.isDirectory(dir), s"bus partition $partition missing under $root")
+    withPartitionLock(dir, staleLockMs, s"commit to partition $partition") {
+      val seq = latestSeqs(root).getOrElse(partition, 0L) + 1
+      Files.move(file, dir.resolve(f"$seq%020d.log"),
+        StandardCopyOption.ATOMIC_MOVE)
+      seq
+    }
+  }
+
   /** Create-exclusive lock file with stale-break: `Files.createFile` is
     * O_EXCL-atomic, which POSIX rename is not (it silently replaces).
     */

@@ -109,19 +109,13 @@ object BusWrite {
 
   private def commitStaged(root: String, messages: Array[WriterCommitMessage]): Unit = {
     val all = messages.collect { case m: MultiStaged => m.staged.toSeq }.flatten
-    // deterministic order: by (bus partition, originating task)
+    // deterministic order: by (bus partition, originating task). Staged
+    // files are already in segment format, so commit is a RENAME per
+    // file — the driver moves metadata, never bytes (a publish-through-
+    // the-driver here would serialize the whole write behind one node).
     all.groupBy(_.busPartition).toSeq.sortBy(_._1).foreach { case (p, stages) =>
       stages.sortBy(_.taskPartition).foreach { st =>
-        val body = new String(
-          Files.readAllBytes(Paths.get(st.path)), StandardCharsets.UTF_8)
-        val records = body.linesIterator.filter(_.nonEmpty).map { line =>
-          val tab = line.indexOf('\t')
-          (line.substring(0, tab).toLong,
-            new String(Base64.getDecoder.decode(line.substring(tab + 1)),
-              StandardCharsets.UTF_8))
-        }.toSeq
-        if (records.nonEmpty) BusLog.publish(root, p, records)
-        Files.deleteIfExists(Paths.get(st.path))
+        BusLog.commitSegmentFile(root, p, Paths.get(st.path))
       }
     }
   }
