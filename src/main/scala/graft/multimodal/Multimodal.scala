@@ -276,6 +276,58 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /** Encode 16-bit signed PCM mono samples as a WAV container via the
+    * JDK's own `javax.sound.sampled` (zero extra jars, the audio twin
+    * of `encodePng`). PCM is lossless, so `decodeWav` inverts this
+    * bit-exact — which is what lets an oracle re-derive decoded sample
+    * statistics analytically.
+    */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) { // little-endian per the format below
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    finally ais.close()
+    baos.toByteArray
+  }
+
+  /** Decode a WAV payload to (sampleRate, channels, bitsPerSample,
+    * samples) — 16-bit signed PCM reassembled per the stream's own
+    * declared endianness, so a container from any writer decodes
+    * correctly, not just our encoder's.
+    */
+  def decodeWav(bytes: Array[Byte]): (Int, Int, Int, Array[Short]) = {
+    import javax.sound.sampled.AudioSystem
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16,
+        s"only 16-bit PCM supported, got ${fmt.getSampleSizeInBits}")
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      val out = new Array[Short](n)
+      val le = !fmt.isBigEndian
+      var i = 0
+      while (i < n) {
+        val lo = data(2 * i) & 0xff
+        val hi = data(2 * i + 1) & 0xff
+        out(i) = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort
+        i += 1
+      }
+      (fmt.getSampleRate.toInt, fmt.getChannels, fmt.getSampleSizeInBits, out)
+    } finally ais.close()
+  }
+
   /** Frame sampling for video-like payloads: split the payload into
     * `frameSize`-byte frames and keep every `stride`-th — array<binary>
     * output, the batch shape a real frame sampler produces.

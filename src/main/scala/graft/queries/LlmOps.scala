@@ -1084,6 +1084,66 @@ object LlmOps {
       ORDER BY doc_id
     """.trim))
 
+  /** Real audio decode through the JDK `javax.sound.sampled` codec:
+    * each document becomes a deterministic 16-bit PCM mono WAV (sample
+    * count and waveform closed-form in doc_id / byte length), encoded
+    * and decoded back with `Multimodal.encodeWavPcm16`/`decodeWav` —
+    * the audio twin of t19's image path, zero extra jars. PCM is
+    * lossless, so the decoded format fields (rate/channels/bits), the
+    * exact duration, and integer waveform statistics (sum, L1 energy,
+    * peak) are analytically re-derivable by the oracle: the decode path
+    * is pinned bit-exact, not mocked. Scale shape: same as t19 — codec
+    * work dominates, so the narrow (id, n_bytes) projection is
+    * round-robin repartitioned first; decode is batched per partition.
+    */
+  val t33AudioDecode = Q(
+    "t33_audio_decode",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", length(encode($"text", "UTF-8")).cast("long").as("n_bytes"))
+        .transform(Tables.parallelized)
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (docId, nBytes) =>
+            val ns = (64 + nBytes % 128).toInt
+            val samples = Array.tabulate(ns)(i =>
+              (((docId * 37 + i.toLong * 11) % 4001) - 2000).toShort)
+            val wav = Multimodal.encodeWavPcm16(8000, samples)
+            val (sr, ch, bits, dec) = Multimodal.decodeWav(wav)
+            var sum = 0L
+            var l1 = 0L
+            var peak = 0L
+            dec.foreach { v =>
+              sum += v
+              l1 += math.abs(v.toLong)
+              peak = math.max(peak, math.abs(v.toLong))
+            }
+            // 8 kHz ⇒ 125 µs per sample: integer-exact duration
+            (docId, sr, ch, bits, dec.length.toLong, dec.length * 125L,
+              sum, l1, peak)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "channels", "bits", "n_samples",
+          "duration_us", "amp_sum", "abs_sum", "peak")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+      g AS (SELECT doc_id, 64 + n_bytes % 128 AS ns FROM d),
+      s AS (SELECT doc_id, ns,
+                   [(doc_id * 37 + i * 11) % 4001 - 2000 for i in range(0, ns)] AS xs
+            FROM g)
+      SELECT doc_id, 8000 AS sample_rate, 1 AS channels, 16 AS bits,
+             CAST(ns AS BIGINT) AS n_samples,
+             CAST(ns * 125 AS BIGINT) AS duration_us,
+             CAST(list_sum(xs) AS BIGINT) AS amp_sum,
+             CAST(list_sum([abs(x) for x in xs]) AS BIGINT) AS abs_sum,
+             CAST(list_max([abs(x) for x in xs]) AS BIGINT) AS peak
+      FROM s
+      ORDER BY doc_id
+    """.trim))
+
   /** Corpus heavy-hitter tokens (vocabulary / stopword detection):
     * tokens whose frequency exceeds 0.1% of all tokens. Scale shape:
     * ONE corpus pass — explode + partial/final hash aggregate on the
@@ -1817,7 +1877,7 @@ object LlmOps {
     t13StratifiedSample, t14PiiRedaction, t15RepetitionStats,
     t16SequencePacking, t17EmbeddingQuantization, t18CurationGate,
     t19ImageDecode, t20ImageFeatures, t21FrameSample, t21bGifFrames,
-    t22HeavyHitters,
+    t22HeavyHitters, t33AudioDecode,
     t23DedupGroups, t24CurationPipeline, t25UnicodeNfc, t26Contamination,
     t27MixtureBudget, t28ShuffleShard, t29ChunkDedup, t30LmQuality,
     t31UrlOps, t32ClusterProfile,

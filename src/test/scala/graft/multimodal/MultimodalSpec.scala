@@ -76,6 +76,27 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("WAV PCM16 round-trips samples, format, and endianness exactly") {
+    val samples = Array.tabulate(777)(i => (((i * 37) % 4001) - 2000).toShort)
+    val wav = Multimodal.encodeWavPcm16(8000, samples)
+    // a real RIFF/WAVE container
+    assert(wav.take(4).map(_.toChar).mkString == "RIFF")
+    assert(wav.slice(8, 12).map(_.toChar).mkString == "WAVE")
+    val (sr, ch, bits, dec) = Multimodal.decodeWav(wav)
+    assert((sr, ch, bits) == (8000, 1, 16))
+    assert(dec.toSeq == samples.toSeq) // PCM is lossless
+    // extremes survive the byte split
+    val edge = Array[Short](Short.MinValue, -1, 0, 1, Short.MaxValue)
+    val (_, _, _, dec2) = Multimodal.decodeWav(Multimodal.encodeWavPcm16(44100, edge))
+    assert(dec2.toSeq == edge.toSeq)
+  }
+
+  test("decodeWav rejects non-audio bytes") {
+    intercept[Exception] {
+      Multimodal.decodeWav(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+    }
+  }
+
   test("RealImageDecoder round-trips PNG pixels exactly") {
     val w = 13; val h = 7
     val rgb = Array.tabulate(w * h * 3)(i => ((i * 17 + 3) % 256).toByte)
