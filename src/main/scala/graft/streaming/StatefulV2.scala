@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import StreamingAnalytics.{ClosedSession, SessionState}
 
@@ -100,6 +100,140 @@ object StatefulV2 {
       .as[TimedEvent]
       .groupByKey(_.user_id)
       .transformWithState(new SessionTimerProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  // ----- MapState face: per-key categorical running aggregate --------
+
+  final case class TypedEvent(user_id: Long, event_type: String, value: Double)
+  final case class TypeAgg(user_id: Long, event_type: String, n: Long,
+      total: Double)
+  final case class CountSum(n: Long, total: Double)
+
+  /** Per-(key, category) running aggregate on `MapState` — the state
+    * face where a key owns an open-ended sub-keyed collection. The
+    * point of MapState over a `ValueState[Map[..]]`: RocksDB stores one
+    * state-store entry PER (key, category), so a batch touching 2 of a
+    * user's 10k categories reads and writes 2 entries — a ValueState
+    * map would deserialize, mutate, and rewrite all 10k on every
+    * update. At 100 TB (millions of keys × wide category sets) that
+    * per-entry access is the difference between O(touched) and
+    * O(state) I/O per batch.
+    *
+    * Emission is Update-mode: each batch re-emits the new running
+    * (n, total) for exactly the categories it touched; downstream
+    * takes latest-per-(user, category) (n is monotone, so max(n) is
+    * the latest — the spec pins stream-final == batch groupBy).
+    */
+  final class TypeAggProcessor
+      extends StatefulProcessor[Long, TypedEvent, TypeAgg] {
+    @transient private var counts: MapState[String, CountSum] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, CountSum]("counts",
+        Encoders.STRING, Encoders.product[CountSum], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timerValues: TimerValues): Iterator[TypeAgg] = {
+      val touched = scala.collection.mutable.LinkedHashMap.empty[String, CountSum]
+      rows.foreach { e =>
+        val cur = touched.getOrElse(e.event_type,
+          if (counts.containsKey(e.event_type)) counts.getValue(e.event_type)
+          else CountSum(0L, 0.0))
+        touched(e.event_type) = CountSum(cur.n + 1, cur.total + e.value)
+      }
+      touched.foreach { case (t, cs) => counts.updateValue(t, cs) }
+      touched.iterator.map { case (t, cs) => TypeAgg(key, t, cs.n, cs.total) }
+    }
+  }
+
+  /** Running per-(user, event_type) counts and value sums over a
+    * `(user_id long, event_type string, value double)` stream.
+    * Processing-time mode: no watermark needed, every batch's updates
+    * emit immediately.
+    */
+  def typeAggsWithMapState(events: DataFrame): Dataset[TypeAgg] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.as[TypedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeAggProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  // ----- ListState face: bounded recent-events buffer ----------------
+
+  final case class TimedValue(user_id: Long, ts_us: Long, value: Double,
+      ts_utc: java.sql.Timestamp)
+  final case class BufEntry(ts_us: Long, value: Double)
+  final case class RecentDigest(user_id: Long, n_events: Int,
+      start_us: Long, end_us: Long, total: Double)
+
+  /** Idle-flush bounded buffer on `ListState`: each key accumulates its
+    * most recent `keep` events; when the watermark proves the key idle
+    * for `gapUs`, the buffered window is emitted as one digest and the
+    * buffer clears (events arriving later start a fresh buffer). The
+    * shape a per-user feature extractor needs — "hand me the last N
+    * events whenever a user goes quiet" — without ever holding more
+    * than N entries per key.
+    *
+    * ListState earns its keep on the append path: `appendList` is a
+    * RocksDB merge (O(delta) write, no read-modify-write of the
+    * existing buffer); the O(keep) read+trim runs only for keys the
+    * batch touched, and `keep` bounds it regardless of how many events
+    * a key has ever seen.
+    */
+  final class RecentBufferProcessor(keep: Int, gapUs: Long)
+      extends StatefulProcessor[Long, TimedValue, RecentDigest] {
+    @transient private var buf: ListState[BufEntry] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[BufEntry]("buf",
+        Encoders.product[BufEntry], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedValue],
+        timerValues: TimerValues): Iterator[RecentDigest] = {
+      val delta = rows.map(e => BufEntry(e.ts_us, e.value)).toArray
+      if (delta.nonEmpty) buf.appendList(delta)
+      // trim to the newest `keep` (ties broken by value for determinism)
+      val kept = buf.get().toArray.sortBy(e => (e.ts_us, e.value))
+        .takeRight(keep)
+      if (kept.nonEmpty) {
+        buf.put(kept)
+        getHandle.listTimers().toList.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(kept.last.ts_us / 1000 + gapUs / 1000 + 1)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[RecentDigest] = {
+      val kept = buf.get().toArray
+      buf.clear()
+      if (kept.isEmpty) Iterator.empty
+      else {
+        var total = 0.0
+        kept.foreach(total += _.value)
+        Iterator.single(RecentDigest(key, kept.length,
+          kept.map(_.ts_us).min, kept.map(_.ts_us).max, total))
+      }
+    }
+  }
+
+  /** Digest of each key's last `keep` events, flushed `gapUs` of event
+    * time after the key goes idle. Input: `(user_id long, ts_us long,
+    * value double)`.
+    */
+  def recentDigestsWithListState(events: DataFrame, keep: Int, gapUs: Long,
+      delay: String = "10 minutes"): Dataset[RecentDigest] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_utc", delay)
+      .as[TimedValue]
+      .groupByKey(_.user_id)
+      .transformWithState(new RecentBufferProcessor(keep, gapUs),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

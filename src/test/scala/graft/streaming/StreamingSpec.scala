@@ -356,6 +356,91 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("MapState per-category aggregate: stream-final equals batch groupBy") {
+    val srcDir = tmpDir("mapstatesrc")
+    // batch 1 (one part file), then batch 2 — maxFilesPerTrigger=1
+    Seq((1L, "click", 1.0), (1L, "click", 2.0), (1L, "view", 5.0))
+      .toDF("user_id", "event_type", "value").repartition(1)
+      .write.mode("overwrite").parquet(srcDir)
+    Seq((1L, "click", 4.0), (2L, "view", 1.0))
+      .toDF("user_id", "event_type", "value").repartition(1)
+      .write.mode("append").parquet(srcDir)
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema("user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = StatefulV2.typeAggsWithMapState(stream)
+        .writeStream.outputMode("update").format("memory").queryName("ms_out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val emissions = spark.table("ms_out")
+        .as[StatefulV2.TypeAgg].collect()
+      // update-mode: latest emission per (user, type) is the one with max n
+      val finals = emissions.groupBy(e => (e.user_id, e.event_type))
+        .map { case (k, es) => k -> es.maxBy(_.n) }
+      assert(finals((1L, "click")) == StatefulV2.TypeAgg(1L, "click", 3L, 7.0))
+      assert(finals((1L, "view")) == StatefulV2.TypeAgg(1L, "view", 1L, 5.0))
+      assert(finals((2L, "view")) == StatefulV2.TypeAgg(2L, "view", 1L, 1.0))
+      // and the intermediate batch-1 state for (1, click) was emitted too
+      assert(emissions.exists(e =>
+        e.user_id == 1L && e.event_type == "click" && e.n == 2L && e.total == 3.0))
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("ListState bounded buffer flushes last-N digest on idle timer") {
+    val srcDir = tmpDir("liststatesrc")
+    val gapUs = 30L * 60 * 1000 * 1000
+    val t0 = 1700000000000000L
+    // user 1: five events 1s apart (buffer keeps newest 3);
+    // user 2: a single event. Neither sees a later same-key event —
+    // only the idle timer can flush them.
+    Seq((1L, t0, 1.0), (1L, t0 + 1000000L, 2.0), (1L, t0 + 2000000L, 3.0),
+      (1L, t0 + 3000000L, 4.0), (1L, t0 + 4000000L, 5.0), (2L, t0, 7.0))
+      .toDF("user_id", "ts_us", "value").repartition(1)
+      .write.mode("overwrite").parquet(srcDir)
+    // two far-future sentinel batches: first advances the watermark,
+    // second fires the timers under the advanced watermark
+    Seq((99L, t0 + 100 * gapUs, 0.0)).toDF("user_id", "ts_us", "value")
+      .write.mode("append").parquet(srcDir)
+    Seq((98L, t0 + 101 * gapUs, 0.0)).toDF("user_id", "ts_us", "value")
+      .write.mode("append").parquet(srcDir)
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema("user_id long, ts_us long, value double")
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = StatefulV2.recentDigestsWithListState(stream, keep = 3, gapUs)
+        .writeStream.outputMode("append").format("memory").queryName("ls_out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table("ls_out").as[StatefulV2.RecentDigest]
+        .collect().filter(_.user_id < 90).toSet
+      assert(got == Set(
+        // newest 3 of user 1's five events: ts t0+2s..t0+4s, values 3+4+5
+        StatefulV2.RecentDigest(1L, 3, t0 + 2000000L, t0 + 4000000L, 12.0),
+        StatefulV2.RecentDigest(2L, 1, t0, t0, 7.0)))
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming document dedup keeps first occurrence per fingerprint") {
     val srcDir = tmpDir("docdupsrc")
     Seq(
