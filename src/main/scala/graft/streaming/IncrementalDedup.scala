@@ -289,4 +289,23 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
         ()
       }
       .start()
+
+  /** The full reference-shaped ingest loop, end to end: documents
+    * published to a `graftbus` topic (the Pub/Sub twin) drain through
+    * the incremental deduper. Payloads are JSON `{doc_id, text}` rows
+    * riding the bus's `value` column; the bus's immutable segments give
+    * deterministic replay, and processBatch's batchId staging turns
+    * that into exactly-once pairs across restarts — the same guarantee
+    * chain a Kafka→Spark→Delta pipeline provides.
+    */
+  def startFromBus(spark: org.apache.spark.sql.SparkSession, busRoot: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val docs = spark.readStream.format("graftbus")
+      .option("path", busRoot).load()
+      .select(from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL("doc_id long, text string")).as("d"))
+      .select("d.*")
+    start(docs, "doc_id", "text", checkpoint, trigger)
+  }
 }

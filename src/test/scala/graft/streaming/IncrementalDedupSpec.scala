@@ -275,4 +275,37 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(pairs.toSet == Set((0L, 1L), (0L, 3L), (1L, 3L)))
     assert(pairs.length == 3, "a pair was emitted more than once")
   }
+
+  test("bus-to-dedup end to end: published docs dedupe exactly once across restarts") {
+    import graft.sources.bus.BusLog
+    val cat = new Catalog(spark, tmpDir("busdedupcat"))
+    val dd = new IncrementalDedup(cat, threshold = 0.8)
+    val busRoot = tmpDir("busdeduplog")
+    val ck = tmpDir("busdedupck")
+    BusLog.create(busRoot, numPartitions = 2)
+    def publish(docs: Seq[(Long, String)]): Unit =
+      docs.zipWithIndex.groupBy(_._2 % 2).foreach { case (p, part) =>
+        BusLog.publish(busRoot, p, part.map { case ((id, text), _) =>
+          (0L, s"""{"doc_id":$id,"text":"$text"}""")
+        })
+      }
+
+    // run 1: first wave contains no duplicates
+    publish(b1)
+    dd.startFromBus(spark, busRoot, ck).awaitTermination()
+    // no pairs yet — the pairs log is created lazily on first emission
+    assert(!cat.exists("dedup_pairs") || cat.read("dedup_pairs").isEmpty)
+
+    // run 2 (restart from the same checkpoint): near/exact dups arrive
+    publish(b2)
+    dd.startFromBus(spark, busRoot, ck).awaitTermination()
+    val pairs = cat.read("dedup_pairs")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(pairs.toSet == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    assert(pairs.length == 3, "a pair was emitted more than once")
+
+    // run 3: nothing new on the bus — a drain is a complete no-op
+    dd.startFromBus(spark, busRoot, ck).awaitTermination()
+    assert(cat.read("dedup_pairs").count() == 3)
+  }
 }
