@@ -437,7 +437,65 @@ object EventOps {
       ORDER BY event_type
     """.trim))
 
+  /** Funnel analysis (view → click → purchase, strictly ordered,
+    * earliest-match greedy): per user, the first view, the first click
+    * AFTER that view, the first purchase AFTER that click, and the
+    * funnel stage reached. The sequential dependency is expressed as
+    * CHAINED window minimums over one `PARTITION BY user_id` — each
+    * stage's conditional min references the previous stage's column —
+    * so the whole funnel is ONE exchange on user_id feeding three
+    * Window operators and a final same-partitioning aggregate: no
+    * second shuffle, no per-user collect, no self-joins (the naive
+    * 3-way self-join formulation shuffles the fact table three times).
+    * Pure integer-micros arithmetic for cross-engine exactness.
+    */
+  val e12Funnel = Q(
+    "e12_funnel",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy($"user_id")
+      Tables.load(s, dir, "events")
+        .select($"user_id", $"event_type", expr("ts div 1000").as("tus"))
+        .withColumn("v_us",
+          min(when($"event_type" === "view", $"tus")).over(byUser))
+        .withColumn("c_us",
+          min(when($"event_type" === "click" && $"tus" > $"v_us", $"tus"))
+            .over(byUser))
+        .withColumn("p_us",
+          min(when($"event_type" === "purchase" && $"tus" > $"c_us", $"tus"))
+            .over(byUser))
+        .groupBy($"user_id")
+        .agg(min($"v_us").as("v_us"), min($"c_us").as("c_us"),
+          min($"p_us").as("p_us"))
+        .withColumn("stage",
+          when($"p_us".isNotNull, 3).when($"c_us".isNotNull, 2)
+            .when($"v_us".isNotNull, 1).otherwise(0))
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+      w1 AS (SELECT user_id, event_type, tus,
+                    min(CASE WHEN event_type = 'view' THEN tus END)
+                      OVER (PARTITION BY user_id) AS v_us
+             FROM e),
+      w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND tus > v_us THEN tus END)
+                         OVER (PARTITION BY user_id) AS c_us
+             FROM w1),
+      w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND tus > c_us THEN tus END)
+                         OVER (PARTITION BY user_id) AS p_us
+             FROM w2)
+      SELECT user_id, min(v_us) AS v_us, min(c_us) AS c_us, min(p_us) AS p_us,
+             CASE WHEN min(p_us) IS NOT NULL THEN 3
+                  WHEN min(c_us) IS NOT NULL THEN 2
+                  WHEN min(v_us) IS NOT NULL THEN 1
+                  ELSE 0 END AS stage
+      FROM w3
+      GROUP BY user_id
+      ORDER BY user_id
+    """.trim))
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
     e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin,
-    e09Unpivot, e10DynamicSession, e11BusRoundtrip)
+    e09Unpivot, e10DynamicSession, e11BusRoundtrip, e12Funnel)
 }

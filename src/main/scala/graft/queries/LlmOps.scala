@@ -1144,6 +1144,72 @@ object LlmOps {
       ORDER BY doc_id
     """.trim))
 
+  /** Audio feature extraction on top of the real WAV codec: decode
+    * t33's synthetic PCM, split into 32-sample windows, and compute
+    * per-window L1 energy → peak-window index (first-max greedy),
+    * peak/total energy, and a quiet-window count — the
+    * decode→window→featurize shape of a real audio curation pipeline
+    * (silence trimming, energy gating), with integer outputs so the
+    * oracle re-derives every window exactly. Same scale shape as
+    * t19/t33: round-robin repartition buys the codec stage
+    * full-cluster parallelism; features are narrow per-row work.
+    */
+  val t34AudioEnergy = Q(
+    "t34_audio_energy",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", length(encode($"text", "UTF-8")).cast("long").as("n_bytes"))
+        .transform(Tables.parallelized)
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (docId, nBytes) =>
+            val ns = (64 + nBytes % 128).toInt
+            val samples = Array.tabulate(ns)(i =>
+              (((docId * 37 + i.toLong * 11) % 4001) - 2000).toShort)
+            val wav = Multimodal.encodeWavPcm16(8000, samples)
+            val (_, _, _, dec) = Multimodal.decodeWav(wav)
+            val nw = (dec.length + 31) / 32
+            var peakW = 0L
+            var peakE = Long.MinValue
+            var nQuiet = 0L
+            var totalE = 0L
+            var w = 0
+            while (w < nw) {
+              var e = 0L
+              var i = 32 * w
+              val end = math.min(32 * (w + 1), dec.length)
+              while (i < end) { e += math.abs(dec(i).toLong); i += 1 }
+              if (e > peakE) { peakE = e; peakW = w + 1L } // first max wins
+              if (e < 30000L) nQuiet += 1
+              totalE += e
+              w += 1
+            }
+            (docId, nw.toLong, peakW, peakE, nQuiet, totalE)
+          }
+        }
+        .toDF("doc_id", "n_windows", "peak_window", "peak_energy",
+          "n_quiet", "total_energy")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+      g AS (SELECT doc_id, 64 + n_bytes % 128 AS ns FROM d),
+      e AS (SELECT doc_id, (ns + 31) // 32 AS nw,
+              [list_sum([abs((doc_id * 37 + i * 11) % 4001 - 2000)
+                         for i in range(32 * w, least(32 * (w + 1), ns))])
+               for w in range(0, (ns + 31) // 32)] AS es
+            FROM g)
+      SELECT doc_id,
+             CAST(nw AS BIGINT) AS n_windows,
+             CAST(list_position(es, list_max(es)) AS BIGINT) AS peak_window,
+             CAST(list_max(es) AS BIGINT) AS peak_energy,
+             CAST(len(list_filter(es, x -> x < 30000)) AS BIGINT) AS n_quiet,
+             CAST(list_sum(es) AS BIGINT) AS total_energy
+      FROM e
+      ORDER BY doc_id
+    """.trim))
+
   /** Corpus heavy-hitter tokens (vocabulary / stopword detection):
     * tokens whose frequency exceeds 0.1% of all tokens. Scale shape:
     * ONE corpus pass — explode + partial/final hash aggregate on the
@@ -1877,7 +1943,7 @@ object LlmOps {
     t13StratifiedSample, t14PiiRedaction, t15RepetitionStats,
     t16SequencePacking, t17EmbeddingQuantization, t18CurationGate,
     t19ImageDecode, t20ImageFeatures, t21FrameSample, t21bGifFrames,
-    t22HeavyHitters, t33AudioDecode,
+    t22HeavyHitters, t33AudioDecode, t34AudioEnergy,
     t23DedupGroups, t24CurationPipeline, t25UnicodeNfc, t26Contamination,
     t27MixtureBudget, t28ShuffleShard, t29ChunkDedup, t30LmQuality,
     t31UrlOps, t32ClusterProfile,
