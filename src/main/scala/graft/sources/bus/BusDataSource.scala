@@ -9,9 +9,9 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -53,15 +53,73 @@ final class BusTable(root: String) extends Table with SupportsRead with Supports
     new BusWrite.Builder(root, info)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val maxSeg = Option(options.get("maxSegmentsPerTrigger")).map(_.toLong)
-    new ScanBuilder { override def build(): Scan = new BusScan(root, maxSeg) }
+    new BusScanBuilder(root, maxSeg)
   }
 }
 
-final class BusScan(root: String, maxSegmentsPerTrigger: Option[Long]) extends Scan {
-  override def readSchema(): StructType = BusLog.schema
-  override def toBatch: Batch = new BusBatch(root)
+/** Pushdown surface of the batch scan. `partition` equality/IN prunes
+  * whole bus partitions and `seq` range predicates clamp each
+  * partition's (from, to] read range — both applied at PLANNING time,
+  * so a consumer replaying "partition 3 past seq W" lists and reads
+  * only those segment files: I/O ∝ what's consumed, not log size.
+  * Every filter is also returned as residual for Spark to re-apply —
+  * correctness never depends on the pruning. Column pruning narrows
+  * the emitted rows to the requested fields (a `value`-only consumer
+  * doesn't materialize the four metadata columns per record).
+  */
+final class BusScanBuilder(root: String, maxSegmentsPerTrigger: Option[Long])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = BusLog.schema
+  private var parts: Option[Set[Int]] = None
+  private var seqFromExcl = 0L
+  private var seqToIncl = Option.empty[Long]
+  private var accepted = Array.empty[Filter]
+
+  private def num(v: Any): Long = v.asInstanceOf[Number].longValue()
+  private def clampTo(hi: Long): Unit =
+    seqToIncl = Some(seqToIncl.fold(hi)(math.min(_, hi)))
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val used = filters.filter {
+      case EqualTo("partition", v) =>
+        val p = Set(num(v).toInt)
+        parts = Some(parts.fold(p)(_ intersect p)); true
+      case In("partition", vs) =>
+        val p = vs.map(num(_).toInt).toSet
+        parts = Some(parts.fold(p)(_ intersect p)); true
+      case GreaterThan("seq", v) =>
+        seqFromExcl = math.max(seqFromExcl, num(v)); true
+      case GreaterThanOrEqual("seq", v) =>
+        seqFromExcl = math.max(seqFromExcl, num(v) - 1); true
+      case LessThan("seq", v) => clampTo(num(v) - 1); true
+      case LessThanOrEqual("seq", v) => clampTo(num(v)); true
+      case EqualTo("seq", v) =>
+        seqFromExcl = math.max(seqFromExcl, num(v) - 1); clampTo(num(v)); true
+      case _ => false
+    }
+    accepted = used
+    filters // all residual: Spark re-applies; pruning is an I/O win only
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new BusScan(root, maxSegmentsPerTrigger,
+    required, parts, seqFromExcl, seqToIncl)
+}
+
+final class BusScan(root: String, maxSegmentsPerTrigger: Option[Long],
+    required: StructType = BusLog.schema,
+    parts: Option[Set[Int]] = None, seqFromExcl: Long = 0L,
+    seqToIncl: Option[Long] = None) extends Scan {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch =
+    new BusBatch(root, required, parts, seqFromExcl, seqToIncl)
+  // Streaming ranges are governed by the offset contract (start, end]
+  // per trigger — partition/seq pruning must not reshape them, or a
+  // checkpointed offset would no longer describe what was read.
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new BusMicroBatchStream(root, maxSegmentsPerTrigger)
+    new BusMicroBatchStream(root, maxSegmentsPerTrigger, required)
 }
 
 /** Offset = highest consumed seq per bus partition; 0 = nothing. */
@@ -88,7 +146,8 @@ final case class BusInputPartition(root: String, partition: Int,
     fromExclusive: Long, toInclusive: Long) extends InputPartition
 
 final class BusMicroBatchStream(root: String,
-    maxSegmentsPerTrigger: Option[Long] = None)
+    maxSegmentsPerTrigger: Option[Long] = None,
+    required: StructType = BusLog.schema)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   // Trigger.AvailableNow contract: pin the end offset once at query
   // start so the run drains exactly what existed then and terminates,
@@ -126,18 +185,33 @@ final class BusMicroBatchStream(root: String,
       if (hi > lo) Some(BusInputPartition(root, p, lo, hi)) else None
     }.toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory = new BusReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BusReaderFactory(required)
 }
 
-final class BusBatch(root: String) extends Batch {
+final class BusBatch(root: String, required: StructType = BusLog.schema,
+    parts: Option[Set[Int]] = None, seqFromExcl: Long = 0L,
+    seqToIncl: Option[Long] = None) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
-    BusLog.latestSeqs(root).toSeq.sortBy(_._1).flatMap { case (p, hi) =>
-      if (hi > 0) Some(BusInputPartition(root, p, 0L, hi)) else None
+    BusLog.latestSeqs(root).toSeq.sortBy(_._1).flatMap { case (p, latest) =>
+      val lo = seqFromExcl
+      val hi = math.min(latest, seqToIncl.getOrElse(latest))
+      if (hi > lo && parts.forall(_.contains(p)))
+        Some(BusInputPartition(root, p, lo, hi))
+      else None
     }.toArray
-  override def createReaderFactory(): PartitionReaderFactory = new BusReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BusReaderFactory(required)
 }
 
-final class BusReaderFactory extends PartitionReaderFactory {
+/** Emits only the scan's pruned columns, resolved by name against the
+  * full bus schema once per factory.
+  */
+final class BusReaderFactory(required: StructType = BusLog.schema)
+    extends PartitionReaderFactory {
+  private val fieldIdx: Array[Int] =
+    required.fieldNames.map(BusLog.schema.fieldIndex)
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val bp = partition.asInstanceOf[BusInputPartition]
     new PartitionReader[InternalRow] {
@@ -147,9 +221,9 @@ final class BusReaderFactory extends PartitionReaderFactory {
       override def next(): Boolean =
         if (it.hasNext) {
           val (seq, idx, tsMillis, bytes) = it.next()
-          current = new GenericInternalRow(Array[Any](
-            bp.partition, seq, idx, tsMillis * 1000L,
-            UTF8String.fromBytes(bytes)))
+          val full = Array[Any](bp.partition, seq, idx, tsMillis * 1000L,
+            UTF8String.fromBytes(bytes))
+          current = new GenericInternalRow(fieldIdx.map(i => full(i)))
           true
         } else false
       override def get(): InternalRow = current

@@ -39,6 +39,46 @@ class BusSourceSpec extends SparkTestBase {
       (0, 2L, 0, "a2")))
   }
 
+  test("partition and seq filters prune the batch scan at planning time") {
+    val root = tmpDir("bus_pd")
+    BusLog.create(root, 3)
+    BusLog.publish(root, 0, Seq((1000L, "a0")))
+    BusLog.publish(root, 1, Seq((1500L, "b0")))
+    BusLog.publish(root, 1, Seq((2500L, "b1")))
+    BusLog.publish(root, 2, Seq((1700L, "c0")))
+    // poison partition 2's only segment and partition 1's seq 1: any
+    // scan that still READS them throws on decode — so a green filtered
+    // read is behavioral proof the pruning reached planInputPartitions,
+    // not just a post-scan filter
+    Files.write(Paths.get(root, "p00002",
+      "00000000000000000001.log"), "not\tvalid-base64!!!\n".getBytes)
+    Files.write(Paths.get(root, "p00001",
+      "00000000000000000001.log"), "not\tvalid-base64!!!\n".getBytes)
+    def bus = spark.read.format("graftbus").option("path", root).load()
+    // unpruned read really does hit the poison
+    intercept[org.apache.spark.SparkException] { bus.collect() }
+    // partition pruning skips p2 entirely; seq pruning skips p1's seq 1
+    val got = bus.filter($"partition".isin(0, 1) && $"seq" > 1)
+      .select($"partition", $"value").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((1, "b1")))
+    val eq = bus.filter($"partition" === 0 && $"seq" === 1)
+      .select($"value").as[String].collect().toSeq
+    assert(eq == Seq("a0"))
+  }
+
+  test("column pruning narrows the scan output to the selected fields") {
+    val root = tmpDir("bus_cp")
+    BusLog.create(root, 1)
+    BusLog.publish(root, 0, Seq((1000L, "x"), (2000L, "y")))
+    val df = spark.read.format("graftbus").option("path", root).load()
+      .select($"value")
+    val scanOutput = df.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.output.map(_.name))
+    assert(scanOutput == Seq("value"), s"scan emits $scanOutput")
+    assert(df.as[String].collect().sorted.toSeq == Seq("x", "y"))
+  }
+
   test("stream equals batch and restart is exactly-once (no dups, no loss)") {
     val root = tmpDir("bus_s")
     val out = tmpDir("bus_out")
