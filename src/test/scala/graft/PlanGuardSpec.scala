@@ -13,7 +13,9 @@ class PlanGuardSpec extends SparkTestBase {
   private val allowedCross = Set(
     "s01_cosine_topk", "s03_ivf_topk", "s04_ivf_index_topk",
     "s05_ann_recall", // s05's exact side is the s01 baseline cross join
-    "t32_cluster_profile") // broadcast-centroid assignment, ≤16-row build side
+    "t32_cluster_profile", // broadcast-centroid assignment, ≤16-row build side
+    "e14_theta_setops", // 1-row × 1-row combine of two global aggregates
+    "s06_ivf_pq_topk") // exact side is the s01 baseline cross join
 
   test("no query plans nested-loop or cartesian joins (labeled baselines excepted)") {
     val offenders = SparkEntry.allQueries
@@ -85,6 +87,21 @@ class PlanGuardSpec extends SparkTestBase {
     assert("ExistenceJoin".r.findAllIn(plan).size == 2,
       s"expected two existence joins:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q47 injects a runtime bloom filter on the lineitem side") {
+    // the date filter on orders must materialize as a bloom filter
+    // pruning lineitem rows BEFORE the join's shuffle; broadcast is
+    // disabled in the query's forked session, so without the bloom
+    // filter every lineitem row would cross the exchange
+    val df = SparkEntry.queries("q47_bloom_filter_join")(spark, "/root/testdata/sf0.001")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("might_contain") &&
+      optimized.contains("bloom_filter_agg"),
+      s"runtime bloom filter not injected:\n$optimized")
+    val plan = finalPlan(df)
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"join must be a shuffle join (broadcast disabled) for the bloom path to matter:\n$plan")
   }
 
   test("q31 plans NOT IN as a single-column null-aware anti hash join") {
