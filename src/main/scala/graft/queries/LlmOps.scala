@@ -1957,10 +1957,20 @@ object LlmOps {
       import s.implicits._
       val p = Tables.load(s, dir, "part")
         .select($"p_partkey", $"p_name",
-          expr("split_part(p_name, ' ', 2)").as("noun"))
-      val a = p.select($"noun", $"p_partkey".as("k1"), $"p_name".as("n1"))
-      val b = p.select($"noun", $"p_partkey".as("k2"), $"p_name".as("n2"))
-      val pairs = a.join(b, "noun")
+          expr("split_part(p_name, ' ', 2)").as("noun"),
+          length($"p_name").as("__len"))
+      // length banding refines the block: levenshtein ≤ 2 implies a
+      // length difference ≤ 2, so the left side expands to its 5
+      // admissible bands and the join key becomes (noun, band) — each
+      // unordered pair matches on exactly one band, and candidate count
+      // drops from Σ|noun-block|² to Σ|noun,len-cell|·Σ±2 cells (the
+      // standard similarity-join trick when a single key under-blocks)
+      val a = p.select($"noun", $"__len", $"p_partkey".as("k1"), $"p_name".as("n1"))
+        .withColumn("__band", explode(array((-2 to 2).map(d => $"__len" + lit(d)): _*)))
+        .drop("__len")
+      val b = p.select($"noun", $"__len".as("__band"),
+        $"p_partkey".as("k2"), $"p_name".as("n2"))
+      val pairs = a.join(b, Seq("noun", "__band"))
         .filter($"k1" < $"k2")
         .withColumn("d", expr("levenshtein(n1, n2, 2)"))
         .filter($"d" >= 0 && $"d" <= 2)

@@ -1731,6 +1731,72 @@ object Relational {
       ORDER BY o_orderpriority
     """.trim))
 
+  /** Statistical aggregates (corr, regression slope/intercept, R²)
+    * computed EXACTLY across engines: both sides accumulate integer
+    * moments (quantity units, price cents) in decimals — order-
+    * independent, no IEEE drift — then derive the statistics with an
+    * IDENTICAL final double expression tree, so even corr's
+    * divide/sqrt chain hashes bit-equal. The built-in `corr`/`regr_*`
+    * aggregates stream IEEE doubles in partition order and can't be
+    * hash-compared across engines; the moment formulation is also the
+    * RIGHT 100 TB shape — one partial-aggregable pass, no second scan.
+    */
+  val q48StatAggs = Q(
+    "q48_stat_aggs",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "lineitem")
+        .select($"l_returnflag",
+          $"l_quantity".cast("long").as("x"),
+          ($"l_extendedprice".cast("decimal(14,2)") * 100).cast("long").as("y"))
+      base.groupBy($"l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum($"x".cast("decimal(19,0)")).cast("double").as("sx"),
+          sum($"y".cast("decimal(19,0)")).cast("double").as("sy"),
+          sum(($"x" * $"x").cast("decimal(19,0)")).cast("double").as("sxx"),
+          sum($"y".cast("decimal(19,0)") * $"y").cast("double").as("syy"),
+          sum(($"x" * $"y").cast("decimal(19,0)")).cast("double").as("sxy"))
+        .withColumn("covar", ($"sxy" - $"sx" * $"sy" / $"n") / $"n")
+        .withColumn("varx", ($"sxx" - $"sx" * $"sx" / $"n") / $"n")
+        .withColumn("vary", ($"syy" - $"sy" * $"sy" / $"n") / $"n")
+        .withColumn("corr_qty_price", $"covar" / sqrt($"varx" * $"vary"))
+        .withColumn("slope_cents_per_unit", $"covar" / $"varx")
+        .select($"l_returnflag", $"n".cast("long").as("n_rows"),
+          $"corr_qty_price", $"slope_cents_per_unit",
+          ($"sy" / $"n" - $"slope_cents_per_unit" * ($"sx" / $"n"))
+            .as("intercept_cents"),
+          ($"corr_qty_price" * $"corr_qty_price").as("r2"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+                        CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS y
+                 FROM lineitem),
+      a AS (SELECT l_returnflag,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(x * x AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+                   CAST(sum(CAST(y AS DECIMAL(19,0)) * y) AS DOUBLE) AS syy,
+                   CAST(sum(CAST(x * y AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+            FROM b GROUP BY 1),
+      c AS (SELECT l_returnflag, n, sx, sy,
+                   (sxy - sx * sy / n) / n AS covar,
+                   (sxx - sx * sx / n) / n AS varx,
+                   (syy - sy * sy / n) / n AS vary
+            FROM a),
+      d AS (SELECT l_returnflag, n, sx, sy, covar, varx,
+                   covar / sqrt(varx * vary) AS corr_qty_price
+            FROM c)
+      SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+             corr_qty_price,
+             covar / varx AS slope_cents_per_unit,
+             sy / n - (covar / varx) * (sx / n) AS intercept_cents,
+             corr_qty_price * corr_qty_price AS r2
+      FROM d
+      ORDER BY l_returnflag
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -1743,5 +1809,5 @@ object Relational {
     q34OrcRoundtrip, q35CsvRoundtrip, q36RangeFrame, q37JsonRoundtrip,
     q38WindowBreadth, q39SetOpsAll, q40NullSemantics, q41Variant,
     q42FullOuter, q43GapFill, q44AggBreadth, q45MultiColIn,
-    q46DisjunctiveExists, q47BloomFilterJoin)
+    q46DisjunctiveExists, q47BloomFilterJoin, q48StatAggs)
 }

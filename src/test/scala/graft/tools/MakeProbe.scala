@@ -35,11 +35,38 @@ object MakeProbe {
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
+    // affine char cipher per replica (see the documents block below for
+    // the full rationale) — also applied to part names, whose verbatim
+    // copies would otherwise hand every part n-1 distance-0 twins and
+    // push the fuzzy join's (t35) pair count quadratic in n
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
+    val cop26 = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    val cop10 = Seq(1, 3, 7, 9)
+    def cipher(i: Int): (String, String) = {
+      val aL = cop26((i / 26) % cop26.length); val bL = i % 26
+      val aD = cop10((i / 10) % cop10.length); val bD = i % 10
+      val mapL = lower.indices.map(j => lower((aL * j + bL) % 26)).mkString
+      val mapD = digits.indices.map(j => digits((aD * j + bD) % 10)).mkString
+      (lower + lower.toUpperCase + digits,
+        mapL + mapL.toUpperCase + mapD)
+    }
+    def cipherCol(df: org.apache.spark.sql.DataFrame, c: String, i: Int) =
+      if (i == 0) df
+      else { val (from, to) = cipher(i); df.withColumn(c, translate(col(c), from, to)) }
+
     rep("orders", Seq("o_orderkey", "o_custkey"))
     rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
     rep("customer", Seq("c_custkey"))
     rep("supplier", Seq("s_suppkey"))
-    rep("part", Seq("p_partkey"))
+    locally {
+      val df = spark.read.parquet(s"$src/part.parquet")
+      (0 until n).map { i =>
+        cipherCol(df.withColumn("p_partkey", col("p_partkey") + lit(shift * i)),
+          "p_name", i)
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/part.parquet")
+    }
     // documents: id shifts alone leave TEXT identical across replicas,
     // so every doc gains n-1 verbatim twins — near-dup pair counts and
     // LSH bucket populations then grow QUADRATICALLY in n, a probe
@@ -59,26 +86,10 @@ object MakeProbe {
     // heavy composites gate their compute volume on detection, so only
     // the gate's cheap reason distribution shifts.)
     locally {
-      val lower = "abcdefghijklmnopqrstuvwxyz"
-      val digits = "0123456789"
-      val cop26 = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
-      val cop10 = Seq(1, 3, 7, 9)
-      def cipher(i: Int): (String, String) = {
-        val aL = cop26((i / 26) % cop26.length); val bL = i % 26
-        val aD = cop10((i / 10) % cop10.length); val bD = i % 10
-        val mapL = lower.indices.map(j => lower((aL * j + bL) % 26)).mkString
-        val mapD = digits.indices.map(j => digits((aD * j + bD) % 10)).mkString
-        (lower + lower.toUpperCase + digits,
-          mapL + mapL.toUpperCase + mapD)
-      }
       val df = spark.read.parquet(s"$src/documents.parquet")
       (0 until n).map { i =>
-        val shifted = df.withColumn("doc_id", col("doc_id") + lit(shift * i))
-        if (i == 0) shifted
-        else {
-          val (from, to) = cipher(i)
-          shifted.withColumn("text", translate(col("text"), from, to))
-        }
+        cipherCol(df.withColumn("doc_id", col("doc_id") + lit(shift * i)),
+          "text", i)
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
