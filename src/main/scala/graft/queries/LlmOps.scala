@@ -1939,17 +1939,29 @@ object LlmOps {
 
   /** Blocked fuzzy (edit-distance) self-join — the record-linkage /
     * entity-resolution operator: find name pairs within levenshtein
-    * distance 2 WITHOUT the all-pairs cross join. Candidates come from
-    * an equi-join on a blocking key (the name's noun token), so the
-    * shuffle is a plain hash join and verification cost is ∝ block
-    * sizes, not n² — the same blocking-then-verify shape as the MinHash
-    * pipeline (t04/t05). Verification uses Spark's THRESHOLDED
-    * levenshtein (early-exits the DP once the band exceeds 2 — O(n·k)
-    * not O(n²) per pair). Output is the per-block dup profile. At real
-    * scale the block key must be chosen for cardinality (here the noun
-    * vocabulary is tiny at ~13 blocks; production uses length-banded
-    * prefix keys or phonetic codes) — the skew story is the same as any
-    * hot-key join, and SkewJoin.salted applies if one block dominates.
+    * distance 2 WITHOUT the all-pairs cross join. Three stacked
+    * reductions make it scale:
+    *  1. VALUE DEDUP: pair distance depends only on the two strings, so
+    *     the join runs over DISTINCT (noun, name) values carrying a
+    *     multiplicity `c`; row-pair counts are recovered algebraically
+    *     (same value: c·(c-1)/2 identical pairs; cross values: c1·c2).
+    *     On duplicate-heavy corpora this collapses the quadratic term —
+    *     here 20k part rows hold only ~10² distinct names, turning ~25M
+    *     row-pair verifications into a few thousand.
+    *  2. BLOCK + BAND: candidates come from an equi-join on (noun
+    *     token, length band) — levenshtein ≤ 2 forces |len1-len2| ≤ 2,
+    *     so one side expands to its 5 admissible bands and each
+    *     unordered pair meets on exactly one (noun, band) key. Plain
+    *     hash join; verification ∝ cell sizes, not n².
+    *  3. SALT: the block key alone has tiny cardinality (~48 cells
+    *     here), so without salting one hot cell = one straggler task —
+    *     measured 23 s at sf0.1 while 31 cores idled. A hash-derived
+    *     salt on the left and an 8-way explode on the right widen the
+    *     key to (noun, band, salt); every pair still meets exactly
+    *     once, and any hot cell spreads over 8 tasks.
+    * Verification uses Spark's THRESHOLDED levenshtein (early-exits the
+    * DP once the band exceeds 2 — O(n·k) not O(n²) per pair). Output is
+    * the per-block dup profile.
     */
   val t35FuzzyJoin = Q(
     "t35_fuzzy_join",
@@ -1957,31 +1969,34 @@ object LlmOps {
       import s.implicits._
       val p = Tables.load(s, dir, "part")
         .select($"p_partkey", $"p_name",
-          expr("split_part(p_name, ' ', 2)").as("noun"),
-          length($"p_name").as("__len"))
-      // length banding refines the block: levenshtein ≤ 2 implies a
-      // length difference ≤ 2, so the left side expands to its 5
-      // admissible bands and the join key becomes (noun, band) — each
-      // unordered pair matches on exactly one band, and candidate count
-      // drops from Σ|noun-block|² to Σ|noun,len-cell|·Σ±2 cells (the
-      // standard similarity-join trick when a single key under-blocks)
-      val a = p.select($"noun", $"__len", $"p_partkey".as("k1"), $"p_name".as("n1"))
-        .withColumn("__band", explode(array((-2 to 2).map(d => $"__len" + lit(d)): _*)))
-        .drop("__len")
-      val b = p.select($"noun", $"__len".as("__band"),
-        $"p_partkey".as("k2"), $"p_name".as("n2"))
-      val pairs = a.join(b, Seq("noun", "__band"))
-        .filter($"k1" < $"k2")
-        .withColumn("d", expr("levenshtein(n1, n2, 2)"))
-        .filter($"d" >= 0 && $"d" <= 2)
+          expr("split_part(p_name, ' ', 2)").as("noun"))
       val counts = p.groupBy($"noun").agg(count(lit(1)).as("n_parts"))
-      val agg = pairs.groupBy($"noun").agg(
-        count(lit(1)).as("n_pairs"),
-        sum(when($"d" === 0, 1L).otherwise(0L)).as("n_identical"),
-        sum($"d").as("sum_dist"))
-      counts.join(agg, Seq("noun"), "left")
+      // distinct names with multiplicity; one shuffle, then everything
+      // downstream is sized by DISTINCT values
+      val d = p.groupBy($"noun", $"p_name").agg(count(lit(1)).as("c"))
+        .withColumn("__len", length($"p_name"))
+      // identical row pairs never leave the aggregate: c·(c-1) is even,
+      // DIV keeps the arithmetic integral
+      val same = d.groupBy($"noun")
+        .agg(sum(expr("c * (c - 1) DIV 2")).as("n_identical"))
+      val nSalt = 8
+      val a = d.select($"noun", $"__len", $"p_name".as("n1"), $"c".as("c1"))
+        .withColumn("__band", explode(array((-2 to 2).map(dd => $"__len" + lit(dd)): _*)))
+        .withColumn("__salt", pmod(xxhash64($"n1"), lit(nSalt.toLong)))
+        .drop("__len")
+      val b = d.select($"noun", $"__len".as("__band"),
+        $"p_name".as("n2"), $"c".as("c2"))
+        .withColumn("__salt", explode(array((0 until nSalt).map(i => lit(i.toLong)): _*)))
+      val cross = a.join(b, Seq("noun", "__band", "__salt"))
+        .filter($"n1" < $"n2")
+        .withColumn("d", expr("levenshtein(n1, n2, 2)"))
+        .filter($"d" >= 1 && $"d" <= 2)
+      val agg = cross.groupBy($"noun").agg(
+        sum($"c1" * $"c2").as("cross_pairs"),
+        sum($"d" * $"c1" * $"c2").as("sum_dist"))
+      counts.join(same, Seq("noun"), "left").join(agg, Seq("noun"), "left")
         .select($"noun", $"n_parts",
-          coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+          (coalesce($"n_identical", lit(0L)) + coalesce($"cross_pairs", lit(0L))).as("n_pairs"),
           coalesce($"n_identical", lit(0L)).as("n_identical"),
           coalesce($"sum_dist", lit(0L)).as("sum_dist"))
         .orderBy($"noun")
