@@ -2070,6 +2070,56 @@ object LlmOps {
       """.trim
     })
 
+  /** Sliding-window RAG chunking: split each document into OVERLAPPING
+    * token windows (size 32, stride 16 — each token appears in ≤ 2
+    * chunks) and emit one row per chunk with its Karp–Rabin fingerprint,
+    * the exact shape an embedding/indexing stage consumes. Differs from
+    * t29 (non-overlapping hash-only chunking for dedup counting): here
+    * the chunks themselves are the product. Scale shape: narrow per-row
+    * tokenize + explode — zero shuffles until the determinism-only
+    * final sort; chunk count is (⌈n_toks/stride⌉), so output is a
+    * bounded ~2× token blow-up regardless of corpus size, and the
+    * fingerprint lets the downstream index dedup repeated boilerplate
+    * windows before paying for embeddings.
+    */
+  val t36RagChunks = Q(
+    "t36_rag_chunks",
+    (s, dir) => {
+      import s.implicits._
+      val win = 32
+      val stride = 16
+      val d = Tables.parallelized(Tables.load(s, dir, "documents"))
+        .select($"doc_id", TF.tokens(TF.normalize($"text")).as("toks"))
+      d.select($"doc_id", $"toks",
+          posexplode(sequence(lit(0), size($"toks") - 1, lit(stride)))
+            .as(Seq("chunk_idx", "start")))
+        .select($"doc_id", $"chunk_idx",
+          slice($"toks", $"start" + 1, lit(win)).as("chunk"))
+        .select($"doc_id", $"chunk_idx",
+          size($"chunk").cast("long").as("chunk_toks"),
+          TF.rollingFingerprint(array_join($"chunk", " ")).as("chunk_hash"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id,
+                         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+                  FROM documents),
+      ch AS (SELECT doc_id,
+                    unnest(range(0, ((len(t)-1)//16)+1)) AS chunk_idx,
+                    unnest([array_to_string(t[i*16+1 : i*16+32], ' ')
+                            for i in range(0, ((len(t)-1)//16)+1)]) AS chunk,
+                    unnest([len(t[i*16+1 : i*16+32])
+                            for i in range(0, ((len(t)-1)//16)+1)]) AS chunk_toks
+             FROM tk)
+      SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             CAST(chunk_toks AS BIGINT) AS chunk_toks,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ord(chunk[j:j]) AS BIGINT) for j in range(1, length(chunk)+1)]),
+               (a, b) -> (a * 257 + b) % 1000000007) AS chunk_hash
+      FROM ch
+      ORDER BY doc_id, chunk_idx
+    """.trim))
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
@@ -2080,7 +2130,7 @@ object LlmOps {
     t22HeavyHitters, t33AudioDecode, t34AudioEnergy,
     t23DedupGroups, t24CurationPipeline, t25UnicodeNfc, t26Contamination,
     t27MixtureBudget, t28ShuffleShard, t29ChunkDedup, t30LmQuality,
-    t31UrlOps, t32ClusterProfile, t35FuzzyJoin,
+    t31UrlOps, t32ClusterProfile, t35FuzzyJoin, t36RagChunks,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
     s06IvfPqTopK)
 }
