@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.Ivm
 
 /** One declared query: a DataFrame program plus (when expressible) the
   * equivalent ANSI SQL for the driver's DuckDB oracle. Column names are
@@ -1797,6 +1798,54 @@ object Relational {
       ORDER BY l_returnflag
     """.trim))
 
+  /** Incremental view maintenance ([[graft.operators.Ivm]]): the
+    * per-customer order-stats view refreshed by merging PARTIAL STATES —
+    * the base's persisted states plus one signed delta batch (inserts of
+    * new orders, retractions of a slice of old ones) — never rescanning
+    * base fact rows. The oracle recomputes from scratch over the
+    * surviving rows, so the green row IS the IVM correctness theorem
+    * (merge ∘ partialize = recompute) on real data, including the
+    * group-vanish case (a customer whose every order is retracted must
+    * disappear, not linger with cnt 0). Decimal sums keep the merge
+    * bit-exact across batch boundaries; the final division is the same
+    * IEEE double op on both engines. Scale shape: delta cost ∝ batch,
+    * merge cost ∝ view size — base fact rows are never re-read (here
+    * both states come from one scan only because the demo must build
+    * "persisted" state somehow).
+    */
+  val q49IvmMerge = Q(
+    "q49_ivm_merge",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      val vals = Seq("price" -> $"o_totalprice".cast("decimal(14,2)"))
+      val base = orders.filter($"o_orderdate" < cutoff)
+      val inserts = orders.filter($"o_orderdate" >= cutoff)
+        .withColumn("__sign", lit(1L))
+      val retractions = base.filter($"o_orderkey" % 97 === 0)
+        .withColumn("__sign", lit(-1L))
+      val baseState = Ivm.partializeSigned(base, Seq("o_custkey"), vals, lit(1L))
+      val deltaState = Ivm.partializeSigned(
+        inserts.unionByName(retractions), Seq("o_custkey"), vals, $"__sign")
+      Ivm.merge(Seq("o_custkey"), baseState, deltaState)
+        .select($"o_custkey", $"__cnt".as("n_orders"),
+          $"sum_price".cast("double").as("total_price"),
+          ($"sum_price".cast("double") / $"__cnt").as("avg_price"))
+        .orderBy($"o_custkey")
+    },
+    Some("""
+      WITH surv AS (
+        SELECT * FROM orders
+        WHERE NOT (o_orderdate < TIMESTAMP '1998-01-01' AND o_orderkey % 97 = 0))
+      SELECT o_custkey, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_price
+      FROM surv
+      GROUP BY o_custkey
+      ORDER BY o_custkey
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -1809,5 +1858,5 @@ object Relational {
     q34OrcRoundtrip, q35CsvRoundtrip, q36RangeFrame, q37JsonRoundtrip,
     q38WindowBreadth, q39SetOpsAll, q40NullSemantics, q41Variant,
     q42FullOuter, q43GapFill, q44AggBreadth, q45MultiColIn,
-    q46DisjunctiveExists, q47BloomFilterJoin, q48StatAggs)
+    q46DisjunctiveExists, q47BloomFilterJoin, q48StatAggs, q49IvmMerge)
 }
