@@ -364,8 +364,21 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0,
     * O(table) — run when fragmentation warrants it, like compact());
     * `clusterCols` re-clusters the fold for row-group skipping.
     */
-  def compactLog(name: String, clusterCols: Seq[String] = Nil): Unit = locked(name) {
-    val df0 = read(name)
+  def compactLog(name: String, clusterCols: Seq[String] = Nil): Unit =
+    compactLogWith(name, identity, clusterCols)
+
+  /** compactLog folding the accumulated frame THROUGH a caller
+    * transform before the rewrite — the LSM merge-compaction
+    * primitive: a log of partial-aggregate deltas collapses to its
+    * merged state (IncrementalView), tombstoned rows get physically
+    * reclaimed, etc. The transform's output replaces the log's
+    * contents in one atomic commit and must keep a schema that future
+    * appends remain compatible with (appendLog re-checks on the next
+    * append either way).
+    */
+  def compactLogWith(name: String, transform: DataFrame => DataFrame,
+      clusterCols: Seq[String] = Nil): Unit = locked(name) {
+    val df0 = transform(read(name))
     val df = if (clusterCols.isEmpty) df0
       else df0.repartitionByRange(clusterCols.map(col): _*)
         .sortWithinPartitions(clusterCols.map(col): _*)
