@@ -18,15 +18,27 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
+  /** `metaCols` are carried into the inverted lists and each list's
+    * files are clustered on them, so a filtered serve ([[topKFiltered]])
+    * prunes twice: partition dirs by probed list, then row groups by
+    * metadata min/max — the "filtered vector search" layout.
+    */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       indexDir: String, numCentroids: Int = 16, sampleSize: Int = 256,
-      iters: Int = 2): Unit = {
+      iters: Int = 2, metaCols: Seq[String] = Nil): Unit = {
     val cents = VectorFunctions.ivfTrainCentroids(
       corpus, idCol, vecCol, numCentroids, sampleSize, iters)
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    VectorFunctions.ivfAssign(corpus, idCol, vecCol, cents)
+    val meta = corpus.select(
+      (col(idCol).as("neighbor_id") +: metaCols.map(col)): _*)
+    val assigned = VectorFunctions.ivfAssign(corpus, idCol, vecCol, cents)
       .select(col("__cid"), col("__aid").as("neighbor_id"), col("__avec").as("__cv"))
-      .write.mode("overwrite").partitionBy("__cid")
+    val lists =
+      if (metaCols.isEmpty) assigned
+      else assigned.join(meta, "neighbor_id")
+        .repartition(col("__cid"))
+        .sortWithinPartitions(metaCols.map(col): _*)
+    lists.write.mode("overwrite").partitionBy("__cid")
       .parquet(s"$indexDir/lists")
   }
 
@@ -49,7 +61,27 @@ object VectorIndex {
   }
 
   def topK(spark: SparkSession, indexDir: String, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame =
+    serve(spark, indexDir, queries, idCol, vecCol, k, nprobe, None)
+
+  /** Filtered vector search: serve top-k among only the corpus vectors
+    * satisfying `predicate` (over the index's metaCols). The predicate
+    * lands on the list scan itself — after partition pruning by probed
+    * list, metadata clustering skips non-matching row groups — so the
+    * candidate set shrinks BEFORE any distance math, instead of
+    * post-filtering a k that may then starve. Equals
+    * filter-then-search exactly (assignment is deterministic and
+    * per-row, so it commutes with the filter) — pinned by s07.
+    */
+  def topKFiltered(spark: SparkSession, indexDir: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      predicate: org.apache.spark.sql.Column, nprobe: Int = 4): DataFrame =
+    serve(spark, indexDir, queries, idCol, vecCol, k, nprobe, Some(predicate))
+
+  private def serve(spark: SparkSession, indexDir: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int,
+      predicate: Option[org.apache.spark.sql.Column]): DataFrame = {
     import spark.implicits._
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val probes = VectorFunctions.ivfAssign(queries, idCol, vecCol,
@@ -57,8 +89,9 @@ object VectorIndex {
       .select(col("__aid").as("query_id"), col("__avec").as("__qv"), col("__cid"))
     // list ids to open: bounded by numCentroids — control-plane collect
     val needed = probes.select("__cid").distinct().as[Long].collect()
-    val lists = spark.read.parquet(s"$indexDir/lists")
+    val lists0 = spark.read.parquet(s"$indexDir/lists")
       .filter(col("__cid").isin(needed.map(x => x: Any): _*))
+    val lists = predicate.map(lists0.filter).getOrElse(lists0)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     probes.join(lists, Seq("__cid"))

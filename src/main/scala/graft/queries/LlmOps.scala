@@ -569,7 +569,8 @@ object LlmOps {
       dir: String): String =
     Tables.cachedTempRoot(ivfIndexCache, dir, "graft_ivf_index") { p =>
       graft.functions.VectorIndex.build(
-        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", p.toString)
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", p.toString,
+        metaCols = Seq("label"))
       p.toString
     }
 
@@ -2070,6 +2071,61 @@ object LlmOps {
       """.trim
     })
 
+  /** Filtered ANN (VectorIndex.topKFiltered): top-k restricted to
+    * corpus vectors matching a metadata predicate — the RAG-retrieval
+    * shape ("nearest docs WHERE tenant/label/date …"). The predicate is
+    * pushed into the persisted inverted-list scan (partition-pruned by
+    * probed list, row-group-skipped by the index's metadata
+    * clustering), shrinking candidates BEFORE any distance math; the
+    * naive alternative — post-filtering an unfiltered top-k — starves
+    * k under selective filters. Two pins: `top1_neighbor`/`top1_cos`
+    * hash-match the exact filtered brute force (oracle re-derives),
+    * and `pushdown_ok` asserts filter-inside-index returned EXACTLY
+    * filter-then-probe (assignment is per-row and deterministic, so
+    * the filter commutes with it — the theorem that makes the pushdown
+    * legal).
+    */
+  val s07FilteredAnn = Q(
+    "s07_filtered_ann",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" < 8)
+      val idx = ivfIndexFor(s, dir)
+      val filtered = graft.functions.VectorIndex.topKFiltered(
+        s, idx, q, "vec_id", "embedding", k = 3, $"label" === 1, nprobe = 4)
+      val cents = s.read.parquet(s"$idx/centroids")
+      val reference = VF.ivfTopK(emb.filter($"label" === 1), q,
+        "vec_id", "embedding", k = 3, nprobe = 4, centroids = Some(cents))
+      val mismatches = filtered.select($"query_id", $"neighbor_id", $"rank")
+        .unionByName(reference.select($"query_id", $"neighbor_id", $"rank"))
+        .groupBy($"query_id", $"neighbor_id", $"rank")
+        .agg(count(lit(1)).as("n"))
+        .filter($"n" =!= 2)
+        .groupBy($"query_id").agg(count(lit(1)).as("bad"))
+      val exact = VF.bruteForceTopK(emb.filter($"label" === 1), q,
+        "vec_id", "embedding", k = 1)
+      exact.select($"query_id", $"neighbor_id".as("top1_neighbor"),
+          $"cos".as("top1_cos"))
+        .join(mismatches, Seq("query_id"), "left")
+        .select($"query_id", $"top1_neighbor", $"top1_cos",
+          (coalesce($"bad", lit(0L)) === 0).as("pushdown_ok"))
+        .orderBy($"query_id")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE label = 1),
+      sc AS (SELECT query_id, neighbor_id,
+               list_sum([CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(qv)+1)]) /
+               (sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) for i in range(1, len(qv)+1)])) *
+                sqrt(list_sum([CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(cv)+1)]))) AS cos
+             FROM q, c WHERE query_id <> neighbor_id)
+      SELECT query_id, neighbor_id AS top1_neighbor, cos AS top1_cos, TRUE AS pushdown_ok
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+      WHERE rank = 1
+      ORDER BY query_id
+    """.trim))
+
   /** Sliding-window RAG chunking: split each document into OVERLAPPING
     * token windows (size 32, stride 16 — each token appears in ≤ 2
     * chunks) and emit one row per chunk with its Karp–Rabin fingerprint,
@@ -2132,5 +2188,5 @@ object LlmOps {
     t27MixtureBudget, t28ShuffleShard, t29ChunkDedup, t30LmQuality,
     t31UrlOps, t32ClusterProfile, t35FuzzyJoin, t36RagChunks,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
-    s06IvfPqTopK)
+    s06IvfPqTopK, s07FilteredAnn)
 }

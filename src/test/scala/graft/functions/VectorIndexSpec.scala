@@ -42,6 +42,29 @@ class VectorIndexSpec extends SparkTestBase {
     assert(serve(incDir) == serve(fullDir) && serve(incDir).nonEmpty)
   }
 
+  test("filtered serve == filter-then-search; predicate pushed to the list scan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = tmpDir("ivffilt")
+    VectorIndex.build(emb, "vec_id", "embedding", dir, metaCols = Seq("label"))
+    val queries = emb.filter($"vec_id" < 8)
+    val got = VectorIndex.topKFiltered(spark, dir, queries,
+        "vec_id", "embedding", 3, $"label" === 1)
+      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Long)]
+      .collect().toSet
+    // deterministic assignment commutes with the filter, so serving
+    // inside the index must EQUAL filtering the corpus then searching
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val want = VectorFunctions.ivfTopK(emb.filter($"label" === 1), queries,
+        "vec_id", "embedding", 3, centroids = Some(cents))
+      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == want && got.nonEmpty)
+    // the metadata predicate lands in the parquet scan's PushedFilters
+    val lists = spark.read.parquet(s"$dir/lists").filter($"label" === 1)
+    val plan = lists.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(label,1)"), s"predicate not pushed:\n$plan")
+  }
+
   test("serving scans only the probed list partitions (partition pruning)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = tmpDir("ivfprune")
