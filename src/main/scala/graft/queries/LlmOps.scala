@@ -2176,6 +2176,40 @@ object LlmOps {
       ORDER BY doc_id, chunk_idx
     """.trim))
 
+  /** Deterministic exact-k per-key sampling: a fixed per-language
+    * budget (k=20 docs) drawn by ranking on a salted md5 of the id —
+    * reproducible across runs/engines (lowercase-hex strings compare
+    * identically everywhere), unlike rand()-based sampling, and exact-k
+    * unlike t13's rate-based thinning (which only hits a budget in
+    * expectation). Scale shape: ONE shuffle on the key, and Spark's
+    * WindowGroupLimit rewrite (pinned by PlanGuardSpec) computes a
+    * per-map-partition top-k BEFORE the exchange, so the shuffle
+    * carries ≤ k·partitions rows per key, not the whole corpus — the
+    * distributed reservoir.
+    */
+  val t37SampleK = Q(
+    "t37_sample_k",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val w = Window.partitionBy($"lang").orderBy($"rk", $"doc_id")
+      Tables.parallelized(Tables.load(s, dir, "documents"))
+        .withColumn("rk", md5(concat(lit("samp_"), $"doc_id".cast("string"))))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 20)
+        .select($"doc_id", $"lang", $"rank")
+        .orderBy($"lang", $"rank")
+    },
+    Some("""
+      SELECT doc_id, lang, rank FROM (
+        SELECT doc_id, lang,
+               CAST(row_number() OVER (PARTITION BY lang
+                 ORDER BY md5('samp_' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank
+        FROM documents)
+      WHERE rank <= 20
+      ORDER BY lang, rank
+    """.trim))
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
@@ -2186,7 +2220,7 @@ object LlmOps {
     t22HeavyHitters, t33AudioDecode, t34AudioEnergy,
     t23DedupGroups, t24CurationPipeline, t25UnicodeNfc, t26Contamination,
     t27MixtureBudget, t28ShuffleShard, t29ChunkDedup, t30LmQuality,
-    t31UrlOps, t32ClusterProfile, t35FuzzyJoin, t36RagChunks,
+    t31UrlOps, t32ClusterProfile, t35FuzzyJoin, t36RagChunks, t37SampleK,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
     s06IvfPqTopK, s07FilteredAnn)
 }

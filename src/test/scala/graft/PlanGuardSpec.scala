@@ -15,7 +15,8 @@ class PlanGuardSpec extends SparkTestBase {
     "s05_ann_recall", // s05's exact side is the s01 baseline cross join
     "t32_cluster_profile", // broadcast-centroid assignment, ≤16-row build side
     "e14_theta_setops", // 1-row × 1-row combine of two global aggregates
-    "s06_ivf_pq_topk") // exact side is the s01 baseline cross join
+    "s06_ivf_pq_topk", // exact side is the s01 baseline cross join
+    "s07_filtered_ann") // exact side is the s01 baseline cross join
 
   test("no query plans nested-loop or cartesian joins (labeled baselines excepted)") {
     val offenders = SparkEntry.allQueries
@@ -115,5 +116,15 @@ class PlanGuardSpec extends SparkTestBase {
     assert(plan.contains("LeftAnti, BuildRight, true"),
       s"NOT IN must take the null-aware anti hash join path, not a nested loop:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("t37's rank filter rewrites to WindowGroupLimit (pre-shuffle top-k)") {
+    val plan = finalPlan(
+      SparkEntry.queries("t37_sample_k")(spark, "/root/testdata/sf0.001"))
+    // the rewrite inserts a Partial WindowGroupLimit BEFORE the key
+    // exchange, so each map partition forwards at most k rows per key —
+    // without it the whole corpus crosses the shuffle just to be ranked
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit:\n$plan")
   }
 }
