@@ -236,6 +236,20 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0,
     }
   }
 
+  /** Change feed between any two committed versions (within the vacuum
+    * retention window): `__op`-tagged rows via [[graft.operators.TableDiff]]
+    * over the registered primary key — CDC after the fact, computed
+    * from time travel instead of a writer-maintained log.
+    */
+  def diffVersions(name: String, fromVersion: String,
+      toVersion: String): DataFrame = {
+    val pks = primaryKey(name)
+    require(pks.nonEmpty,
+      s"diffVersions requires a registered primary key on $name")
+    graft.operators.TableDiff.diff(
+      readVersion(name, fromVersion), readVersion(name, toVersion), pks)
+  }
+
   /** O9 create-if-absent: template schema (with PKs) when registered,
     * else all-string from the CSV headers (process-pipeline.py:104-130).
     */

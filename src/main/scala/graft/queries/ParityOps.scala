@@ -151,6 +151,47 @@ object ParityOps {
       ORDER BY event_id
     """.trim))
 
+  /** Snapshot CDC (operators.TableDiff / Catalog.diffVersions): the
+    * change feed between the base customer snapshot and a successor
+    * built by composing the mutation ops — updates for key%7 (new
+    * values), deletes for key%11 (old values, and a key hit by both
+    * resolves to delete), inserts at an offset keyspace. One PK
+    * full-outer shuffle; null-safe column comparison, no row hashes;
+    * output ∝ churn. The oracle re-derives each op class directly from
+    * the arithmetic.
+    */
+  val op10VersionDiff = Q(
+    "op10_version_diff",
+    (s, dir) => {
+      import s.implicits._
+      val old = Tables.load(s, dir, "customer")
+      val pk = Seq("c_custkey")
+      val upserts = old.filter($"c_custkey" % 7 === 0)
+        .select($"c_custkey", concat(lit("u_"), $"c_name").as("c_name"),
+          $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+      val inserts = old.filter($"c_custkey" % 13 === 0)
+        .select(($"c_custkey" + 1000000L).as("c_custkey"), $"c_name",
+          $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+      val next = MutationOps.deleteByPk(
+          MutationOps.upsertByPk(old, upserts, pk, lit(1L)),
+          old.filter($"c_custkey" % 11 === 0), pk)
+        .unionByName(inserts)
+      graft.operators.TableDiff.diff(old, next, pk)
+        .orderBy($"c_custkey", $"__op")
+    },
+    Some("""
+      SELECT 'update' AS __op, c_custkey, 'u_' || c_name AS c_name,
+             c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0
+      UNION ALL
+      SELECT 'delete', c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 11 = 0
+      UNION ALL
+      SELECT 'insert', c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 13 = 0
+      ORDER BY c_custkey, __op
+    """.trim))
+
   val all: Seq[Q] = Seq(op01InsertIgnore, op02Upsert, op03Delete,
-    op04StageDeletes, op05AssignVersions)
+    op04StageDeletes, op05AssignVersions, op10VersionDiff)
 }
