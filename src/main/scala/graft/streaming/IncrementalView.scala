@@ -102,4 +102,22 @@ final class IncrementalView(catalog: Catalog, name: String,
         ()
       }
       .start()
+
+  /** Maintain the view from a graftbus topic: JSON rows of `rowDDL`
+    * shape ride the bus's `value` column. The bus's immutable segments
+    * give deterministic replay; the `__batch_id` watermark turns that
+    * into an exactly-once view across restarts — the event-bus-to-
+    * materialized-view loop (CDC included when `rowDDL` carries the
+    * sign column).
+    */
+  def startFromBus(spark: SparkSession, busRoot: String, rowDDL: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val rows = spark.readStream.format("graftbus")
+      .option("path", busRoot).load()
+      .select(from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(rowDDL)).as("r"))
+      .select("r.*")
+    start(rows, checkpoint, trigger)
+  }
 }

@@ -68,4 +68,34 @@ class IncrementalViewSpec extends SparkTestBase {
     // compactEvery folded the log to a single ref
     assert(cat.bucketRefs("str_vstate").size == 1)
   }
+
+  test("bus-to-view: published CDC rows maintain the view exactly once across restarts") {
+    import graft.sources.bus.BusLog
+    val cat = new Catalog(spark, tmpDir("ivm4"))
+    val iv = new IncrementalView(cat, "bus", Seq("k"), vals, signCol = Some("s"))
+    val busRoot = tmpDir("ivm4bus")
+    val ck = tmpDir("ivm4ck")
+    BusLog.create(busRoot, numPartitions = 2)
+    def publish(rows: Seq[(String, Long, Long)]): Unit =
+      rows.zipWithIndex.groupBy(_._2 % 2).foreach { case (p, part) =>
+        BusLog.publish(busRoot, p, part.map { case ((k, amt, s), _) =>
+          (0L, s"""{"k":"$k","amt":$amt,"s":$s}""")
+        })
+      }
+    publish(Seq(("a", 10L, 1L), ("b", 4L, 1L)))
+    iv.startFromBus(spark, busRoot, "k string, amt long, s long", ck)
+      .awaitTermination()
+    assert(viewOf(iv) == Map(
+      "a" -> (1L, new java.math.BigDecimal(10)),
+      "b" -> (1L, new java.math.BigDecimal(4))))
+    // restart: a retraction wave drains from the same checkpoint
+    publish(Seq(("b", 4L, -1L), ("a", 1L, 1L)))
+    iv.startFromBus(spark, busRoot, "k string, amt long, s long", ck)
+      .awaitTermination()
+    assert(viewOf(iv) == Map("a" -> (2L, new java.math.BigDecimal(11))))
+    // nothing new: a drain is a no-op
+    iv.startFromBus(spark, busRoot, "k string, amt long, s long", ck)
+      .awaitTermination()
+    assert(viewOf(iv) == Map("a" -> (2L, new java.math.BigDecimal(11))))
+  }
 }
