@@ -1798,6 +1798,92 @@ object Relational {
       ORDER BY l_returnflag
     """.trim))
 
+  /** Linear time-series interpolation over a month spine: per-status
+    * monthly revenue with every idx%5==2 month dropped, rebuilt on the
+    * full [min,max] month grid and interior gaps filled by linear
+    * interpolation between the bracketing known points —
+    * prev + (next−prev)·(i−pi)/(ni−pi), evaluated as the IDENTICAL
+    * IEEE double expression tree on both engines (the q48 discipline);
+    * values are integer cents so every operand before the final double
+    * math is exact. Boundary gaps (before the first / after the last
+    * known point) stay null, distinguishing interpolation from
+    * extrapolation. Scale shape: ONE exchange on the series key serves
+    * both direction windows (forward last/backward first IGNORE NULLS
+    * carry value AND position); the spine explode is narrow; the
+    * [lo,hi] bounds are a two-value control read (the q33 pattern —
+    * recomputing them per-row would re-scan the series).
+    */
+  val q50Interpolate = Q(
+    "q50_interpolate",
+    (s, dir) => {
+      import s.implicits._
+      val series = t(s, dir, "orders")
+        .select($"o_orderstatus".as("k"),
+          ((year($"o_orderdate") - 1995) * 12 + month($"o_orderdate") - 1)
+            .cast("int").as("idx"),
+          ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long").as("cents"))
+        .filter($"idx" % 5 =!= 2)
+        .groupBy($"k", $"idx").agg(sum($"cents").as("v"))
+      val Seq(lo, hi) = {
+        val r = series.agg(min($"idx"), max($"idx")).head()
+        Seq(r.getInt(0), r.getInt(1))
+      }
+      val spine = series.select($"k").distinct()
+        .select($"k", explode(sequence(lit(lo), lit(hi))).as("idx"))
+      val wPrev = Window.partitionBy($"k").orderBy($"idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy($"k").orderBy($"idx")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val knownIdx = when($"v".isNotNull, $"idx")
+      spine.join(series, Seq("k", "idx"), "left")
+        .select($"k", $"idx", $"v",
+          last($"v", ignoreNulls = true).over(wPrev).as("pv"),
+          last(knownIdx, ignoreNulls = true).over(wPrev).as("pi"),
+          first($"v", ignoreNulls = true).over(wNext).as("nv"),
+          first(knownIdx, ignoreNulls = true).over(wNext).as("ni"))
+        .select($"k", $"idx", $"v",
+          when($"v".isNotNull, $"v".cast("double"))
+            .when($"pv".isNotNull && $"nv".isNotNull,
+              $"pv".cast("double") + ($"nv" - $"pv").cast("double") *
+                (($"idx" - $"pi").cast("double") / ($"ni" - $"pi").cast("double")))
+            .as("interp"),
+          $"v".isNull.as("is_gap"))
+        .orderBy($"k", $"idx")
+    },
+    Some("""
+      WITH s AS (
+        SELECT k, idx, sum(cents) AS v
+        FROM (SELECT o_orderstatus AS k,
+                     CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS INT) AS idx,
+                     CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+              FROM orders)
+        WHERE idx % 5 <> 2
+        GROUP BY k, idx),
+      b AS (SELECT min(idx) AS lo, max(idx) AS hi FROM s),
+      spine AS (SELECT k, CAST(unnest(range(lo, hi + 1)) AS INT) AS idx
+                FROM (SELECT DISTINCT k FROM s) CROSS JOIN b),
+      j AS (SELECT spine.k, spine.idx, s.v FROM spine LEFT JOIN s USING (k, idx)),
+      w AS (SELECT k, idx, v,
+              last_value(v IGNORE NULLS) OVER wp AS pv,
+              last_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER wp AS pi,
+              first_value(v IGNORE NULLS) OVER wn AS nv,
+              first_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER wn AS ni
+            FROM j
+            WINDOW wp AS (PARTITION BY k ORDER BY idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wn AS (PARTITION BY k ORDER BY idx
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT k, idx, v,
+             CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                    CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) *
+                      (CAST(idx - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE))
+             END AS interp,
+             (v IS NULL) AS is_gap
+      FROM w
+      ORDER BY k, idx
+    """.trim))
+
   /** Incremental view maintenance ([[graft.operators.Ivm]]): the
     * per-customer order-stats view refreshed by merging PARTIAL STATES —
     * the base's persisted states plus one signed delta batch (inserts of
@@ -1858,5 +1944,6 @@ object Relational {
     q34OrcRoundtrip, q35CsvRoundtrip, q36RangeFrame, q37JsonRoundtrip,
     q38WindowBreadth, q39SetOpsAll, q40NullSemantics, q41Variant,
     q42FullOuter, q43GapFill, q44AggBreadth, q45MultiColIn,
-    q46DisjunctiveExists, q47BloomFilterJoin, q48StatAggs, q49IvmMerge)
+    q46DisjunctiveExists, q47BloomFilterJoin, q48StatAggs, q49IvmMerge,
+    q50Interpolate)
 }
