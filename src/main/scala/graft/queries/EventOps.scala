@@ -665,8 +665,49 @@ object EventOps {
       ORDER BY event_type
     """.trim))
 
+  /** Mergeable top-k sketch (completes the DataSketches quartet: HLL
+    * e13 / theta e14 / KLL e15 / frequent-items here): per-language
+    * `approx_top_k_accumulate` partials combined into one corpus
+    * sketch, estimated at k=9 — the two-level shard-then-merge shape
+    * that answers "top tokens ever" with no raw re-scan. At this
+    * vocabulary (31 ≪ the 100-slot capacity) the sketch is in its
+    * EXACT regime, so the oracle pins full membership and counts
+    * (`est_n = n`, top-9 set identical — k chosen so every SF has a
+    * clean count gap at the boundary, making the set unambiguous);
+    * at production vocabularies the same plan degrades gracefully to
+    * the ±ε frequent-items guarantee, the t22 SpaceSaving story with
+    * merge built in.
+    */
+  val e16TopkSketch = Q(
+    "e16_topk_sketch",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{TextFunctions => TF}
+      val toks = Tables.parallelized(Tables.load(s, dir, "documents"))
+        .select($"lang", explode(TF.tokens(TF.normalize($"text"))).as("tok"))
+      val est = toks.groupBy($"lang")
+        .agg(expr("approx_top_k_accumulate(tok, 100)").as("sk"))
+        .agg(expr("approx_top_k_combine(sk, 100)").as("sk"))
+        .select(explode(expr("approx_top_k_estimate(sk, 9)")).as("e"))
+        .select($"e.*")
+      val exact = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
+      est.select($"item".as("tok"), $"count".as("est_n"))
+        .join(exact, Seq("tok"))
+        .select($"tok", $"n", $"est_n", ($"est_n" === $"n").as("exact_in_sketch"))
+        .orderBy($"n".desc, $"tok")
+    },
+    Some("""
+      WITH t AS (SELECT unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS tok
+                 FROM documents),
+      c AS (SELECT tok, count(*) AS n FROM t GROUP BY tok)
+      SELECT tok, n, n AS est_n, TRUE AS exact_in_sketch
+      FROM c
+      ORDER BY n DESC, tok
+      LIMIT 9
+    """.trim))
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
     e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin,
     e09Unpivot, e10DynamicSession, e11BusRoundtrip, e12Funnel,
-    e13HllMerge, e14ThetaSetops, e15KllQuantiles)
+    e13HllMerge, e14ThetaSetops, e15KllQuantiles, e16TopkSketch)
 }
