@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, hash, lit, pmod, shiftright, when}
+import org.apache.spark.sql.functions.{coalesce, col, expr, hash, lit, pmod, shiftright, sum, when}
 import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 
 /** Transactional Parquet table layer — the one genuinely custom piece of
@@ -293,6 +293,7 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0,
       evolveSchema: Boolean = false): Unit = locked(name) {
     require(bucketCount(name).isEmpty,
       s"$name has a PK-bucket layout; its manifest keys are bucket ids, not log refs")
+    validateConstraints(name, df) // the BATCH only — appends stay O(batch)
     val prevManifest: Option[Manifest] = if (exists(name))
       Some(readManifest(name).getOrElse(
         throw new IllegalStateException(
@@ -863,16 +864,59 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0,
     * layout unless a new one is given.
     */
   private def writeMeta(name: String, pks: Seq[String],
-      buckets: Option[Int] = None): Unit = {
+      buckets: Option[Int] = None,
+      constraintsOverride: Option[Map[String, String]] = None): Unit = {
     val bc = buckets.orElse(bucketCount(name))
+    val cs = constraintsOverride.getOrElse(constraints(name))
     val m: Map[String, Any] = Map("primaryKey" -> pks) ++
-      bc.map(n => "bucketCount" -> n)
+      bc.map(n => "bucketCount" -> n) ++
+      (if (cs.nonEmpty) Map("constraints" -> cs) else Map.empty)
     writeAtomic(metaFile(name), mapper.writeValueAsString(m))
+  }
+
+  /** Registered CHECK constraints: label → boolean SQL expression. */
+  def constraints(name: String): Map[String, String] =
+    readMetaNode(name).flatMap(n => Option(n.get("constraints"))) match {
+      case None => Map.empty
+      case Some(c) =>
+        val it = c.fields()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+        b.result()
+    }
+
+  /** Register CHECK constraints validated on every subsequent commit
+    * (overwrite/append families and appendLog batches): each is a
+    * boolean SQL expression over the table's columns; NULL passes, as
+    * in ANSI CHECK — spell NOT NULL explicitly (`c IS NOT NULL`).
+    * Validation is ONE aggregate pass over the batch counting
+    * violations per constraint, and a violating commit fails loudly
+    * with per-constraint counts BEFORE any data lands — the write-side
+    * quality gate, so a bad upstream batch can't poison a 100 TB
+    * table and force a version rollback.
+    */
+  def registerConstraints(name: String, cs: Map[String, String]): Unit =
+    locked(name) {
+      writeMeta(name, primaryKey(name), constraintsOverride = Some(cs))
+    }
+
+  private def validateConstraints(name: String, df: DataFrame): Unit = {
+    val cs = constraints(name).toSeq.sortBy(_._1)
+    if (cs.isEmpty) return
+    val counts = df.select(cs.map { case (label, sql) =>
+      coalesce(sum(when(!coalesce(expr(sql), lit(true)), 1L).otherwise(0L)),
+        lit(0L)).as(label)
+    }: _*).head()
+    val violated = cs.indices.filter(counts.getLong(_) > 0)
+      .map(i => s"${cs(i)._1} [${cs(i)._2}]: ${counts.getLong(i)} rows")
+    require(violated.isEmpty,
+      s"commit to $name rejected by CHECK constraints — ${violated.mkString("; ")}")
   }
 
   private def commit(name: String, df: DataFrame, pks: Seq[String],
       partitionCols: Seq[String] = Nil,
       writeOptions: Map[String, String] = Map.empty): Unit = {
+    validateConstraints(name, df)
     val version = newVersionName()
     val dataDir = new Path(tableDir(name), version)
     // Materialize BEFORE flipping the pointer: df may itself read the
