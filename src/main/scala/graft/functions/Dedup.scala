@@ -252,6 +252,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Containment pairs: LSH candidates → exact containment
+    * |A∩B| / min(|A|,|B|) ≥ threshold — the ASYMMETRIC near-dup
+    * measure that catches quotes, excerpts and boilerplate-plus-body
+    * composites which symmetric Jaccard dilutes (a 100-shingle doc
+    * fully containing a 20-shingle doc scores containment 1.0 but
+    * Jaccard 0.2). Candidate generation is the SAME banded MinHash as
+    * nearDuplicatePairs — recall follows the Jaccard curve, so this
+    * face finds containment among comparably-sized candidates; a
+    * dedicated small-in-large search would band the smaller side's
+    * shingle PREFIXES instead (the standard prefix-filter extension),
+    * at which point candidates stop being symmetric.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingle: Int = 3, numHashes: Int = 16,
+      bands: Int = 2): DataFrame = {
+    val sh = hashedShingleFrame(df, idCol, textCol, shingle).persist()
+    val cand = candidatePairsFromHashSets(sh, numHashes, bands, None)
+    cand
+      .join(maybeBroadcast(sh.select(col("__id").as("id_a"), col("__hhd").as("__ha"))), "id_a")
+      .join(maybeBroadcast(sh.select(col("__id").as("id_b"), col("__hhd").as("__hb"))), "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("__ha"), col("__hb"))).cast("double") /
+          least(size(col("__ha")), size(col("__hb"))))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** Connected components over a duplicate-pair edge list: every node
     * gets the MINIMUM node id reachable from it (`rep`) — the step that
     * turns near-dup PAIRS into dedup GROUPS so a pipeline can keep one

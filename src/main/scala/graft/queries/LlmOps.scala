@@ -190,6 +190,34 @@ object LlmOps {
       ORDER BY id_a, id_b
     """.trim))
 
+  /** Asymmetric containment dedup (Dedup.containmentPairs): exact
+    * |A∩B|/min(|A|,|B|) over the SAME banded-MinHash candidates as t05
+    * — quotes and excerpt composites that symmetric Jaccard dilutes.
+    * Same scale shape as t05 (one reused band exchange, verification
+    * ∝ candidates); the containment column is integer set sizes in an
+    * identical double division on both engines.
+    */
+  val t39Containment = Q(
+    "t39_containment",
+    (s, dir) => {
+      import s.implicits._
+      Dedup.containmentPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text", threshold = 0.9)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""
+      WITH $minhashCandidateCte,
+      hd AS (SELECT doc_id, list_distinct(hh) AS h FROM m1),
+      j AS (SELECT c.id_a, c.id_b,
+              CAST(len(list_intersect(ha.h, hb.h)) AS DOUBLE) /
+                least(len(ha.h), len(hb.h)) AS containment
+            FROM cand c JOIN hd ha ON c.id_a = ha.doc_id
+                        JOIN hd hb ON c.id_b = hb.doc_id)
+      SELECT id_a, id_b, containment FROM j
+      WHERE containment >= 0.9
+      ORDER BY id_a, id_b
+    """.trim))
+
   /** 16-bit SimHash sketch per document (bit-verifiable miniature of
     * the 64-bit production variant).
     */
@@ -2221,6 +2249,7 @@ object LlmOps {
     t23DedupGroups, t24CurationPipeline, t25UnicodeNfc, t26Contamination,
     t27MixtureBudget, t28ShuffleShard, t29ChunkDedup, t30LmQuality,
     t31UrlOps, t32ClusterProfile, t35FuzzyJoin, t36RagChunks, t37SampleK,
+    t39Containment,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
     s06IvfPqTopK, s07FilteredAnn)
 }
