@@ -236,4 +236,47 @@ object StatefulV2 {
       .transformWithState(new RecentBufferProcessor(keep, gapUs),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  // ----- TTL face: state hygiene for unbounded key cardinality -------
+
+  final case class KeyCount(user_id: Long, n: Long)
+
+  /** Running per-key counter whose state carries a PROCESSING-TIME TTL:
+    * a key not updated within `ttl` has its value expired by the state
+    * store itself — the hygiene mechanism for unbounded key spaces
+    * (one-visit users, rotating session ids) where neither watermarks
+    * nor explicit timers fit: event-time timers need per-key timer
+    * registrations the processor must manage, while TTL is declared
+    * once on the state and enforced store-side. After expiry the key
+    * re-counts from zero, exactly as if never seen — pinned by spec
+    * across query restarts on one checkpoint.
+    */
+  final class TtlCountProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, TypedEvent, KeyCount] {
+    @transient private var cnt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong,
+        TTLConfig(ttl))
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timerValues: TimerValues): Iterator[KeyCount] = {
+      val prev = if (cnt.exists()) cnt.get() else 0L
+      val n = prev + rows.size
+      cnt.update(n)
+      Iterator.single(KeyCount(key, n))
+    }
+  }
+
+  /** Per-user event counts with state TTL; TTL requires processing-time
+    * mode (expiry is wall-clock by definition).
+    */
+  def countsWithTtl(events: DataFrame, ttl: java.time.Duration): Dataset[KeyCount] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.as[TypedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new TtlCountProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+  }
 }

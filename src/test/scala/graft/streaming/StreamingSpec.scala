@@ -480,4 +480,69 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.table("dedup_out").select("event_id").as[Long].collect().sorted.toSeq
       == Seq(1L, 2L))
   }
+
+  test("ValueState TTL: expired keys re-count from zero; long-TTL control survives restart") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Trigger.Once, NOT AvailableNow/processAllAvailable: a
+    // ProcessingTime-mode stateful operator keeps requesting batches
+    // for TTL eviction, so those never self-terminate. One batch per
+    // drain is right anyway — TTL expiry is enforced on the state READ
+    // path (an expired value reads as absent). foreachBatch, not the
+    // memory sink: only the former supports checkpoint recovery, and
+    // the restarts ARE the test.
+    def drain(srcDir: String, ck: String, ttl: java.time.Duration): Map[Long, Long] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
+      val stream = spark.readStream
+        .schema("user_id long, event_type string, value double")
+        .parquet(srcDir)
+      val q = StatefulV2.countsWithTtl(stream, ttl)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StatefulV2.KeyCount], _: Long) =>
+          b.collect().foreach(kc => got.add(kc.user_id -> kc.n)); ()
+        }
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq.groupBy(_._1).map { case (k, es) => k -> es.map(_._2).max }
+    }
+    try {
+      // control: 10-minute TTL — state SURVIVES the restart (query
+      // startup latency ≫ the short TTL, so this isolates expiry as
+      // the cause of the reset below, not the restart itself)
+      val (srcA, ckA) = (tmpDir("ttlsrcA"), tmpDir("ttlckA"))
+      Seq((1L, "click", 1.0), (1L, "click", 2.0), (2L, "view", 1.0))
+        .toDF("user_id", "event_type", "value").repartition(1)
+        .write.mode("overwrite").parquet(srcA)
+      assert(drain(srcA, ckA, java.time.Duration.ofMinutes(10)) ==
+        Map(1L -> 2L, 2L -> 1L))
+      Seq((1L, "click", 3.0)).toDF("user_id", "event_type", "value")
+        .repartition(1).write.mode("append").parquet(srcA)
+      assert(drain(srcA, ckA, java.time.Duration.ofMinutes(10))(1L) == 3L)
+
+      // treatment: 1-second TTL — by the restarted batch the idle
+      // values have expired and both keys re-count from zero
+      val (srcB, ckB) = (tmpDir("ttlsrcB"), tmpDir("ttlckB"))
+      Seq((1L, "click", 1.0), (1L, "click", 2.0), (2L, "view", 1.0))
+        .toDF("user_id", "event_type", "value").repartition(1)
+        .write.mode("overwrite").parquet(srcB)
+      assert(drain(srcB, ckB, java.time.Duration.ofSeconds(1)) ==
+        Map(1L -> 2L, 2L -> 1L))
+      Thread.sleep(1500)
+      Seq((1L, "click", 9.0), (2L, "view", 9.0))
+        .toDF("user_id", "event_type", "value").repartition(1)
+        .write.mode("append").parquet(srcB)
+      val after = drain(srcB, ckB, java.time.Duration.ofSeconds(1))
+      assert(after(1L) == 1L && after(2L) == 1L)
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
