@@ -1932,6 +1932,82 @@ object Relational {
       ORDER BY o_custkey
     """.trim))
 
+  /** Aggregate pushdown to the parquet footer: COUNT/MIN/MAX answered
+    * from row-group METADATA — zero data pages read, the cheapest
+    * possible full-table profile at 100 TB (footer bytes ∝ files, not
+    * rows). Needs the DSv2 parquet path (useV1SourceList cleared) and
+    * holds only for the no-filter, no-group-by shape; anything else
+    * silently falls back to a real scan — which is why PlanGuardSpec
+    * pins `PushedAggregation` in the plan, the difference being a
+    * footer read vs a 100 TB scan.
+    */
+  val q51AggPushdown = Q(
+    "q51_agg_pushdown",
+    (s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      import s2.implicits._
+      t(s2, dir, "lineitem")
+        .agg(expr("count(*)").as("n_rows"),
+          min($"l_orderkey").as("min_key"), max($"l_orderkey").as("max_key"),
+          min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"))
+    },
+    Some("""
+      SELECT count(*) AS n_rows,
+             min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+             min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+      FROM lineitem
+    """.trim))
+
+  private val dppOrdersCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Dynamic partition pruning: orders re-laid-out hive-partitioned on
+    * o_orderstatus (the layout a 100 TB fact table ships with), joined
+    * to a tiny dim whose FILTER decides which status survives. Static
+    * pruning can't help — the filter is on the dim — so Spark builds a
+    * runtime subquery from the broadcast side and injects it into the
+    * fact scan's PartitionFilters (PlanGuardSpec pins `dynamicpruning`
+    * there): 2/3 of the fact's partition directories are never opened.
+    * At warehouse scale this is the difference between scanning one
+    * date/tenant slice and scanning the table, whenever the slicing
+    * predicate arrives through a join instead of a literal.
+    */
+  val q52DynamicPruning = Q(
+    "q52_dynamic_pruning",
+    (s, dir) => {
+      import s.implicits._
+      val root = Tables.cachedTempRoot(dppOrdersCache, dir, "graft_dpp_orders") { p =>
+        t(s, dir, "orders").write.partitionBy("o_orderstatus")
+          .parquet(p.resolve("orders").toString)
+        // the dim must be a SCANNED relation: a literal local dim
+        // constant-folds its filter away and DPP's selective-predicate
+        // detection never sees one
+        Seq(("O", "open"), ("F", "finished"), ("P", "pending"))
+          .toDF("o_orderstatus", "status_name")
+          .write.parquet(p.resolve("dim").toString)
+        p.toString
+      }
+      val fact = s.read.parquet(s"$root/orders")
+      val dim = s.read.parquet(s"$root/dim")
+      fact.join(broadcast(dim.filter($"status_name" === "finished")), "o_orderstatus")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast("decimal(14,2)")).cast("double").as("total"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      WITH dim(o_orderstatus, status_name) AS (
+        VALUES ('O', 'open'), ('F', 'finished'), ('P', 'pending'))
+      SELECT o_orderpriority, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+      FROM orders JOIN dim USING (o_orderstatus)
+      WHERE status_name = 'finished'
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -1945,5 +2021,5 @@ object Relational {
     q38WindowBreadth, q39SetOpsAll, q40NullSemantics, q41Variant,
     q42FullOuter, q43GapFill, q44AggBreadth, q45MultiColIn,
     q46DisjunctiveExists, q47BloomFilterJoin, q48StatAggs, q49IvmMerge,
-    q50Interpolate)
+    q50Interpolate, q51AggPushdown, q52DynamicPruning)
 }

@@ -118,6 +118,20 @@ class PlanGuardSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q51 answers COUNT/MIN/MAX from parquet footers (PushedAggregation)") {
+    val plan = finalPlan(
+      SparkEntry.queries("q51_agg_pushdown")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("PushedAggregation: [COUNT(*)"),
+      s"aggregates not pushed to the parquet scan:\n$plan")
+  }
+
+  test("q52's fact scan carries a dynamicpruning partition filter") {
+    val plan = finalPlan(
+      SparkEntry.queries("q52_dynamic_pruning")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$plan")
+  }
+
   test("t37's rank filter rewrites to WindowGroupLimit (pre-shuffle top-k)") {
     val plan = finalPlan(
       SparkEntry.queries("t37_sample_k")(spark, "/root/testdata/sf0.001"))
