@@ -200,6 +200,16 @@ object Dedup {
       ColumnBridge.expression(a), ColumnBridge.expression(b), assumeSorted))
   }
 
+  /** Fused one-pass containment |A∩B|/min(|A|,|B|) for distinct
+    * `array<long>` sets (see expressions.ContainmentLongSets).
+    */
+  def containmentLongSets(a: Column, b: Column,
+      assumeSorted: Boolean = false): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.ContainmentLongSets(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), assumeSorted))
+  }
+
   /** Broadcast `df` only when the optimizer's size estimate fits the
     * session's `autoBroadcastJoinThreshold`; above it (or with the
     * threshold disabled) return the frame unhinted, so the join
@@ -273,8 +283,7 @@ object Dedup {
       .join(maybeBroadcast(sh.select(col("__id").as("id_a"), col("__hhd").as("__ha"))), "id_a")
       .join(maybeBroadcast(sh.select(col("__id").as("id_b"), col("__hhd").as("__hb"))), "id_b")
       .withColumn("containment",
-        size(array_intersect(col("__ha"), col("__hb"))).cast("double") /
-          least(size(col("__ha")), size(col("__hb"))))
+        containmentLongSets(col("__ha"), col("__hb"), assumeSorted = true))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
   }

@@ -124,6 +124,25 @@ class FunctionsSpec extends SparkTestBase {
     assert(got.filter(not($"fast" <=> $"ref")).isEmpty)
   }
 
+  test("ContainmentLongSets equals the array_intersect/least formulation") {
+    val sets = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),      // 2/3
+      (Seq(1L, 2L), Seq(1L, 2L, 3L, 4L, 5L)),  // full containment, 1.0
+      (Seq(1L, 2L), Seq(3L, 4L)),              // disjoint, 0.0
+      (Seq(5L), Seq(5L)),
+      (Seq.empty[Long], Seq(1L)))               // min-size 0 -> 0.0
+      .toDF("a", "b")
+    val ref = try_divide(size(array_intersect($"a", $"b")).cast("double"),
+      least(size($"a"), size($"b")))
+    val got = sets.select(
+      Dedup.containmentLongSets($"a", $"b").as("fast"),
+      coalesce(ref, lit(0.0)).as("ref"))
+    assert(got.filter(not($"fast" <=> $"ref")).isEmpty)
+    // asymmetry: the small set fully inside the big one scores 1.0
+    assert(sets.select(Dedup.containmentLongSets($"a", $"b")).collect()
+      .map(_.getDouble(0)).toSeq(1) == 1.0)
+  }
+
   /** Independent Scala reimplementation of the 60-bit SimHash (shared
     * by the interpreted and codegen-only equivalence tests).
     */
