@@ -1007,6 +1007,84 @@ object LlmOps {
       """.trim
     })
 
+  /** Image perceptual hashing (dHash) — the VISUAL near-dup operator
+    * that completes the multimodal dedup story: decode (real PNG
+    * codec), nearest-neighbor resize to 9×8 grayscale, per-row
+    * adjacent-pixel gradient bits → 64-bit difference hash, then group
+    * images sharing a hash (re-encodes and crops shift dHash by a few
+    * bits; equal-hash grouping is the exact-tier, a Hamming band join
+    * — t11's machinery — is the near-tier at scale). The hash is
+    * emitted as two 32-bit halves: bit 63 would wrap a signed BIGINT
+    * differently than DuckDB's `<<`, so the split keeps both engines
+    * in exact integer range. Oracle re-derives every gradient bit
+    * analytically from the synthetic pixel formula (t20's discipline).
+    * Scale shape: narrow per-row codec work + ONE 8-byte-key shuffle
+    * for the dup-group counts.
+    */
+  val t40ImageDhash = Q(
+    "t40_image_dhash",
+    (s, dir) => {
+      import s.implicits._
+      val hashes = Tables.load(s, dir, "documents")
+        .select($"doc_id", length(encode($"text", "UTF-8")).cast("long").as("n_bytes"))
+        .transform(Tables.parallelized)
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (docId, nBytes) =>
+            val w = (8 + nBytes % 24).toInt
+            val h = (8 + docId % 24).toInt
+            val rgb = Array.tabulate(w * h * 3)(i => ((docId * 31 + i) % 256).toByte)
+            val png = Multimodal.encodePng(w, h, rgb)
+            val px = Multimodal.RealImageDecoder.decodePixels(png, 9, 8)
+            def gray(y: Int, x: Int): Int = {
+              val o = (y * 9 + x) * 3
+              ((px(o) & 0xff) + (px(o + 1) & 0xff) + (px(o + 2) & 0xff)) / 3
+            }
+            var lo = 0L; var hi = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if (gray(y, x + 1) > gray(y, x)) {
+                  val k = y * 8 + x
+                  if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+                }
+                x += 1
+              }
+              y += 1
+            }
+            (docId, hi, lo)
+          }
+        }
+        .toDF("doc_id", "dhash_hi", "dhash_lo")
+      val groups = hashes.groupBy($"dhash_hi", $"dhash_lo")
+        .agg(count(lit(1)).as("n_same"))
+      hashes.join(groups, Seq("dhash_hi", "dhash_lo"))
+        .select($"doc_id", $"dhash_hi", $"dhash_lo", $"n_same")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+      g AS (SELECT doc_id, 8 + n_bytes % 24 AS w, 8 + doc_id % 24 AS h FROM d),
+      gr AS (SELECT doc_id, y.r AS yy, x.r AS xx,
+               (((doc_id * 31 + ((((y.r * h) // 8) * w + ((x.r * w) // 9)) * 3 + 0)) % 256)
+              + ((doc_id * 31 + ((((y.r * h) // 8) * w + ((x.r * w) // 9)) * 3 + 1)) % 256)
+              + ((doc_id * 31 + ((((y.r * h) // 8) * w + ((x.r * w) // 9)) * 3 + 2)) % 256)) // 3 AS gray
+             FROM g, range(8) y(r), range(9) x(r)),
+      b AS (SELECT a.doc_id, a.yy, a.xx,
+              CASE WHEN n.gray > a.gray THEN 1 ELSE 0 END AS bit
+            FROM gr a JOIN gr n ON a.doc_id = n.doc_id AND a.yy = n.yy AND n.xx = a.xx + 1
+            WHERE a.xx < 8),
+      hsh AS (SELECT doc_id,
+                CAST(sum(CASE WHEN yy*8+xx >= 32 THEN CAST(bit AS BIGINT) << (yy*8+xx-32) ELSE 0 END) AS BIGINT) AS dhash_hi,
+                CAST(sum(CASE WHEN yy*8+xx < 32 THEN CAST(bit AS BIGINT) << (yy*8+xx) ELSE 0 END) AS BIGINT) AS dhash_lo
+              FROM b GROUP BY doc_id),
+      cnt AS (SELECT dhash_hi, dhash_lo, count(*) AS n_same FROM hsh GROUP BY 1, 2)
+      SELECT doc_id, dhash_hi, dhash_lo, n_same
+      FROM hsh JOIN cnt USING (dhash_hi, dhash_lo)
+      ORDER BY doc_id
+    """.trim))
+
   /** Frame sampling through the oracle gate: documents as video-like
     * binary payloads split into 32-byte frames, every 2nd kept
     * (`Multimodal.sampleFrames` — previously spec-only). Outputs are
@@ -2249,7 +2327,7 @@ object LlmOps {
     t23DedupGroups, t24CurationPipeline, t25UnicodeNfc, t26Contamination,
     t27MixtureBudget, t28ShuffleShard, t29ChunkDedup, t30LmQuality,
     t31UrlOps, t32ClusterProfile, t35FuzzyJoin, t36RagChunks, t37SampleK,
-    t39Containment,
+    t39Containment, t40ImageDhash,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
     s06IvfPqTopK, s07FilteredAnn)
 }
