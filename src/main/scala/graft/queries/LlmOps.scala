@@ -1317,6 +1317,75 @@ object LlmOps {
       ORDER BY doc_id
     """.trim))
 
+  /** Audio fingerprinting — t40's perceptual-hash idea on the audio
+    * axis (the Shazam/chromaprint shape reduced to its deterministic
+    * core): decode real WAV PCM, 8-sample energy windows, consecutive
+    * energy-delta bits → one integer fingerprint per clip, grouped
+    * into acoustic-duplicate sets. Delta bits survive uniform gain
+    * changes (energy scaling preserves order), which is why real
+    * systems fingerprint deltas, not magnitudes. ≤ 23 windows here so
+    * the fingerprint fits a BIGINT without the t40 hi/lo split.
+    * Oracle re-derives every window energy and delta bit analytically
+    * from the synthetic PCM formula. Scale: narrow per-row decode +
+    * ONE 8-byte-key shuffle for group counts.
+    */
+  val t41AudioFingerprint = Q(
+    "t41_audio_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      val fps = Tables.load(s, dir, "documents")
+        .select($"doc_id", length(encode($"text", "UTF-8")).cast("long").as("n_bytes"))
+        .transform(Tables.parallelized)
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (docId, nBytes) =>
+            val ns = (64 + nBytes % 128).toInt
+            val samples = Array.tabulate(ns)(i =>
+              (((docId * 37 + i.toLong * 11) % 4001) - 2000).toShort)
+            val wav = Multimodal.encodeWavPcm16(8000, samples)
+            val (_, _, _, dec) = Multimodal.decodeWav(wav)
+            val nw = (dec.length + 7) / 8
+            val es = Array.tabulate(nw) { w =>
+              var e = 0L
+              var i = 8 * w
+              val end = math.min(8 * (w + 1), dec.length)
+              while (i < end) { e += math.abs(dec(i).toLong); i += 1 }
+              e
+            }
+            var fp = 0L
+            var w = 0
+            while (w < nw - 1) {
+              if (es(w + 1) > es(w)) fp |= 1L << w
+              w += 1
+            }
+            (docId, nw.toLong, fp)
+          }
+        }
+        .toDF("doc_id", "n_windows", "fp")
+      val groups = fps.groupBy($"fp").agg(count(lit(1)).as("n_same"))
+      fps.join(groups, Seq("fp"))
+        .select($"doc_id", $"n_windows", $"fp", $"n_same")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+      g AS (SELECT doc_id, 64 + n_bytes % 128 AS ns FROM d),
+      e AS (SELECT doc_id, (ns + 7) // 8 AS nw,
+              [list_sum([abs((doc_id * 37 + i * 11) % 4001 - 2000)
+                         for i in range(8 * w, least(8 * (w + 1), ns))])
+               for w in range(0, (ns + 7) // 8)] AS es
+            FROM g),
+      h AS (SELECT doc_id, nw,
+              CAST(coalesce(list_sum(
+                [CASE WHEN es[w + 2] > es[w + 1] THEN CAST(1 AS BIGINT) << w ELSE CAST(0 AS BIGINT) END
+                 for w in range(0, nw - 1)]), 0) AS BIGINT) AS fp
+            FROM e),
+      cnt AS (SELECT fp, count(*) AS n_same FROM h GROUP BY fp)
+      SELECT doc_id, CAST(nw AS BIGINT) AS n_windows, fp, n_same
+      FROM h JOIN cnt USING (fp)
+      ORDER BY doc_id
+    """.trim))
+
   /** Corpus heavy-hitter tokens (vocabulary / stopword detection):
     * tokens whose frequency exceeds 0.1% of all tokens. Scale shape:
     * ONE corpus pass — explode + partial/final hash aggregate on the
@@ -2327,7 +2396,7 @@ object LlmOps {
     t23DedupGroups, t24CurationPipeline, t25UnicodeNfc, t26Contamination,
     t27MixtureBudget, t28ShuffleShard, t29ChunkDedup, t30LmQuality,
     t31UrlOps, t32ClusterProfile, t35FuzzyJoin, t36RagChunks, t37SampleK,
-    t39Containment, t40ImageDhash,
+    t39Containment, t40ImageDhash, t41AudioFingerprint,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
     s06IvfPqTopK, s07FilteredAnn)
 }
