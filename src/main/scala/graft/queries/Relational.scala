@@ -2008,6 +2008,49 @@ object Relational {
       ORDER BY o_orderpriority
     """.trim))
 
+  /** Error-tolerant ingestion semantics: `try_cast` / `try_divide`
+    * turn malformed values and zero divisors into NULLs instead of
+    * task-killing exceptions — at 100 TB a single dirty record must
+    * not fail a stage, and ANSI mode (Spark 4's default) makes the
+    * non-try forms throw. A third of the synthesized raw column parses
+    * (integer-cent strings — exact roundtrip, double→string formatting
+    * differs across engines), a third is 'N/A', a third empty; the
+    * per-row parse outcome and the null-safe ratio are both oracle
+    * rows.
+    */
+  val q53TryIngest = Q(
+    "q53_try_ingest",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .select($"c_custkey",
+          when($"c_custkey" % 3 === 0,
+            ($"c_acctbal".cast("decimal(12,2)") * 100).cast("long").cast("string"))
+            .when($"c_custkey" % 3 === 1, lit("N/A"))
+            .otherwise(lit("")).as("raw"))
+        .select($"c_custkey", $"raw",
+          expr("try_cast(raw AS BIGINT)").as("cents"),
+          expr("try_divide(CAST(100 AS DOUBLE), CAST(c_custkey % 5 AS DOUBLE))").as("ratio"))
+        .select($"c_custkey", $"raw", $"cents", $"ratio",
+          $"cents".isNotNull.as("parsed_ok"))
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      WITH r AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 3 = 0
+                      THEN CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS VARCHAR)
+                    WHEN c_custkey % 3 = 1 THEN 'N/A'
+                    ELSE '' END AS raw
+        FROM customer)
+      SELECT c_custkey, raw,
+             TRY_CAST(raw AS BIGINT) AS cents,
+             CAST(100 AS DOUBLE) / nullif(CAST(c_custkey % 5 AS DOUBLE), 0) AS ratio,
+             (TRY_CAST(raw AS BIGINT) IS NOT NULL) AS parsed_ok
+      FROM r
+      ORDER BY c_custkey
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -2021,5 +2064,5 @@ object Relational {
     q38WindowBreadth, q39SetOpsAll, q40NullSemantics, q41Variant,
     q42FullOuter, q43GapFill, q44AggBreadth, q45MultiColIn,
     q46DisjunctiveExists, q47BloomFilterJoin, q48StatAggs, q49IvmMerge,
-    q50Interpolate, q51AggPushdown, q52DynamicPruning)
+    q50Interpolate, q51AggPushdown, q52DynamicPruning, q53TryIngest)
 }
