@@ -1191,6 +1191,82 @@ object LlmOps {
       ORDER BY doc_id
     """.trim))
 
+  /** Video fingerprinting — the composition capstone of the multimodal
+    * dedup tier: real multi-frame GIF decode (t21b's container path) →
+    * per-frame dHash (t40's gradient bits on the 256-gray palette,
+    * nearest-neighbor 9×8) → frame signatures rolled into ONE modular
+    * video hash (order-sensitive: a re-cut with reordered frames hashes
+    * differently, matching video-dedup semantics) → duplicate groups.
+    * All integer arithmetic mod 1e9+7, so the oracle re-derives every
+    * frame bit and the rolled hash analytically. Scale: narrow per-row
+    * container decode + one 8-byte-key shuffle.
+    */
+  val t42VideoFingerprint = Q(
+    "t42_video_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      val M = 1000000007L
+      val vh = Tables.load(s, dir, "documents")
+        .select($"doc_id", length(encode($"text", "UTF-8")).cast("long").as("n_bytes"))
+        .transform(Tables.parallelized)
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (docId, nBytes) =>
+            val w = (8 + nBytes % 8).toInt
+            val h = 8
+            val nf = (2 + docId % 5).toInt
+            val frames = (0 until nf).map(f =>
+              Array.tabulate(w * h)(i => ((docId * 31 + f * 7 + i) % 256).toByte))
+            val gif = Multimodal.encodeAnimatedGif(w, h, frames)
+            val decoded = Multimodal.decodeAllFrames(gif)
+            var vhash = 0L
+            decoded.foreach { case (fw, _, px) =>
+              def gray(y: Int, x: Int): Int = px(y * fw + (x * fw / 9)) & 0xff
+              var lo = 0L; var hi = 0L
+              var k = 0
+              while (k < 64) {
+                val y = k / 8; val x = k % 8
+                if (gray(y, x + 1) > gray(y, x)) {
+                  if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+                }
+                k += 1
+              }
+              val sig = (65599L * hi + lo) % M
+              vhash = (vhash * 1000003L + sig) % M
+            }
+            (docId, decoded.length.toLong, vhash)
+          }
+        }
+        .toDF("doc_id", "n_frames", "vhash")
+      val groups = vh.groupBy($"vhash").agg(count(lit(1)).as("n_same"))
+      vh.join(groups, Seq("vhash"))
+        .select($"doc_id", $"n_frames", $"vhash", $"n_same")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+      g AS (SELECT doc_id, 8 + n_bytes % 8 AS w, 2 + doc_id % 5 AS nf FROM d),
+      h AS (SELECT doc_id, nf,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                [CAST((65599 * list_sum([CASE WHEN
+                          (doc_id * 31 + f * 7 + ((k // 8) * w + (((k % 8) + 1) * w) // 9)) % 256
+                        > (doc_id * 31 + f * 7 + ((k // 8) * w + ((k % 8) * w) // 9)) % 256
+                        AND k >= 32 THEN CAST(1 AS BIGINT) << (k - 32) ELSE CAST(0 AS BIGINT) END
+                        for k in range(0, 64)])
+                   + list_sum([CASE WHEN
+                          (doc_id * 31 + f * 7 + ((k // 8) * w + (((k % 8) + 1) * w) // 9)) % 256
+                        > (doc_id * 31 + f * 7 + ((k // 8) * w + ((k % 8) * w) // 9)) % 256
+                        AND k < 32 THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END
+                        for k in range(0, 64)])) % 1000000007 AS BIGINT)
+                 for f in range(0, nf)]),
+                (a, b) -> (a * 1000003 + b) % 1000000007) AS vhash
+            FROM g),
+      cnt AS (SELECT vhash, count(*) AS n_same FROM h GROUP BY vhash)
+      SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, vhash, n_same
+      FROM h JOIN cnt USING (vhash)
+      ORDER BY doc_id
+    """.trim))
+
   /** Real audio decode through the JDK `javax.sound.sampled` codec:
     * each document becomes a deterministic 16-bit PCM mono WAV (sample
     * count and waveform closed-form in doc_id / byte length), encoded
@@ -2396,7 +2472,7 @@ object LlmOps {
     t23DedupGroups, t24CurationPipeline, t25UnicodeNfc, t26Contamination,
     t27MixtureBudget, t28ShuffleShard, t29ChunkDedup, t30LmQuality,
     t31UrlOps, t32ClusterProfile, t35FuzzyJoin, t36RagChunks, t37SampleK,
-    t39Containment, t40ImageDhash, t41AudioFingerprint,
+    t39Containment, t40ImageDhash, t41AudioFingerprint, t42VideoFingerprint,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
     s06IvfPqTopK, s07FilteredAnn)
 }
