@@ -2051,6 +2051,39 @@ object Relational {
       ORDER BY c_custkey
     """.trim))
 
+  /** Windowed DISTINCT count — a classic engine gap: Spark rejects
+    * COUNT(DISTINCT) OVER, so the idiom is `size(collect_set(...))`
+    * over the frame (DuckDB supports the native form, which is the
+    * oracle). Trailing-5-orders frame per customer, counting distinct
+    * priorities — the "how varied was recent behavior" feature shape.
+    * Scale note: collect_set materializes the frame's distinct set per
+    * row, fine for bounded frames (5 here); an unbounded-preceding
+    * frame should use the dense_rank running-distinct trick instead.
+    */
+  val q54WindowedDistinct = Q(
+    "q54_windowed_distinct",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey").rowsBetween(-4, 0)
+      t(s, dir, "orders")
+        .filter($"o_custkey" % 20 === 0)
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+          size(collect_set($"o_orderpriority").over(w)).cast("long")
+            .as("distinct_prio_5"))
+        .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(count(DISTINCT o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS distinct_prio_5
+      FROM orders
+      WHERE o_custkey % 20 = 0
+      ORDER BY o_custkey, o_orderdate, o_orderkey
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -2064,5 +2097,6 @@ object Relational {
     q38WindowBreadth, q39SetOpsAll, q40NullSemantics, q41Variant,
     q42FullOuter, q43GapFill, q44AggBreadth, q45MultiColIn,
     q46DisjunctiveExists, q47BloomFilterJoin, q48StatAggs, q49IvmMerge,
-    q50Interpolate, q51AggPushdown, q52DynamicPruning, q53TryIngest)
+    q50Interpolate, q51AggPushdown, q52DynamicPruning, q53TryIngest,
+    q54WindowedDistinct)
 }
