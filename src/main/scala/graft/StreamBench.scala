@@ -47,9 +47,9 @@ object StreamBench {
       chunks: Int): SideResult = {
     val srcDir = tmp("sbench-src")
     val ckpt = tmp("sbench-ckpt")
-    // ts is TIMESTAMP(NANOS) read as long under nanosAsLong
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+    // ts encoding varies by fixture vintage — resolve adaptively
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = raw.select(col("user_id"), Tables.tsMicros(raw).as("ts_us"))
     // time-ordered chunks, one file per chunk = one micro-batch each
     // (the ntile global sort is harness setup, outside the clock)
     val chunked = ev

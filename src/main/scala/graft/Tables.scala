@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided read-only parquet tables
   * (see TESTDATA.md / FIXTURES.md §B). All queries take the sf
@@ -60,6 +62,50 @@ object Tables {
       }))
       build(p)
     })
+
+  /** Event-time accessors tolerant of the fixture's timestamp encoding.
+    * The events table has shipped both as parquet TIMESTAMP(NANOS)
+    * (which Spark reads as a nanosecond LongType under
+    * spark.sql.legacy.parquet.nanosAsLong) and as TIMESTAMP_MICROS
+    * (which Spark 4 reads as TIMESTAMP_NTZ when the file is not
+    * UTC-adjusted). A real warehouse mixes timestamp encodings across
+    * files and writers, so event-time queries resolve the encoding from
+    * the resolved schema instead of hard-coding one — an unsupported
+    * encoding fails loudly at plan time with the actual type named.
+    * NTZ→TIMESTAMP casts are exact under the UTC session timezone that
+    * every entrypoint (Bench/Verify/Explain/tests) pins.
+    */
+  def tsMicros(df: DataFrame, name: String = "ts"): Column =
+    df.schema(name).dataType match {
+      case LongType         => expr(s"$name div 1000")
+      case TimestampType    => unix_micros(col(name))
+      case TimestampNTZType => unix_micros(col(name).cast(TimestampType))
+      case other            => throw unsupportedTs(name, other.toString)
+    }
+
+  /** Same resolution as [[tsMicros]] but yielding a TIMESTAMP column
+    * (for window()/session_window()/to_date, and so window bounds keep
+    * the TimestampType the oracles compare against).
+    */
+  def tsUtc(df: DataFrame, name: String = "ts"): Column =
+    df.schema(name).dataType match {
+      case LongType         => timestamp_micros(expr(s"$name div 1000"))
+      case TimestampType    => col(name)
+      case TimestampNTZType => col(name).cast(TimestampType)
+      case other            => throw unsupportedTs(name, other.toString)
+    }
+
+  private def unsupportedTs(name: String, got: String) =
+    new IllegalArgumentException(
+      s"unsupported event-time encoding for column '$name': $got " +
+        "(expected nanos-as-long BIGINT, TIMESTAMP, or TIMESTAMP_NTZ)")
+
+  /** `.transform`-friendly forms: add the resolved event-time column. */
+  def withTsMicros(df: DataFrame, out: String = "tus"): DataFrame =
+    df.withColumn(out, tsMicros(df))
+
+  def withTsUtc(df: DataFrame, out: String = "ts_utc"): DataFrame =
+    df.withColumn(out, tsUtc(df))
 
   def parallelized(df: DataFrame): DataFrame = {
     val spark = df.sparkSession

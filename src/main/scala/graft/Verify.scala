@@ -12,8 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores TIMESTAMP(NANOS); Spark reads it as a
-      // nanosecond LongType under this flag (queries convert explicitly).
+      // if events.parquet ships as TIMESTAMP(NANOS), read it as a
+      // nanosecond LongType; other encodings (MICROS -> NTZ) resolve
+      // adaptively through Tables.tsMicros/tsUtc.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // see Bench: split byte-small files finely so CPU-bound per-row
       // work parallelizes; no-op for scale-sized files
@@ -21,6 +22,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Fixture preflight: resolve every table's schema up front so a
+    // regenerated fixture fails HERE with the actual types named, not
+    // as N opaque per-query analysis errors (round-7 incident: events.ts
+    // silently switched TIMESTAMP(NANOS) -> TIMESTAMP_MICROS and took
+    // 10 queries off the board). tsMicros throws with the offending
+    // type in the message if the encoding is unsupported.
+    Tables.names.foreach { n =>
+      val df = Tables.load(spark, sfDir, n)
+      System.err.println(s"[verify] schema $n: ${df.schema.simpleString}")
+    }
+    Tables.tsMicros(Tables.load(spark, sfDir, "events"))
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -9,9 +9,11 @@ import graft.Tables
   * payload decode). The same transforms run under readStream in
   * graft.streaming; here they run as batch for the DuckDB oracle.
   *
-  * `ts` arrives as a nanosecond long (TIMESTAMP(NANOS) parquet read
-  * under spark.sql.legacy.parquet.nanosAsLong) — conversions stay in
-  * integer nanos as long as possible for exactness.
+  * `ts` has shipped in multiple parquet encodings (TIMESTAMP(NANOS)
+  * read as a nanosecond long under nanosAsLong; TIMESTAMP_MICROS read
+  * as TIMESTAMP_NTZ) — every query resolves the encoding through
+  * Tables.tsMicros / Tables.tsUtc and works in integer microseconds
+  * for cross-engine exactness.
   */
 object EventOps {
 
@@ -24,7 +26,7 @@ object EventOps {
     (s, dir) => {
       import s.implicits._
       Tables.load(s, dir, "events")
-        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.withTsUtc(_))
         .groupBy(window($"ts_utc", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n"),
           // final decimal agg cast to double: dtype-stable across the
@@ -56,7 +58,7 @@ object EventOps {
       val byUser = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
       val gapUs = 30L * 60 * 1000 * 1000
       Tables.load(s, dir, "events")
-        .withColumn("tus", expr("ts div 1000"))
+        .transform(Tables.withTsMicros(_))
         .withColumn("prev_ts", lag($"tus", 1).over(byUser))
         .withColumn("new_session",
           when($"prev_ts".isNull || $"tus" - $"prev_ts" > gapUs, 1).otherwise(0))
@@ -137,7 +139,7 @@ object EventOps {
     (s, dir) => {
       import s.implicits._
       val ev = Tables.load(s, dir, "events")
-        .withColumn("tus", expr("ts div 1000"))
+        .transform(Tables.withTsMicros(_))
       val errors = ev.filter($"event_type" === "error")
         .select($"event_id", $"user_id", $"tus".as("ts_us"))
       val clicks = ev.filter($"event_type" === "click")
@@ -236,7 +238,7 @@ object EventOps {
     (s, dir) => {
       import s.implicits._
       Tables.load(s, dir, "events")
-        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.withTsUtc(_))
         .groupBy(session_window($"ts_utc", "30 minutes"), $"user_id")
         .agg(count(lit(1)).as("n_events"))
         .select($"user_id", $"session_window.start".as("ws"),
@@ -277,7 +279,7 @@ object EventOps {
     (s, dir) => {
       import s.implicits._
       val ev = Tables.load(s, dir, "events")
-        .withColumn("tus", expr("ts div 1000"))
+        .transform(Tables.withTsMicros(_))
       val clicks = ev.filter($"event_type" === "click")
         .select($"event_id", $"user_id", $"tus")
       val incidents = ev.filter($"event_type" === "error")
@@ -354,7 +356,7 @@ object EventOps {
           expr("cast('60 minutes' as interval)"))
         .otherwise(expr("cast('30 minutes' as interval)"))
       Tables.load(s, dir, "events")
-        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.withTsUtc(_))
         .groupBy(session_window($"ts_utc", gap), $"user_id")
         .agg(count(lit(1)).as("n_events"))
         .select($"user_id", $"session_window.start".as("ws"),
@@ -455,8 +457,8 @@ object EventOps {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy($"user_id")
-      Tables.load(s, dir, "events")
-        .select($"user_id", $"event_type", expr("ts div 1000").as("tus"))
+      val ev = Tables.load(s, dir, "events")
+      ev.select($"user_id", $"event_type", Tables.tsMicros(ev).as("tus"))
         .withColumn("v_us",
           min(when($"event_type" === "view", $"tus")).over(byUser))
         .withColumn("c_us",
@@ -502,8 +504,8 @@ object EventOps {
     */
   private def eventDays(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
-    Tables.load(s, dir, "events")
-      .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+    val ev = Tables.load(s, dir, "events")
+    ev.withColumn("day", to_date(Tables.tsUtc(ev)))
       .withColumn("month", trunc($"day", "month"))
       .withColumn("uday", concat_ws(":", $"user_id", $"day"))
   }

@@ -17,8 +17,9 @@ class SketchPersistSpec extends SparkTestBase {
 
   test("catalog-logged HLL sketches merge to a bound-true all-time estimate") {
     val cat = new Catalog(spark, tmpDir("skcat"))
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = raw
+      .withColumn("day", to_date(graft.Tables.tsUtc(raw)))
       .withColumn("uday", concat_ws(":", col("user_id"), col("day")))
 
     // two ingest batches, each appending its own sketches — the batches

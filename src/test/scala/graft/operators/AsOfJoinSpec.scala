@@ -41,8 +41,8 @@ class AsOfJoinSpec extends SparkTestBase {
   }
 
   test("agrees with brute-force window formulation on real events") {
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("tus", expr("ts div 1000"))
+    val ev = graft.Tables.withTsMicros(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     val errors = ev.filter($"event_type" === "error")
       .select($"event_id", $"user_id", $"tus".as("ts_us"))
     val clicks = ev.filter($"event_type" === "click")

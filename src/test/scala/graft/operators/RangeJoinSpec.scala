@@ -43,8 +43,8 @@ class RangeJoinSpec extends SparkTestBase {
   }
 
   test("matches DuckDB-oracle semantics on the events incident window") {
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("tus", expr("ts div 1000"))
+    val ev = graft.Tables.withTsMicros(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     val clicks = ev.filter($"event_type" === "click")
       .select($"event_id", $"tus")
     val incidents = ev.filter($"event_type" === "error")

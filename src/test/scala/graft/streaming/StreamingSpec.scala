@@ -126,8 +126,8 @@ class StreamingSpec extends SparkTestBase {
   test("windowed streaming counts match the batch query (AvailableNow drain)") {
     val srcDir = tmpDir("evsrc")
     // stream the real events table through a parquet file source
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.Tables.withTsUtc(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
       .select("ts_utc", "event_type", "value", "event_id")
     ev.write.mode("overwrite").parquet(srcDir)
 
@@ -151,8 +151,8 @@ class StreamingSpec extends SparkTestBase {
   }
 
   test("stream-stream interval join matches the batch join") {
-    val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    val base = graft.Tables.withTsUtc(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
       .select("user_id", "event_id", "event_type", "ts_utc")
     val clickDir = tmpDir("ssjc")
     val errorDir = tmpDir("ssje")
@@ -190,8 +190,8 @@ class StreamingSpec extends SparkTestBase {
   private def outerJoinFixture(tag: String): (org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame) = {
-    val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    val base = graft.Tables.withTsUtc(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
       .select("user_id", "event_id", "event_type", "ts_utc")
     val clickDir = tmpDir(s"${tag}c")
     val errorDir = tmpDir(s"${tag}e")
@@ -251,8 +251,8 @@ class StreamingSpec extends SparkTestBase {
   }
 
   test("stream-static broadcast enrichment matches the batch join") {
-    val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    val base = graft.Tables.withTsUtc(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
       .select("user_id", "event_id", "event_type", "ts_utc")
     val srcDir = tmpDir("enrichsrc")
     base.write.mode("overwrite").parquet(srcDir)
