@@ -708,8 +708,89 @@ object EventOps {
       LIMIT 9
     """.trim))
 
+  /** Hopping (sliding) 1-hour windows every 15 minutes: each event
+    * contributes to length/slide = 4 overlapping windows. Spark's
+    * `window(ts, length, slide)` plans an Expand (one output row per
+    * covering window) BEFORE the aggregation shuffle — partial
+    * aggregation compresses the 4x blow-up map-side, so the exchange
+    * moves (window, type) groups, not 4x the events. The oracle
+    * enumerates the same 4 epoch-aligned window starts per event with
+    * integer micros arithmetic. Streaming face:
+    * StreamingAnalytics.slidingCounts (same operator under a
+    * watermark; StreamingSpec pins stream == batch).
+    */
+  val e17SlidingWindows = Q(
+    "e17_sliding_windows",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .transform(Tables.withTsUtc(_))
+        .groupBy(window($"ts_utc", "1 hour", "15 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(14,2)")).cast("double").as("sum_value"))
+        .select($"window.start".as("ws"), $"event_type", $"n", $"sum_value")
+        .orderBy($"ws", $"event_type")
+    },
+    Some("""
+      WITH e AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events),
+      w AS (SELECT (tus // 900000000) * 900000000
+                     - CAST(i AS BIGINT) * 900000000 AS ws_us,
+                   event_type, value
+            FROM e CROSS JOIN (SELECT unnest([0,1,2,3]) AS i))
+      SELECT make_timestamp(ws_us) AS ws, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      FROM w
+      GROUP BY 1, 2
+      ORDER BY ws, event_type
+    """.trim))
+
+  /** Cohort retention: users grouped by first-active day (their
+    * cohort), then for each (cohort, day-offset) the count of cohort
+    * members active that many days later — the dashboard behind every
+    * "day-N retention" metric. Shape: ONE user_id exchange serves both
+    * the (user, day) dedup (partitioning on a subset of the grouping
+    * keys satisfies its clustered distribution) and the per-user
+    * min-day cohort window; (user, day) is unique after the dedup, so
+    * the retention cell count is a plain count, not a distinct
+    * aggregate. Offsets beyond 14 days are capped to keep the output a
+    * bounded matrix at any corpus size.
+    */
+  val e18CohortRetention = Q(
+    "e18_cohort_retention",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events")
+      val activity = ev
+        .select($"user_id", to_date(Tables.tsUtc(ev)).as("day"))
+        .repartition($"user_id")
+        .dropDuplicates("user_id", "day")
+      val withCohort = activity
+        .withColumn("cohort", min($"day").over(Window.partitionBy($"user_id")))
+        .withColumn("offset_days", datediff($"day", $"cohort"))
+        .filter($"offset_days" <= 14)
+      withCohort
+        .groupBy($"cohort", $"offset_days")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"cohort", $"offset_days")
+    },
+    Some("""
+      WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      c AS (SELECT user_id, day,
+                   min(day) OVER (PARTITION BY user_id) AS cohort
+            FROM a)
+      SELECT cohort, CAST(day - cohort AS INTEGER) AS offset_days,
+             count(*) AS n_users
+      FROM c
+      WHERE day - cohort <= 14
+      GROUP BY 1, 2
+      ORDER BY cohort, offset_days
+    """.trim))
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
     e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin,
     e09Unpivot, e10DynamicSession, e11BusRoundtrip, e12Funnel,
-    e13HllMerge, e14ThetaSetops, e15KllQuantiles, e16TopkSketch)
+    e13HllMerge, e14ThetaSetops, e15KllQuantiles, e16TopkSketch,
+    e17SlidingWindows, e18CohortRetention)
 }

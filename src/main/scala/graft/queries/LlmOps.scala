@@ -2461,6 +2461,61 @@ object LlmOps {
       ORDER BY lang, rank
     """.trim))
 
+  /** Semantic (embedding-space) dedup, SemDeDup-style: cluster the
+    * corpus with the deterministic k-means shared by s03/s04/t32, then
+    * look for cosine-near pairs ONLY within each cluster and greedily
+    * drop the higher id of every pair. Clustering is what makes
+    * semantic dedup tractable at corpus scale — the quadratic pair
+    * search is bounded by cluster populations (k grows with the corpus
+    * so clusters stay bounded), never corpus²; the per-cluster
+    * self-join shuffles on cid and the verification is one codegen'd
+    * cosine per candidate. Complements t10 (hyperplane-LSH bounding)
+    * with the cluster-bounding alternative: LSH bounds by random
+    * projections, SemDeDup bounds by learned structure, and the two
+    * disagree exactly on pairs straddling projection boundaries.
+    * Oracle re-derives the identical centroids (ivfCentroidSql),
+    * assignment (corpusAssignCte), and pair rule in DuckDB.
+    */
+  val t43SemanticDedup = Q(
+    "t43_semantic_dedup",
+    (s, dir) => {
+      import s.implicits._
+      // the assignment is consumed three times (both pair sides + the
+      // final labeling); persist it so the corpus is scanned and
+      // assigned ONCE — at warehouse scale this materialization is the
+      // inverted-file index s04 already persists, so caching it here is
+      // the in-memory face of the same artifact, not an extra cost
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = VF.ivfTrainCentroids(emb, "vec_id", "embedding", k = 16)
+      val assigned = VF.ivfAssign(emb, "vec_id", "embedding", cents).persist()
+      val a = assigned.select($"__cid".as("cid"), $"__aid".as("id_a"),
+        $"__avec".as("va"))
+      val b = assigned.select($"__cid".as("cid"), $"__aid".as("id_b"),
+        $"__avec".as("vb"))
+      val dropped = a.join(b, "cid").filter($"id_a" < $"id_b")
+        .filter(VF.cosine($"va", $"vb") >= 0.45)
+        .select($"id_b".as("vec_id")).distinct()
+      assigned.select($"__aid".as("vec_id"), $"__cid".cast("long").as("cid"))
+        .join(dropped.withColumn("__drop", lit(true)), Seq("vec_id"), "left")
+        .select($"vec_id", $"cid", $"__drop".isNull.as("keep"))
+        .orderBy($"vec_id")
+    },
+    Some(s"""
+      WITH ${ivfCentroidSql(k = 16, dims = 64, sampleSize = 256, iters = 2)},
+      $corpusAssignCte,
+      p AS (SELECT b.vec_id
+            FROM corpus_assign a JOIN corpus_assign b
+                   ON a.cid = b.cid AND a.vec_id < b.vec_id
+                 JOIN embeddings ea ON a.vec_id = ea.vec_id
+                 JOIN embeddings eb ON b.vec_id = eb.vec_id
+            WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.45
+            GROUP BY b.vec_id)
+      SELECT ca.vec_id, CAST(ca.cid AS BIGINT) AS cid,
+             p.vec_id IS NULL AS keep
+      FROM corpus_assign ca LEFT JOIN p ON ca.vec_id = p.vec_id
+      ORDER BY ca.vec_id
+    """.trim))
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
@@ -2473,6 +2528,7 @@ object LlmOps {
     t27MixtureBudget, t28ShuffleShard, t29ChunkDedup, t30LmQuality,
     t31UrlOps, t32ClusterProfile, t35FuzzyJoin, t36RagChunks, t37SampleK,
     t39Containment, t40ImageDhash, t41AudioFingerprint, t42VideoFingerprint,
+    t43SemanticDedup,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
     s06IvfPqTopK, s07FilteredAnn)
 }

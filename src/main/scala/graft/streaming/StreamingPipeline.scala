@@ -138,6 +138,23 @@ object StreamingAnalytics {
       .select(col("window.start").as("ws"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Hopping (sliding) event-time windows — each event lands in
+    * length/slide overlapping windows (the streaming face of
+    * EventOps.e17). Same state story as tumbling: the watermark bounds
+    * open windows, and the Expand that replicates each row into its
+    * windows happens BEFORE the shuffle, so state size is
+    * O(open windows × groups), not O(events).
+    */
+  def slidingCounts(events: DataFrame, windowLength: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts_utc", watermark)
+      .groupBy(window(col("ts_utc"), windowLength, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Stateful dedup by event id within the watermark horizon. */
   def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts_utc", watermark)

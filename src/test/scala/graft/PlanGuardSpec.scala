@@ -14,6 +14,7 @@ class PlanGuardSpec extends SparkTestBase {
     "s01_cosine_topk", "s03_ivf_topk", "s04_ivf_index_topk",
     "s05_ann_recall", // s05's exact side is the s01 baseline cross join
     "t32_cluster_profile", // broadcast-centroid assignment, ≤16-row build side
+    "t43_semantic_dedup", // same broadcast-centroid assignment (cached once)
     "e14_theta_setops", // 1-row × 1-row combine of two global aggregates
     "s06_ivf_pq_topk", // exact side is the s01 baseline cross join
     "s07_filtered_ann") // exact side is the s01 baseline cross join

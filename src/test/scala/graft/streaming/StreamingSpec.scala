@@ -150,6 +150,36 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("sliding-window streaming counts match the batch query (AvailableNow drain)") {
+    val srcDir = tmpDir("evslide")
+    val ev = graft.Tables.withTsUtc(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .select("ts_utc", "event_type", "value", "event_id")
+    ev.write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream.schema(
+        "ts_utc timestamp, event_type string, value double, event_id long")
+      .parquet(srcDir)
+    val agg = StreamingAnalytics.slidingCounts(stream)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("slide_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("slide_out")
+      .select($"ws", $"event_type", $"n").as[(java.sql.Timestamp, String, Long)]
+      .collect().toSet
+    val batch = ev.groupBy(window($"ts_utc", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("ws"), $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // each event covers length/slide = 4 windows: the hopping totals
+    // must be exactly 4x the event count
+    val total = spark.table("slide_out").agg(sum($"n")).head().getLong(0)
+    assert(total == ev.count() * 4)
+  }
+
   test("stream-stream interval join matches the batch join") {
     val base = graft.Tables.withTsUtc(
         spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
