@@ -788,9 +788,143 @@ object EventOps {
       ORDER BY cohort, offset_days
     """.trim))
 
+  /** Rate-anomaly detection: z-score of each (hour, event_type)'s event
+    * count against that type's own hourly series — the alerting query
+    * behind every traffic-spike monitor. Mean/variance come from exact
+    * integer/decimal sums (count, sum n, sum n²) so the double math is
+    * a fixed, order-independent expression both engines evaluate
+    * identically — a raw STDDEV over doubles would be partition-order
+    * dependent and engine-divergent. Scale shape: one map-side-combined
+    * aggregate to hourly rollup cardinality (hours × types, tiny vs raw
+    * events), then a broadcast of per-type stats back onto it; the raw
+    * corpus is scanned exactly once. n² accumulates in decimal(38,0)
+    * (HUGEINT on the oracle side) so billion-event hours don't overflow
+    * a long.
+    */
+  val e19RateAnomaly = Q(
+    "e19_rate_anomaly",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val hourly = ev
+        .groupBy(date_trunc("hour", Tables.tsUtc(ev)).as("h"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val stats = hourly.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          sum($"n").as("s"),
+          sum($"n".cast("decimal(19,0)") * $"n").as("ss"))
+        .filter($"n_hours" > 1)
+      val mean = $"s".cast("double") / $"n_hours"
+      val varr = ($"ss".cast("double") -
+        $"s".cast("double") * $"s".cast("double") / $"n_hours") /
+        ($"n_hours" - 1)
+      hourly.join(broadcast(stats), "event_type")
+        .withColumn("z",
+          when(varr > 0.0, ($"n".cast("double") - mean) / sqrt(varr))
+            .otherwise(lit(0.0)))
+        .select($"h", $"event_type", $"n", $"z",
+          (abs($"z") >= 2.0).as("anomaly"))
+        .orderBy($"h", $"event_type")
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+               count(*) AS n
+        FROM events GROUP BY 1, 2),
+      stats AS (
+        SELECT event_type, count(*) AS n_hours, sum(n) AS s,
+               sum(CAST(n AS HUGEINT) * n) AS ss
+        FROM hourly GROUP BY 1
+        HAVING count(*) > 1),
+      scored AS (
+        SELECT h, event_type, n,
+               CASE WHEN (CAST(ss AS DOUBLE)
+                            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_hours)
+                          / (n_hours - 1) > 0.0
+                    THEN (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / n_hours)
+                         / sqrt((CAST(ss AS DOUBLE)
+                                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_hours)
+                                / (n_hours - 1))
+                    ELSE 0.0 END AS z
+        FROM hourly JOIN stats USING (event_type))
+      SELECT h, event_type, n, z, abs(z) >= 2.0 AS anomaly
+      FROM scored
+      ORDER BY h, event_type
+    """.trim))
+
+  /** EWMA smoothing of the hourly event rate per type: an 8-tap
+    * exponentially-weighted moving average over the hourly counts with
+    * α = 1/2 — the smoothed-rate curve dashboards draw next to e19's
+    * spikes. Weights are exact powers of two (1, 1/2, …, 1/128), so
+    * every term is an exact double product of a long and a binary
+    * fraction and the fixed left-to-right summation order makes both
+    * engines produce bit-identical results — a recursive EWMA or
+    * power() weights would diverge by ULPs across libms. Partial
+    * windows at each series head renormalize by the weights actually
+    * present (num/den both skip null lags). Scale shape: the raw scan
+    * collapses to the hourly rollup first; the lag window runs at
+    * hours × types cardinality, partitioned by type — no raw-event
+    * shuffle anywhere.
+    */
+  val e20EwmaRate = Q(
+    "e20_ewma_rate",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events")
+      val hourly = ev
+        .groupBy(date_trunc("hour", Tables.tsUtc(ev)).as("h"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val byType = Window.partitionBy($"event_type").orderBy($"h")
+      val weights = (0 to 7).map(i => math.pow(0.5, i)) // exact binary fractions
+      val lags = (0 to 7).map {
+        case 0 => $"n"
+        case i => lag($"n", i).over(byType)
+      }
+      val num = weights.zip(lags).map { case (w, x) =>
+        when(x.isNull, lit(0.0)).otherwise(lit(w) * x)
+      }.reduce(_ + _)
+      val den = weights.zip(lags).map { case (w, x) =>
+        when(x.isNull, lit(0.0)).otherwise(lit(w))
+      }.reduce(_ + _)
+      hourly
+        .withColumn("ewma", num / den)
+        .select($"event_type", $"h", $"n", $"ewma")
+        .orderBy($"event_type", $"h")
+    },
+    Some {
+      val w = (0 to 7).map(i => math.pow(0.5, i))
+      def lagSql(i: Int) =
+        if (i == 0) "n"
+        else s"lag(n, $i) OVER (PARTITION BY event_type ORDER BY h)"
+      // CAST to DOUBLE everywhere: a bare 0.5 literal is DECIMAL in
+      // DuckDB, and decimal arithmetic would diverge from Spark's
+      // double math
+      val num = (0 to 7).map(i =>
+        s"CASE WHEN ${lagSql(i)} IS NULL THEN CAST(0 AS DOUBLE) " +
+          s"ELSE CAST(${w(i)} AS DOUBLE) * CAST(${lagSql(i)} AS DOUBLE) END")
+        .mkString(" + ")
+      val den = (0 to 7).map(i =>
+        s"CASE WHEN ${lagSql(i)} IS NULL THEN CAST(0 AS DOUBLE) " +
+          s"ELSE CAST(${w(i)} AS DOUBLE) END")
+        .mkString(" + ")
+      s"""
+      WITH hourly AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+               count(*) AS n
+        FROM events GROUP BY 1, 2),
+      sm AS (
+        SELECT event_type, h, n, ($num) / ($den) AS ewma
+        FROM hourly)
+      SELECT event_type, h, n, ewma
+      FROM sm
+      ORDER BY event_type, h
+      """.trim
+    })
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
     e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin,
     e09Unpivot, e10DynamicSession, e11BusRoundtrip, e12Funnel,
     e13HllMerge, e14ThetaSetops, e15KllQuantiles, e16TopkSketch,
-    e17SlidingWindows, e18CohortRetention)
+    e17SlidingWindows, e18CohortRetention, e19RateAnomaly, e20EwmaRate)
 }

@@ -2516,6 +2516,128 @@ object LlmOps {
       ORDER BY ca.vec_id
     """.trim))
 
+  /** Winnowing document fingerprints (the MOSS plagiarism-detection
+    * algorithm): hash every word 4-gram, slide a 4-hash window over
+    * the sequence, keep each window's minimum — the selected
+    * fingerprints guarantee any shared run of ≥ 7 tokens produces at
+    * least one shared fingerprint, unlike plain sampled shingles.
+    * Docs sharing ≥ 2 selected fingerprints become match pairs.
+    * Scale shape: fingerprint selection is a narrow per-row HOF chain
+    * (no shuffle); the pair join fans out per fingerprint bucket with
+    * a document-frequency cap (df ≤ 64) that drops boilerplate
+    * fingerprints, so bucket fan-out is bounded and the join is never
+    * O(n²) — the same discipline as t05's LSH bands. The two join
+    * sides are the same frame, so the exchange is built once and
+    * reused.
+    */
+  val t44Winnowing = Q(
+    "t44_winnowing",
+    (s, dir) => {
+      import s.implicits._
+      val w = 4
+      val hs = transform(TF.wordNgrams($"text", 4),
+        g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+      val fps = when(size(hs) >= w,
+        array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
+          j => array_min(slice(hs, j, lit(w))))))
+        .otherwise(when(size(hs) > 0, array(array_min(hs)))
+          .otherwise(array().cast("array<long>")))
+      val f = Tables.load(s, dir, "documents")
+        .select($"doc_id", explode(fps).as("fp"))
+      val freq = f.groupBy($"fp").agg(count(lit(1)).as("df"))
+        .filter($"df" >= 2 && $"df" <= 64)
+        .select($"fp")
+      val kept = f.join(freq, "fp")
+      kept.as("a").join(kept.as("b"), "fp")
+        .filter($"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 2)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents),
+      g0 AS (
+        SELECT doc_id,
+               [md5(array_to_string(t[i:i+3], ' ')) for i in range(1, len(t) - 2)] AS ms
+        FROM toks WHERE len(t) >= 4),
+      h0 AS (
+        SELECT doc_id, [CAST(${oracleHex("m", 15)} AS BIGINT) for m in ms] AS hs
+        FROM g0),
+      fp0 AS (
+        SELECT doc_id,
+               CASE WHEN len(hs) >= 4
+                    THEN list_distinct([list_min(hs[j:j+3]) for j in range(1, len(hs) - 2)])
+                    ELSE [list_min(hs)] END AS fps
+        FROM h0),
+      f AS (SELECT doc_id, unnest(fps) AS fp FROM fp0),
+      freq AS (SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND 64),
+      kept AS (SELECT doc_id, fp FROM f JOIN freq USING (fp))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+      ORDER BY id_a, id_b
+    """.trim))
+
+  /** Linear quality classifier: the fastText-style scoring face of the
+    * curation stack — a fixed-weight linear model over the t02 feature
+    * set squashed through the rational sigmoid z/(1+|z|). Rational
+    * arithmetic only (no exp/ln), so both engines evaluate the
+    * identical IEEE expression tree — a transcendental sigmoid would
+    * diverge by ULPs across libms and can never hash-match. Weights
+    * are exact binary fractions for the same reason. Scale shape: a
+    * single narrow projection, no shuffle, embarrassingly parallel —
+    * scoring 100 TB is one scan.
+    */
+  val t45QualityClassifier = Q(
+    "t45_quality_classifier",
+    (s, dir) => {
+      import s.implicits._
+      val toks = TF.tokenCount($"text")
+      val sr = TF.stopwordCount($"text").cast("double") / toks
+      val atl = length(regexp_replace($"text", "\\s", "")).cast("double") / toks
+      val pr = TF.punctCount($"text").cast("double") / length($"text")
+      val z = lit(-1.5) + lit(2.5) * sr + lit(0.25) * (atl - lit(4.0)) -
+        lit(8.0) * pr +
+        lit(0.5) * least(toks.cast("long"), lit(512L)).cast("double") / lit(512.0)
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          (lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z)))).as("score"),
+          (z >= 0.0).as("keep"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH feat AS (
+        SELECT doc_id,
+          CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               t -> t IN ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE)
+            / len(regexp_split_to_array(trim(text), '\s+')) AS sr,
+          CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+            / len(regexp_split_to_array(trim(text), '\s+')) AS atl,
+          CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS DOUBLE)
+            / length(text) AS pr,
+          len(regexp_split_to_array(trim(text), '\s+')) AS toks
+        FROM documents),
+      scored AS (
+        SELECT doc_id,
+          CAST(-1.5 AS DOUBLE) + CAST(2.5 AS DOUBLE) * sr
+            + CAST(0.25 AS DOUBLE) * (atl - CAST(4.0 AS DOUBLE))
+            - CAST(8.0 AS DOUBLE) * pr
+            + CAST(0.5 AS DOUBLE)
+              * CAST(least(CAST(toks AS BIGINT), 512) AS DOUBLE)
+              / CAST(512.0 AS DOUBLE) AS z
+        FROM feat)
+      SELECT doc_id,
+             CAST(0.5 AS DOUBLE)
+               + CAST(0.5 AS DOUBLE) * (z / (CAST(1.0 AS DOUBLE) + abs(z))) AS score,
+             z >= 0.0 AS keep
+      FROM scored
+      ORDER BY doc_id
+    """.trim))
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
@@ -2528,7 +2650,7 @@ object LlmOps {
     t27MixtureBudget, t28ShuffleShard, t29ChunkDedup, t30LmQuality,
     t31UrlOps, t32ClusterProfile, t35FuzzyJoin, t36RagChunks, t37SampleK,
     t39Containment, t40ImageDhash, t41AudioFingerprint, t42VideoFingerprint,
-    t43SemanticDedup,
+    t43SemanticDedup, t44Winnowing, t45QualityClassifier,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
     s06IvfPqTopK, s07FilteredAnn)
 }
