@@ -2084,6 +2084,35 @@ object Relational {
       ORDER BY o_custkey, o_orderdate, o_orderkey
     """.trim))
 
+  /** Z-order (Morton) clustering key over (l_partkey, l_suppkey) — the
+    * multi-dimensional layout key a warehouse sorts by so parquet
+    * row-group stats stay tight on BOTH dimensions (see
+    * operators.ZOrder; ZOrderSpec measures the row groups a box
+    * predicate decodes under z-ordered vs single-column layout). The
+    * oracle pins the bit-spreading exactly: pure integer ops, no
+    * engine-specific hashing.
+    */
+  val q55ZOrderKey = Q(
+    "q55_zorder_key",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.ZOrder
+      t(s, dir, "lineitem")
+        .filter($"l_orderkey" % 10 === 0)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+          ZOrder.interleave16($"l_partkey" % 65536, $"l_suppkey" % 65536)
+            .as("zkey"))
+        .orderBy($"zkey", $"l_orderkey", $"l_linenumber")
+    },
+    Some(s"""
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             ${graft.operators.ZOrder.interleaveSql(
+               "(l_partkey % 65536)", "(l_suppkey % 65536)")} AS zkey
+      FROM lineitem
+      WHERE l_orderkey % 10 = 0
+      ORDER BY zkey, l_orderkey, l_linenumber
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -2098,5 +2127,5 @@ object Relational {
     q42FullOuter, q43GapFill, q44AggBreadth, q45MultiColIn,
     q46DisjunctiveExists, q47BloomFilterJoin, q48StatAggs, q49IvmMerge,
     q50Interpolate, q51AggPushdown, q52DynamicPruning, q53TryIngest,
-    q54WindowedDistinct)
+    q54WindowedDistinct, q55ZOrderKey)
 }
