@@ -91,7 +91,10 @@ object GraftExtensions {
     ("word_ngram_hash_set", "_FUNC_(tokens, n) - sorted distinct 60-bit md5 hashes of the word n-grams",
       args => WordNgramHashSet(args.head, intArg(args(1), "n"))),
     ("word_chunk_hashes", "_FUNC_(tokens, n) - 60-bit md5 hashes of the stride-n token chunks, in order",
-      args => WordChunkHashes(args.head, intArg(args(1), "n"))))
+      args => WordChunkHashes(args.head, intArg(args(1), "n"))),
+    ("winnowed_fingerprints", "_FUNC_(tokens, n, w) - sorted distinct winnowed (MOSS) minima of the 60-bit n-gram hashes over sliding w-windows",
+      args => WinnowedFingerprints(args.head, intArg(args(1), "n"),
+        intArg(args(2), "w"))))
 
   private def strArg(e: Expression, name: String): String = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>

@@ -137,6 +137,20 @@ object TextFunctions {
     * right — the streaming-friendly fingerprint (any window's hash is
     * derivable incrementally), portable to any engine with a list fold.
     */
+  /** Sorted distinct winnowed (MOSS) fingerprints: minimum 60-bit
+    * gram hash per sliding w-window, fused into one pass (see
+    * expressions.WinnowedFingerprints — the HOF formulation is
+    * quadratic because lambdas get no CSE). Equal to
+    * `array_distinct(transform(sequence(1, size(hs)-w+1), j ->
+    * array_min(slice(hs, j, w))))` over the ordered n-gram hashes —
+    * pinned by WinnowQualitySpec.
+    */
+  def winnowedFingerprints(c: Column, n: Int, w: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      expressions.WinnowedFingerprints(ColumnBridge.expression(tokens(c)), n, w))
+  }
+
   def rollingFingerprint(c: Column): Column =
     aggregate(
       split(normalize(c), ""),

@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   * Pure integer bit-spreading (the classic magic-mask dilation), so
   * the key is engine-portable and exactly reproducible anywhere —
   * ZOrderSpec pins Spark == from-scratch Scala == DuckDB oracle.
+  *
+  * Two z-order layers serve different jobs: THIS one is the exact,
+  * portable key function (min-max scaled fixed 16-bit dims — an
+  * oracle-checkable value any engine can recompute, q55); the
+  * catalog's `overwriteZOrdered` is the managed write path, which
+  * rank-normalizes each column by approximate quantiles instead
+  * (skew-proof, but sketch-dependent and so not bit-reproducible
+  * across engines). Use the catalog face for tables it owns; use
+  * this key when the layout must be recomputable elsewhere.
   */
 object ZOrder {
 

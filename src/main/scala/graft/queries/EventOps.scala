@@ -922,9 +922,96 @@ object EventOps {
       """.trim
     })
 
+  /** Seasonality detection: lag-24 autocorrelation of each type's
+    * hourly count series — the "does this metric have a daily cycle"
+    * classifier feeding anomaly baselining (a seasonal series should
+    * be z-scored against its phase, not its global mean). The ACF is
+    * assembled entirely from exact integer moments (Σx, Σx², Σx·x₋₂₄
+    * via one lag window + decimal sums), then one fixed double
+    * expression both engines evaluate identically — the only honest
+    * way to hash-match a correlation across engines (same trick as
+    * q48's corr). Scale shape: raw events collapse to the hourly
+    * rollup first; the lag window and moment aggregate run at
+    * hours × types cardinality. n·x₋₂₄ products accumulate in
+    * decimal/HUGEINT so billion-event hours can't overflow.
+    */
+  val e21Seasonality = Q(
+    "e21_seasonality",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events")
+      val hourly = ev
+        .groupBy(date_trunc("hour", Tables.tsUtc(ev)).as("h"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val byType = Window.partitionBy($"event_type").orderBy($"h")
+      val lagged = hourly.withColumn("xl", lag($"n", 24).over(byType))
+      val stats = lagged.groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n_hours"),
+          sum($"n").as("s_all"),
+          sum($"n".cast("decimal(19,0)") * $"n").as("ss_all"),
+          count($"xl").as("n_pairs"),
+          sum(when($"xl".isNotNull, $"n")).as("s_tail"),
+          sum(when($"xl".isNotNull, $"xl")).as("s_head"),
+          sum(when($"xl".isNotNull, $"n".cast("decimal(19,0)") * $"xl"))
+            .as("c"))
+        .filter($"n_hours" > 24)
+      val m = $"s_all".cast("double") / $"n_hours"
+      val num = $"c".cast("double") - m * $"s_tail".cast("double") -
+        m * $"s_head".cast("double") +
+        $"n_pairs".cast("double") * m * m
+      val den = $"ss_all".cast("double") -
+        $"s_all".cast("double") * $"s_all".cast("double") / $"n_hours"
+      stats
+        .withColumn("r24", when(den > 0.0, num / den).otherwise(lit(0.0)))
+        .select($"event_type", $"n_hours", $"r24",
+          ($"r24" >= 0.25).as("seasonal"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+               count(*) AS n
+        FROM events GROUP BY 1, 2),
+      lagged AS (
+        SELECT event_type, n,
+               lag(n, 24) OVER (PARTITION BY event_type ORDER BY h) AS xl
+        FROM hourly),
+      st AS (
+        SELECT event_type,
+               count(*) AS n_hours,
+               sum(n) AS s_all,
+               sum(CAST(n AS HUGEINT) * n) AS ss_all,
+               count(xl) AS n_pairs,
+               sum(CASE WHEN xl IS NOT NULL THEN n END) AS s_tail,
+               sum(CASE WHEN xl IS NOT NULL THEN xl END) AS s_head,
+               sum(CASE WHEN xl IS NOT NULL THEN CAST(n AS HUGEINT) * xl END) AS c
+        FROM lagged GROUP BY 1
+        HAVING count(*) > 24),
+      sc AS (
+        SELECT event_type, n_hours,
+               CASE WHEN (CAST(ss_all AS DOUBLE)
+                            - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n_hours) > 0.0
+                    THEN (CAST(c AS DOUBLE)
+                            - (CAST(s_all AS DOUBLE) / n_hours) * CAST(s_tail AS DOUBLE)
+                            - (CAST(s_all AS DOUBLE) / n_hours) * CAST(s_head AS DOUBLE)
+                            + CAST(n_pairs AS DOUBLE)
+                              * (CAST(s_all AS DOUBLE) / n_hours)
+                              * (CAST(s_all AS DOUBLE) / n_hours))
+                         / (CAST(ss_all AS DOUBLE)
+                              - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n_hours)
+                    ELSE 0.0 END AS r24
+        FROM st)
+      SELECT event_type, n_hours, r24, r24 >= 0.25 AS seasonal
+      FROM sc
+      ORDER BY event_type
+    """.trim))
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
     e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin,
     e09Unpivot, e10DynamicSession, e11BusRoundtrip, e12Funnel,
     e13HllMerge, e14ThetaSetops, e15KllQuantiles, e16TopkSketch,
-    e17SlidingWindows, e18CohortRetention, e19RateAnomaly, e20EwmaRate)
+    e17SlidingWindows, e18CohortRetention, e19RateAnomaly, e20EwmaRate,
+    e21Seasonality)
 }

@@ -2516,6 +2516,52 @@ object LlmOps {
       ORDER BY ca.vec_id
     """.trim))
 
+  /** Batch kNN-graph construction: every vector's top-3 neighbors
+    * among the vectors sharing its IVF cell — the all-pairs building
+    * block behind semantic clustering, diversity sampling, and graph-
+    * based dedup, cell-limited so the join is per-bucket, never
+    * corpus². Scale shape: ONE assignment pass (broadcast ≤16-row
+    * centroids), a self-join keyed on cell id whose fan-out is bounded
+    * by cell population, and a per-query top-k window that Spark
+    * rewrites to WindowGroupLimit (rank filter pushed before the
+    * window shuffle). The cached assignment serves both join sides —
+    * the same materialize-once pattern as t43.
+    */
+  val s08KnnGraph = Q(
+    "s08_knn_graph",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = VF.ivfTrainCentroids(emb, "vec_id", "embedding", k = 16)
+      val assigned = VF.ivfAssign(emb, "vec_id", "embedding", cents).persist()
+      val a = assigned.select($"__cid".as("cid"), $"__aid".as("query_id"),
+        $"__avec".as("qv"))
+      val b = assigned.select($"__cid".as("cid"), $"__aid".as("neighbor_id"),
+        $"__avec".as("nv"))
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+      a.join(b, "cid").filter($"query_id" =!= $"neighbor_id")
+        .withColumn("cos", VF.cosine($"qv", $"nv"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 3)
+        .select($"query_id", $"neighbor_id", $"rank", $"cos")
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""
+      WITH ${ivfCentroidSql(k = 16, dims = 64, sampleSize = 256, iters = 2)},
+      $corpusAssignCte,
+      sc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                    ${cosSql("ea.embedding", "eb.embedding")} AS cos
+             FROM corpus_assign a JOIN corpus_assign b
+                    ON a.cid = b.cid AND a.vec_id <> b.vec_id
+                  JOIN embeddings ea ON a.vec_id = ea.vec_id
+                  JOIN embeddings eb ON b.vec_id = eb.vec_id)
+      SELECT query_id, neighbor_id, rank, cos
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+      WHERE rank <= 3
+      ORDER BY query_id, rank
+    """.trim))
+
   /** Winnowing document fingerprints (the MOSS plagiarism-detection
     * algorithm): hash every word 4-gram, slide a 4-hash window over
     * the sequence, keep each window's minimum — the selected
@@ -2534,16 +2580,12 @@ object LlmOps {
     "t44_winnowing",
     (s, dir) => {
       import s.implicits._
-      val w = 4
-      val hs = transform(TF.wordNgrams($"text", 4),
-        g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
-      val fps = when(size(hs) >= w,
-        array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
-          j => array_min(slice(hs, j, lit(w))))))
-        .otherwise(when(size(hs) > 0, array(array_min(hs)))
-          .otherwise(array().cast("array<long>")))
+      // fused expression, not the HOF chain: a lambda capturing the
+      // gram-hash array re-evaluates it per window (no CSE inside
+      // HOFs) — measured 374 s vs ~1 s at sf0.1 for this query
       val f = Tables.load(s, dir, "documents")
-        .select($"doc_id", explode(fps).as("fp"))
+        .select($"doc_id",
+          explode(TF.winnowedFingerprints($"text", 4, 4)).as("fp"))
       val freq = f.groupBy($"fp").agg(count(lit(1)).as("df"))
         .filter($"df" >= 2 && $"df" <= 64)
         .select($"fp")
@@ -2652,5 +2694,5 @@ object LlmOps {
     t39Containment, t40ImageDhash, t41AudioFingerprint, t42VideoFingerprint,
     t43SemanticDedup, t44Winnowing, t45QualityClassifier,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
-    s06IvfPqTopK, s07FilteredAnn)
+    s06IvfPqTopK, s07FilteredAnn, s08KnnGraph)
 }

@@ -294,4 +294,59 @@ object StreamingAnalytics {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
+
+  // ---- custom state: prequential rate-anomaly scoring ----
+
+  final case class RateEvent(event_type: String, ts_us: Long)
+  final case class RateState(open: Map[Long, Long], maxHour: Long,
+      nHours: Long, s: Long, ss: Long)
+  final case class RateScore(event_type: String, hour_us: Long, n: Long,
+      z: Double, anomaly: Boolean)
+
+  /** Streaming rate-anomaly detection, the stateful face of
+    * EventOps.e19: per event_type, hourly counts accumulate in an open
+    * bucket map; a bucket CLOSES once events arrive more than
+    * `latenessHours` beyond it, and the closed count is z-scored
+    * against the running moments of all previously-closed hours
+    * (prequential — each hour is judged only by history, the honest
+    * streaming contract; the batch twin scores against the full
+    * series). State per type is the open-bucket map (≤ lateness+1
+    * entries) plus four longs — O(types), never O(events). Still-open
+    * trailing hours stay in state, same contract as sessionize.
+    */
+  def rateAnomalies(events: org.apache.spark.sql.Dataset[RateEvent],
+      latenessHours: Int = 2): org.apache.spark.sql.Dataset[RateScore] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val hourUs = 3600L * 1000 * 1000
+    def fn(tpe: String, batch: Iterator[RateEvent],
+        state: GroupState[RateState]): Iterator[RateScore] = {
+      var st = state.getOption.getOrElse(RateState(Map.empty, Long.MinValue, 0L, 0L, 0L))
+      val out = Seq.newBuilder[RateScore]
+      batch.toSeq.sortBy(_.ts_us).foreach { ev =>
+        val h = ev.ts_us / hourUs
+        var open = st.open.updated(h, st.open.getOrElse(h, 0L) + 1L)
+        val maxHour = math.max(st.maxHour, h)
+        var (nh, s, ss) = (st.nHours, st.s, st.ss)
+        open.keys.toSeq.sorted.takeWhile(_ < maxHour - latenessHours)
+          .foreach { hc =>
+            val n = open(hc)
+            val z =
+              if (nh > 1) {
+                val varr = (ss.toDouble - s.toDouble * s.toDouble / nh) / (nh - 1)
+                if (varr > 0.0) (n.toDouble - s.toDouble / nh) / math.sqrt(varr)
+                else 0.0
+              } else 0.0
+            out += RateScore(tpe, hc * hourUs, n, z, math.abs(z) >= 2.0)
+            nh += 1; s += n; ss += n * n
+            open -= hc
+          }
+        st = RateState(open, maxHour, nh, s, ss)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }

@@ -17,7 +17,8 @@ class PlanGuardSpec extends SparkTestBase {
     "t43_semantic_dedup", // same broadcast-centroid assignment (cached once)
     "e14_theta_setops", // 1-row × 1-row combine of two global aggregates
     "s06_ivf_pq_topk", // exact side is the s01 baseline cross join
-    "s07_filtered_ann") // exact side is the s01 baseline cross join
+    "s07_filtered_ann", // exact side is the s01 baseline cross join
+    "s08_knn_graph") // same broadcast-centroid assignment as t43
 
   test("no query plans nested-loop or cartesian joins (labeled baselines excepted)") {
     val offenders = SparkEntry.allQueries
@@ -139,6 +140,15 @@ class PlanGuardSpec extends SparkTestBase {
     // the rewrite inserts a Partial WindowGroupLimit BEFORE the key
     // exchange, so each map partition forwards at most k rows per key —
     // without it the whole corpus crosses the shuffle just to be ranked
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit:\n$plan")
+  }
+
+  test("s08's top-k rank filter rewrites to WindowGroupLimit too") {
+    val plan = finalPlan(
+      SparkEntry.queries("s08_knn_graph")(spark, "/root/testdata/sf0.001"))
+    // candidate pairs per query are cell-bounded but still fan out;
+    // the group-limit keeps at most k per query ahead of the rank
     assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
       s"expected partial+final WindowGroupLimit:\n$plan")
   }

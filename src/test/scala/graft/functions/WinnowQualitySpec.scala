@@ -62,6 +62,26 @@ class WinnowQualitySpec extends SparkTestBase {
     assert(plan.contains("ReusedExchange"), plan)
   }
 
+  test("fused winnowing equals the (quadratic) HOF reference formulation") {
+    import org.apache.spark.sql.functions._
+    import graft.{Tables => T}
+    import graft.functions.{TextFunctions => TF}
+    val spark2 = spark
+    import spark2.implicits._
+    val w = 4
+    val hs = transform(TF.wordNgrams($"text", 4),
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+    val hof = when(size(hs) >= w,
+      sort_array(array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
+        j => array_min(slice(hs, j, lit(w)))))))
+      .otherwise(when(size(hs) > 0, array(array_min(hs)))
+        .otherwise(array().cast("array<long>")))
+    val diff = T.load(spark, dir, "documents")
+      .select(hof.as("a"), TF.winnowedFingerprints($"text", 4, 4).as("b"))
+      .filter(not($"a" <=> $"b"))
+    assert(diff.count() == 0)
+  }
+
   test("t45 scores equal the exact weight-vector recomputation") {
     val stop = Set("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
     val expected = docs().map { case (id, text) =>
