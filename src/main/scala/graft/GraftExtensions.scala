@@ -53,6 +53,8 @@ object GraftExtensions {
     spark.udf.register("topk10_by_score",
       F.udaf(new graft.functions.TopKByScore(10),
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)))
+    spark.udf.register("cms_merge_agg",
+      F.udaf(new graft.functions.CmsMerge, Encoders.BINARY))
   }
 
   private def info(name: String, usage: String) =
@@ -94,7 +96,9 @@ object GraftExtensions {
       args => WordChunkHashes(args.head, intArg(args(1), "n"))),
     ("winnowed_fingerprints", "_FUNC_(tokens, n, w) - sorted distinct winnowed (MOSS) minima of the 60-bit n-gram hashes over sliding w-windows",
       args => WinnowedFingerprints(args.head, intArg(args(1), "n"),
-        intArg(args(2), "w"))))
+        intArg(args(2), "w"))),
+    ("cms_estimate_long", "_FUNC_(sketch, key) - Count-Min point-frequency estimate for a BIGINT key",
+      args => CmsEstimateLong(args.head, args(1))))
 
   private def strArg(e: Expression, name: String): String = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>

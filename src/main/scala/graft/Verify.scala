@@ -33,7 +33,13 @@ object Verify {
       System.err.println(s"[verify] schema $n: ${df.schema.simpleString}")
     }
     Tables.tsMicros(Tables.load(spark, sfDir, "events"))
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=e22_cms_freq,e23_markov narrows the dump for
+    // local iteration (same contract as Bench); the driver sets nothing
+    // and dumps everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1008,10 +1008,109 @@ object EventOps {
       ORDER BY event_type
     """.trim))
 
+  /** Mergeable point-frequency estimates — Count-Min completes the
+    * sketch family (HLL=distinct, Theta=set algebra, KLL=quantiles,
+    * top-k=heavy ranks, CMS=per-key counts): one O(width×depth) sketch
+    * per month in a stats table answers "how many events did user x
+    * ever fire" with NO raw re-scan, under the one-sided guarantee
+    * est ≥ exact and (w.p. confidence) est ≤ exact + eps×N. Two-level
+    * like e13: built-in count_min_sketch per month → cms_merge_agg
+    * union (cell-wise counter sums — exact w.r.t. a single global
+    * sketch, so partition order can't change the bits) → probe the top
+    * five exact-heaviest users through cms_estimate_long. The probe
+    * side is 5 rows × one 1-row merged sketch: a labeled broadcast
+    * cross join, nothing corpus-sized moves.
+    */
+  val e22CmsFreq = Q(
+    "e22_cms_freq",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val cmsMergeAgg = udaf(new graft.functions.CmsMerge, Encoders.BINARY)
+      val ev = eventDays(s, dir)
+      val monthly = ev.groupBy($"month")
+        .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"),
+          count(lit(1)).as("n_m"))
+      val merged = monthly.agg(
+        cmsMergeAgg($"sk").as("msk"),
+        count(lit(1)).as("n_months"),
+        sum($"n_m").as("n_total"))
+      val top5 = ev.groupBy($"user_id")
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy($"exact_n".desc, $"user_id")
+        .limit(5)
+      top5.crossJoin(broadcast(merged)) // 5 rows x 1 row, labeled
+        .withColumn("__est", ColumnBridge.column(
+          graft.functions.expressions.CmsEstimateLong(
+            ColumnBridge.expression($"msk"),
+            ColumnBridge.expression($"user_id"))))
+        .select($"user_id", $"exact_n", $"n_months", $"n_total",
+          ($"__est" >= $"exact_n").as("never_under"),
+          ($"__est" <= $"exact_n" + lit(0.001) * $"n_total").as("within_bound"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH t AS (SELECT user_id, count(*) AS exact_n
+                 FROM events GROUP BY 1
+                 ORDER BY exact_n DESC, user_id LIMIT 5),
+      g AS (SELECT count(DISTINCT date_trunc('month', CAST(ts AS DATE))) AS n_months,
+                   count(*) AS n_total
+            FROM events)
+      SELECT user_id, CAST(exact_n AS BIGINT) AS exact_n,
+             CAST(n_months AS BIGINT) AS n_months,
+             CAST(n_total AS BIGINT) AS n_total,
+             TRUE AS never_under, TRUE AS within_bound
+      FROM t CROSS JOIN g
+      ORDER BY user_id
+    """.trim))
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the "what happens after a click" path analytic. ONE
+    * exchange on user_id serves the lag window; the transition count
+    * aggregate and its normalizing window both run at |event_type|²
+    * rollup cardinality (≤ 25 rows here, ≤ a few thousand for any real
+    * event taxonomy), so everything after the lag is driver-trivial no
+    * matter the corpus size. Probabilities are one IEEE double divide
+    * of two exact longs — identical trees both engines, hash-exact.
+    */
+  val e23MarkovTransitions = Q(
+    "e23_markov_transitions",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+      val seq = Tables.load(s, dir, "events")
+        .transform(Tables.withTsMicros(_))
+        .select($"user_id", $"event_id", $"tus", $"event_type")
+        .withColumn("prev_type", lag($"event_type", 1).over(byUser))
+        .filter($"prev_type".isNotNull)
+      val counts = seq.groupBy($"prev_type", $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val byPrev = Window.partitionBy($"prev_type")
+      counts
+        .withColumn("p",
+          $"n".cast("double") / sum($"n").over(byPrev).cast("double"))
+        .orderBy($"prev_type", $"event_type")
+    },
+    Some("""
+      WITH o AS (SELECT user_id, event_id, event_type,
+                        lag(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS prev_type
+                 FROM events),
+      c AS (SELECT prev_type, event_type, count(*) AS n
+            FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      SELECT prev_type, event_type, CAST(n AS BIGINT) AS n,
+             CAST(n AS DOUBLE)
+               / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+      FROM c
+      ORDER BY prev_type, event_type
+    """.trim))
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
     e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin,
     e09Unpivot, e10DynamicSession, e11BusRoundtrip, e12Funnel,
     e13HllMerge, e14ThetaSetops, e15KllQuantiles, e16TopkSketch,
     e17SlidingWindows, e18CohortRetention, e19RateAnomaly, e20EwmaRate,
-    e21Seasonality)
+    e21Seasonality, e22CmsFreq, e23MarkovTransitions)
 }
