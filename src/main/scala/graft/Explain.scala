@@ -28,7 +28,11 @@ object Explain {
         // queryExecution (a noop write would build its own) without
         // materializing probe-scale results on the driver, so the
         // final AQE plan below is still the executed one
-        df.foreach(_ => ())
+        // drive THIS df's executedPlan directly (AdaptiveSparkPlanExec
+        // finalizes in place): Dataset.foreach routes through .rdd,
+        // which plans a SEPARATE execution and leaves this one's AQE
+        // plan un-finalized — the printed plan would be the initial one
+        df.queryExecution.executedPlan.execute().foreach(_ => ())
         println(s"----- $n: final AQE plan -----")
         println(df.queryExecution.executedPlan.toString)
       }

@@ -2680,6 +2680,164 @@ object LlmOps {
       ORDER BY doc_id
     """.trim))
 
+  /** Cross-source overlap matrix — the provenance/leakage analytic a
+    * multi-source corpus needs before mixing: how much verbatim text do
+    * sources share (mirrored crawls, syndication, one source scraping
+    * another)? Presence-based: distinct (chunk-fingerprint, source)
+    * pairs (t29's stride-4 chunk hashes), a source-frequency cap to
+    * drop boilerplate chunks (the t44/t05 df-cap idea — at web scale an
+    * uncapped hot chunk makes pair expansion quadratic in its bucket),
+    * then source-PAIR counts WITHOUT a self-join: one groupBy(fp)
+    * collect_set builds each chunk's ≤cap source list (map-side partial
+    * aggregation compresses the per-source duplicate chunks before the
+    * shuffle), and the ≤ C(cap,2)-bounded pair expansion happens in-row.
+    * Scale shape: ONE corpus-sized shuffle total; the rollup output is
+    * |sources|² — dashboard-sized for any real source taxonomy. The
+    * overlap coefficient |A∩B|/min(|A|,|B|) is one IEEE divide of
+    * exact longs. (The HOF lambdas only capture `srcs` — an attribute,
+    * not a recomputed expression — so the t44 capture trap doesn't
+    * apply.)
+    */
+  val t46SourceOverlap = Q(
+    "t46_source_overlap",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      // chunk -> sorted source set, boilerplate-capped; feeds the pair
+      // expansion AND the totals, so persist the (fp, srcs) frame —
+      // compact: one row per distinct chunk, ≤ 16 sources each
+      val g = docs
+        .select($"source", explode(TF.wordChunkHashes($"text", 4)).as("fp"))
+        .groupBy($"fp")
+        .agg(array_sort(collect_set($"source")).as("srcs"))
+        .filter(size($"srcs") <= 16)
+        .persist()
+      val pairs = g.select(explode(expr(
+          """flatten(transform(srcs, (x, i) ->
+             transform(slice(srcs, i + 2, size(srcs)), y ->
+               struct(x AS src_a, y AS src_b))))""")).as("pr"))
+        .select($"pr.src_a", $"pr.src_b")
+        .groupBy($"src_a", $"src_b")
+        .agg(count(lit(1)).as("n_shared"))
+      val tot = g.select(explode($"srcs").as("source"))
+        .groupBy($"source").agg(count(lit(1)).as("n"))
+      pairs
+        .join(tot.select($"source".as("src_a"), $"n".as("n_a")), "src_a")
+        .join(tot.select($"source".as("src_b"), $"n".as("n_b")), "src_b")
+        .select($"src_a", $"src_b", $"n_shared", $"n_a", $"n_b",
+          ($"n_shared".cast("double")
+            / least($"n_a", $"n_b").cast("double")).as("overlap"))
+        .orderBy($"src_a", $"src_b")
+    },
+    Some(s"""
+      WITH tk AS (SELECT doc_id, source,
+                         regexp_split_to_array(trim(text), '\\s+') AS t
+                  FROM documents),
+      ch AS (SELECT source,
+                    unnest([md5(array_to_string(t[i*4+1 : i*4+4], ' '))
+                            for i in range(0, len(t) // 4)]) AS m
+             FROM tk WHERE len(t) >= 4),
+      cs AS (SELECT DISTINCT source,
+                    CAST(${oracleHex("m", 15)} AS BIGINT) AS fp
+             FROM ch),
+      df AS (SELECT fp, count(*) AS n_src FROM cs GROUP BY fp),
+      k AS (SELECT cs.fp, cs.source FROM cs JOIN df USING (fp)
+            WHERE n_src <= 16),
+      p AS (SELECT a.source AS src_a, b.source AS src_b,
+                   count(*) AS n_shared
+            FROM k a JOIN k b ON a.fp = b.fp AND a.source < b.source
+            GROUP BY 1, 2),
+      tot AS (SELECT source, count(*) AS n FROM k GROUP BY 1)
+      SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+             CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+             CAST(n_shared AS DOUBLE)
+               / CAST(least(ta.n, tb.n) AS DOUBLE) AS overlap
+      FROM p JOIN tot ta ON p.src_a = ta.source
+             JOIN tot tb ON p.src_b = tb.source
+      ORDER BY src_a, src_b
+    """.trim))
+
+  /** Per-source token-distribution divergence — the drift detector a
+    * mixture pipeline runs before trusting a source: a chi-square
+    * statistic of each source's unigram distribution against the
+    * corpus-wide distribution, computed presence-restricted and in
+    * exact integer BASIS POINTS (the t30/e19/q48 house rule: no libm,
+    * no order-dependent double sums — each term is
+    * (o·N − N_s·C)²·10⁴ div (N·N_s·C) on decimals, so the per-source
+    * sum of longs is partition-order-invariant and hash-exact across
+    * engines). A source that scraped a different register/domain than
+    * the rest of the mix shows up as a χ² outlier.
+    *
+    * Scale shape: ONE data-sized shuffle — the (source, token) count;
+    * the corpus token table C and the per-source totals are
+    * re-aggregations of that output at vocab/|sources| cardinality,
+    * and the scoring joins broadcast at model size (AQE). Decimal
+    * widths: |o·N − N_s·C| ≤ N² ⇒ the squared term needs
+    * digits(N⁴·10⁴) ≤ 38 up to N ≈ 3×10⁸ corpus tokens per stats
+    * shard — beyond that, shard the stat by token range and merge
+    * (the sums are additive), same recomposition story as every
+    * sketch here.
+    */
+  val t47SourceDivergence = Q(
+    "t47_source_divergence",
+    (s, dir) => {
+      import s.implicits._
+      val st = Tables.load(s, dir, "documents")
+        .select($"source", explode(TF.tokens($"text")).as("tok"))
+        // explicit, so every branch (c, ns, and the scoring join) carries
+        // the SAME null constraints — join-inferred isnotnull filters
+        // differ per branch and silently break AQE stage reuse (t30)
+        .filter($"source".isNotNull && $"tok".isNotNull)
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("o"))
+      // model tables = re-aggregations of st (reuse its exchange)
+      val c = st.groupBy($"tok").agg(sum($"o").as("c"))
+      val ns = st.groupBy($"source").agg(sum($"o").as("n_src"))
+      val n = c.agg(sum($"c").as("n_corpus"))
+      st.join(c, "tok")
+        .join(ns, "source")
+        .crossJoin(broadcast(n)) // 1-row global total, labeled
+        .withColumn("term", expr("""
+          CAST((CAST(o AS DECIMAL(19,0)) * CAST(n_corpus AS DECIMAL(19,0))
+                - CAST(n_src AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+               * (CAST(o AS DECIMAL(19,0)) * CAST(n_corpus AS DECIMAL(19,0))
+                - CAST(n_src AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+               * 10000
+            div (CAST(n_corpus AS DECIMAL(19,0))
+                 * CAST(n_src AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+            AS BIGINT)"""))
+        .groupBy($"source")
+        .agg(max($"n_src").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum($"term").as("chi2_bp"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH tk AS (SELECT source,
+                         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                  FROM documents),
+      st AS (SELECT source, tok, count(*) AS o FROM tk GROUP BY 1, 2),
+      c AS (SELECT tok, sum(o) AS c FROM st GROUP BY 1),
+      ns AS (SELECT source, sum(o) AS n_src FROM st GROUP BY 1),
+      n AS (SELECT sum(c) AS n_corpus FROM c),
+      terms AS (
+        SELECT st.source, ns.n_src,
+               CAST((CAST(o AS HUGEINT) * CAST(n_corpus AS HUGEINT)
+                     - CAST(n_src AS HUGEINT) * CAST(c.c AS HUGEINT))
+                    * (CAST(o AS HUGEINT) * CAST(n_corpus AS HUGEINT)
+                     - CAST(n_src AS HUGEINT) * CAST(c.c AS HUGEINT))
+                    * 10000
+                 // (CAST(n_corpus AS HUGEINT)
+                     * CAST(n_src AS HUGEINT) * CAST(c.c AS HUGEINT))
+                 AS BIGINT) AS term
+        FROM st JOIN c USING (tok) JOIN ns USING (source) CROSS JOIN n)
+      SELECT source, CAST(max(n_src) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(term) AS BIGINT) AS chi2_bp
+      FROM terms
+      GROUP BY source
+      ORDER BY source
+    """.trim))
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
@@ -2692,7 +2850,8 @@ object LlmOps {
     t27MixtureBudget, t28ShuffleShard, t29ChunkDedup, t30LmQuality,
     t31UrlOps, t32ClusterProfile, t35FuzzyJoin, t36RagChunks, t37SampleK,
     t39Containment, t40ImageDhash, t41AudioFingerprint, t42VideoFingerprint,
-    t43SemanticDedup, t44Winnowing, t45QualityClassifier,
+    t43SemanticDedup, t44Winnowing, t45QualityClassifier, t46SourceOverlap,
+    t47SourceDivergence,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
     s06IvfPqTopK, s07FilteredAnn, s08KnnGraph)
 }

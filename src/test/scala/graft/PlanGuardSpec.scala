@@ -18,7 +18,9 @@ class PlanGuardSpec extends SparkTestBase {
     "e14_theta_setops", // 1-row × 1-row combine of two global aggregates
     "s06_ivf_pq_topk", // exact side is the s01 baseline cross join
     "s07_filtered_ann", // exact side is the s01 baseline cross join
-    "s08_knn_graph") // same broadcast-centroid assignment as t43
+    "s08_knn_graph", // same broadcast-centroid assignment as t43
+    "e22_cms_freq", // 5-row probe set × 1-row merged sketch, labeled
+    "t47_source_divergence") // 1-row global token total attach
 
   test("no query plans nested-loop or cartesian joins (labeled baselines excepted)") {
     val offenders = SparkEntry.allQueries
@@ -63,6 +65,38 @@ class PlanGuardSpec extends SparkTestBase {
       s"date filter not pushed to the ORC scan:\n$section")
     assert(section.contains("ReadSchema") && !section.contains("o_custkey"),
       s"unused columns not pruned from the ORC scan:\n$section")
+  }
+
+  test("t47 computes source divergence in one corpus pass") {
+    // the (source, token) count is THE data-sized stage; the token
+    // model (c), per-source totals (ns), and global total (n) are
+    // re-aggregations that must reuse its exchange — same explicit-
+    // null-filter requirement as t30, same failure mode without it
+    spark.catalog.clearCache()
+    val plan = finalPlan(
+      SparkEntry.queries("t47_source_divergence")(spark, "/root/testdata/sf0.001"))
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected ONE corpus scan, got $scans:\n$plan")
+    assert("ReusedExchange".r.findAllIn(plan).size == 3,
+      s"c/ns/n branches must reuse the (source, tok) stage:\n$plan")
+  }
+
+  test("t46 expands source pairs in-row, never via a chunk self-join") {
+    // the (fp -> source set) frame is cached and read by both the pair
+    // expansion and the totals; pair generation is bounded in-row HOF
+    // work, so no shuffle-side join on the chunk key may appear
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("t46_source_overlap")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    // NOT finalPlan(): the cached relation nests its own AdaptiveSparkPlan
+    // whose "== Initial Plan ==" marker would truncate the outer plan
+    // before the totals branch; count on the full rendering instead
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"t46 must not self-join on the chunk key:\n$plan")
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"pair expansion and totals must both read the cached chunk frame:\n$plan")
+    spark.catalog.clearCache()
   }
 
   test("t30 trains and scores the bigram LM in one corpus pass") {
