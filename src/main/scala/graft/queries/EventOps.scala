@@ -1107,10 +1107,57 @@ object EventOps {
       ORDER BY prev_type, event_type
     """.trim))
 
+  /** Inter-arrival gap distribution per event type — the burstiness /
+    * latency analytic behind rate limiting and capacity planning: lag
+    * each type's event times, then exact interpolated percentiles of
+    * the gaps. ONE exchange total: the groupBy key is a subset of the
+    * window's partitionBy key, so the aggregate reuses the window's
+    * partitioning. Gap values are exact integer micros, and Spark's
+    * `percentile` interpolates identically to DuckDB's quantile_cont
+    * (index p·(n−1), linear between neighbors — the e15 exact_p50
+    * precedent), so the doubles hash-match. Tie-safe: the multiset of
+    * consecutive differences of a sorted multiset doesn't depend on
+    * the tie-break order.
+    */
+  val e24InterArrival = Q(
+    "e24_inter_arrival",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byType = Window.partitionBy($"event_type").orderBy($"tus", $"event_id")
+      Tables.load(s, dir, "events")
+        .transform(Tables.withTsMicros(_))
+        .select($"event_type", $"event_id", $"tus")
+        .withColumn("prev", lag($"tus", 1).over(byType))
+        .filter($"prev".isNotNull)
+        .withColumn("gap_us", $"tus" - $"prev")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("percentile(gap_us, 0.5d)").as("p50_us"),
+          expr("percentile(gap_us, 0.9d)").as("p90_us"),
+          max($"gap_us").as("max_us"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH o AS (SELECT event_type, event_id, epoch_us(ts) AS tus,
+                        lag(epoch_us(ts)) OVER (PARTITION BY event_type
+                                                ORDER BY ts, event_id) AS prev
+                 FROM events),
+      g AS (SELECT event_type, tus - prev AS gap_us
+            FROM o WHERE prev IS NOT NULL)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+             quantile_cont(gap_us, 0.5) AS p50_us,
+             quantile_cont(gap_us, 0.9) AS p90_us,
+             CAST(max(gap_us) AS BIGINT) AS max_us
+      FROM g
+      GROUP BY event_type
+      ORDER BY event_type
+    """.trim))
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
     e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin,
     e09Unpivot, e10DynamicSession, e11BusRoundtrip, e12Funnel,
     e13HllMerge, e14ThetaSetops, e15KllQuantiles, e16TopkSketch,
     e17SlidingWindows, e18CohortRetention, e19RateAnomaly, e20EwmaRate,
-    e21Seasonality, e22CmsFreq, e23MarkovTransitions)
+    e21Seasonality, e22CmsFreq, e23MarkovTransitions, e24InterArrival)
 }

@@ -349,4 +349,46 @@ object StreamingAnalytics {
     events.groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
+
+  final case class TransEvent(user_id: Long, event_type: String,
+      ts_us: Long, event_id: Long)
+  final case class TransState(ts_us: Long, event_id: Long, tpe: String)
+  final case class Transition(user_id: Long, prev_type: String,
+      event_type: String)
+
+  /** Streaming transition extraction, the stateful face of
+    * EventOps.e23: per user, each event emits one (prev_type,
+    * event_type) edge against the last event seen. State is ONE small
+    * record per user (last event's time/id/type) — O(users), never
+    * O(events) — and the per-batch work is a sort of that user's
+    * batch slice. Downstream the edges aggregate to the transition
+    * matrix at types² cardinality (a foreachBatch upsert into a stats
+    * table in production; the spec folds the memory sink).
+    *
+    * Ordering contract: within a batch, events sort by (ts_us,
+    * event_id); across batches, arrival order stands in for event
+    * time — the same contract as the sessionizer faces. An event
+    * arriving a batch late links in arrival position, which matches
+    * how an at-ingest pipeline would count it; the batch twin (e23)
+    * is the event-time-exact reconciliation.
+    */
+  def transitions(events: org.apache.spark.sql.Dataset[TransEvent])
+      : org.apache.spark.sql.Dataset[Transition] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    def fn(uid: Long, batch: Iterator[TransEvent],
+        state: GroupState[TransState]): Iterator[Transition] = {
+      val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      val out = Seq.newBuilder[Transition]
+      var prev = state.getOption
+      sorted.foreach { e =>
+        prev.foreach(p => out += Transition(uid, p.tpe, e.event_type))
+        prev = Some(TransState(e.ts_us, e.event_id, e.event_type))
+      }
+      prev.foreach(state.update)
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }
