@@ -1154,10 +1154,87 @@ object EventOps {
       ORDER BY event_type
     """.trim))
 
+  /** Late-data profile — the measurement behind choosing a watermark:
+    * each event's lateness is how far the stream's running-max event
+    * time had already advanced past it on arrival. The fixture carries
+    * no arrival column (event_id is event-time-ordered, which would
+    * make every lateness 0 and the oracle vacuous), so arrival order
+    * is simulated deterministically as the md5 of the event id — a
+    * worst-case shuffled arrival both engines can reproduce. The real
+    * content is HOW the global running max is computed: a naive global
+    * window is a single partition (the classic scale-killer); here
+    * it's the two-level prefix-scan — the first two hex chars of the
+    * arrival key define 256 BLOCKS that are contiguous ranges of the
+    * arrival order, so per-block maxima (a 256-row frame, effectively
+    * free) running-maxed exclusively + a within-block window
+    * partitioned BY block give exactly the single-window semantics at
+    * full parallelism. Per type: late fraction beyond a 30-minute
+    * candidate watermark, p99 and max lateness.
+    */
+  val e25LateProfile = Q(
+    "e25_late_profile",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events")
+        .transform(Tables.withTsMicros(_))
+        .select($"event_id", $"event_type", $"tus")
+        .withColumn("arr", md5(concat(lit("arr_"), $"event_id")))
+        .withColumn("blk", substring($"arr", 1, 2))
+      // block-cardinality frame: running max of the PREVIOUS blocks
+      val blocks = ev.groupBy($"blk").agg(max($"tus").as("blk_max"))
+        .withColumn("prev_max",
+          max($"blk_max").over(Window.orderBy($"blk")
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .select($"blk", $"prev_max")
+      val inBlk = Window.partitionBy($"blk").orderBy($"arr", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val gapUs = 30L * 60 * 1000 * 1000
+      ev.withColumn("in_max", max($"tus").over(inBlk))
+        .join(broadcast(blocks), "blk")
+        .withColumn("seen_max", greatest(
+          coalesce($"in_max", lit(Long.MinValue)),
+          coalesce($"prev_max", lit(Long.MinValue))))
+        .withColumn("late_us",
+          when($"seen_max" === Long.MinValue, 0L) // first arrival overall
+            .otherwise(greatest($"seen_max" - $"tus", lit(0L))))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"late_us" > gapUs, 1L).otherwise(0L)).as("n_late"),
+          expr("percentile(late_us, 0.99d)").as("p99_late_us"),
+          max($"late_us").as("max_late_us"))
+        .withColumn("late_frac",
+          $"n_late".cast("double") / $"n".cast("double"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH o AS (SELECT event_type, epoch_us(ts) AS tus,
+                        max(epoch_us(ts)) OVER (
+                          ORDER BY md5('arr_' || event_id), event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          AS seen_max
+                 FROM events),
+      l AS (SELECT event_type,
+                   CASE WHEN seen_max IS NULL THEN 0
+                        ELSE greatest(seen_max - tus, 0) END AS late_us
+            FROM o)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN late_us > 1800000000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_late,
+             quantile_cont(late_us, 0.99) AS p99_late_us,
+             CAST(max(late_us) AS BIGINT) AS max_late_us,
+             CAST(sum(CASE WHEN late_us > 1800000000 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE) AS late_frac
+      FROM l
+      GROUP BY event_type
+      ORDER BY event_type
+    """.trim))
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
     e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin,
     e09Unpivot, e10DynamicSession, e11BusRoundtrip, e12Funnel,
     e13HllMerge, e14ThetaSetops, e15KllQuantiles, e16TopkSketch,
     e17SlidingWindows, e18CohortRetention, e19RateAnomaly, e20EwmaRate,
-    e21Seasonality, e22CmsFreq, e23MarkovTransitions, e24InterArrival)
+    e21Seasonality, e22CmsFreq, e23MarkovTransitions, e24InterArrival,
+    e25LateProfile)
 }
