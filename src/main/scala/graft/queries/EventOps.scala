@@ -1230,11 +1230,73 @@ object EventOps {
       ORDER BY event_type
     """.trim))
 
+  /** DAU/MAU stickiness — trailing-window distinct counts, the query
+    * that makes mergeable sketches earn their keep: an exact 28-day
+    * sliding distinct must re-touch every (day, user) pair once per
+    * window it falls in, but per-day HLL sketches union in O(28 × 4 KB)
+    * per anchor day with NO raw re-scan — the e13 pattern extended to
+    * sliding windows. The window join is equi-ified (each day's sketch
+    * explodes to the 28 anchor days it serves) so it hash-joins at
+    * rollup cardinality instead of planning a theta-join; the exact
+    * side — needed for the oracle and the bound check — pays the full
+    * (window × users) recount, which is exactly the cost the sketch
+    * path avoids. One corpus-sized shuffle total (the (day, user)
+    * dedup); everything after runs at days × 28.
+    */
+  val e26Stickiness = Q(
+    "e26_stickiness",
+    (s, dir) => {
+      import s.implicits._
+      val ev = eventDays(s, dir)
+      val du = ev.select($"day", $"user_id").distinct()
+      val daily = du.groupBy($"day")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+          countDistinct($"user_id").as("dau"))
+      val anchors = daily.select($"day").distinct()
+      // each day's sketch/users serve anchors day .. day+27 (equi-join
+      // on the exploded anchor: rollup × 28 rows, never a theta join)
+      val skAnch = daily
+        .withColumn("anchor",
+          explode(expr("transform(sequence(0, 27), i -> date_add(day, i))")))
+        .join(anchors.withColumnRenamed("day", "anchor"), "anchor")
+        .groupBy($"anchor")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("__mau_est"))
+      val exactAnch = du
+        .withColumn("anchor",
+          explode(expr("transform(sequence(0, 27), i -> date_add(day, i))")))
+        .join(anchors.withColumnRenamed("day", "anchor"), "anchor")
+        .groupBy($"anchor")
+        .agg(countDistinct($"user_id").as("mau"))
+      daily.select($"day", $"dau")
+        .join(exactAnch.withColumnRenamed("anchor", "day"), "day")
+        .join(skAnch.withColumnRenamed("anchor", "day"), "day")
+        .select($"day", $"dau", $"mau",
+          ($"dau".cast("double") / $"mau".cast("double")).as("stickiness"),
+          (abs($"__mau_est".cast("double") / $"mau".cast("double") - lit(1.0))
+            <= lit(0.05)).as("within_bound"))
+        .orderBy($"day")
+    },
+    Some("""
+      WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                  FROM events),
+      daily AS (SELECT day, count(DISTINCT user_id) AS dau
+                FROM du GROUP BY day),
+      m AS (SELECT d.day, count(DISTINCT du.user_id) AS mau
+            FROM daily d JOIN du
+              ON du.day <= d.day AND du.day >= d.day - 27
+            GROUP BY d.day)
+      SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(m.mau AS BIGINT) AS mau,
+             CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE) AS stickiness,
+             TRUE AS within_bound
+      FROM daily d JOIN m ON d.day = m.day
+      ORDER BY d.day
+    """.trim))
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
     e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin,
     e09Unpivot, e10DynamicSession, e11BusRoundtrip, e12Funnel,
     e13HllMerge, e14ThetaSetops, e15KllQuantiles, e16TopkSketch,
     e17SlidingWindows, e18CohortRetention, e19RateAnomaly, e20EwmaRate,
     e21Seasonality, e22CmsFreq, e23MarkovTransitions, e24InterArrival,
-    e25LateProfile)
+    e25LateProfile, e26Stickiness)
 }
