@@ -36,17 +36,23 @@ case class CmsEstimateLong(left: Expression, right: Expression)
     }
   }
 
-  @transient private var lastBytes: Array[Byte] = _
-  @transient private var lastSketch: CountMinSketch = _
+  // single-reference cache: executor tasks deserialize their own
+  // expression copies, but driver-side evaluation paths (constant
+  // folding, local relations) can share an instance — so the
+  // (bytes, sketch) pair swaps through ONE reference; two separate
+  // fields could tear into a sketch parsed from different bytes. A
+  // racing thread at worst re-deserializes, never misreads.
+  @transient private var cached: (Array[Byte], CountMinSketch) = _
 
   /** Called from both interpreted and generated code. */
   def estimate(bytes: Array[Byte], item: Long): Long = {
-    if (!(bytes eq lastBytes)) {
-      lastSketch =
-        CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
-      lastBytes = bytes
+    var c = cached
+    if (c == null || !(c._1 eq bytes)) {
+      c = (bytes,
+        CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes)))
+      cached = c
     }
-    lastSketch.estimateCount(java.lang.Long.valueOf(item))
+    c._2.estimateCount(java.lang.Long.valueOf(item))
   }
 
   override def nullSafeEval(sk: Any, item: Any): Any =
