@@ -262,6 +262,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Cross-corpus near-dup pairs: incoming documents that near-duplicate
+    * a STATIC base corpus — the incremental-crawl dedup step (drop new
+    * documents already represented in the training set) that t23-style
+    * self-dedup cannot express without re-pairing the base corpus with
+    * itself. Candidates come from the same banded-MinHash construction
+    * as nearDuplicatePairs, but the band join is STRICTLY cross-side:
+    * base×base and new×new pairs never form, so the incremental cost is
+    * ∝ |new batch| + matched bucket populations, independent of base
+    * corpus self-similarity. At warehouse scale the base side's
+    * signature/band frame is a persisted artifact (built once per
+    * snapshot, exactly the VectorIndex pattern) and each crawl batch
+    * joins against it; here both sides derive in-plan. No merge hint:
+    * the sides are DIFFERENT pipelines (no exchange to reuse), and the
+    * incoming batch is typically the small side — the estimator/AQE
+    * broadcasting its band frame is precisely right.
+    *
+    * Output: (id_new, id_base, jaccard ≥ threshold).
+    */
+  def crossCorpusNearDupPairs(base: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, threshold: Double, shingle: Int = 3,
+      numHashes: Int = 16, bands: Int = 2): DataFrame = {
+    val rows = numHashes / bands
+    val shBase = hashedShingleFrame(base, idCol, textCol, shingle).persist()
+    val shNew = hashedShingleFrame(incoming, idCol, textCol, shingle).persist()
+    def bandFrame(sh: DataFrame): DataFrame = sh
+      .withColumn("__sig", minhashSignatureFromHashesFast(col("__hhd"), numHashes))
+      .select(col("__id"),
+        posexplode(lshBandKeys(col("__sig"), bands, rows)).as(Seq("__b", "__key")))
+    val cand = bandFrame(shNew).as("a")
+      .join(bandFrame(shBase).as("b"),
+        col("a.__b") === col("b.__b") && col("a.__key") === col("b.__key"))
+      .select(col("a.__id").as("id_new"), col("b.__id").as("id_base"))
+      // a cross-side pair colliding in both bands emits once per band
+      .distinct()
+    cand
+      .join(maybeBroadcast(shNew.select(col("__id").as("id_new"), col("__hhd").as("__ha"))), "id_new")
+      .join(maybeBroadcast(shBase.select(col("__id").as("id_base"), col("__hhd").as("__hb"))), "id_base")
+      .withColumn("jaccard", jaccardLongSets(col("__ha"), col("__hb"), assumeSorted = true))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_base"), col("jaccard"))
+  }
+
   /** Containment pairs: LSH candidates → exact containment
     * |A∩B| / min(|A|,|B|) ≥ threshold — the ASYMMETRIC near-dup
     * measure that catches quotes, excerpts and boilerplate-plus-body

@@ -1292,11 +1292,72 @@ object EventOps {
       ORDER BY d.day
     """.trim))
 
+  /** Session path mining: the most common within-session event-type
+    * trigrams (view>click>purchase, …) — the navigation-pattern rollup
+    * a product-analytics engine serves. Builds on e02's sessionization
+    * (30-min inactivity gap) but keeps EVERY window on the same
+    * partitionBy(user_id) spec: the session boundary (lag), the running
+    * session index (sum), and the two lookaheads (lead) all share ONE
+    * exchange+sort; a trigram is emitted only when all three events
+    * carry the same session index, which is exactly "lead stays within
+    * the session" without re-partitioning by (user, session). The final
+    * rollup shuffles trigram keys — |event_types|³ rows at most.
+    */
+  val e27SessionPaths = Q(
+    "e27_session_paths",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+      val gapUs = 30L * 60 * 1000 * 1000
+      Tables.load(s, dir, "events")
+        .transform(Tables.withTsMicros(_))
+        .withColumn("prev_ts", lag($"tus", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_ts".isNull || $"tus" - $"prev_ts" > gapUs, 1).otherwise(0))
+        .withColumn("session_idx",
+          sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("e2", lead($"event_type", 1).over(byUser))
+        .withColumn("s2", lead($"session_idx", 1).over(byUser))
+        .withColumn("e3", lead($"event_type", 2).over(byUser))
+        .withColumn("s3", lead($"session_idx", 2).over(byUser))
+        .filter($"s2" === $"session_idx" && $"s3" === $"session_idx")
+        .groupBy(concat_ws(">", $"event_type", $"e2", $"e3").as("path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), $"path")
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+        FROM events),
+      f AS (SELECT user_id, event_id, event_type, tus,
+              CASE WHEN prev_ts IS NULL OR tus - prev_ts > 1800000000 THEN 1 ELSE 0 END AS new_session
+            FROM g),
+      sess AS (SELECT user_id, event_id, event_type, tus,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+               FROM f),
+      tri AS (SELECT event_type,
+                lead(event_type, 1) OVER w AS e2,
+                lead(session_idx, 1) OVER w AS s2,
+                lead(event_type, 2) OVER w AS e3,
+                lead(session_idx, 2) OVER w AS s3,
+                session_idx
+              FROM sess
+              WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+      SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+      FROM tri
+      WHERE s2 = session_idx AND s3 = session_idx
+      GROUP BY 1
+      ORDER BY n DESC, path
+    """.trim))
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
     e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin,
     e09Unpivot, e10DynamicSession, e11BusRoundtrip, e12Funnel,
     e13HllMerge, e14ThetaSetops, e15KllQuantiles, e16TopkSketch,
     e17SlidingWindows, e18CohortRetention, e19RateAnomaly, e20EwmaRate,
     e21Seasonality, e22CmsFreq, e23MarkovTransitions, e24InterArrival,
-    e25LateProfile, e26Stickiness)
+    e25LateProfile, e26Stickiness, e27SessionPaths)
 }

@@ -2113,6 +2113,111 @@ object Relational {
       ORDER BY zkey, l_orderkey, l_linenumber
     """.trim))
 
+  /** Ordered string aggregation (LISTAGG, SQL:2016) — the report-shaping
+    * face: per region, the comma-joined ordered nation list plus the
+    * DISTINCT-deduped initial letters. WITHIN GROUP (ORDER BY …) makes
+    * the concatenation deterministic — an unordered listagg is a
+    * partition-order lottery and would never match an oracle. Scale
+    * note: listagg materializes each group as ONE string, so it belongs
+    * on bounded-cardinality groups (dimension rollups like this); an
+    * unbounded group turns into a driver-sized string — use
+    * collect_list only behind a windowed cap, or keep rows relational.
+    */
+  val q56Listagg = Q(
+    "q56_listagg",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "nation")
+        .join(t(s, dir, "region"), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(
+          expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+            .as("nations"),
+          expr("listagg(DISTINCT substring(n_name, 1, 1), '')" +
+            " WITHIN GROUP (ORDER BY substring(n_name, 1, 1))").as("initials"),
+          count(lit(1)).as("n_nations"))
+        .orderBy($"r_name")
+    },
+    Some("""
+      SELECT r_name,
+             string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             string_agg(DISTINCT n_name[1:1], '' ORDER BY n_name[1:1]) AS initials,
+             count(*) AS n_nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY r_name
+    """.trim))
+
+  /** Key-skew profiler — the diagnostic that DECIDES when q24's salting
+    * / AQE skew handling is needed: exact distribution statistics of
+    * per-key row counts (here l_suppkey over lineitem). Scale shape is
+    * counts-of-counts: pass 1 groups the fact table by key (the only
+    * data-sized shuffle), pass 2 groups the key-count frame by count
+    * value — the (count, n_keys) frame is tiny (counts concentrate), so
+    * the ranking window that computes exact quantiles and the Gini sum
+    * runs over hundreds of rows, never over the corpus or even the key
+    * set. All stats are exact integers; the Gini coefficient and top-1
+    * share are the same IEEE expression tree on both engines. Keys with
+    * equal counts are interchangeable in every emitted statistic, so no
+    * per-key tie-break is needed anywhere.
+    */
+  val q57SkewProfile = Q(
+    "q57_skew_profile",
+    (s, dir) => {
+      import s.implicits._
+      val counts = t(s, dir, "lineitem")
+        .groupBy($"l_suppkey").agg(count(lit(1)).as("c"))
+      // counts-of-counts: f = how many keys have exactly c rows
+      val cc = counts.groupBy($"c").agg(count(lit(1)).as("f"))
+      val w = Window.orderBy($"c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val ranked = cc
+        .withColumn("cum_keys", sum($"f").over(w))
+        .withColumn("nk", sum($"f").over(Window.partitionBy()))
+        // ranks of the f keys in this count-group are
+        // (cum_keys-f+1)..cum_keys; their Gini contribution is
+        // c * (sum of those ranks) = c * (f*cum_keys - f*(f-1)/2)
+        .withColumn("rank_sum",
+          expr("c * (f * cum_keys - (f * (f - 1)) div 2)"))
+      ranked.agg(
+          sum($"f").as("n_keys"),
+          sum($"c" * $"f").as("total_rows"),
+          max($"c").as("max_count"),
+          min($"c").as("min_count"),
+          sum($"rank_sum").as("gini_rank_sum"),
+          min(when($"cum_keys" * 2 >= $"nk", $"c")).as("p50_count"),
+          min(when($"cum_keys" * 100 >= $"nk" * 99, $"c")).as("p99_count"))
+        .select($"n_keys", $"total_rows", $"max_count", $"min_count",
+          $"p50_count", $"p99_count",
+          ($"max_count".cast("double") / $"total_rows".cast("double") * 10000.0)
+            .as("top1_share_bp"),
+          ((lit(2.0) * $"gini_rank_sum".cast("double") -
+            ($"n_keys" + 1).cast("double") * $"total_rows".cast("double")) /
+            ($"n_keys".cast("double") * $"total_rows".cast("double"))).as("gini"))
+    },
+    Some("""
+      WITH kc AS (SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY 1),
+      cc AS (SELECT c, count(*) AS f FROM kc GROUP BY 1),
+      r AS (SELECT c, f,
+              sum(f) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_keys,
+              sum(f) OVER () AS nk
+            FROM cc),
+      g AS (SELECT c, f, cum_keys, nk,
+              c * (f * cum_keys - (f * (f - 1)) // 2) AS rank_sum
+            FROM r)
+      SELECT CAST(sum(f) AS BIGINT) AS n_keys,
+             CAST(sum(c * f) AS BIGINT) AS total_rows,
+             max(c) AS max_count,
+             min(c) AS min_count,
+             min(CASE WHEN cum_keys * 2 >= nk THEN c END) AS p50_count,
+             min(CASE WHEN cum_keys * 100 >= nk * 99 THEN c END) AS p99_count,
+             CAST(max(c) AS DOUBLE) / CAST(sum(c * f) AS DOUBLE) * 10000.0 AS top1_share_bp,
+             (2.0 * CAST(sum(rank_sum) AS DOUBLE)
+               - CAST(sum(f) + 1 AS DOUBLE) * CAST(sum(c * f) AS DOUBLE))
+               / (CAST(sum(f) AS DOUBLE) * CAST(sum(c * f) AS DOUBLE)) AS gini
+      FROM g
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -2127,5 +2232,5 @@ object Relational {
     q42FullOuter, q43GapFill, q44AggBreadth, q45MultiColIn,
     q46DisjunctiveExists, q47BloomFilterJoin, q48StatAggs, q49IvmMerge,
     q50Interpolate, q51AggPushdown, q52DynamicPruning, q53TryIngest,
-    q54WindowedDistinct, q55ZOrderKey)
+    q54WindowedDistinct, q55ZOrderKey, q56Listagg, q57SkewProfile)
 }

@@ -372,6 +372,45 @@ object StreamingAnalytics {
     * how an at-ingest pipeline would count it; the batch twin (e23)
     * is the event-time-exact reconciliation.
     */
+  final case class PathState(a: Option[TransState], b: Option[TransState])
+  final case class PathTrigram(user_id: Long, path: String)
+
+  /** Streaming session-path extraction, the stateful face of
+    * EventOps.e27: per user, each event extends a chain of the last
+    * two events; when three consecutive events fall inside one session
+    * (no inter-event gap above `gapUs`), the event emits the trigram
+    * `a>b>c`. A gap RESETS the chain — exactly e27's "lead stays
+    * within session_idx" predicate, expressed incrementally. State is
+    * at most TWO small records per user — O(users), never O(events) —
+    * the sliding analogue of `transitions`' single record. Same
+    * ordering contract as transitions/sessionize: within a batch,
+    * (ts_us, event_id) sort; across batches, arrival order stands in
+    * for event time.
+    */
+  def pathTrigrams(events: org.apache.spark.sql.Dataset[TransEvent],
+      gapUs: Long = 30L * 60 * 1000 * 1000)
+      : org.apache.spark.sql.Dataset[PathTrigram] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    def fn(uid: Long, batch: Iterator[TransEvent],
+        state: GroupState[PathState]): Iterator[PathTrigram] = {
+      val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var (a, b) = state.getOption.map(s => (s.a, s.b)).getOrElse((None, None))
+      val out = Seq.newBuilder[PathTrigram]
+      sorted.foreach { e =>
+        if (b.exists(p => e.ts_us - p.ts_us > gapUs)) { a = None; b = None }
+        for (x <- a; y <- b)
+          out += PathTrigram(uid, s"${x.tpe}>${y.tpe}>${e.event_type}")
+        a = b
+        b = Some(TransState(e.ts_us, e.event_id, e.event_type))
+      }
+      state.update(PathState(a, b))
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   def transitions(events: org.apache.spark.sql.Dataset[TransEvent])
       : org.apache.spark.sql.Dataset[Transition] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
