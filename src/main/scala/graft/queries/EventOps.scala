@@ -1353,11 +1353,127 @@ object EventOps {
       ORDER BY n DESC, path
     """.trim))
 
+  /** Weekly churn flows — the audience-movement report on top of
+    * presence sets: per calendar week, how many active users are NEW
+    * (absent the prior week), RETAINED (present both), or CHURNED
+    * (present the prior week, gone now). Shape: the distinct
+    * (week, user) frame emits each membership twice — once at its own
+    * week, once advanced one week as a "previous" marker — so the
+    * classification is ONE groupBy(week, user) over the doubled frame
+    * (the e26 equi-ification idea): no self-join of the presence set,
+    * no window over users. Weeks beyond the observed range are cut by
+    * an inner join to the real week list (rollup-sized).
+    */
+  val e28ChurnFlows = Q(
+    "e28_churn_flows",
+    (s, dir) => {
+      import s.implicits._
+      val wu = Tables.load(s, dir, "events")
+        .transform(Tables.withTsUtc(_))
+        .select(to_date(date_trunc("week", $"ts_utc")).as("week"), $"user_id")
+        .distinct()
+      val weeks = wu.select($"week").distinct()
+      val doubled = wu.select($"week", $"user_id", lit(1).as("cur"), lit(0).as("prev"))
+        .unionAll(wu.select(date_add($"week", 7).as("week"), $"user_id",
+          lit(0).as("cur"), lit(1).as("prev")))
+      doubled
+        .join(weeks, "week")
+        .groupBy($"week", $"user_id")
+        .agg(max($"cur").as("c"), max($"prev").as("p"))
+        .groupBy($"week")
+        .agg(
+          count(when($"c" === 1, 1)).as("n_active"),
+          count(when($"c" === 1 && $"p" === 0, 1)).as("n_new"),
+          count(when($"c" === 1 && $"p" === 1, 1)).as("n_retained"),
+          count(when($"c" === 0 && $"p" === 1, 1)).as("n_churned"))
+        .orderBy($"week")
+    },
+    Some("""
+      WITH wu AS (
+        SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week, user_id
+        FROM events),
+      weeks AS (SELECT DISTINCT week FROM wu),
+      doubled AS (
+        SELECT week, user_id, 1 AS cur, 0 AS prev FROM wu
+        UNION ALL
+        SELECT week + 7, user_id, 0, 1 FROM wu),
+      cl AS (
+        SELECT d.week, d.user_id, max(cur) AS c, max(prev) AS p
+        FROM doubled d JOIN weeks USING (week)
+        GROUP BY d.week, d.user_id)
+      SELECT week,
+             count(*) FILTER (c = 1) AS n_active,
+             count(*) FILTER (c = 1 AND p = 0) AS n_new,
+             count(*) FILTER (c = 1 AND p = 1) AS n_retained,
+             count(*) FILTER (c = 0 AND p = 1) AS n_churned
+      FROM cl
+      GROUP BY week
+      ORDER BY week
+    """.trim))
+
+  /** Time-BOUNDED funnel — e12 with conversion windows, which is what
+    * product funnels actually are: first view, then the earliest click
+    * within 24 h OF THAT VIEW, then the earliest purchase within 24 h
+    * of that click. Three chained conditional window minimums, each
+    * conditioned on the previous stage's timestamp, all on the SAME
+    * partitionBy(user_id) spec, and the final per-user rollup groups on
+    * the window key — ONE exchange end to end (e12's shape plus the
+    * bound predicates). NULL semantics carry the funnel: a user with
+    * no view has v NULL, every later-stage predicate comparing against
+    * NULL is false, so later stages stay NULL without special-casing.
+    */
+  val e29BoundedFunnel = Q(
+    "e29_bounded_funnel",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id")
+      val dayUs = 24L * 3600 * 1000 * 1000
+      Tables.load(s, dir, "events")
+        .transform(Tables.withTsMicros(_))
+        .withColumn("v", min(when($"event_type" === "view", $"tus")).over(w))
+        .withColumn("c", min(when($"event_type" === "click" &&
+          $"tus" >= $"v" && $"tus" - $"v" <= dayUs, $"tus")).over(w))
+        .withColumn("p", min(when($"event_type" === "purchase" &&
+          $"tus" >= $"c" && $"tus" - $"c" <= dayUs, $"tus")).over(w))
+        .groupBy($"user_id")
+        .agg(min($"v").as("view_us"), min($"c").as("click_us"),
+          min($"p").as("purchase_us"))
+        .withColumn("stage",
+          when($"purchase_us".isNotNull, 3L)
+            .when($"click_us".isNotNull, 2L)
+            .when($"view_us".isNotNull, 1L).otherwise(0L))
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+      v1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN tus END)
+                         OVER (PARTITION BY user_id) AS v
+             FROM e),
+      v2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND tus >= v
+                                 AND tus - v <= 86400000000 THEN tus END)
+                         OVER (PARTITION BY user_id) AS c
+             FROM v1),
+      v3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND tus >= c
+                                 AND tus - c <= 86400000000 THEN tus END)
+                         OVER (PARTITION BY user_id) AS p
+             FROM v2)
+      SELECT user_id, min(v) AS view_us, min(c) AS click_us,
+             min(p) AS purchase_us,
+             CAST(CASE WHEN min(p) IS NOT NULL THEN 3
+                       WHEN min(c) IS NOT NULL THEN 2
+                       WHEN min(v) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+      FROM v3
+      GROUP BY user_id
+      ORDER BY user_id
+    """.trim))
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
     e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin,
     e09Unpivot, e10DynamicSession, e11BusRoundtrip, e12Funnel,
     e13HllMerge, e14ThetaSetops, e15KllQuantiles, e16TopkSketch,
     e17SlidingWindows, e18CohortRetention, e19RateAnomaly, e20EwmaRate,
     e21Seasonality, e22CmsFreq, e23MarkovTransitions, e24InterArrival,
-    e25LateProfile, e26Stickiness, e27SessionPaths)
+    e25LateProfile, e26Stickiness, e27SessionPaths, e28ChurnFlows,
+    e29BoundedFunnel)
 }

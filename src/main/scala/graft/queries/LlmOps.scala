@@ -3117,6 +3117,47 @@ object LlmOps {
       ORDER BY r.rep
     """.trim))
 
+  /** Token rank-frequency (Zipf) table — the vocabulary-shape report a
+    * corpus audit starts from: the 20 most frequent terms with exact
+    * counts and corpus share. Top-k rides orderBy+limit (distributed
+    * TakeOrderedAndProject: each partition forwards ≤ 20 rows), the
+    * rank window then runs on the 20-row result, and the global token
+    * total is one bounded scalar collect (the t12 corpus-count
+    * pattern) — no vocabulary-sized single-partition window, no
+    * scalar cross join. Share is exact longs in one IEEE division.
+    */
+  val t52ZipfTable = Q(
+    "t52_zipf_table",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val tf = Tables.load(s, dir, "documents")
+        .select(explode(TF.terms($"text")).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("cnt"))
+      val total = tf.agg(sum($"cnt")).head().getLong(0)
+      tf.orderBy($"cnt".desc, $"term").limit(20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy($"cnt".desc, $"term")))
+        .select($"rank".cast("long").as("rank"), $"term", $"cnt",
+          ($"cnt".cast("double") / lit(total.toDouble) * 10000.0)
+            .as("share_bp"))
+        .orderBy($"rank")
+    },
+    Some("""
+      WITH tf AS (
+        SELECT t AS term, count(*) AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+              FROM documents)
+        GROUP BY 1),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tf),
+      top AS (SELECT term, cnt FROM tf ORDER BY cnt DESC, term LIMIT 20)
+      SELECT row_number() OVER (ORDER BY cnt DESC, term) AS rank, term, cnt,
+             CAST(cnt AS DOUBLE) / CAST((SELECT total FROM tot) AS DOUBLE)
+               * 10000.0 AS share_bp
+      FROM top
+      ORDER BY rank
+    """.trim))
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
@@ -3131,7 +3172,7 @@ object LlmOps {
     t39Containment, t40ImageDhash, t41AudioFingerprint, t42VideoFingerprint,
     t43SemanticDedup, t44Winnowing, t45QualityClassifier, t46SourceOverlap,
     t47SourceDivergence, t48BloomDecontam, t49SnapshotDedup, t50Novelty,
-    t51DupKeeper,
+    t51DupKeeper, t52ZipfTable,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
     s06IvfPqTopK, s07FilteredAnn, s08KnnGraph)
 }

@@ -2218,6 +2218,41 @@ object Relational {
       FROM g
     """.trim))
 
+  /** Schema-drift-tolerant union: two snapshots whose schemas diverged
+    * (one gained a column, one kept an old one) unioned BY NAME with
+    * missing columns null-filled — `unionByName(allowMissingColumns)`,
+    * the read-side half of schema evolution (the write side is
+    * `Catalog.appendLog(evolveSchema = true)`). Positional UNION here
+    * is silent data corruption (columns shift); by-name is the only
+    * correct way to fold heterogeneous file vintages. Narrow: two
+    * scans, a null-fill projection each, zero shuffles before the
+    * ordering.
+    */
+  val q58UnionEvolve = Q(
+    "q58_union_evolve",
+    (s, dir) => {
+      import s.implicits._
+      val v1 = t(s, dir, "orders").filter($"o_orderkey" % 7 === 0)
+        .select($"o_orderkey", $"o_orderstatus",
+          $"o_totalprice".cast("decimal(12,2)").cast("double").as("total"))
+      val v2 = t(s, dir, "orders").filter($"o_orderkey" % 7 === 1)
+        .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
+      v1.withColumn("vintage", lit(1))
+        .unionByName(v2.withColumn("vintage", lit(2)),
+          allowMissingColumns = true)
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total,
+             1 AS vintage, NULL AS o_orderpriority
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, NULL, 2, o_orderpriority
+      FROM orders WHERE o_orderkey % 7 = 1
+      ORDER BY o_orderkey
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -2232,5 +2267,6 @@ object Relational {
     q42FullOuter, q43GapFill, q44AggBreadth, q45MultiColIn,
     q46DisjunctiveExists, q47BloomFilterJoin, q48StatAggs, q49IvmMerge,
     q50Interpolate, q51AggPushdown, q52DynamicPruning, q53TryIngest,
-    q54WindowedDistinct, q55ZOrderKey, q56Listagg, q57SkewProfile)
+    q54WindowedDistinct, q55ZOrderKey, q56Listagg, q57SkewProfile,
+    q58UnionEvolve)
 }
