@@ -1468,6 +1468,46 @@ object EventOps {
       ORDER BY user_id
     """.trim))
 
+  /** Last-touch attribution: every purchase attributes to the most
+    * recent view in the trailing 7 days — the marketing-attribution
+    * primitive. A conditional max over an event-time RANGE frame
+    * (integer microseconds, so the frame bound is exact on both
+    * engines): ONE partitionBy(user_id) exchange, no self-join of
+    * purchases against views — the naive formulation is a range join
+    * that Catalyst would plan as a per-pair nested loop.
+    */
+  val e30Attribution = Q(
+    "e30_attribution",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val weekUs = 7L * 24 * 3600 * 1000 * 1000
+      val w = Window.partitionBy($"user_id").orderBy($"tus")
+        .rangeBetween(-weekUs, 0)
+      Tables.load(s, dir, "events")
+        .transform(Tables.withTsMicros(_))
+        .withColumn("att_view_us",
+          max(when($"event_type" === "view", $"tus")).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"tus".as("purchase_us"),
+          $"att_view_us", $"att_view_us".isNotNull.as("attributed"))
+        .orderBy($"user_id", $"purchase_us", $"event_id")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+                 FROM events),
+      a AS (SELECT *, max(CASE WHEN event_type = 'view' THEN tus END)
+                        OVER (PARTITION BY user_id ORDER BY tus
+                              RANGE BETWEEN 604800000000 PRECEDING
+                                        AND CURRENT ROW) AS att_view_us
+            FROM e)
+      SELECT user_id, event_id, tus AS purchase_us, att_view_us,
+             att_view_us IS NOT NULL AS attributed
+      FROM a
+      WHERE event_type = 'purchase'
+      ORDER BY user_id, purchase_us, event_id
+    """.trim))
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
     e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin,
     e09Unpivot, e10DynamicSession, e11BusRoundtrip, e12Funnel,
@@ -1475,5 +1515,5 @@ object EventOps {
     e17SlidingWindows, e18CohortRetention, e19RateAnomaly, e20EwmaRate,
     e21Seasonality, e22CmsFreq, e23MarkovTransitions, e24InterArrival,
     e25LateProfile, e26Stickiness, e27SessionPaths, e28ChurnFlows,
-    e29BoundedFunnel)
+    e29BoundedFunnel, e30Attribution)
 }

@@ -3158,6 +3158,78 @@ object LlmOps {
       ORDER BY rank
     """.trim))
 
+  /** Per-source corpus health report — the one-page dashboard a corpus
+    * owner reads before mixing sources: document and token volume, the
+    * t45 quality-gate pass rate, and the exact-duplicate rate (t01's
+    * normalized fingerprint, counted CORPUS-wide so cross-source
+    * mirrors show up in both sources). Shapes: one fingerprint-key
+    * shuffle for duplicate attribution (count per fingerprint, joined
+    * back — the t50 reused-exchange pattern), then a rollup at SOURCE
+    * cardinality; rates are exact longs in identical IEEE divisions.
+    */
+  val t53SourceHealth = Q(
+    "t53_source_health",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val toks = TF.tokenCount($"text")
+      val sr = TF.stopwordCount($"text").cast("double") / toks
+      val atl = length(regexp_replace($"text", "\\s", "")).cast("double") / toks
+      val pr = TF.punctCount($"text").cast("double") / length($"text")
+      val z = lit(-1.5) + lit(2.5) * sr + lit(0.25) * (atl - lit(4.0)) -
+        lit(8.0) * pr +
+        lit(0.5) * least(toks.cast("long"), lit(512L)).cast("double") / lit(512.0)
+      val base = docs.select($"doc_id", $"source",
+        toks.cast("long").as("toks"), (z >= 0.0).as("keep"),
+        TF.fingerprint($"text").as("fp"))
+      val fpCounts = base.groupBy($"fp").agg(count(lit(1)).as("n_occ"))
+      base.join(fpCounts, "fp")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"toks").as("total_toks"),
+          count(when($"keep", 1)).as("n_keep"),
+          count(when($"n_occ" > 1, 1)).as("n_dup"))
+        .select($"source", $"n_docs", $"total_toks", $"n_keep", $"n_dup",
+          ($"n_keep".cast("double") / $"n_docs".cast("double")).as("keep_rate"),
+          ($"n_dup".cast("double") / $"n_docs".cast("double")).as("dup_rate"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH feat AS (
+        SELECT doc_id, source,
+          len(regexp_split_to_array(trim(text), '\s+')) AS toks,
+          CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               t -> t IN ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE)
+            / len(regexp_split_to_array(trim(text), '\s+')) AS sr,
+          CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+            / len(regexp_split_to_array(trim(text), '\s+')) AS atl,
+          CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS DOUBLE)
+            / length(text) AS pr,
+          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents),
+      scored AS (
+        SELECT doc_id, source, toks, fp,
+          (CAST(-1.5 AS DOUBLE) + CAST(2.5 AS DOUBLE) * sr
+            + CAST(0.25 AS DOUBLE) * (atl - CAST(4.0 AS DOUBLE))
+            - CAST(8.0 AS DOUBLE) * pr
+            + CAST(0.5 AS DOUBLE)
+              * CAST(least(CAST(toks AS BIGINT), 512) AS DOUBLE)
+              / CAST(512.0 AS DOUBLE)) >= 0.0 AS keep
+        FROM feat),
+      fc AS (SELECT fp, count(*) AS n_occ FROM scored GROUP BY fp)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS total_toks,
+             count(*) FILTER (keep) AS n_keep,
+             count(*) FILTER (n_occ > 1) AS n_dup,
+             CAST(count(*) FILTER (keep) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS keep_rate,
+             CAST(count(*) FILTER (n_occ > 1) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS dup_rate
+      FROM scored JOIN fc USING (fp)
+      GROUP BY source
+      ORDER BY source
+    """.trim))
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
@@ -3172,7 +3244,7 @@ object LlmOps {
     t39Containment, t40ImageDhash, t41AudioFingerprint, t42VideoFingerprint,
     t43SemanticDedup, t44Winnowing, t45QualityClassifier, t46SourceOverlap,
     t47SourceDivergence, t48BloomDecontam, t49SnapshotDedup, t50Novelty,
-    t51DupKeeper, t52ZipfTable,
+    t51DupKeeper, t52ZipfTable, t53SourceHealth,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
     s06IvfPqTopK, s07FilteredAnn, s08KnnGraph)
 }

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The LSH parameter policy (VectorFunctions.lshParamsFor) and the
+  * auto-parameterized near-dup entry point built on it: planes cap
+  * bucket population (log₂ growth), tables hold candidate recall as
+  * planes rise. All hashing is md5-deterministic, so whatever recall a
+  * configuration achieves on a fixture is a constant, not a flake.
+  */
+class LshAutoSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("planes grow log2 with corpus size; tables grow to hold recall") {
+    // bucket cap: expected population n / 2^planes stays <= target
+    for (n <- Seq(1000L, 10000L, 100000L, 1000000L)) {
+      val (_, planes) = VectorFunctions.lshParamsFor(n, 0.9, targetBucket = 150)
+      assert(n.toDouble / math.pow(2.0, planes.toDouble) <= 150.0 + 1e-9,
+        s"n=$n planes=$planes")
+    }
+    // monotone: more vectors never means fewer planes or fewer tables
+    val params = Seq(1000L, 10000L, 100000L, 1000000L)
+      .map(VectorFunctions.lshParamsFor(_, 0.9, 150))
+    assert(params.map(_._2) == params.map(_._2).sorted)
+    assert(params.map(_._1) == params.map(_._1).sorted)
+    // a lower threshold (harder LSH regime) needs at least as many tables
+    val (tHigh, _) = VectorFunctions.lshParamsFor(100000L, 0.9, 150)
+    val (tLow, _) = VectorFunctions.lshParamsFor(100000L, 0.45, 150)
+    assert(tLow >= tHigh)
+  }
+
+  test("auto pairs are threshold-true, deterministic, and recall brute force on the fixture") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val auto = VectorFunctions.cosineNearDupPairsAuto(
+      emb, "vec_id", "embedding", threshold = 0.45)
+      .select($"id_a", $"id_b", $"cos").as[(Long, Long, Double)].collect().toSet
+    // every emitted pair really clears the threshold
+    assert(auto.forall(_._3 >= 0.45))
+    // deterministic: same plan, same pairs
+    val again = VectorFunctions.cosineNearDupPairsAuto(
+      emb, "vec_id", "embedding", threshold = 0.45)
+      .select($"id_a", $"id_b", $"cos").as[(Long, Long, Double)].collect().toSet
+    assert(auto == again)
+    // brute-force truth on the small fixture; md5-deterministic hashing
+    // makes the achieved recall a constant — pin it at the policy's
+    // 1 - missProb floor
+    val v = emb.select($"vec_id".as("id_a"), $"embedding".as("__va"))
+    val w = emb.select($"vec_id".as("id_b"), $"embedding".as("__vb"))
+    val truth = v.crossJoin(w).filter($"id_a" < $"id_b")
+      .withColumn("cos", VectorFunctions.cosine($"__va", $"__vb"))
+      .filter($"cos" >= 0.45)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val found = auto.map(p => (p._1, p._2))
+    assert(truth.nonEmpty)
+    val recall = found.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.95, s"recall $recall over ${truth.size} true pairs")
+  }
+}

@@ -93,7 +93,33 @@ object MakeProbe {
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
-    rep("embeddings", Seq("vec_id"))
+    // embeddings: id shifts alone leave the VECTORS identical across
+    // replicas — every vector gains n-1 exact twins, so cosine
+    // near-dup pairs (t10), LSH/IVF bucket populations and kNN cells
+    // (s02/s08/t43) grow QUADRATICALLY in n, the same probe artifact
+    // the documents cipher fixes for text (first observed as t10 going
+    // ~90x at the 10x probe). Each replica i>0 instead gets a SIGNED
+    // COORDINATE PERMUTATION (odd stride + per-coordinate sign flips):
+    // an exact isometry of cosine, so every replica's intra-replica
+    // similarity structure is bit-identical in magnitude to the
+    // original, while cross-replica cosines decorrelate to generic
+    // near-orthogonality — dup/bucket structure scales linearly.
+    locally {
+      val df = spark.read.parquet(s"$src/embeddings.parquet")
+      val d = 64
+      (0 until n).map { i =>
+        val shifted = df.withColumn("vec_id", col("vec_id") + lit(shift * i))
+        if (i == 0) shifted
+        else {
+          val p = 2 * i + 3 // odd => coprime with 64
+          shifted.withColumn("embedding", expr(
+            s"transform(sequence(0, ${d - 1}), j -> CAST(" +
+              s"element_at(embedding, CAST((j * $p + $i) % $d AS INT) + 1) * " +
+              s"(CASE WHEN (j * 7 + $i) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS FLOAT))"))
+        }
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
     rep("events", Seq("event_id", "user_id"))
     Seq("nation", "region").foreach { name =>
       spark.read.parquet(s"$src/$name.parquet")

@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.functions.VectorFunctions
+
+/** Scale probe for the embedding near-dup paths: times the FIXED
+  * (4 tables × 4 planes — t10's declared configuration) against the
+  * AUTO policy (lshParamsFor) on an sf/probe dir, printing pair counts
+  * so recall loss is visible next to the speedup. Usage:
+  *   sbt "Test/runMain graft.tools.VecProbe /tmp/probe10x [threshold]"
+  */
+object VecProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/tmp/probe10x")
+    val threshold = args.lift(1).map(_.toDouble).getOrElse(0.45)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
+    val (tables, planes) = VectorFunctions.lshParamsFor(n, threshold)
+    println(s"[vecprobe] n=$n threshold=$threshold -> auto tables=$tables planes=$planes")
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val c = f
+      println(f"[vecprobe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s, $c pairs")
+      spark.catalog.clearCache()
+    }
+    time("auto") {
+      VectorFunctions.cosineNearDupPairsAuto(emb, "vec_id", "embedding", threshold).count()
+    }
+    time("fixed 4x4") {
+      VectorFunctions.cosineNearDupPairs(emb, "vec_id", "embedding", threshold).count()
+    }
+    spark.stop()
+  }
+}
