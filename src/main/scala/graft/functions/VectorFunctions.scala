@@ -302,6 +302,18 @@ object VectorFunctions {
     (tables, planes)
   }
 
+  /** IVF sizing policy — the lshParamsFor twin for the centroid
+    * family (ivfTopK / VectorIndex / s08-style kNN cells / t43
+    * SemDeDup cells): numCentroids grows with n so expected CELL
+    * population stays ≤ cellTarget. Any fixed centroid count makes
+    * per-cell pair/scan work quadratic in corpus size — the caveat
+    * the s08/t43 rows document; this helper is the contract in code.
+    * (k-means training cost is ~ sampleSize·k per iter: the trainers
+    * sample a bounded set, so growing k stays cheap.)
+    */
+  def ivfParamsFor(n: Long, cellTarget: Int = 256): Int =
+    math.max(4, math.ceil(n.toDouble / cellTarget).toInt)
+
   /** cosineNearDupPairs with the lshParamsFor policy applied from one
     * cheap corpus count — the production entry point; the fixed-param
     * form remains for oracle-pinned declared outputs.

@@ -31,6 +31,15 @@ class LshAutoSpec extends SparkTestBase {
     assert(tLow >= tHigh)
   }
 
+  test("ivfParamsFor caps expected cell population") {
+    for (n <- Seq(1000L, 20000L, 1000000L, 100000000L)) {
+      val k = VectorFunctions.ivfParamsFor(n, cellTarget = 256)
+      assert(n.toDouble / k <= 256.0 + 1e-9, s"n=$n k=$k")
+    }
+    val ks = Seq(1000L, 20000L, 1000000L).map(VectorFunctions.ivfParamsFor(_))
+    assert(ks == ks.sorted)
+  }
+
   test("auto pairs are threshold-true, deterministic, and recall brute force on the fixture") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val auto = VectorFunctions.cosineNearDupPairsAuto(

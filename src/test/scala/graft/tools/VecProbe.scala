@@ -38,6 +38,30 @@ object VecProbe {
     time("fixed 4x4") {
       VectorFunctions.cosineNearDupPairs(emb, "vec_id", "embedding", threshold).count()
     }
+    // s08-shaped kNN graph: fixed k=16 cells vs the ivfParamsFor policy
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    def knnGraph(k: Int): Long = {
+      val cents = VectorFunctions.ivfTrainCentroids(emb, "vec_id", "embedding",
+        k = k, sampleSize = math.max(256, 4 * k))
+      val assigned = VectorFunctions.ivfAssign(emb, "vec_id", "embedding", cents)
+        .persist()
+      val a = assigned.select(col("__cid").as("cid"), col("__aid").as("query_id"),
+        col("__avec").as("qv"))
+      val b = assigned.select(col("__cid").as("cid"), col("__aid").as("neighbor_id"),
+        col("__avec").as("nv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val c = a.join(b, "cid").filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", VectorFunctions.cosine(col("qv"), col("nv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3).count()
+      assigned.unpersist()
+      c
+    }
+    val autoK = VectorFunctions.ivfParamsFor(n)
+    time(s"knn fixed k=16")(knnGraph(16))
+    time(s"knn auto k=$autoK")(knnGraph(autoK))
     spark.stop()
   }
 }
