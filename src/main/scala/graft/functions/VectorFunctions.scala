@@ -108,6 +108,57 @@ object VectorFunctions {
       .select(col("__aid"), col("__avec"), col("__cid"))
   }
 
+  /** Two-level IVF assignment — the coarse-quantizer fix for flat
+    * ivfAssign's O(n·k) arithmetic (and its (n·k)-row window shuffle),
+    * which turns quadratic once k follows ivfParamsFor (k ~
+    * n/cellTarget). The k centroids are themselves clustered into ⌈√k⌉
+    * supers with the SAME deterministic k-means (centroids are
+    * control data — all driver-side); each corpus vector then runs the
+    * fused expressions.TwoLevelAssign kernel: score √k supers, keep
+    * the top `coarseProbe`, score only their children — ~(1+p)·√k
+    * cosines per vector, ONE map-side projection, zero shuffles, no
+    * exploded (vector × centroid) frame.
+    *
+    * Assignment is approximate (the nearest child can hide under an
+    * unprobed super). `coarseProbe ≥ #supers` degenerates to EXACTLY
+    * the flat assignment — TwoLevelAssignSpec pins that equivalence
+    * and the partial-probe agreement rate. Output matches ivfAssign's
+    * single-assignment shape: (__aid, __avec, __cid).
+    */
+  def ivfAssignTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, coarseProbe: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = centroids.select(col("__cid").cast("long"), col("__cvec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(cents.nonEmpty, "empty centroid set")
+    val nSuper = math.max(1, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+    val supers = trainKMeansDeterministic(cents.map(_._2), nSuper, iters = 2)
+    val grouped = Array.fill(supers.length)(
+      Vector.newBuilder[(Long, Array[Float])])
+    cents.foreach { case (cid, v) =>
+      var best = 0
+      var bc = Double.NegativeInfinity
+      var si = 0
+      while (si < supers.length) {
+        val c = cosScalar(v, supers(si))
+        if (c > bc) { bc = c; best = si }
+        si += 1
+      }
+      grouped(best) += ((cid, v))
+    }
+    val groups = grouped.map(_.result())
+    val childCids = groups.map(_.map(_._1).toArray)
+    val childVecs = groups.map(_.map(_._2).toArray)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val assignCol = ColumnBridge.column(
+      graft.functions.expressions.TwoLevelAssign(
+        ColumnBridge.expression(col(vecCol)), supers, childCids, childVecs,
+        coarseProbe))
+    df.select(col(idCol).as("__aid"), col(vecCol).as("__avec"),
+      assignCol.as("__cid"))
+  }
+
   /** Fixed-point scale (2²⁰) for exact cross-engine cluster means: a
     * coordinate is floored to floor(x·2²⁰ + 0.5) and summed as a long —
     * the sum is order-independent, so the mean is bit-identical in any
