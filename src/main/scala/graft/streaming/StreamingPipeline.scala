@@ -372,6 +372,54 @@ object StreamingAnalytics {
     * how an at-ingest pipeline would count it; the batch twin (e23)
     * is the event-time-exact reconciliation.
     */
+  final case class FunnelState(v: Option[Long], c: Option[Long], p: Option[Long])
+  final case class FunnelRow(user_id: Long, stage: Long, view_us: Option[Long],
+      click_us: Option[Long], purchase_us: Option[Long])
+
+  /** Streaming bounded funnel, the stateful face of EventOps.e29: per
+    * user, the first view, the earliest click within `windowUs` of
+    * that view, the earliest purchase within `windowUs` of that click.
+    * State is THREE optional longs per user. Under the faces' standard
+    * ordering contract (event-time-ordered arrival), the incremental
+    * update is EXACT: the first qualifying event encountered is the
+    * minimum the batch twin computes, so stream-final equals e29
+    * row-for-row (FunnelSpec pins it, incl. across batch splits — a
+    * stage can open in one batch and convert in a later one). Emits
+    * one row per user per batch in which the user appeared (latest
+    * row per user = current funnel position; stage is monotone).
+    */
+  def funnelStages(events: org.apache.spark.sql.Dataset[TransEvent],
+      windowUs: Long = 24L * 3600 * 1000 * 1000)
+      : org.apache.spark.sql.Dataset[FunnelRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    def fn(uid: Long, batch: Iterator[TransEvent],
+        state: GroupState[FunnelState]): Iterator[FunnelRow] = {
+      val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var st = state.getOption.getOrElse(FunnelState(None, None, None))
+      sorted.foreach { e =>
+        e.event_type match {
+          case "view" if st.v.isEmpty =>
+            st = st.copy(v = Some(e.ts_us))
+          case "click" if st.c.isEmpty && st.v.exists(v =>
+              e.ts_us >= v && e.ts_us - v <= windowUs) =>
+            st = st.copy(c = Some(e.ts_us))
+          case "purchase" if st.p.isEmpty && st.c.exists(c =>
+              e.ts_us >= c && e.ts_us - c <= windowUs) =>
+            st = st.copy(p = Some(e.ts_us))
+          case _ =>
+        }
+      }
+      state.update(st)
+      val stage: Long =
+        if (st.p.isDefined) 3L else if (st.c.isDefined) 2L
+        else if (st.v.isDefined) 1L else 0L
+      Iterator.single(FunnelRow(uid, stage, st.v, st.c, st.p))
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   final case class PathState(a: Option[TransState], b: Option[TransState])
   final case class PathTrigram(user_id: Long, path: String)
 
