@@ -32,6 +32,23 @@ class TwoLevelAssignSpec extends SparkTestBase {
     assert(twoLevelMap(k, probe = 16) == flatMap(k))
   }
 
+  test("agreement with flat is monotone in coarseProbe, reaching equality") {
+    // set(p1) ⊆ set(p2) for p1 < p2, and the flat argmax — the global
+    // max — stays the argmax of any candidate superset containing it,
+    // so per-vector agreement can only grow with the probe. Any bug in
+    // the top-p insertion (ordering, shifting, tie handling) breaks
+    // either the monotone chain or the final equality.
+    val k = 16
+    val flat = flatMap(k)
+    val rates = (1 to 4).map { p =>
+      val two = twoLevelMap(k, probe = p)
+      assert(two.values.toSet.subsetOf(flat.values.toSet ++ two.values))
+      two.count { case (id, cid) => flat(id) == cid }.toDouble / flat.size
+    }
+    assert(rates == rates.sorted, s"agreement not monotone: $rates")
+    assert(rates.last == 1.0, s"full probe disagrees: ${rates.last}")
+  }
+
   test("default partial probe agrees on almost all vectors and is deterministic") {
     val k = 16
     val flat = flatMap(k)
