@@ -23,15 +23,25 @@ object VectorIndex {
     * prunes twice: partition dirs by probed list, then row groups by
     * metadata min/max — the "filtered vector search" layout.
     */
+  /** `coarseProbe`: when set, corpus assignment runs through the
+    * fused two-level kernel (VectorFunctions.ivfAssignTwoLevel) —
+    * the right build path once numCentroids follows ivfParamsFor
+    * (flat assignment is O(n·k) arithmetic plus an (n·k)-row window
+    * shuffle; the kernel is ~(1+p)·√k cosines, map-only, 19× on the
+    * assignment stage at 200k×782). Assignment then is approximate
+    * (coarseProbe ≥ ⌈√k⌉ reproduces flat exactly); queries at serve
+    * time still assign flat — their side is tiny.
+    */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       indexDir: String, numCentroids: Int = 16, sampleSize: Int = 256,
-      iters: Int = 2, metaCols: Seq[String] = Nil): Unit = {
+      iters: Int = 2, metaCols: Seq[String] = Nil,
+      coarseProbe: Option[Int] = None): Unit = {
     val cents = VectorFunctions.ivfTrainCentroids(
       corpus, idCol, vecCol, numCentroids, sampleSize, iters)
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     val meta = corpus.select(
       (col(idCol).as("neighbor_id") +: metaCols.map(col)): _*)
-    val assigned = VectorFunctions.ivfAssign(corpus, idCol, vecCol, cents)
+    val assigned = assignWith(corpus, idCol, vecCol, cents, coarseProbe)
       .select(col("__cid"), col("__aid").as("neighbor_id"), col("__avec").as("__cv"))
     val lists =
       if (metaCols.isEmpty) assigned
@@ -51,10 +61,10 @@ object VectorIndex {
     * maintenance windows allow, as with Catalog.compact.
     */
   def append(corpus: DataFrame, idCol: String, vecCol: String,
-      indexDir: String): Unit = {
+      indexDir: String, coarseProbe: Option[Int] = None): Unit = {
     val spark = corpus.sparkSession
     val cents = spark.read.parquet(s"$indexDir/centroids")
-    VectorFunctions.ivfAssign(corpus, idCol, vecCol, broadcast(cents))
+    assignWith(corpus, idCol, vecCol, broadcast(cents), coarseProbe)
       .select(col("__cid"), col("__aid").as("neighbor_id"), col("__avec").as("__cv"))
       .write.mode("append").partitionBy("__cid")
       .parquet(s"$indexDir/lists")
@@ -110,4 +120,12 @@ object VectorIndex {
     */
   private def broadcastableCentroids(cents: DataFrame): DataFrame =
     broadcast(cents)
+
+  private def assignWith(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, coarseProbe: Option[Int]): DataFrame =
+    coarseProbe match {
+      case Some(p) =>
+        VectorFunctions.ivfAssignTwoLevel(corpus, idCol, vecCol, cents, p)
+      case None => VectorFunctions.ivfAssign(corpus, idCol, vecCol, cents)
+    }
 }

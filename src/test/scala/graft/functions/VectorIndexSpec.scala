@@ -42,6 +42,22 @@ class VectorIndexSpec extends SparkTestBase {
     assert(serve(incDir) == serve(fullDir) && serve(incDir).nonEmpty)
   }
 
+  test("two-level build with full coarse probe serves identically to flat build") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val flatDir = tmpDir("ivfflat")
+    val twoDir = tmpDir("ivftwo")
+    VectorIndex.build(emb, "vec_id", "embedding", flatDir)
+    // k=16 -> 4 supers; probing all 4 makes the kernel EXACTLY flat,
+    // so the on-disk lists and every serve must match
+    VectorIndex.build(emb, "vec_id", "embedding", twoDir, coarseProbe = Some(4))
+    val queries = emb.filter($"vec_id" < 8)
+    def serve(d: String) =
+      VectorIndex.topK(spark, d, queries, "vec_id", "embedding", 3)
+        .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Long)]
+        .collect().toSet
+    assert(serve(twoDir) == serve(flatDir) && serve(twoDir).nonEmpty)
+  }
+
   test("filtered serve == filter-then-search; predicate pushed to the list scan") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = tmpDir("ivffilt")
