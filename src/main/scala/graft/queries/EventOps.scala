@@ -1508,6 +1508,81 @@ object EventOps {
       ORDER BY user_id, purchase_us, event_id
     """.trim))
 
+  /** Session co-occurrence lift — market-basket association over
+    * sessions: for each event-type pair, lift =
+    * P(a,b together in a session) / (P(a)·P(b)), the signal that
+    * separates "views and clicks travel together" from base-rate
+    * coincidence. Shape: e02's sessionization (ONE user_id exchange —
+    * the per-session distinct-type rollup groups on (user, session),
+    * whose user_id prefix the window's partitioning already
+    * satisfies), then the t46 in-row pair expansion over each
+    * session's sorted distinct types (≤ |types|², never a session
+    * self-join), then rollups at types/types² cardinality. The
+    * session total is one bounded scalar collect. All probabilities
+    * are exact longs in identical IEEE trees.
+    */
+  val e31SessionLift = Q(
+    "e31_session_lift",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+      val gapUs = 30L * 60 * 1000 * 1000
+      val sessions = Tables.load(s, dir, "events")
+        .transform(Tables.withTsMicros(_))
+        .withColumn("prev_ts", lag($"tus", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_ts".isNull || $"tus" - $"prev_ts" > gapUs, 1).otherwise(0))
+        .withColumn("session_idx",
+          sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"session_idx")
+        .agg(sort_array(collect_set($"event_type")).as("types"))
+        .persist() // feeds the scalar total + both rollups
+      val total = sessions.count()
+      val typeCounts = sessions.select(explode($"types").as("t"))
+        .groupBy($"t").agg(count(lit(1)).as("nt"))
+      val pairs = sessions.select(explode(expr(
+          "flatten(transform(types, (x, i) -> " +
+            "transform(slice(types, i + 2, size(types)), y -> struct(x AS a, y AS b))))"))
+          .as("p"))
+        .select($"p.a".as("a"), $"p.b".as("b"))
+        .groupBy($"a", $"b").agg(count(lit(1)).as("nab"))
+      pairs
+        .join(broadcast(typeCounts.select($"t".as("a"), $"nt".as("na"))), "a")
+        .join(broadcast(typeCounts.select($"t".as("b"), $"nt".as("nb"))), "b")
+        .select($"a", $"b", $"nab", $"na", $"nb",
+          (($"nab".cast("double") * lit(total.toDouble)) /
+            ($"na".cast("double") * $"nb".cast("double"))).as("lift"))
+        .orderBy($"a", $"b")
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+        FROM events),
+      f AS (SELECT user_id, event_id, event_type, tus,
+              CASE WHEN prev_ts IS NULL OR tus - prev_ts > 1800000000 THEN 1 ELSE 0 END AS new_session
+            FROM g),
+      sess AS (SELECT user_id, event_type, tus,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+               FROM f),
+      st AS (SELECT DISTINCT user_id, session_idx, event_type FROM sess),
+      tot AS (SELECT count(*) AS s FROM (SELECT DISTINCT user_id, session_idx FROM st)),
+      tc AS (SELECT event_type AS t, count(*) AS nt FROM st GROUP BY 1),
+      pc AS (SELECT x.event_type AS a, y.event_type AS b, count(*) AS nab
+             FROM st x JOIN st y
+               ON x.user_id = y.user_id AND x.session_idx = y.session_idx
+                  AND x.event_type < y.event_type
+             GROUP BY 1, 2)
+      SELECT pc.a, pc.b, pc.nab, ta.nt AS na, tb.nt AS nb,
+             (CAST(pc.nab AS DOUBLE) * CAST((SELECT s FROM tot) AS DOUBLE))
+               / (CAST(ta.nt AS DOUBLE) * CAST(tb.nt AS DOUBLE)) AS lift
+      FROM pc JOIN tc ta ON pc.a = ta.t
+              JOIN tc tb ON pc.b = tb.t
+      ORDER BY pc.a, pc.b
+    """.trim))
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
     e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin,
     e09Unpivot, e10DynamicSession, e11BusRoundtrip, e12Funnel,
@@ -1515,5 +1590,5 @@ object EventOps {
     e17SlidingWindows, e18CohortRetention, e19RateAnomaly, e20EwmaRate,
     e21Seasonality, e22CmsFreq, e23MarkovTransitions, e24InterArrival,
     e25LateProfile, e26Stickiness, e27SessionPaths, e28ChurnFlows,
-    e29BoundedFunnel, e30Attribution)
+    e29BoundedFunnel, e30Attribution, e31SessionLift)
 }
