@@ -2253,6 +2253,55 @@ object Relational {
       ORDER BY o_orderkey
     """.trim))
 
+  /** Hierarchical share-of-parent — the drill-down report shape:
+    * monthly revenue with each month's share of its year and each
+    * year's share of the grand total. One fact-table aggregate to the
+    * (year, month) rollup; every share window then runs on that
+    * ~dozens-of-rows frame (the single-partition window is bounded by
+    * the rollup cardinality, the q57 counts-of-counts argument).
+    * Revenue is decimal-exact cents; shares are identical IEEE
+    * divisions of exact longs on both engines.
+    */
+  val q59ShareOfParent = Q(
+    "q59_share_of_parent",
+    (s, dir) => {
+      import s.implicits._
+      val wYear = Window.partitionBy($"y")
+      val wAll = Window.partitionBy()
+      t(s, dir, "orders")
+        .groupBy(year($"o_orderdate").cast("long").as("y"),
+          month($"o_orderdate").cast("long").as("m"))
+        .agg(sum(($"o_totalprice".cast("decimal(12,2)") * 100).cast("long"))
+          .as("cents"))
+        .withColumn("year_cents", sum($"cents").over(wYear))
+        .withColumn("total_cents", sum($"cents").over(wAll))
+        .select($"y", $"m",
+          ($"cents".cast("double") / 100.0).as("revenue"),
+          ($"cents".cast("double") / $"year_cents".cast("double"))
+            .as("share_of_year"),
+          ($"year_cents".cast("double") / $"total_cents".cast("double"))
+            .as("year_share_of_total"))
+        .orderBy($"y", $"m")
+    },
+    Some("""
+      WITH ym AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+               CAST(month(o_orderdate) AS BIGINT) AS m,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM orders
+        GROUP BY 1, 2),
+      w AS (SELECT y, m, cents,
+              sum(cents) OVER (PARTITION BY y) AS year_cents,
+              sum(cents) OVER () AS total_cents
+            FROM ym)
+      SELECT y, m,
+             CAST(cents AS DOUBLE) / 100.0 AS revenue,
+             CAST(cents AS DOUBLE) / CAST(year_cents AS DOUBLE) AS share_of_year,
+             CAST(year_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) AS year_share_of_total
+      FROM w
+      ORDER BY y, m
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -2268,5 +2317,5 @@ object Relational {
     q46DisjunctiveExists, q47BloomFilterJoin, q48StatAggs, q49IvmMerge,
     q50Interpolate, q51AggPushdown, q52DynamicPruning, q53TryIngest,
     q54WindowedDistinct, q55ZOrderKey, q56Listagg, q57SkewProfile,
-    q58UnionEvolve)
+    q58UnionEvolve, q59ShareOfParent)
 }
