@@ -2302,6 +2302,43 @@ object Relational {
       ORDER BY y, m
     """.trim))
 
+  /** Ranking-function breadth — the four window ranks q08/q38 don't
+    * cover: ntile (quartile bucketing), percent_rank, cume_dist, and
+    * nth_value over an explicit full-partition frame (its default
+    * running frame returns NULL until row n — a classic trap). The
+    * ORDER BY key is (acctbal, custkey) — unique, so the tie-sensitive
+    * rank functions are deterministic and engine-identical.
+    */
+  val q60RankBreadth = Q(
+    "q60_rank_breadth",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_nationkey")
+        .orderBy($"c_acctbal", $"c_custkey")
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "customer")
+        .filter($"c_custkey" % 5 === 0)
+        .select($"c_nationkey", $"c_custkey", $"c_acctbal",
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          nth_value($"c_custkey", 3).over(wFull).as("third_key"))
+        .orderBy($"c_nationkey", $"c_custkey")
+    },
+    Some("""
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd,
+             nth_value(c_custkey, 3) OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_key
+      FROM customer
+      WHERE c_custkey % 5 = 0
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_nationkey, c_custkey
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -2317,5 +2354,5 @@ object Relational {
     q46DisjunctiveExists, q47BloomFilterJoin, q48StatAggs, q49IvmMerge,
     q50Interpolate, q51AggPushdown, q52DynamicPruning, q53TryIngest,
     q54WindowedDistinct, q55ZOrderKey, q56Listagg, q57SkewProfile,
-    q58UnionEvolve, q59ShareOfParent)
+    q58UnionEvolve, q59ShareOfParent, q60RankBreadth)
 }
