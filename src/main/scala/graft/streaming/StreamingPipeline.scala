@@ -420,6 +420,47 @@ object StreamingAnalytics {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class AttribState(v: Option[Long])
+  final case class AttribRow(user_id: Long, event_id: Long,
+      purchase_us: Long, att_view_us: Option[Long], attributed: Boolean)
+
+  /** Streaming last-touch attribution, the stateful face of
+    * EventOps.e30: each purchase attributes to the most recent view
+    * within `windowUs`. State is ONE optional long per user (last view
+    * time). Under ordered arrival the last view seen IS the RANGE
+    * frame's conditional max, so rows equal e30 exactly — with one
+    * subtlety the sort key handles: the batch RANGE frame includes
+    * same-timestamp PEERS, so within one timestamp views must apply
+    * before purchases regardless of event_id order (sort by (ts,
+    * is-purchase, event_id), not (ts, event_id)).
+    */
+  def lastTouchAttribution(events: org.apache.spark.sql.Dataset[TransEvent],
+      windowUs: Long = 7L * 24 * 3600 * 1000 * 1000)
+      : org.apache.spark.sql.Dataset[AttribRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    def fn(uid: Long, batch: Iterator[TransEvent],
+        state: GroupState[AttribState]): Iterator[AttribRow] = {
+      val sorted = batch.toSeq.sortBy(e =>
+        (e.ts_us, if (e.event_type == "purchase") 1 else 0, e.event_id))
+      var lastView = state.getOption.flatMap(_.v)
+      val out = Seq.newBuilder[AttribRow]
+      sorted.foreach { e =>
+        e.event_type match {
+          case "view" => lastView = Some(e.ts_us)
+          case "purchase" =>
+            val att = lastView.filter(v => e.ts_us - v <= windowUs)
+            out += AttribRow(uid, e.event_id, e.ts_us, att, att.isDefined)
+          case _ =>
+        }
+      }
+      state.update(AttribState(lastView))
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   final case class PathState(a: Option[TransState], b: Option[TransState])
   final case class PathTrigram(user_id: Long, path: String)
 
