@@ -3230,6 +3230,67 @@ object LlmOps {
       ORDER BY source
     """.trim))
 
+  /** Leakage-free train/val/test split — the assignment rule that makes
+    * held-out evaluation honest: the deterministic hash bucket is
+    * computed on the near-dup CLUSTER representative, not the document,
+    * so near-duplicates can never straddle train and test (per-doc
+    * hashing — the naive split — leaks every duplicated span into
+    * eval). 80/10/10 over t23's connected components; singleton docs
+    * are their own rep, so they split exactly as per-doc hashing would.
+    * Cost beyond t23: one md5 + a projection; the split is re-derivable
+    * forever from (rep, bucket) with no RNG state.
+    */
+  val t54LeakageSplit = Q(
+    "t54_leakage_split",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+        threshold = 0.8).select($"id_a", $"id_b")
+      Dedup.connectedComponents(docs.select($"doc_id"), pairs)
+        .withColumn("bucket", TF.samplingBucket($"rep"))
+        .select($"doc_id", $"rep", $"bucket",
+          when($"bucket" < 8000, "train").when($"bucket" < 9000, "val")
+            .otherwise("test").as("split"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val hex8 = (1 to 8).map { i =>
+        val w = math.pow(16, 8 - i).toLong
+        s"(strpos('0123456789abcdef', m[$i:$i]) - 1) * $w"
+      }.mkString(" + ")
+      s"""
+      WITH RECURSIVE $minhashCandidateCte,
+      hd AS MATERIALIZED (SELECT doc_id, list_distinct(hh) AS h FROM m1),
+      p AS MATERIALIZED (
+        SELECT c.id_a, c.id_b
+        FROM cand c JOIN hd ha ON c.id_a = ha.doc_id
+                    JOIN hd hb ON c.id_b = hb.doc_id
+        WHERE CAST(len(list_intersect(ha.h, hb.h)) AS DOUBLE) /
+              (len(ha.h) + len(hb.h) - len(list_intersect(ha.h, hb.h))) >= 0.8),
+      e AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      reach(src, dst) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+      rep AS (
+        SELECT d.doc_id,
+               least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS rep
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id),
+      b AS (SELECT doc_id, rep, CAST(($hex8) % 10000 AS BIGINT) AS bucket
+            FROM (SELECT doc_id, rep, md5(CAST(rep AS VARCHAR)) AS m FROM rep))
+      SELECT doc_id, rep, bucket,
+             CASE WHEN bucket < 8000 THEN 'train'
+                  WHEN bucket < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b
+      ORDER BY doc_id
+      """.trim
+    })
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
@@ -3244,7 +3305,7 @@ object LlmOps {
     t39Containment, t40ImageDhash, t41AudioFingerprint, t42VideoFingerprint,
     t43SemanticDedup, t44Winnowing, t45QualityClassifier, t46SourceOverlap,
     t47SourceDivergence, t48BloomDecontam, t49SnapshotDedup, t50Novelty,
-    t51DupKeeper, t52ZipfTable, t53SourceHealth,
+    t51DupKeeper, t52ZipfTable, t53SourceHealth, t54LeakageSplit,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
     s06IvfPqTopK, s07FilteredAnn, s08KnnGraph)
 }
