@@ -278,6 +278,12 @@ object Dedup {
     * incoming batch is typically the small side — the estimator/AQE
     * broadcasting its band frame is precisely right.
     *
+    * Lifecycle: BOTH shingle frames backing the result are
+    * `persist()`ed (each feeds its banding and a verification join) —
+    * same contract as nearDuplicatePairs: in a long-lived session, call
+    * `spark.catalog.clearCache()` (or unpersist via the plan) once the
+    * result is consumed; Verify and Bench both do this between queries.
+    *
     * Output: (id_new, id_base, jaccard ≥ threshold).
     */
   def crossCorpusNearDupPairs(base: DataFrame, incoming: DataFrame,

@@ -147,13 +147,19 @@ object VectorFunctions {
       }
       grouped(best) += ((cid, v))
     }
-    val groups = grouped.map(_.result())
-    val childCids = groups.map(_.map(_._1).toArray)
-    val childVecs = groups.map(_.map(_._2).toArray)
+    // Drop childless supers (trainKMeansDeterministic keeps empty
+    // clusters): a probed super with no children contributes nothing,
+    // and at low probe counts it would waste a probe slot — worse, if
+    // ALL probed supers were childless the kernel could only fall back.
+    // Every centroid lands in exactly one group, so ≥1 super survives.
+    val kept = grouped.map(_.result()).zipWithIndex.filter(_._1.nonEmpty)
+    val keptSupers = kept.map { case (_, si) => supers(si) }
+    val childCids = kept.map(_._1.map(_._1).toArray)
+    val childVecs = kept.map(_._1.map(_._2).toArray)
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val assignCol = ColumnBridge.column(
       graft.functions.expressions.TwoLevelAssign(
-        ColumnBridge.expression(col(vecCol)), supers, childCids, childVecs,
+        ColumnBridge.expression(col(vecCol)), keptSupers, childCids, childVecs,
         coarseProbe))
     df.select(col(idCol).as("__aid"), col(vecCol).as("__avec"),
       assignCol.as("__cid"))
@@ -342,7 +348,7 @@ object VectorFunctions {
     * 4×4 defaults: 16 buckets/table ⇒ bucket population ∝ n.
     */
   def lshParamsFor(n: Long, threshold: Double, targetBucket: Int = 150,
-      missProb: Double = 0.05): (Int, Int) = {
+      missProb: Double = 0.05, maxTables: Int = 64): (Int, Int) = {
     require(threshold > 0.0 && threshold < 1.0, "cosine threshold in (0,1)")
     val planes = math.max(4, math.ceil(
       math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
@@ -350,7 +356,19 @@ object VectorFunctions {
     val pTable = math.pow(pPlane, planes.toDouble)
     val tables = math.max(2, math.ceil(
       math.log(missProb) / math.log(1.0 - pTable)).toInt)
-    (tables, planes)
+    // Low thresholds at large n make the recall formula explode (e.g.
+    // θ=0.45 at n=10M wants ~4700 tables — a multi-thousand-signature
+    // explode nobody should silently plan). Cap the table count and say
+    // so: past the cap the recall target is no longer met by LSH and the
+    // IVF family (ivfTopK / VectorIndex) is the right tool.
+    if (tables > maxTables) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"lshParamsFor(n=$n, threshold=$threshold) wants $tables tables; " +
+          s"capping at $maxTables. Recall >= ${1 - missProb} is NOT met at " +
+          "this threshold/n — broad-similarity regimes belong to the IVF " +
+          "family (ivfTopK / VectorIndex), not LSH near-dup.")
+      (maxTables, planes)
+    } else (tables, planes)
   }
 
   /** IVF sizing policy — the lshParamsFor twin for the centroid

@@ -56,7 +56,12 @@ case class TwoLevelAssign(child: Expression,
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // NaN (zero-norm side) normalizes to +Inf so the kernel's argmax
+    // matches flat ivfAssign's window ordering, where Spark sorts NaN
+    // above every real double under `desc` — without this a zero-norm
+    // input fails every comparison and no child is ever scored.
+    val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+    if (cos != cos) Double.PositiveInfinity else cos
   }
 
   /** Public for the generated code's callback. */
@@ -88,6 +93,7 @@ case class TwoLevelAssign(child: Expression,
     // argmax over the probed supers' children
     var bestCid = Long.MaxValue
     var bestCos = Double.NegativeInfinity
+    var scored = false
     var t = 0
     while (t < filled) {
       val sid = topSid(t)
@@ -96,6 +102,7 @@ case class TwoLevelAssign(child: Expression,
       var j = 0
       while (j < cids.length) {
         val c = dotNorm(v, vecs(j))
+        scored = true
         if (c > bestCos || (c == bestCos && cids(j) < bestCid)) {
           bestCos = c
           bestCid = cids(j)
@@ -103,6 +110,27 @@ case class TwoLevelAssign(child: Expression,
         j += 1
       }
       t += 1
+    }
+    // Fallback: if every probed super was childless (possible only when
+    // the caller did not prune empty supers), never emit the sentinel —
+    // a phantom cid would flow into the index as an unsearchable list
+    // partition. Scan ALL children instead (the flat argmax).
+    if (!scored) {
+      var si2 = 0
+      while (si2 < s) {
+        val cids = childCids(si2)
+        val vecs = childVecs(si2)
+        var j = 0
+        while (j < cids.length) {
+          val c = dotNorm(v, vecs(j))
+          if (c > bestCos || (c == bestCos && cids(j) < bestCid)) {
+            bestCos = c
+            bestCid = cids(j)
+          }
+          j += 1
+        }
+        si2 += 1
+      }
     }
     bestCid
   }

@@ -29,6 +29,14 @@ class LshAutoSpec extends SparkTestBase {
     val (tHigh, _) = VectorFunctions.lshParamsFor(100000L, 0.9, 150)
     val (tLow, _) = VectorFunctions.lshParamsFor(100000L, 0.45, 150)
     assert(tLow >= tHigh)
+    // the IVF-regime guard: a broad-similarity ask at corpus scale wants
+    // thousands of tables; the policy caps instead of silently planning
+    // a multi-thousand-signature explode (θ=0.45 @ 10M uncapped ≈ 4700)
+    val (tCapped, _) = VectorFunctions.lshParamsFor(10000000L, 0.45, 150)
+    assert(tCapped == 64, s"expected the 64-table cap, got $tCapped")
+    val (tRaised, _) =
+      VectorFunctions.lshParamsFor(10000000L, 0.45, 150, maxTables = 10000)
+    assert(tRaised > 1000, s"uncapped regime should explode: $tRaised")
   }
 
   test("ivfParamsFor caps expected cell population") {

@@ -40,9 +40,13 @@ class TwoLevelAssignSpec extends SparkTestBase {
     // either the monotone chain or the final equality.
     val k = 16
     val flat = flatMap(k)
+    val cents = VectorFunctions.ivfTrainCentroids(emb, "vec_id", "embedding", k)
+    val realCids = cents.select($"__cid".cast("long")).as[Long].collect().toSet
     val rates = (1 to 4).map { p =>
       val two = twoLevelMap(k, probe = p)
-      assert(two.values.toSet.subsetOf(flat.values.toSet ++ two.values))
+      // every emitted cid is a REAL centroid id — never the init
+      // sentinel, never a phantom list partition
+      assert(two.values.toSet.subsetOf(realCids))
       two.count { case (id, cid) => flat(id) == cid }.toDouble / flat.size
     }
     assert(rates == rates.sorted, s"agreement not monotone: $rates")
@@ -58,5 +62,40 @@ class TwoLevelAssignSpec extends SparkTestBase {
     val rate = agree.toDouble / flat.size
     assert(rate >= 0.9, s"agreement $rate over ${flat.size} vectors")
     assert(twoLevelMap(k, probe = 2) == two)
+  }
+
+  test("zero-norm vectors and childless supers never emit a phantom cid") {
+    // A zero-norm vector makes every cosine NaN; flat ivfAssign's desc
+    // window sorts NaN highest so it still assigns (lowest cid wins the
+    // tie). The kernel must do the same — not return Long.MaxValue —
+    // and must survive supers that lost all children in the grouping.
+    val vecs = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)), // zero-norm: all cosines NaN
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)),
+      (4L, Array(0.9f, 0.1f, 0f, 0f)),
+      (5L, Array(0.1f, 0.9f, 0f, 0f)),
+      (6L, Array(0f, 0.1f, 0.9f, 0f)),
+      (7L, Array(0f, 0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val cents = VectorFunctions.ivfTrainCentroids(vecs.filter($"vec_id" > 0),
+      "vec_id", "embedding", k = 4)
+    val realCids = cents.select($"__cid".cast("long")).as[Long].collect().toSet
+    for (p <- 1 to 2) {
+      val out = VectorFunctions.ivfAssignTwoLevel(vecs, "vec_id", "embedding",
+          cents, p)
+        .select($"__aid", $"__cid").as[(Long, Long)].collect().toMap
+      assert(out.keySet == (0L to 7L).toSet)
+      assert(out.values.toSet.subsetOf(realCids),
+        s"phantom cid at probe=$p: ${out.values.toSet -- realCids}")
+    }
+    // zero-norm row matches flat's NaN-sorts-highest tie rule at full probe
+    val flat = VectorFunctions.ivfAssign(vecs, "vec_id", "embedding", cents)
+      .select($"__aid", $"__cid").as[(Long, Long)].collect().toMap
+    val full = VectorFunctions.ivfAssignTwoLevel(vecs, "vec_id", "embedding",
+        cents, coarseProbe = 4)
+      .select($"__aid", $"__cid").as[(Long, Long)].collect().toMap
+    assert(full == flat)
   }
 }
