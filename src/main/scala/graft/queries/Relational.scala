@@ -2339,6 +2339,153 @@ object Relational {
       ORDER BY c_nationkey, c_custkey
     """.trim))
 
+  /** TPC-H Q11 shape — global-share HAVING: keep the groups whose
+    * aggregate exceeds a scalar fraction of the GRAND total (here 1.4×
+    * the mean part value, which unlike Q11's fixed 0.0001/SF fraction
+    * is scale-invariant: a part's share of the mean doesn't drift with
+    * corpus size). The scalar (total, #parts) is a fully-aggregated
+    * 1-row collect — control-plane, the t12/t22 pattern — computed in
+    * ONE lineitem pass; a constant-key join would constant-fold to
+    * BroadcastNestedLoopJoin and an empty-partition window would drag
+    * all |parts| rows (20B at warehouse SF) to one task.
+    *
+    * Exactness: per-part value is an integer cents·qty sum; the HAVING
+    * compare runs in decimal(38,0) integer space on BOTH engines —
+    * value_cents·5·np > 7·tot is exact where a double fraction of the
+    * grand total could flip a borderline part. Long arithmetic alone
+    * would overflow at warehouse scale (value·np·5 ≈ 3e20 at SF 100k),
+    * hence the decimal widening before the multiply.
+    */
+  val q61ValueShareHaving = Q(
+    "q61_value_share_having",
+    (s, dir) => {
+      import s.implicits._
+      val cents = ($"l_extendedprice".cast("decimal(12,2)") * 100)
+        .cast("long") * $"l_quantity".cast("long")
+      val g = t(s, dir, "lineitem")
+        .agg(sum(cents).as("tot"), countDistinct($"l_partkey").as("np")).head()
+      val np5 = lit(new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(g.getLong(1)).multiply(
+          java.math.BigInteger.valueOf(5L))))
+      val tot7 = lit(new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(g.getLong(0)).multiply(
+          java.math.BigInteger.valueOf(7L))))
+      t(s, dir, "lineitem")
+        .groupBy($"l_partkey")
+        .agg(sum(cents).as("value_cents"))
+        .filter($"value_cents".cast("decimal(19,0)") * np5 > tot7)
+        .select($"l_partkey",
+          ($"value_cents".cast("double") / 100.0).as("value"))
+        .orderBy($"value".desc, $"l_partkey")
+    },
+    Some("""
+      WITH pv AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_cents
+        FROM lineitem GROUP BY 1),
+      g AS (SELECT CAST(sum(value_cents) AS BIGINT) AS tot,
+                   count(*) AS np FROM pv)
+      SELECT l_partkey, CAST(value_cents AS DOUBLE) / 100.0 AS value
+      FROM pv, g
+      WHERE CAST(value_cents AS DECIMAL(19,0)) * (5 * np) > CAST(7 AS DECIMAL(19,0)) * tot
+      ORDER BY value DESC, l_partkey
+    """.trim))
+
+  /** TPC-H Q15 shape — max-of-view: a revenue view per supplier over a
+    * shipping quarter, then the supplier(s) achieving the view's MAX.
+    * The max is a 1-row full aggregate collected to a literal (again
+    * the t12/t22 pattern: the classic scalar-subquery plan re-reads the
+    * view; Spark's equivalent constant-key join constant-folds to
+    * BNLJ). The equality filter runs on the EXACT decimal(18,4) sums —
+    * revenue ties are found exactly, both engines — and only the final
+    * output casts to double. The supplier join broadcasts the ≤handful
+    * of max-revenue rows into the dimension, never the reverse.
+    */
+  val q62TopSupplier = Q(
+    "q62_top_supplier",
+    (s, dir) => {
+      import s.implicits._
+      val revenue = t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1995-04-01").cast("timestamp"))
+        .groupBy($"l_suppkey".as("supplier_no"))
+        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast("decimal(18,4)")).as("rev"))
+      val maxRev = revenue.agg(max($"rev")).head().getDecimal(0)
+      t(s, dir, "supplier")
+        .join(broadcast(revenue.filter($"rev" === lit(maxRev))),
+          $"s_suppkey" === $"supplier_no")
+        .select($"s_suppkey", $"s_name",
+          $"rev".cast("double").as("total_revenue"))
+        .orderBy($"s_suppkey")
+    },
+    Some("""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+      FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      WHERE rev = (SELECT max(rev) FROM revenue)
+      ORDER BY s_suppkey
+    """.trim))
+
+  /** TPC-H Q21 shape — EXISTS + NOT-EXISTS self-joins: suppliers who
+    * were the SOLE flagged supplier in a multi-supplier finished order
+    * (the fixture has no receipt/commit dates, so "at fault" is
+    * l_returnflag='R' — the join topology, not the predicate, is the
+    * shape under test). Physical plan: the flagged scan semi-joins
+    * lineitem on l_orderkey (EXISTS another supplier's line), then
+    * anti-joins the flagged subset (NOT EXISTS another flagged
+    * supplier) — both shuffle on the same l_orderkey key and AQE reuses
+    * the probe exchange; supplier and nation broadcast. Self-join
+    * conditions carry the suppkey inequality INSIDE the join condition,
+    * so no post-join filter materializes the n² order-pair frame.
+    */
+  val q63SoleBlame = Q(
+    "q63_sole_blame",
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey", $"l_returnflag")
+      val flagged = li.filter($"l_returnflag" === "R")
+      val l1 = flagged
+        .join(broadcast(t(s, dir, "orders")
+            .filter($"o_orderstatus" === "F").select($"o_orderkey")),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"l_orderkey", $"l_suppkey")
+      val other = li.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2"))
+      val otherFlagged = flagged.select($"l_orderkey".as("o3"), $"l_suppkey".as("s3"))
+      val sole = l1
+        .join(other, $"l_orderkey" === $"o2" && $"l_suppkey" =!= $"s2", "left_semi")
+        .join(otherFlagged, $"l_orderkey" === $"o3" && $"l_suppkey" =!= $"s3", "left_anti")
+      sole
+        .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name", $"s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_name")
+    },
+    Some("""
+      SELECT n_name, s_name, count(*) AS numwait
+      FROM supplier, lineitem l1, orders, nation
+      WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+        AND s_nationkey = n_nationkey
+      GROUP BY n_name, s_name
+      ORDER BY numwait DESC, s_name
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -2354,5 +2501,6 @@ object Relational {
     q46DisjunctiveExists, q47BloomFilterJoin, q48StatAggs, q49IvmMerge,
     q50Interpolate, q51AggPushdown, q52DynamicPruning, q53TryIngest,
     q54WindowedDistinct, q55ZOrderKey, q56Listagg, q57SkewProfile,
-    q58UnionEvolve, q59ShareOfParent, q60RankBreadth)
+    q58UnionEvolve, q59ShareOfParent, q60RankBreadth, q61ValueShareHaving,
+    q62TopSupplier, q63SoleBlame)
 }

@@ -186,4 +186,33 @@ class PlanGuardSpec extends SparkTestBase {
     assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
       s"expected partial+final WindowGroupLimit:\n$plan")
   }
+
+  test("q63 plans EXISTS/NOT-EXISTS as one semi + one anti hash join") {
+    val plan = finalPlan(
+      SparkEntry.queries("q63_sole_blame")(spark, "/root/testdata/sf0.001"))
+    // the suppkey inequality must ride INSIDE each join condition —
+    // a lost equi-key here degrades to a nested loop over order pairs
+    assert("LeftSemi".r.findAllIn(plan).size == 1 &&
+      "LeftAnti".r.findAllIn(plan).size == 1,
+      s"expected exactly one semi and one anti self-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // dimension joins (orders-F, supplier, nation) broadcast
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"dimension joins must broadcast:\n$plan")
+    // the flagged probe scan pushes its predicate
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      s"flag filter not pushed to the parquet scan:\n$plan")
+  }
+
+  test("q62 broadcasts the max-revenue rows into supplier, not the reverse") {
+    val plan = finalPlan(
+      SparkEntry.queries("q62_top_supplier")(spark, "/root/testdata/sf0.001"))
+    // the view filtered to the max is a handful of rows; supplier is
+    // the unbounded side at warehouse scale
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast join against supplier:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"supplier side must never shuffle for a ≤handful build side:\n$plan")
+  }
 }
