@@ -262,6 +262,73 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** MinHash banding policy — lshParamsFor's twin for the text family:
+    * choose (rows-per-band r, bands b) from the corpus size instead of
+    * fixing them, holding two contracts simultaneously:
+    *
+    *  - recall: a θ-similar pair collides in one band w.p. θʳ, so
+    *    missing all b bands is (1-θʳ)ᵇ — b = ln(missProb)/ln(1-θʳ)
+    *    keeps candidate recall ≥ 1-missProb as r rises;
+    *  - linear candidates: background pairs at similarity s₀ (= θ/4 —
+    *    the worst sub-threshold mass assumed to be corpus-dominating;
+    *    θ/2-similar pairs are themselves rare in a near-dup regime,
+    *    while truly random pairs sit near 0) collide ≈ b·s₀ʳ per pair,
+    *    so total candidates ≈ C(n,2)·b·s₀ʳ; holding that ≤ n·fanout
+    *    needs r ≥ ln(n·b/(2·fanout))/ln(1/s₀) — r must GROW with
+    *    log n, which is exactly what a fixed (16,2) config misses:
+    *    its per-pair collision rate is a constant, so candidate volume
+    *    is quadratic in corpus size.
+    *
+    * The two couple (bigger r needs more bands, more bands loosen the
+    * r bound), so iterate to the fixpoint — r is monotone under the
+    * loop and b is capped at maxBands (same contract as lshParamsFor:
+    * past the cap the recall floor is NOT met and banded MinHash is
+    * the wrong tool for that θ/n regime).
+    *
+    * Returns (numHashes = b·r, bands = b) in nearDuplicatePairs' terms.
+    */
+  def minhashParamsFor(n: Long, threshold: Double, fanout: Int = 8,
+      missProb: Double = 0.05, maxBands: Int = 128): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0, "jaccard threshold in (0,1)")
+    val s0 = threshold / 4.0
+    var r = 2
+    var b = 2
+    var stable = false
+    var guard = 0
+    while (!stable && guard < 100) {
+      val bWant = math.max(2, math.ceil(
+        math.log(missProb) / math.log(1.0 - math.pow(threshold, r.toDouble))).toInt)
+      val bNext = math.min(bWant, maxBands)
+      val rNext = math.max(r, math.ceil(
+        math.log(n.toDouble * bNext / (2.0 * fanout)) /
+          math.log(1.0 / s0)).toInt)
+      stable = bNext == b && rNext == r
+      if (bWant > maxBands && !stable)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"minhashParamsFor(n=$n, threshold=$threshold) wants $bWant bands; " +
+            s"capping at $maxBands — recall >= ${1 - missProb} is NOT met in " +
+            "this regime (consider a higher threshold or embedding-space dedup).")
+      b = bNext
+      r = rNext
+      guard += 1
+    }
+    (b * r, b)
+  }
+
+  /** nearDuplicatePairs with the minhashParamsFor policy applied from
+    * one cheap corpus count — the production entry point for corpora
+    * whose size isn't known at authoring time; the fixed-param form
+    * remains for oracle-pinned declared outputs. Same persist()
+    * lifecycle contract as nearDuplicatePairs.
+    */
+  def nearDuplicatePairsAuto(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingle: Int = 3, fanout: Int = 8,
+      missProb: Double = 0.05, maxBucket: Option[Int] = None): DataFrame = {
+    val (numHashes, bands) = minhashParamsFor(df.count(), threshold, fanout, missProb)
+    nearDuplicatePairs(df, idCol, textCol, threshold, shingle, numHashes,
+      bands, maxBucket)
+  }
+
   /** Cross-corpus near-dup pairs: incoming documents that near-duplicate
     * a STATIC base corpus — the incremental-crawl dedup step (drop new
     * documents already represented in the training set) that t23-style

@@ -18,30 +18,48 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
-  /** `metaCols` are carried into the inverted lists and each list's
+  /** Auto-scale defaults (the production path; round-8 probes proved
+    * the fixed configs are quadratic cliffs):
+    *  - `numCentroids ≤ 0` (the default) sizes the index with
+    *    ivfParamsFor — k ~ n/cellTarget, so expected list population
+    *    stays bounded as the corpus grows (a fixed k makes per-list
+    *    scan work quadratic in n);
+    *  - `coarseProbe = None` (the default) picks the assignment path
+    *    by k: the fused two-level kernel once k ≥ TwoLevelMinCentroids
+    *    (flat assignment is O(n·k) arithmetic plus an (n·k)-row window
+    *    shuffle; the kernel is ~(1+p)·√k cosines, map-only, 19× on the
+    *    assignment stage at 200k×782), flat below it where exactness
+    *    is free. Pass an explicit probe count to force the kernel
+    *    (probe ≥ ⌈√k⌉ reproduces flat exactly); queries at serve time
+    *    still assign flat — their side is tiny.
+    *
+    * `metaCols` are carried into the inverted lists and each list's
     * files are clustered on them, so a filtered serve ([[topKFiltered]])
     * prunes twice: partition dirs by probed list, then row groups by
     * metadata min/max — the "filtered vector search" layout.
     */
-  /** `coarseProbe`: when set, corpus assignment runs through the
-    * fused two-level kernel (VectorFunctions.ivfAssignTwoLevel) —
-    * the right build path once numCentroids follows ivfParamsFor
-    * (flat assignment is O(n·k) arithmetic plus an (n·k)-row window
-    * shuffle; the kernel is ~(1+p)·√k cosines, map-only, 19× on the
-    * assignment stage at 200k×782). Assignment then is approximate
-    * (coarseProbe ≥ ⌈√k⌉ reproduces flat exactly); queries at serve
-    * time still assign flat — their side is tiny.
-    */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
-      indexDir: String, numCentroids: Int = 16, sampleSize: Int = 256,
+      indexDir: String, numCentroids: Int = 0, sampleSize: Int = 256,
       iters: Int = 2, metaCols: Seq[String] = Nil,
-      coarseProbe: Option[Int] = None): Unit = {
+      coarseProbe: Option[Int] = None, cellTarget: Int = 256): Unit = {
+    val k =
+      if (numCentroids > 0) numCentroids
+      else {
+        // one cheap count sizes the index; clamp so tiny corpora never
+        // ask the trainer for more centroids than vectors
+        val n = corpus.count()
+        math.min(n, VectorFunctions.ivfParamsFor(n, cellTarget).toLong).toInt
+      }
+    // the deterministic trainer needs sample ≥ k; auto-sized k can
+    // outgrow the default sample, so scale it (training cost is
+    // ~sample·k per Lloyd step — still bounded, never corpus-sized)
+    val effSample = math.max(sampleSize, 2 * k)
     val cents = VectorFunctions.ivfTrainCentroids(
-      corpus, idCol, vecCol, numCentroids, sampleSize, iters)
+      corpus, idCol, vecCol, k, effSample, iters)
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     val meta = corpus.select(
       (col(idCol).as("neighbor_id") +: metaCols.map(col)): _*)
-    val assigned = assignWith(corpus, idCol, vecCol, cents, coarseProbe)
+    val assigned = assignWith(corpus, idCol, vecCol, cents, coarseProbe, k)
       .select(col("__cid"), col("__aid").as("neighbor_id"), col("__avec").as("__cv"))
     val lists =
       if (metaCols.isEmpty) assigned
@@ -64,7 +82,9 @@ object VectorIndex {
       indexDir: String, coarseProbe: Option[Int] = None): Unit = {
     val spark = corpus.sparkSession
     val cents = spark.read.parquet(s"$indexDir/centroids")
-    assignWith(corpus, idCol, vecCol, broadcast(cents), coarseProbe)
+    // same auto rule as build: the frozen centroid count decides the path
+    assignWith(corpus, idCol, vecCol, broadcast(cents), coarseProbe,
+        cents.count().toInt)
       .select(col("__cid"), col("__aid").as("neighbor_id"), col("__avec").as("__cv"))
       .write.mode("append").partitionBy("__cid")
       .parquet(s"$indexDir/lists")
@@ -121,11 +141,21 @@ object VectorIndex {
   private def broadcastableCentroids(cents: DataFrame): DataFrame =
     broadcast(cents)
 
+  /** Below this centroid count flat assignment is cheap and exact;
+    * from here up the √k two-level decomposition pays (it saves
+    * k − (1+p)·√k cosines per vector — at k=64/p=2 already 2.7×, and
+    * growing with √k).
+    */
+  private[graft] val TwoLevelMinCentroids = 64
+
   private def assignWith(corpus: DataFrame, idCol: String, vecCol: String,
-      cents: DataFrame, coarseProbe: Option[Int]): DataFrame =
+      cents: DataFrame, coarseProbe: Option[Int], k: Int): DataFrame =
     coarseProbe match {
       case Some(p) =>
         VectorFunctions.ivfAssignTwoLevel(corpus, idCol, vecCol, cents, p)
+      case None if k >= TwoLevelMinCentroids =>
+        VectorFunctions.ivfAssignTwoLevel(corpus, idCol, vecCol, cents,
+          coarseProbe = 2)
       case None => VectorFunctions.ivfAssign(corpus, idCol, vecCol, cents)
     }
 }

@@ -10,14 +10,18 @@ class VectorIndexSpec extends SparkTestBase {
   test("persisted IVF index serves the same top-k as the in-memory path") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = tmpDir("ivfidx")
+    // default build = the auto policy: ivfParamsFor(500) = 4 centroids
     VectorIndex.build(emb, "vec_id", "embedding", dir)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    assert(cents.count() == VectorFunctions.ivfParamsFor(500))
     val queries = emb.filter($"vec_id" < 8)
     val served = VectorIndex.topK(spark, dir, queries, "vec_id", "embedding", 3)
       .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Long)]
       .collect().toSet
-    // the in-memory path trains the SAME deterministic centroids, so
-    // the results must be identical, not merely similar
-    val inMem = VectorFunctions.ivfTopK(emb, queries, "vec_id", "embedding", 3)
+    // the in-memory path over the SAME centroids must be identical,
+    // not merely similar
+    val inMem = VectorFunctions.ivfTopK(emb, queries, "vec_id", "embedding", 3,
+        centroids = Some(cents))
       .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Long)]
       .collect().toSet
     assert(served == inMem && served.nonEmpty)
@@ -47,8 +51,8 @@ class VectorIndexSpec extends SparkTestBase {
     val flatDir = tmpDir("ivfflat")
     val twoDir = tmpDir("ivftwo")
     VectorIndex.build(emb, "vec_id", "embedding", flatDir)
-    // k=16 -> 4 supers; probing all 4 makes the kernel EXACTLY flat,
-    // so the on-disk lists and every serve must match
+    // auto k=4 -> 2 supers; probing 4 >= 2 makes the kernel EXACTLY
+    // flat, so the on-disk lists and every serve must match
     VectorIndex.build(emb, "vec_id", "embedding", twoDir, coarseProbe = Some(4))
     val queries = emb.filter($"vec_id" < 8)
     def serve(d: String) =
@@ -56,6 +60,21 @@ class VectorIndexSpec extends SparkTestBase {
         .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Long)]
         .collect().toSet
     assert(serve(twoDir) == serve(flatDir) && serve(twoDir).nonEmpty)
+  }
+
+  test("auto default routes large-k builds through the two-level kernel") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val autoDir = tmpDir("ivfauto64")
+    val pinDir = tmpDir("ivfpin64")
+    // k=64 = TwoLevelMinCentroids: the None default must take the
+    // two-level probe-2 path — identical lists to an explicit Some(2)
+    VectorIndex.build(emb, "vec_id", "embedding", autoDir, numCentroids = 64)
+    VectorIndex.build(emb, "vec_id", "embedding", pinDir, numCentroids = 64,
+      coarseProbe = Some(2))
+    def lists(d: String) = spark.read.parquet(s"$d/lists")
+      .select($"__cid".cast("long"), $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(lists(autoDir) == lists(pinDir) && lists(autoDir).nonEmpty)
   }
 
   test("filtered serve == filter-then-search; predicate pushed to the list scan") {
@@ -84,7 +103,9 @@ class VectorIndexSpec extends SparkTestBase {
   test("serving scans only the probed list partitions (partition pruning)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = tmpDir("ivfprune")
-    VectorIndex.build(emb, "vec_id", "embedding", dir)
+    // explicit k=16 here: with auto's 4 lists the pruning assertion
+    // would be vacuous (2 queries at nprobe=2 can probe all 4)
+    VectorIndex.build(emb, "vec_id", "embedding", dir, numCentroids = 16)
     val cents = spark.read.parquet(s"$dir/centroids")
     // two queries at nprobe=2 probe at most 4 of the 16 lists
     val queries = emb.filter($"vec_id" < 2)
