@@ -936,13 +936,27 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0,
     * delete-then-rename window in which a crash would leave the table
     * with no pointer at all (currentVersionDir's newest-version fallback
     * covers tables written by the older two-step code).
+    *
+    * FileContext requires an AbstractFileSystem binding
+    * (`fs.AbstractFileSystem.<scheme>.impl`), which object-store
+    * deployments don't always ship. Fall back to delete+rename there:
+    * that reopens the tiny no-pointer window, but currentVersionDir's
+    * newest-committed-version fallback makes a crash inside it
+    * recoverable, not fatal (CrashFaultSpec pins exactly this).
     */
   private def writeAtomic(target: Path, content: String): Unit = {
     val tmp = new Path(target.getParent, s".${target.getName}.tmp${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(target)) fs.delete(target, false)
+        if (!fs.rename(tmp, target))
+          throw new java.io.IOException(s"rename $tmp -> $target failed")
+    }
   }
 }
