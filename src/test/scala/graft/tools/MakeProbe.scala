@@ -16,6 +16,12 @@ object MakeProbe {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/probe10x")
     val n = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = probeSession()
+    build(spark, src, out, n)
+    spark.stop()
+  }
+
+  def probeSession(): SparkSession = {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -24,6 +30,10 @@ object MakeProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def build(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     // large enough that replica key ranges never collide, and a
     // multiple of the id-arithmetic moduli queries use (50, 20, 7, 3),
     // so per-replica slices (eval sets, filters) replicate too
@@ -125,6 +135,5 @@ object MakeProbe {
       spark.read.parquet(s"$src/$name.parquet")
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
-    spark.stop()
   }
 }
