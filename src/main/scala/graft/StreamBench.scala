@@ -116,6 +116,44 @@ object StreamBench {
     SideResult(total, batchSecs.sum, chunks, batchSecs)
   }
 
+  /** Amortization sweep (round-8 verdict item 4): the same corpus
+    * drained at several batch sizes, each against a FRESH state — if
+    * per-batch overhead dominates (the r8 observation at toy batches),
+    * docs/s must rise with batch size; the phase breakdown says where
+    * the fixed cost lives (state_commit = the four catalog appends,
+    * constant JOB overhead regardless of batch rows). Prints one JSON
+    * line per batch size.
+    */
+  def benchDedupSweep(spark: SparkSession, sfDir: String,
+      chunksList: Seq[Int]): Seq[String] = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).persist()
+    val total = docs.count()
+    val out = chunksList.map { chunks =>
+      val cat = new Catalog(spark, tmp("sbench-sweep"))
+      val dd = new IncrementalDedup(cat, threshold = 0.8)
+      var compute = 0.0
+      var commit = 0.0
+      val batchSecs = (0 until chunks).map { k =>
+        val batch = docs.filter(pmod(col("doc_id"), lit(chunks)) === k)
+        val t0 = System.nanoTime()
+        dd.processBatch(batch, "doc_id", "text", Some(k.toLong))
+          .write.format("noop").mode("overwrite").save()
+        compute += dd.lastPhases.getOrElse("compute", 0.0)
+        commit += dd.lastPhases.getOrElse("state_commit", 0.0)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val wall = batchSecs.sum
+      f"""{"metric":"dedup_sweep","batches":$chunks,""" +
+        f""""docs_per_batch":${total / chunks},"docs_per_sec":${total / wall}%.1f,""" +
+        f""""wall_sec":$wall%.2f,"compute_sec":$compute%.2f,""" +
+        f""""state_commit_sec":$commit%.2f,""" +
+        f""""commit_sec_per_batch":${commit / chunks}%.3f,"sf":"$sfDir"}"""
+    }
+    docs.unpersist()
+    out
+  }
+
   /** Publish the events table to a graftbus log from the executors and
     * drain it back through the DSv2 stream — end-to-end bus throughput
     * on both faces. One Spark partition per bus partition on the
@@ -191,7 +229,14 @@ object StreamBench {
     val sessionChunks = sys.env.getOrElse("SPARK_GRAFT_SESSION_CHUNKS", "10").toInt
     val dedupChunks = sys.env.getOrElse("SPARK_GRAFT_DEDUP_CHUNKS", "5").toInt
     val busParts = sys.env.getOrElse("SPARK_GRAFT_BUS_PARTS", "8").toInt
-    println(run(spark, sfDir, sessionChunks, dedupChunks, busParts))
+    // SPARK_GRAFT_DEDUP_SWEEP=50,10,2,1 runs ONLY the amortization sweep
+    sys.env.get("SPARK_GRAFT_DEDUP_SWEEP") match {
+      case Some(spec) =>
+        benchDedupSweep(spark, sfDir, spec.split(",").map(_.trim.toInt).toSeq)
+          .foreach(println)
+      case None =>
+        println(run(spark, sfDir, sessionChunks, dedupChunks, busParts))
+    }
     spark.stop()
   }
 }

@@ -71,6 +71,18 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
 
   @volatile private var paramsValidated = false
 
+  /** Diagnostic wall-clock of the LAST processBatch's phases:
+    * `compute` = signature + candidate + verify work up to the pairs
+    * materialization; `state_commit` = the staged-pairs/stats/bands/
+    * sets appends after it. One writer per batch (foreachBatch is
+    * sequential), read by StreamBench's amortization sweep — the
+    * per-batch fixed cost lives almost entirely in `state_commit`'s
+    * four catalog commits, which are O(batch) in DATA but constant in
+    * JOB overhead, so docs/s must rise with batch size until compute
+    * dominates.
+    */
+  @volatile var lastPhases: Map[String, Double] = Map.empty
+
   private def ensureTables(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.types._
     import spark.implicits._
@@ -124,6 +136,7 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
         "crash-replay idempotency depends on a batchId; pass " +
         "batchId=Some(n) (foreachBatch provides one) or set maxBucket=0")
     val spark = docs.sparkSession
+    val tCompute0 = System.nanoTime()
     ensureTables(spark)
     val known = catalog.read(setsTable).select(col("doc_id"))
     val fresh = Dedup.hashedShingleFrame(docs, idCol, textCol, shingle)
@@ -200,6 +213,7 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .persist()
     val nPairs = pairs.count() // materialize before state moves underneath
+    val tCommit0 = System.nanoTime()
     // STAGE PAIRS FIRST: durable before bands/sets commit, so no crash
     // window can lose them; idempotent per batchId so no retry can
     // double them
@@ -242,6 +256,9 @@ final class IncrementalDedup(catalog: Catalog, threshold: Double,
     // `fresh` is already persisted and materialized by the joins above).
     if (!fresh.isEmpty)
       catalog.appendLog(setsTable, fresh.select("doc_id", "hhd"))
+    lastPhases = Map(
+      "compute" -> (tCommit0 - tCompute0) / 1e9,
+      "state_commit" -> (System.nanoTime() - tCommit0) / 1e9)
     newFlat.unpersist()
     batchStats.unpersist()
     fresh.unpersist()
