@@ -30,6 +30,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // SPARK_GRAFT_INITPARTS widens AQE's initial shuffle width for
+      // probe-scale corpora: a billion-row candidate exchange at 32
+      // partitions puts ~30M rows in one sorter whose pointer array
+      // can no longer even spill (measured: auto-LSH at 200k vectors
+      // SPILL_OOM'd a 64 g heap at 32 partitions; runs at 256 — AQE
+      // then coalesces small stages back down). Deliberately NOT the
+      // sf0.1 default: per-stage overhead costs iterative queries
+      // ~30% at small data (t23 3.3→4.4 s measured), the same reason
+      // a real cluster tunes initialPartitionNum to fleet size, not
+      // one constant.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITPARTS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

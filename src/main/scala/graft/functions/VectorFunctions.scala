@@ -303,17 +303,43 @@ object VectorFunctions {
     * LSH candidates, exact cosine verification at `threshold` — the
     * embedding-space sibling of Dedup.nearDuplicatePairs; same
     * bucket-bounded join, never corpus².
+    *
+    * `maxBucket > 0` drops buckets whose population exceeds it before
+    * the pair join — the vector-space twin of the text path's df-cap
+    * (candidatePairsFromShingles): a degenerate direction that hashes
+    * thousands of vectors into one bucket makes that bucket's pair
+    * fan-out quadratic REGARDLESS of the table/plane policy (measured:
+    * the capped-64-table auto config at 200k vectors died spilling a
+    * 64 g heap in the pair join's sort until hot buckets were capped).
+    * A pair lost to one hot bucket can still surface in any other
+    * table — the standard recall trade the text path already accepts.
+    * Default off (0) so the fixed-param oracle-declared rows keep
+    * their pinned outputs; the auto policy path turns it on.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, tables: Int = 4, planesPerTable: Int = 4): DataFrame = {
+      threshold: Double, tables: Int = 4, planesPerTable: Int = 4,
+      maxBucket: Int = 0): DataFrame = {
     // merge hint: see Dedup.candidatePairsFromShingles — one reused
     // Exchange instead of a broadcast build re-running the signature
-    // projections (a corpus-wide broadcast at scale)
-    val flat = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .select(col("__id"), col("__v"),
-        posexplode(lshTableSignatures(col("__v"), tables, planesPerTable))
+    // projections (a corpus-wide broadcast at scale). Ids + signatures
+    // ONLY: carrying the vector payload through the self-join's sort
+    // multiplies the sorted bytes by tables× for columns the join
+    // never reads (vectors re-attach by id during verification).
+    val flat = df.select(col(idCol).as("__id"),
+        posexplode(lshTableSignatures(col(vecCol), tables, planesPerTable))
           .as(Seq("__t", "__sig"))).hint("merge")
-    val cand = flat.as("a").join(flat.as("b"),
+    val kept =
+      if (maxBucket <= 0) flat
+      else {
+        // bucket-population filter at (table, signature) cardinality;
+        // grouping rides the same (t, sig) exchange the self-join needs
+        val pops = flat.groupBy(col("__t"), col("__sig"))
+          .agg(count(lit(1)).as("__pop"))
+          .filter(col("__pop") <= maxBucket)
+          .select(col("__t"), col("__sig"))
+        flat.join(pops, Seq("__t", "__sig"))
+      }
+    val cand = kept.as("a").join(kept.as("b"),
         col("a.__t") === col("b.__t") && col("a.__sig") === col("b.__sig") &&
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
@@ -391,7 +417,11 @@ object VectorFunctions {
       threshold: Double, targetBucket: Int = 150,
       missProb: Double = 0.05): DataFrame = {
     val (tables, planes) = lshParamsFor(df.count(), threshold, targetBucket, missProb)
-    cosineNearDupPairs(df, idCol, vecCol, threshold, tables, planes)
+    // hot-bucket cap at 20× the expected population: the policy holds
+    // E[bucket] ≈ targetBucket, so only degenerate directions (which
+    // would make the pair join quadratic) exceed it
+    cosineNearDupPairs(df, idCol, vecCol, threshold, tables, planes,
+      maxBucket = 20 * targetBucket)
   }
 
   /** ANN top-k: candidates share any per-table bucket, then exact

@@ -21,7 +21,8 @@ class PlanGuardSpec extends SparkTestBase {
     "s08_knn_graph", // same broadcast-centroid assignment as t43
     "e22_cms_freq", // 5-row probe set × 1-row merged sketch, labeled
     "t47_source_divergence", // 1-row global token total attach
-    "s09_auto_near_dup") // truth side is the s01 brute-force baseline
+    "s09_auto_near_dup", // truth side is the s01 brute-force baseline
+    "s10_auto_knn") // broadcast-centroid assignment + query-bounded exact side
 
   test("no query plans nested-loop or cartesian joins (labeled baselines excepted)") {
     val offenders = SparkEntry.allQueries

@@ -23,6 +23,8 @@ object VecProbe {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // match Bench's scale posture: AQE may widen heavy exchanges
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
