@@ -2486,6 +2486,44 @@ object Relational {
       ORDER BY numwait DESC, s_name
     """.trim))
 
+  /** LATERAL dependent join — "top-2 orders per customer" phrased as a
+    * per-row correlated subquery with ORDER BY + LIMIT, the SQL shape
+    * analysts reach for before they know window functions. Spark 4
+    * DECORRELATES the dependent LIMIT into a single partitioned top-k
+    * (WindowGroupLimit: the rank filter runs map-side BEFORE the
+    * window shuffle), so the "run a subquery per customer" surface
+    * costs one exchange on o_custkey at any scale — never N probe
+    * queries, never a per-row nested loop. Same physical plan family
+    * as t37's explicit window top-k; this row pins the LATERAL
+    * *syntax* lowering to it.
+    */
+  val q64LateralTopK = Q(
+    "q64_lateral_topk",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("g_customer")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+        FROM g_customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice
+                      FROM g_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      LIMIT 2) t
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+      """)
+    },
+    Some("""
+      SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+      FROM customer c,
+           LATERAL (SELECT o_orderkey, o_totalprice
+                    FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey
+                    LIMIT 2) t
+      ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -2502,5 +2540,5 @@ object Relational {
     q50Interpolate, q51AggPushdown, q52DynamicPruning, q53TryIngest,
     q54WindowedDistinct, q55ZOrderKey, q56Listagg, q57SkewProfile,
     q58UnionEvolve, q59ShareOfParent, q60RankBreadth, q61ValueShareHaving,
-    q62TopSupplier, q63SoleBlame)
+    q62TopSupplier, q63SoleBlame, q64LateralTopK)
 }
