@@ -3544,6 +3544,52 @@ object LlmOps {
       SELECT token, CAST(r AS BIGINT) AS pr FROM r5 ORDER BY token
     """.trim))
 
+  /** Exact set-similarity join via prefix filtering
+    * (Dedup.prefixJaccardJoin): all document pairs whose word-3-gram
+    * sets have Jaccard ≥ 0.6 — the AllPairs/PPJoin family, the EXACT
+    * counterpart to t05's probabilistic MinHash-LSH (recall 1 by the
+    * prefix-filter theorem, no signature tuning). Each set contributes
+    * only its ⌈0.4·n⌉+1 globally-RAREST grams to the candidate join,
+    * so boilerplate grams shared by every templated doc never generate
+    * candidates; sets are the sorted 60-bit gram hashes
+    * (wordNgramHashes) so verification rides the fused one-pass
+    * JaccardLongSets merge and ships 8-byte elements. The oracle
+    * re-derives the same hashes nibble-by-nibble and the same pairs
+    * with the naive co-gram join + exact Jaccard, so the hash check
+    * pins that the pruning dropped nothing.
+    */
+  val t56SsJoinPrefix = Q(
+    "t56_ssjoin_prefix",
+    (s, dir) => {
+      import s.implicits._
+      val grams = Tables.load(s, dir, "documents")
+        .select($"doc_id", TF.wordNgramHashes($"text", 3).as("grams"))
+      Dedup.prefixJaccardJoin(grams, "doc_id", "grams", 0.6,
+          assumeSorted = true)
+        .select($"id_a".as("doc_a"), $"id_b".as("doc_b"),
+          $"n_a", $"n_b", $"jaccard")
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                    FROM documents),
+      gs AS (SELECT doc_id,
+                    unnest([md5(array_to_string(t[i:i+2], ' '))
+                            for i in range(1, len(t) - 1)]) AS m
+             FROM toks WHERE len(t) >= 3),
+      grams AS (SELECT DISTINCT doc_id, CAST(${oracleHex("m", 15)} AS BIGINT) AS g
+                FROM gs),
+      sz AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+      pi AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+      SELECT doc_a, doc_b, CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+             CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      FROM pi JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6
+      ORDER BY doc_a, doc_b
+    """.trim))
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
@@ -3561,5 +3607,5 @@ object LlmOps {
     t51DupKeeper, t52ZipfTable, t53SourceHealth, t54LeakageSplit,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
     s06IvfPqTopK, s07FilteredAnn, s08KnnGraph, s09AutoNearDup, s10AutoKnn,
-    t55TextRank)
+    t55TextRank, t56SsJoinPrefix)
 }
