@@ -1583,6 +1583,78 @@ object EventOps {
       ORDER BY pc.a, pc.b
     """.trim))
 
+  /** SCD Type-2 history build: collapse each user's event-type
+    * changelog into versioned validity intervals — (state, valid_from,
+    * valid_to, is_current), the slowly-changing-dimension shape every
+    * warehouse derives from a CDC/event stream before joining facts
+    * "as of" a point in time (e04's as-of join is the consumer of
+    * exactly this table). Run detection is lag() + a change-flag
+    * prefix sum; versions keep only change rows, so output is
+    * CHANGE-cardinality, not event-cardinality. Open intervals close
+    * with the 9999-12-31 sentinel (the SCD2 convention — and it keeps
+    * the column non-null for engines whose comparators treat NULL
+    * specially).
+    *
+    * Scale shape: ONE data exchange on user_id serves everything —
+    * the lag/rn/n_total windows, and (partitioning survives the chg=1
+    * filter) the ver/lead windows after it; no groupBy re-shuffle, no
+    * join (plan-verified: the only other exchange is the
+    * determinism-only output sort). The user_id % 10 slice runs as a
+    * narrow filter before that exchange (modulo is not a pushable
+    * predicate).
+    */
+  val e32Scd2History = Q(
+    "e32_scd2_history",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+      val allRows = Window.partitionBy($"user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val openEnd = 253402214400000000L // 9999-12-31 00:00:00 in micros
+      Tables.load(s, dir, "events")
+        .transform(Tables.withTsMicros(_))
+        .filter($"user_id" % 10 === 0)
+        .withColumn("prev_state", lag($"event_type", 1).over(byUser))
+        .withColumn("chg",
+          when($"prev_state".isNull || $"prev_state" =!= $"event_type", 1)
+            .otherwise(0))
+        .withColumn("rn", row_number().over(byUser))
+        .withColumn("n_total", count(lit(1)).over(allRows))
+        .filter($"chg" === 1)
+        .withColumn("ver", row_number().over(byUser).cast("long"))
+        .withColumn("valid_to",
+          coalesce(lead($"tus", 1).over(byUser), lit(openEnd)))
+        .withColumn("is_current", lead($"tus", 1).over(byUser).isNull)
+        .withColumn("n_events",
+          coalesce(lead($"rn", 1).over(byUser) - $"rn",
+            $"n_total" - $"rn" + 1).cast("long"))
+        .select($"user_id", $"ver", $"event_type".as("state"),
+          $"tus".as("valid_from"), $"valid_to", $"n_events", $"is_current")
+        .orderBy($"user_id", $"ver")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+                 FROM events WHERE user_id % 10 = 0),
+      l AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev_state
+            FROM e),
+      f AS (SELECT *, CASE WHEN prev_state IS NULL OR prev_state <> event_type THEN 1 ELSE 0 END AS chg
+            FROM l),
+      v AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver
+            FROM f),
+      g AS (SELECT user_id, ver, min(event_type) AS state, min(tus) AS valid_from,
+                   count(*) AS n_events
+            FROM v GROUP BY 1, 2)
+      SELECT user_id, CAST(ver AS BIGINT) AS ver, state, valid_from,
+             coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY ver),
+                      253402214400000000) AS valid_to,
+             CAST(n_events AS BIGINT) AS n_events,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY ver) IS NULL AS is_current
+      FROM g
+      ORDER BY user_id, ver
+    """.trim))
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
     e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin,
     e09Unpivot, e10DynamicSession, e11BusRoundtrip, e12Funnel,
@@ -1590,5 +1662,5 @@ object EventOps {
     e17SlidingWindows, e18CohortRetention, e19RateAnomaly, e20EwmaRate,
     e21Seasonality, e22CmsFreq, e23MarkovTransitions, e24InterArrival,
     e25LateProfile, e26Stickiness, e27SessionPaths, e28ChurnFlows,
-    e29BoundedFunnel, e30Attribution, e31SessionLift)
+    e29BoundedFunnel, e30Attribution, e31SessionLift, e32Scd2History)
 }

@@ -2524,6 +2524,72 @@ object Relational {
       ORDER BY c_custkey, o_totalprice DESC, o_orderkey
     """.trim))
 
+  /** Data-quality expectation gate (the deequ/dbt-test shape): a
+    * declarative check suite — completeness, uniqueness, accepted
+    * values, range, freshness, referential integrity — evaluated as
+    * ONE profile aggregate over the fact table plus ONE anti-join for
+    * RI, emitting a (check_name, metric, passed) report row per check.
+    * This is the gate a training-data pipeline runs before a corpus
+    * snapshot is promoted. Scale shape: the profile pass is a single
+    * map-side-combined aggregate (count DISTINCT is the only expand);
+    * RI is one shuffled anti join; output is O(checks), so gating
+    * 100 TB costs two scans and nothing driver-side. All metrics are
+    * exact longs (or ratios of identical longs), so the report —
+    * booleans included — hash-matches cross-engine.
+    */
+  val q65DqGate = Q(
+    "q65_dq_gate",
+    (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val prof = o.agg(
+        count(lit(1)).as("n"),
+        count($"o_custkey").as("nn_ck"),
+        countDistinct($"o_orderkey").as("nd_ok"),
+        sum(when($"o_orderstatus".isin("O", "F", "P"), 0L).otherwise(1L))
+          .as("bad_status"),
+        sum(when($"o_totalprice" <= 0.0, 1L).otherwise(0L)).as("bad_price"),
+        datediff(lit("1999-01-01").cast("date"), max($"o_orderdate").cast("date"))
+          .as("staleness"))
+      val checks = prof.select(expr(
+        """stack(6,
+           'accepted_values_o_orderstatus', cast(bad_status as double), bad_status = 0,
+           'completeness_o_custkey', cast(nn_ck as double) / n, nn_ck = n,
+           'freshness_o_orderdate_days', cast(staleness as double), staleness <= 400,
+           'non_negative_o_totalprice', cast(bad_price as double), bad_price = 0,
+           'row_count', cast(n as double), n > 0,
+           'uniqueness_o_orderkey', cast(nd_ok as double) / n, nd_ok = n
+           ) as (check_name, metric, passed)"""))
+      val ri = o.join(c, $"o_custkey" === $"c_custkey", "left_anti")
+        .agg(count(lit(1)).as("viol"))
+        .select(lit("referential_integrity_o_custkey").as("check_name"),
+          $"viol".cast("double").as("metric"), ($"viol" === 0L).as("passed"))
+      checks.unionByName(ri).orderBy($"check_name")
+    },
+    Some("""
+      WITH prof AS (
+        SELECT count(*) AS n,
+               count(o_custkey) AS nn_ck,
+               count(DISTINCT o_orderkey) AS nd_ok,
+               sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS bad_status,
+               sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS bad_price,
+               date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '1999-01-01') AS staleness
+        FROM orders),
+      ri AS (SELECT count(*) AS viol FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      SELECT * FROM (
+        SELECT 'accepted_values_o_orderstatus' AS check_name,
+               CAST(bad_status AS DOUBLE) AS metric, bad_status = 0 AS passed FROM prof
+        UNION ALL SELECT 'completeness_o_custkey', CAST(nn_ck AS DOUBLE) / n, nn_ck = n FROM prof
+        UNION ALL SELECT 'freshness_o_orderdate_days', CAST(staleness AS DOUBLE), staleness <= 400 FROM prof
+        UNION ALL SELECT 'non_negative_o_totalprice', CAST(bad_price AS DOUBLE), bad_price = 0 FROM prof
+        UNION ALL SELECT 'row_count', CAST(n AS DOUBLE), n > 0 FROM prof
+        UNION ALL SELECT 'referential_integrity_o_custkey', CAST(viol AS DOUBLE), viol = 0 FROM ri
+        UNION ALL SELECT 'uniqueness_o_orderkey', CAST(nd_ok AS DOUBLE) / n, nd_ok = n FROM prof)
+      ORDER BY check_name
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -2540,5 +2606,5 @@ object Relational {
     q50Interpolate, q51AggPushdown, q52DynamicPruning, q53TryIngest,
     q54WindowedDistinct, q55ZOrderKey, q56Listagg, q57SkewProfile,
     q58UnionEvolve, q59ShareOfParent, q60RankBreadth, q61ValueShareHaving,
-    q62TopSupplier, q63SoleBlame, q64LateralTopK)
+    q62TopSupplier, q63SoleBlame, q64LateralTopK, q65DqGate)
 }
