@@ -461,6 +461,55 @@ object StreamingAnalytics {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class Scd2State(ver: Long, state: String, validFrom: Long,
+      nEvents: Long)
+  final case class Scd2Row(user_id: Long, ver: Long, state: String,
+      valid_from: Long, valid_to: Long, n_events: Long, is_current: Boolean)
+
+  /** Streaming SCD Type-2 maintenance, the stateful face of
+    * EventOps.e32: per user, state holds ONE open-version record
+    * (current state, valid_from, run length) — O(users), never
+    * O(events). A state-changing event emits the CLOSED version with
+    * valid_to = the change event's time (final, emitted exactly once);
+    * the open version re-emits in every batch where it grew, so the
+    * downstream upsert keeps the latest row per (user, ver) — closed
+    * beats open, larger n_events beats smaller (the foreachBatch
+    * upsert contract the other twins share). Under the faces' ordering
+    * contract (event-time-ordered arrival) stream-final equals e32
+    * row-for-row, including runs that span batch boundaries
+    * (Scd2Spec pins both).
+    */
+  def scd2History(events: org.apache.spark.sql.Dataset[TransEvent],
+      openEndUs: Long = 253402214400000000L): org.apache.spark.sql.Dataset[Scd2Row] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    def fn(uid: Long, batch: Iterator[TransEvent],
+        state: GroupState[Scd2State]): Iterator[Scd2Row] = {
+      val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var st = state.getOption.orNull
+      val out = Seq.newBuilder[Scd2Row]
+      sorted.foreach { e =>
+        if (st == null) {
+          st = Scd2State(1L, e.event_type, e.ts_us, 1L)
+        } else if (e.event_type == st.state) {
+          st = st.copy(nEvents = st.nEvents + 1)
+        } else {
+          out += Scd2Row(uid, st.ver, st.state, st.validFrom, e.ts_us,
+            st.nEvents, is_current = false)
+          st = Scd2State(st.ver + 1, e.event_type, e.ts_us, 1L)
+        }
+      }
+      if (st != null) {
+        state.update(st)
+        out += Scd2Row(uid, st.ver, st.state, st.validFrom, openEndUs,
+          st.nEvents, is_current = true)
+      }
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   final case class PathState(a: Option[TransState], b: Option[TransState])
   final case class PathTrigram(user_id: Long, path: String)
 
