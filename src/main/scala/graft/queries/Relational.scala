@@ -2590,6 +2590,50 @@ object Relational {
       ORDER BY check_name
     """.trim))
 
+  private val xmlRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def xmlSupplier(s: SparkSession, dir: String): String =
+    Tables.cachedTempRoot(xmlRoots, dir, "graft_xml") { p =>
+      val out = s"$p/supplier_xml"
+      t(s, dir, "supplier").write.mode("overwrite")
+        .option("rowTag", "supplier").format("xml").save(out)
+      out
+    }
+
+  /** XML source + sink — built into Spark 4 (the former spark-xml
+    * connector), the fifth landing format after parquet/ORC/CSV/JSON
+    * and the one B2B/EDI feeds still arrive in. supplier written once
+    * as element-per-row XML and read back with an EXPLICIT schema
+    * (XML inference is an extra full pass and element-order
+    * sensitive), then aggregated per nation; the oracle aggregates the
+    * original parquet, so any roundtrip loss — doubles, element
+    * nesting, nulls — hash-fails. Doubles survive because the XML
+    * writer emits shortest-round-trip representations like the
+    * CSV/JSON writers.
+    */
+  val q66XmlRoundtrip = Q(
+    "q66_xml_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      s.read
+        .schema("s_suppkey bigint, s_name string, s_nationkey int, " +
+          "s_acctbal double")
+        .option("rowTag", "supplier")
+        .format("xml").load(xmlSupplier(s, dir))
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum($"s_acctbal".cast("decimal(14,2)")).cast("double").as("total_bal"))
+        .orderBy($"s_nationkey")
+    },
+    Some("""
+      SELECT s_nationkey, count(*) AS n,
+             CAST(sum(CAST(s_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal
+      FROM supplier
+      GROUP BY s_nationkey
+      ORDER BY s_nationkey
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -2606,5 +2650,6 @@ object Relational {
     q50Interpolate, q51AggPushdown, q52DynamicPruning, q53TryIngest,
     q54WindowedDistinct, q55ZOrderKey, q56Listagg, q57SkewProfile,
     q58UnionEvolve, q59ShareOfParent, q60RankBreadth, q61ValueShareHaving,
-    q62TopSupplier, q63SoleBlame, q64LateralTopK, q65DqGate)
+    q62TopSupplier, q63SoleBlame, q64LateralTopK, q65DqGate,
+    q66XmlRoundtrip)
 }
