@@ -65,6 +65,38 @@ object MutationOps {
     existing.join(keys.select(pkCols.map(col): _*).distinct(), pkCols, "left_anti")
   }
 
+  /** Multi-action CDC apply — the MERGE INTO shape (WHEN MATCHED
+    * UPDATE / WHEN MATCHED DELETE / WHEN NOT MATCHED INSERT) the
+    * reference's three single-action mutations compose into when a
+    * change feed carries mixed operations. Semantics are the standard
+    * CDC-apply contract: within the batch the LAST change per PK (by
+    * `ord`) wins; a surviving insert/update replaces the target row
+    * (update-on-missing inserts — idempotent replay safety); a
+    * surviving delete removes it; a delete on a missing key is a
+    * no-op.
+    *
+    * Scale: ONE window shuffle on the PK to resolve keep-last + ONE
+    * anti-join of the (100 TB) target against the (batch-sized) change
+    * keys — AQE broadcasts the small side, so the target is never
+    * re-shuffled. Composing the single-action ops instead would get a
+    * key hit by both an update and a delete wrong: routing must happen
+    * AFTER keep-last resolution, not per action.
+    */
+  def applyCdc(existing: DataFrame, changes: DataFrame, pkCols: Seq[String],
+      opCol: String, ord: Column): DataFrame = {
+    require(pkCols.nonEmpty, "CDC apply requires a primary key")
+    val missing = pkCols.filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"change feed must contain all primary key columns; missing: ${missing.mkString(", ")}")
+    val w = Window.partitionBy(pkCols.map(col): _*).orderBy(ord.desc)
+    val lastPerPk = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val survivors = lastPerPk.filter(col(opCol) =!= "delete")
+    existing.join(lastPerPk.select(pkCols.map(col): _*), pkCols, "left_anti")
+      .unionByName(survivors.select(existing.columns.map(col): _*))
+  }
+
   /** O15 — render the audit-parity DELETE string for one row
     * (process-pipeline.py:279-283: double-quoted identifiers,
     * single-quoted values, AND-joined). We never execute this string —

@@ -1655,6 +1655,73 @@ object EventOps {
       ORDER BY user_id, ver
     """.trim))
 
+  /** Point-in-time SCD2 lookup — the consumer of e32's history table:
+    * each fact (purchase) resolves the dimension version valid at its
+    * own position in the user's timeline. Dimension = the user's
+    * browsing state (latest NON-purchase event type — it changes only
+    * when the type changes); fact = every purchase; the lookup is
+    * strictly-before by (tus, event_id) position.
+    *
+    * The point is the PLAN: the textbook formulation is an interval
+    * join (fact.ts BETWEEN dim.valid_from AND dim.valid_to — e08's
+    * range join) or an as-of join (e04's custom operator). When fact
+    * and dimension share the partition key, BOTH collapse to a single
+    * window pass over the unioned timeline — here even the union
+    * disappears because dim changes derive from the same stream:
+    * `last(state) IGNORE NULLS OVER (rows unbounded preceding..1
+    * preceding)` carries the current version to every fact, and a
+    * running sum of change flags numbers it. ONE exchange on user_id,
+    * zero joins, at any scale — the 100 TB preferred shape for
+    * co-partitioned temporal lookups.
+    */
+  val e33Scd2Lookup = Q(
+    "e33_scd2_lookup",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+      val strictlyBefore =
+        byUser.rowsBetween(Window.unboundedPreceding, -1)
+      val upToHere =
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .transform(Tables.withTsMicros(_))
+        .filter($"user_id" % 10 === 0)
+        .withColumn("prev_np",
+          last(when($"event_type" =!= "purchase", $"event_type"),
+            ignoreNulls = true).over(strictlyBefore))
+        .withColumn("chg",
+          when($"event_type" =!= "purchase" &&
+            ($"prev_np".isNull || $"prev_np" =!= $"event_type"), 1)
+            .otherwise(0))
+        .withColumn("ver_at", sum($"chg").over(upToHere).cast("long"))
+        .filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"tus",
+          coalesce($"prev_np", lit("none")).as("state_at"), $"ver_at")
+        .orderBy($"user_id", $"tus", $"event_id")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+                 FROM events WHERE user_id % 10 = 0),
+      w AS (SELECT *,
+              last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY tus, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_np
+            FROM e),
+      c AS (SELECT *,
+              CASE WHEN event_type <> 'purchase'
+                     AND (prev_np IS NULL OR prev_np <> event_type)
+                   THEN 1 ELSE 0 END AS chg
+            FROM w),
+      v AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver_at
+            FROM c)
+      SELECT user_id, event_id, tus, coalesce(prev_np, 'none') AS state_at,
+             CAST(ver_at AS BIGINT) AS ver_at
+      FROM v WHERE event_type = 'purchase'
+      ORDER BY user_id, tus, event_id
+    """.trim))
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
     e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin,
     e09Unpivot, e10DynamicSession, e11BusRoundtrip, e12Funnel,
@@ -1662,5 +1729,6 @@ object EventOps {
     e17SlidingWindows, e18CohortRetention, e19RateAnomaly, e20EwmaRate,
     e21Seasonality, e22CmsFreq, e23MarkovTransitions, e24InterArrival,
     e25LateProfile, e26Stickiness, e27SessionPaths, e28ChurnFlows,
-    e29BoundedFunnel, e30Attribution, e31SessionLift, e32Scd2History)
+    e29BoundedFunnel, e30Attribution, e31SessionLift, e32Scd2History,
+    e33Scd2Lookup)
 }

@@ -3590,6 +3590,108 @@ object LlmOps {
       ORDER BY doc_a, doc_b
     """.trim))
 
+  /** BM25 ranked retrieval — score every document against a fixed
+    * 4-term query and keep the global top-20. The retrieval face the
+    * RAG family (t36 chunks, s-suite ANN) pairs with for hybrid
+    * search; TF-IDF (t12) ranks terms per doc, this ranks DOCS per
+    * query with BM25's tf saturation and length normalization.
+    *
+    * Hash-exactness: idf uses the exact rational surrogate
+    * ((N−df)·10⁴) div df (same monotone-in-1/df role as log((N−df+.5)
+    * /(df+.5)) — ln() is not correctly-rounded and can never
+    * cross-engine-hash; the t12 lesson), and the k1=1.2 / b=0.75
+    * saturation term is cleared of fractions: tf·(k1+1)/(tf +
+    * k1·(1−b+b·dl·N/T)) == 22·T·tf / (10·T·tf + 3·T + 9·dl·N), exact
+    * longs into ONE double division — an identical IEEE tree both
+    * engines.
+    *
+    * Scale shape: corpus statistics (N, total tokens, per-term df) are
+    * ONE aggregate row collected driver-side (bounded control data —
+    * the t12/t22 pattern; production retrieval keeps exactly these
+    * stats precomputed). The scoring pass is a NARROW per-row
+    * projection — tf via size(filter(tokens)) per query term, no
+    * explode, no join, no shuffle — feeding a distributed top-k
+    * (TakeOrderedAndProject: each partition forwards ≤ 20 rows). Two
+    * corpus scans total at any corpus size.
+    */
+  val t57Bm25TopK = Q(
+    "t57_bm25_topk",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val qterms = Seq("vector", "stream", "window", "hash")
+      val withTf = Tables.load(s, dir, "documents")
+        .select($"doc_id", TF.terms($"text").as("ts"))
+        .select($"doc_id" +: size($"ts").cast("long").as("dl") +:
+          qterms.map(t =>
+            size(filter($"ts", x => x === lit(t))).cast("long").as(s"tf_$t")): _*)
+      val aggCols = Seq(count(lit(1)).as("n"), sum($"dl").as("t")) ++
+        qterms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+      val st = withTf.agg(aggCols.head, aggCols.tail: _*).head()
+      val n = st.getLong(0)
+      val tot = st.getLong(1)
+      val dfs = qterms.zipWithIndex.map { case (t, i) => t -> st.getLong(2 + i) }.toMap
+      def contrib(t: String): org.apache.spark.sql.Column = {
+        val tf = col(s"tf_$t")
+        val idf = if (dfs(t) <= 0) 0L else ((n - dfs(t)) * 10000L) / dfs(t)
+        when(tf > 0,
+          lit(idf.toDouble) *
+            ((tf * lit(22L) * lit(tot)).cast("double") /
+              (lit(10L) * lit(tot) * tf + lit(3L) * lit(tot) +
+                lit(9L) * $"dl" * lit(n)).cast("double")))
+          .otherwise(lit(0.0))
+      }
+      withTf.withColumn("score", qterms.map(contrib).reduce(_ + _))
+        .orderBy($"score".desc, $"doc_id").limit(20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy($"score".desc, $"doc_id")).cast("long"))
+        .select($"rank", $"doc_id", $"dl", $"tf_vector", $"tf_stream",
+          $"tf_window", $"tf_hash", $"score")
+        .orderBy($"rank")
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
+      d AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+              CAST(len(list_filter(ts, x -> x = 'vector')) AS BIGINT) AS tf_vector,
+              CAST(len(list_filter(ts, x -> x = 'stream')) AS BIGINT) AS tf_stream,
+              CAST(len(list_filter(ts, x -> x = 'window')) AS BIGINT) AS tf_window,
+              CAST(len(list_filter(ts, x -> x = 'hash')) AS BIGINT) AS tf_hash
+            FROM tk),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t,
+              CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_vector,
+              CAST(sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_stream,
+              CAST(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_window,
+              CAST(sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash
+             FROM d),
+      sc AS (SELECT doc_id, dl, tf_vector, tf_stream, tf_window, tf_hash,
+              (CASE WHEN tf_vector > 0 THEN
+                 CAST(((st.n - st.df_vector) * 10000) // greatest(st.df_vector, 1) AS DOUBLE) *
+                 (CAST(tf_vector * 22 * st.t AS DOUBLE) /
+                  CAST(10 * st.t * tf_vector + 3 * st.t + 9 * dl * st.n AS DOUBLE))
+               ELSE 0.0 END)
+              + (CASE WHEN tf_stream > 0 THEN
+                 CAST(((st.n - st.df_stream) * 10000) // greatest(st.df_stream, 1) AS DOUBLE) *
+                 (CAST(tf_stream * 22 * st.t AS DOUBLE) /
+                  CAST(10 * st.t * tf_stream + 3 * st.t + 9 * dl * st.n AS DOUBLE))
+               ELSE 0.0 END)
+              + (CASE WHEN tf_window > 0 THEN
+                 CAST(((st.n - st.df_window) * 10000) // greatest(st.df_window, 1) AS DOUBLE) *
+                 (CAST(tf_window * 22 * st.t AS DOUBLE) /
+                  CAST(10 * st.t * tf_window + 3 * st.t + 9 * dl * st.n AS DOUBLE))
+               ELSE 0.0 END)
+              + (CASE WHEN tf_hash > 0 THEN
+                 CAST(((st.n - st.df_hash) * 10000) // greatest(st.df_hash, 1) AS DOUBLE) *
+                 (CAST(tf_hash * 22 * st.t AS DOUBLE) /
+                  CAST(10 * st.t * tf_hash + 3 * st.t + 9 * dl * st.n AS DOUBLE))
+               ELSE 0.0 END) AS score
+             FROM d, st),
+      top AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 20)
+      SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+             doc_id, dl, tf_vector, tf_stream, tf_window, tf_hash, score
+      FROM top
+      ORDER BY rank
+    """.trim))
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
@@ -3607,5 +3709,5 @@ object LlmOps {
     t51DupKeeper, t52ZipfTable, t53SourceHealth, t54LeakageSplit,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
     s06IvfPqTopK, s07FilteredAnn, s08KnnGraph, s09AutoNearDup, s10AutoKnn,
-    t55TextRank, t56SsJoinPrefix)
+    t55TextRank, t56SsJoinPrefix, t57Bm25TopK)
 }

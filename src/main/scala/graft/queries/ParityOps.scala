@@ -192,6 +192,55 @@ object ParityOps {
       ORDER BY c_custkey, __op
     """.trim))
 
+  /** Multi-action CDC apply (MutationOps.applyCdc — the MERGE INTO
+    * shape): one mixed change feed carrying updates (ord 1, key%7),
+    * deletes (ord 2, key%11), later updates (ord 3, key%9) and inserts
+    * (key%13 at an offset keyspace) applied in ONE pass. The oracle
+    * pins the keep-last resolution direction both ways: a key hit by
+    * update-then-delete dies (%77 keys are gone), a key hit by
+    * delete-then-update survives with the later value (%99 keys carry
+    * the W_ prefix) — the case composing single-action ops gets wrong.
+    */
+  val op11CdcApply = Q(
+    "op11_cdc_apply",
+    (s, dir) => {
+      import s.implicits._
+      val orders = Tables.load(s, dir, "orders")
+      def batch(pred: org.apache.spark.sql.Column, op: String, ordv: Long,
+          key: org.apache.spark.sql.Column, prio: org.apache.spark.sql.Column) =
+        orders.filter(pred).select(key.as("o_orderkey"), $"o_custkey",
+          $"o_orderstatus", $"o_totalprice", $"o_orderdate",
+          prio.as("o_orderpriority"), lit(op).as("__op"), lit(ordv).as("__ord"))
+      val changes = batch($"o_orderkey" % 7 === 0, "update", 1L,
+          $"o_orderkey", concat(lit("U_"), $"o_orderpriority"))
+        .unionByName(batch($"o_orderkey" % 11 === 0, "delete", 2L,
+          $"o_orderkey", $"o_orderpriority"))
+        .unionByName(batch($"o_orderkey" % 9 === 0, "update", 3L,
+          $"o_orderkey", concat(lit("W_"), $"o_orderpriority")))
+        .unionByName(batch($"o_orderkey" % 13 === 0, "insert", 1L,
+          $"o_orderkey" + 10000000L, lit("NEW")))
+      MutationOps.applyCdc(orders, changes, Seq("o_orderkey"), "__op", $"__ord")
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT * FROM orders
+      WHERE o_orderkey % 7 <> 0 AND o_orderkey % 9 <> 0 AND o_orderkey % 11 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             'U_' || o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 7 = 0 AND o_orderkey % 9 <> 0 AND o_orderkey % 11 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             'W_' || o_orderpriority
+      FROM orders WHERE o_orderkey % 9 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, 'NEW'
+      FROM orders WHERE o_orderkey % 13 = 0
+      ORDER BY o_orderkey
+    """.trim))
+
   val all: Seq[Q] = Seq(op01InsertIgnore, op02Upsert, op03Delete,
-    op04StageDeletes, op05AssignVersions, op10VersionDiff)
+    op04StageDeletes, op05AssignVersions, op10VersionDiff, op11CdcApply)
 }

@@ -50,6 +50,29 @@ class MutationOpsSpec extends SparkTestBase {
     assert(got == Set("1" -> "a", "3" -> "c"))
   }
 
+  test("applyCdc resolves keep-last across mixed actions (MERGE shape)") {
+    val existing = table("1" -> "a", "2" -> "b", "3" -> "c", "4" -> "d")
+    // key 2: update then delete -> dies; key 3: delete then update ->
+    // survives updated; key 5: update on missing -> inserts; key 9:
+    // delete on missing -> no-op
+    val changes = Seq(
+      ("2", "u2", "update", 1L), ("2", "u2", "delete", 2L),
+      ("3", "u3a", "delete", 1L), ("3", "u3b", "update", 2L),
+      ("5", "n5", "update", 1L), ("9", "x", "delete", 1L))
+      .toDF("id", "v", "__op", "ord")
+    val got = MutationOps.applyCdc(existing, changes, Seq("id"), "__op", col("ord"))
+      .as[(String, String)].collect().toSet
+    assert(got == Set("1" -> "a", "3" -> "u3b", "4" -> "d", "5" -> "n5"))
+  }
+
+  test("applyCdc validates PK presence in the change feed") {
+    val ex = intercept[IllegalArgumentException] {
+      MutationOps.applyCdc(table("1" -> "a"),
+        Seq(("x", "update")).toDF("other", "__op"), Seq("id"), "__op", lit(0))
+    }
+    assert(ex.getMessage.contains("missing"))
+  }
+
   test("renderDeleteQuery matches reference format (process-pipeline.py:279-283)") {
     val got = Seq(("5", "x")).toDF("id", "name")
       .select(MutationOps.renderDeleteQuery("myschema.t", Seq("id", "name")))
