@@ -1722,6 +1722,57 @@ object EventOps {
       ORDER BY user_id, tus, event_id
     """.trim))
 
+  /** Time-weighted average (TWAP) per event type — the IoT/finance
+    * aggregation where a reading holds until the next one arrives, so
+    * the mean must weight each value by its holding interval, not
+    * count it once: Σ value·Δt / Σ Δt over per-user gaps (a user's
+    * last event has no interval and is excluded).
+    *
+    * Exactness: values go through the board's decimal(14,2) cents
+    * convention, weights are exact integer micros from lead(), and
+    * the value·Δt products sum in decimal(38,0) — the final TWAP is
+    * ONE double division over two exactly-summed integers (identical
+    * IEEE tree both engines), immune to partition order at any
+    * cluster width.
+    *
+    * Scale: one user_id window exchange for lead(), then a rollup at
+    * event-type cardinality; nothing else touches the fact table.
+    */
+  val e34Twap = Q(
+    "e34_twap",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+      Tables.load(s, dir, "events")
+        .transform(Tables.withTsMicros(_))
+        .withColumn("gap_us", lead($"tus", 1).over(byUser) - $"tus")
+        .filter($"gap_us".isNotNull)
+        .withColumn("cents",
+          ($"value".cast("decimal(14,2)") * 100).cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(($"cents" * $"gap_us").cast("decimal(30,0)")).as("cg"),
+          sum($"gap_us".cast("decimal(30,0)")).as("g"))
+        .select($"event_type", $"n_gaps",
+          ($"cg".cast("double") / $"g".cast("double") / 100.0).as("twap"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+                        CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+                 FROM events),
+      g AS (SELECT event_type, cents,
+              lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus AS gap_us
+            FROM e)
+      SELECT event_type, count(*) AS n_gaps,
+             CAST(sum(CAST(cents * gap_us AS DECIMAL(30,0))) AS DOUBLE)
+               / CAST(sum(CAST(gap_us AS DECIMAL(30,0))) AS DOUBLE) / 100.0 AS twap
+      FROM g WHERE gap_us IS NOT NULL
+      GROUP BY event_type
+      ORDER BY event_type
+    """.trim))
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
     e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin,
     e09Unpivot, e10DynamicSession, e11BusRoundtrip, e12Funnel,
@@ -1730,5 +1781,5 @@ object EventOps {
     e21Seasonality, e22CmsFreq, e23MarkovTransitions, e24InterArrival,
     e25LateProfile, e26Stickiness, e27SessionPaths, e28ChurnFlows,
     e29BoundedFunnel, e30Attribution, e31SessionLift, e32Scd2History,
-    e33Scd2Lookup)
+    e33Scd2Lookup, e34Twap)
 }

@@ -3614,42 +3614,30 @@ object LlmOps {
     * (TakeOrderedAndProject: each partition forwards ≤ 20 rows). Two
     * corpus scans total at any corpus size.
     */
-  val t57Bm25TopK = Q(
-    "t57_bm25_topk",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      import s.implicits._
-      val qterms = Seq("vector", "stream", "window", "hash")
-      val withTf = Tables.load(s, dir, "documents")
-        .select($"doc_id", TF.terms($"text").as("ts"))
-        .select($"doc_id" +: size($"ts").cast("long").as("dl") +:
-          qterms.map(t =>
-            size(filter($"ts", x => x === lit(t))).cast("long").as(s"tf_$t")): _*)
-      val aggCols = Seq(count(lit(1)).as("n"), sum($"dl").as("t")) ++
-        qterms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
-      val st = withTf.agg(aggCols.head, aggCols.tail: _*).head()
-      val n = st.getLong(0)
-      val tot = st.getLong(1)
-      val dfs = qterms.zipWithIndex.map { case (t, i) => t -> st.getLong(2 + i) }.toMap
-      def contrib(t: String): org.apache.spark.sql.Column = {
-        val tf = col(s"tf_$t")
-        val idf = if (dfs(t) <= 0) 0L else ((n - dfs(t)) * 10000L) / dfs(t)
-        when(tf > 0,
-          lit(idf.toDouble) *
-            ((tf * lit(22L) * lit(tot)).cast("double") /
-              (lit(10L) * lit(tot) * tf + lit(3L) * lit(tot) +
-                lit(9L) * $"dl" * lit(n)).cast("double")))
-          .otherwise(lit(0.0))
-      }
-      withTf.withColumn("score", qterms.map(contrib).reduce(_ + _))
-        .orderBy($"score".desc, $"doc_id").limit(20)
-        .withColumn("rank",
-          row_number().over(Window.orderBy($"score".desc, $"doc_id")).cast("long"))
-        .select($"rank", $"doc_id", $"dl", $"tf_vector", $"tf_stream",
-          $"tf_window", $"tf_hash", $"score")
-        .orderBy($"rank")
-    },
-    Some("""
+  /** One BM25 term contribution from exact integer inputs — the
+    * shared scoring tree t57 (full scan) and t58 (index-served) must
+    * both produce so their results are bit-identical: rational idf
+    * ((N−df)·10⁴ div df) times the fraction-cleared saturation term
+    * 22·T·tf / (10·T·tf + 3·T + 9·dl·N), one IEEE multiply + divide.
+    */
+  private def bm25Contrib(tfc: org.apache.spark.sql.Column,
+      dlc: org.apache.spark.sql.Column, df: Long, n: Long,
+      tot: Long): org.apache.spark.sql.Column = {
+    val idf = if (df <= 0) 0L else ((n - df) * 10000L) / df
+    when(tfc > 0,
+      lit(idf.toDouble) *
+        ((tfc * lit(22L) * lit(tot)).cast("double") /
+          (lit(10L) * lit(tot) * tfc + lit(3L) * lit(tot) +
+            lit(9L) * dlc * lit(n)).cast("double")))
+      .otherwise(lit(0.0))
+  }
+
+  /** The 4-term query and the shared t57/t58 oracle (the index-served
+    * path must reproduce the scan-served relation exactly).
+    */
+  private val bm25Terms = Seq("vector", "stream", "window", "hash")
+
+  private val bm25OracleSql = """
       WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
       d AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
               CAST(len(list_filter(ts, x -> x = 'vector')) AS BIGINT) AS tf_vector,
@@ -3690,7 +3678,36 @@ object LlmOps {
              doc_id, dl, tf_vector, tf_stream, tf_window, tf_hash, score
       FROM top
       ORDER BY rank
-    """.trim))
+    """.trim
+
+  val t57Bm25TopK = Q(
+    "t57_bm25_topk",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val qterms = bm25Terms
+      val withTf = Tables.load(s, dir, "documents")
+        .select($"doc_id", TF.terms($"text").as("ts"))
+        .select($"doc_id" +: size($"ts").cast("long").as("dl") +:
+          qterms.map(t =>
+            size(filter($"ts", x => x === lit(t))).cast("long").as(s"tf_$t")): _*)
+      val aggCols = Seq(count(lit(1)).as("n"), sum($"dl").as("t")) ++
+        qterms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+      val st = withTf.agg(aggCols.head, aggCols.tail: _*).head()
+      val n = st.getLong(0)
+      val tot = st.getLong(1)
+      val dfs = qterms.zipWithIndex.map { case (t, i) => t -> st.getLong(2 + i) }.toMap
+      withTf.withColumn("score",
+        qterms.map(t => bm25Contrib(col(s"tf_$t"), $"dl", dfs(t), n, tot))
+          .reduce(_ + _))
+        .orderBy($"score".desc, $"doc_id").limit(20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy($"score".desc, $"doc_id")).cast("long"))
+        .select($"rank", $"doc_id", $"dl", $"tf_vector", $"tf_stream",
+          $"tf_window", $"tf_hash", $"score")
+        .orderBy($"rank")
+    },
+    Some(bm25OracleSql))
 
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,

@@ -2634,6 +2634,84 @@ object Relational {
       ORDER BY s_nationkey
     """.trim))
 
+  /** Order-insensitive reconciliation checksum — the cross-system
+    * table-compare primitive behind every migration/replication
+    * validation ("does the copy hold exactly the same rows?") without
+    * shipping or sorting either side: per-row 60-bit md5 digest of a
+    * canonical column rendering, reduced mod 2³¹−1 and SUMMED — a
+    * commutative monoid, so the checksum is independent of row order,
+    * partitioning, and cluster width (the t28 Mersenne lesson; sums
+    * accumulate in decimal(38,0) so 10¹⁴ rows can't overflow).
+    * Variants pin both directions: `roundtrip` re-computes over a
+    * deliberately re-ordered copy (split + re-union) and must MATCH;
+    * `mutated` perturbs every row by one cent and must MISMATCH.
+    *
+    * Scale: one narrow projection + one all-partial aggregate per
+    * variant — no shuffle of data rows at all (the aggregate moves one
+    * partial sum per partition); comparing two 100 TB tables costs
+    * two scans and exchanges 16 bytes.
+    */
+  val q67ReconcileChecksum = Q(
+    "q67_reconcile_checksum",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val P = 2147483647L // 2^31 - 1
+      val orders = t(s, dir, "orders")
+      def canonical(cents: Column): Column = concat_ws("|",
+        $"o_orderkey".cast("string"), $"o_custkey".cast("string"),
+        $"o_orderstatus", $"o_orderpriority", cents.cast("string"),
+        (year($"o_orderdate") * 10000 + month($"o_orderdate") * 100 +
+          dayofmonth($"o_orderdate")).cast("long").cast("string"))
+      val cents = ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long")
+      def checksum(df: DataFrame, label: String, c: Column): DataFrame =
+        df.select(pmod(conv(substring(md5(canonical(c)), 1, 15), 16, 10)
+            .cast("long"), lit(P)).as("dg"))
+          .agg((sum($"dg".cast("decimal(38,0)")) % P).cast("long").as("checksum"))
+          .select(lit(label).as("variant"), $"checksum")
+      val reordered = orders.filter($"o_orderkey" % 2 === 0)
+        .unionByName(orders.filter($"o_orderkey" % 2 =!= 0))
+      checksum(orders, "base", cents)
+        .unionByName(checksum(orders, "mutated", cents + 1))
+        .unionByName(checksum(reordered, "roundtrip", cents))
+        .withColumn("matches_base",
+          $"checksum" === max(when($"variant" === "base", $"checksum"))
+            .over(Window.partitionBy()))
+        .orderBy($"variant")
+    },
+    Some {
+      val hex15 = (1 to 15).map { i =>
+        val w = math.pow(16, 15 - i).toLong
+        s"(strpos('0123456789abcdef', m[$i:$i]) - 1) * $w"
+      }.mkString(" + ")
+      val hex15b = (1 to 15).map { i =>
+        val w = math.pow(16, 15 - i).toLong
+        s"(strpos('0123456789abcdef', m2[$i:$i]) - 1) * $w"
+      }.mkString(" + ")
+      s"""
+      WITH o AS (SELECT CAST(o_orderkey AS VARCHAR) AS k, CAST(o_custkey AS VARCHAR) AS c,
+                        o_orderstatus AS st, o_orderpriority AS pr,
+                        CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+                        CAST(year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate) AS VARCHAR) AS ymd
+                 FROM orders),
+      d AS (SELECT md5(concat_ws('|', k, c, st, pr, CAST(cents AS VARCHAR), ymd)) AS m,
+                   md5(concat_ws('|', k, c, st, pr, CAST(cents + 1 AS VARCHAR), ymd)) AS m2
+            FROM o),
+      g AS (SELECT CAST(($hex15) % 2147483647 AS BIGINT) AS dg,
+                   CAST(($hex15b) % 2147483647 AS BIGINT) AS dg2
+            FROM d),
+      cs AS (SELECT CAST(CAST(sum(dg) AS HUGEINT) % 2147483647 AS BIGINT) AS base_ck,
+                    CAST(CAST(sum(dg2) AS HUGEINT) % 2147483647 AS BIGINT) AS mut_ck
+             FROM g)
+      SELECT 'base' AS variant, base_ck AS checksum, true AS matches_base FROM cs
+      UNION ALL
+      SELECT 'mutated', mut_ck, mut_ck = base_ck FROM cs
+      UNION ALL
+      SELECT 'roundtrip', base_ck, true FROM cs
+      ORDER BY variant
+      """.trim
+    })
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -2651,5 +2729,5 @@ object Relational {
     q54WindowedDistinct, q55ZOrderKey, q56Listagg, q57SkewProfile,
     q58UnionEvolve, q59ShareOfParent, q60RankBreadth, q61ValueShareHaving,
     q62TopSupplier, q63SoleBlame, q64LateralTopK, q65DqGate,
-    q66XmlRoundtrip)
+    q66XmlRoundtrip, q67ReconcileChecksum)
 }
