@@ -296,12 +296,12 @@ object Dedup {
     var stable = false
     var guard = 0
     while (!stable && guard < 100) {
-      val bWant = math.max(2, math.ceil(
-        math.log(missProb) / math.log(1.0 - math.pow(threshold, r.toDouble))).toInt)
+      val bWant = math.max(2, VectorFunctions.stableCeil(
+        math.log(missProb) / math.log(1.0 - math.pow(threshold, r.toDouble))))
       val bNext = math.min(bWant, maxBands)
-      val rNext = math.max(r, math.ceil(
+      val rNext = math.max(r, VectorFunctions.stableCeil(
         math.log(n.toDouble * bNext / (2.0 * fanout)) /
-          math.log(1.0 / s0)).toInt)
+          math.log(1.0 / s0)))
       stable = bNext == b && rNext == r
       if (bWant > maxBands && !stable)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Persistent inverted text index: the sparse-retrieval counterpart of
@@ -72,5 +73,91 @@ object TextIndex {
   def corpusStats(spark: SparkSession, indexDir: String): (Long, Long) = {
     val r = spark.read.parquet(s"$indexDir/corpus_stats").head()
     (r.getLong(0), r.getLong(1))
+  }
+
+  /** One BM25 term contribution from exact integer inputs — the single
+    * scoring tree the full-scan t57 query and the index-served
+    * `bm25TopK` both produce, so their results are bit-identical:
+    * rational idf ((N−df)·10⁴ div df — ln() is not correctly-rounded
+    * and can never cross-engine-hash) times the k1=1.2 / b=0.75
+    * saturation term cleared of fractions, tf·(k1+1)/(tf +
+    * k1·(1−b+b·dl·N/T)) == 22·T·tf / (10·T·tf + 3·T + 9·dl·N): exact
+    * longs into ONE double multiply + divide, an identical IEEE tree
+    * in every engine.
+    */
+  def bm25Contrib(tfc: Column, dlc: Column, df: Long, n: Long,
+      tot: Long): Column = {
+    val idf = if (df <= 0) 0L else ((n - df) * 10000L) / df
+    when(tfc > 0,
+      lit(idf.toDouble) *
+        ((tfc * lit(22L) * lit(tot)).cast("double") /
+          (lit(10L) * lit(tot) * tfc + lit(3L) * lit(tot) +
+            lit(9L) * dlc * lit(n)).cast("double")))
+      .otherwise(lit(0.0))
+  }
+
+  /** Index-served BM25 top-k: candidates come from `postingsFor` (only
+    * the query terms' buckets are opened — serve cost ∝ queried terms'
+    * postings, never the corpus), per-term df rides denormalized on the
+    * postings rows (a ≤|terms|-row bounded control read), and scoring
+    * is ONE (doc, dl) aggregate over the candidate postings — no join,
+    * no corpus scan. Output relation matches the full-scan query
+    * exactly: (rank, doc_id, dl, tf_<term>…, score) ordered by score
+    * desc then doc_id.
+    *
+    * Retrieval truncates to matching docs, so when fewer than k docs
+    * contain any query term the top-k tail is zero-score rows the index
+    * cannot name. `fallback` (the corpus, id + text cols) closes that
+    * gap exactly: the k smallest-id non-candidates join the ranking
+    * with score 0 — the only case that touches the corpus, and only
+    * when the candidate set is smaller than k.
+    */
+  def bm25TopK(spark: SparkSession, indexDir: String, terms: Seq[String],
+      k: Int, fallback: Option[(DataFrame, String, String)] = None,
+      nBuckets: Int = DefaultBuckets): DataFrame = {
+    import spark.implicits._
+    val (n, tot) = corpusStats(spark, indexDir)
+    val posts = postingsFor(spark, indexDir, terms, nBuckets)
+    // df per matched term: denormalized onto every posting, so this is
+    // a bounded ≤|terms|-row control read (the t12/t22 pattern)
+    val dfs = posts.groupBy($"term").agg(first($"df").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tfAggs = terms.map(t =>
+      sum(when($"term" === t, $"tf").otherwise(0L)).as(s"tf_$t"))
+    val scored = posts.groupBy($"doc_id", $"dl")
+      .agg(tfAggs.head, tfAggs.tail: _*)
+      .withColumn("score",
+        terms.map(t => bm25Contrib(col(s"tf_$t"), $"dl",
+          dfs.getOrElse(t, 0L), n, tot)).reduce(_ + _))
+    // materialize the ≤k candidate rows once (bounded control read, the
+    // t12/t22 pattern) — deciding whether the zero-score fallback is
+    // needed must not rescan the postings
+    val topCand = {
+      val lim = scored.orderBy($"score".desc, $"doc_id").limit(k)
+      spark.createDataFrame(
+        java.util.Arrays.asList(lim.collect(): _*), lim.schema)
+    }
+    val top = if (fallback.isEmpty || topCand.count() >= k) topCand else {
+      val (docs, idCol, textCol) = fallback.get
+      // k smallest-id docs OUTSIDE the candidate set at score 0: a
+      // zero-score candidate can still outrank them only by doc_id, so
+      // re-sorting the ≤2k-row union reproduces the full-scan order
+      val zeros = docs
+        .select(col(idCol).as("doc_id"),
+          size(TextFunctions.terms(col(textCol))).cast("long").as("dl"))
+        .join(scored.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .orderBy($"doc_id").limit(k)
+        .select($"doc_id" +: $"dl" +:
+          terms.map(t => lit(0L).as(s"tf_$t")) :+ lit(0.0).as("score"): _*)
+      topCand.unionByName(zeros)
+        .orderBy($"score".desc, $"doc_id").limit(k)
+    }
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"score".desc, $"doc_id"))
+          .cast("long"))
+      .select($"rank" +: $"doc_id" +: $"dl" +:
+        terms.map(t => col(s"tf_$t")) :+ $"score": _*)
+      .orderBy($"rank")
   }
 }

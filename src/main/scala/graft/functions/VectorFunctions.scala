@@ -376,12 +376,12 @@ object VectorFunctions {
   def lshParamsFor(n: Long, threshold: Double, targetBucket: Int = 150,
       missProb: Double = 0.05, maxTables: Int = 64): (Int, Int) = {
     require(threshold > 0.0 && threshold < 1.0, "cosine threshold in (0,1)")
-    val planes = math.max(4, math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+    val planes = math.max(4, stableCeil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)))
     val pPlane = 1.0 - math.acos(threshold) / math.Pi
     val pTable = math.pow(pPlane, planes.toDouble)
-    val tables = math.max(2, math.ceil(
-      math.log(missProb) / math.log(1.0 - pTable)).toInt)
+    val tables = math.max(2, stableCeil(
+      math.log(missProb) / math.log(1.0 - pTable)))
     // Low thresholds at large n make the recall formula explode (e.g.
     // θ=0.45 at n=10M wants ~4700 tables — a multi-thousand-signature
     // explode nobody should silently plan). Cap the table count and say
@@ -407,7 +407,19 @@ object VectorFunctions {
     * sample a bounded set, so growing k stays cheap.)
     */
   def ivfParamsFor(n: Long, cellTarget: Int = 256): Int =
-    math.max(4, math.ceil(n.toDouble / cellTarget).toInt)
+    math.max(4, stableCeil(n.toDouble / cellTarget))
+
+  /** ceil biased down by 1e-9 — every sizing policy the ORACLES
+    * re-derive in DuckDB SQL goes through this (and the SQL mirrors
+    * the same `ceil(x - 1e-9)`): JVM and DuckDB libm (ln/log2/acos/
+    * pow) may differ by 1 ulp, so an argument landing exactly on an
+    * integer boundary could otherwise round to different policy
+    * values on the two engines and flake the hash compare. True
+    * policy arguments never sit within 1e-9 of an integer, so the
+    * bias is semantically free.
+    */
+  private[functions] def stableCeil(x: Double): Int =
+    math.ceil(x - 1e-9).toInt
 
   /** cosineNearDupPairs with the lshParamsFor policy applied from one
     * cheap corpus count — the production entry point; the fixed-param

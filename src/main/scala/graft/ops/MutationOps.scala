@@ -70,7 +70,10 @@ object MutationOps {
     * reference's three single-action mutations compose into when a
     * change feed carries mixed operations. Semantics are the standard
     * CDC-apply contract: within the batch the LAST change per PK (by
-    * `ord`) wins; a surviving insert/update replaces the target row
+    * `ord`, ties broken by `opCol` descending so equal-ord replays
+    * resolve identically on every run — feeds SHOULD carry a unique
+    * ord per PK, but a tie must never make replay nondeterministic)
+    * wins; a surviving insert/update replaces the target row
     * (update-on-missing inserts — idempotent replay safety); a
     * surviving delete removes it; a delete on a missing key is a
     * no-op.
@@ -88,7 +91,8 @@ object MutationOps {
     val missing = pkCols.filterNot(changes.columns.contains)
     require(missing.isEmpty,
       s"change feed must contain all primary key columns; missing: ${missing.mkString(", ")}")
-    val w = Window.partitionBy(pkCols.map(col): _*).orderBy(ord.desc)
+    val w = Window.partitionBy(pkCols.map(col): _*)
+      .orderBy(ord.desc, col(opCol).desc)
     val lastPerPk = changes
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

@@ -1730,13 +1730,19 @@ object EventOps {
     *
     * Exactness: values go through the board's decimal(14,2) cents
     * convention, weights are exact integer micros from lead(), and
-    * the value·Δt products sum in decimal(38,0) — the final TWAP is
-    * ONE double division over two exactly-summed integers (identical
-    * IEEE tree both engines), immune to partition order at any
-    * cluster width.
+    * each value·Δt product is formed in DECIMAL (cents widened to
+    * decimal(19,0) BEFORE the multiply — a long×long product at
+    * multi-day gaps can exceed Long.Max, where non-ANSI Spark wraps
+    * silently while DuckDB raises) then summed in decimal(38,0); the
+    * oracle mirrors with HUGEINT. The final TWAP is ONE double
+    * division over two exactly-summed integers (identical IEEE tree
+    * both engines), immune to partition order at any cluster width.
     *
     * Scale: one user_id window exchange for lead(), then a rollup at
-    * event-type cardinality; nothing else touches the fact table.
+    * event-type cardinality; nothing else touches the fact table. The
+    * gaps→TWAP aggregation is StreamingAnalytics.twapFromGaps — the
+    * SAME code the streaming twin's output feeds, so stream≡batch
+    * equivalence (TwapSpec) is structural, not re-derived.
     */
   val e34Twap = Q(
     "e34_twap",
@@ -1744,19 +1750,14 @@ object EventOps {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
-      Tables.load(s, dir, "events")
+      val gaps = Tables.load(s, dir, "events")
         .transform(Tables.withTsMicros(_))
         .withColumn("gap_us", lead($"tus", 1).over(byUser) - $"tus")
         .filter($"gap_us".isNotNull)
         .withColumn("cents",
           ($"value".cast("decimal(14,2)") * 100).cast("long"))
-        .groupBy($"event_type")
-        .agg(count(lit(1)).as("n_gaps"),
-          sum(($"cents" * $"gap_us").cast("decimal(30,0)")).as("cg"),
-          sum($"gap_us".cast("decimal(30,0)")).as("g"))
-        .select($"event_type", $"n_gaps",
-          ($"cg".cast("double") / $"g".cast("double") / 100.0).as("twap"))
-        .orderBy($"event_type")
+        .select($"event_type", $"cents", $"gap_us")
+      graft.streaming.StreamingAnalytics.twapFromGaps(gaps)
     },
     Some("""
       WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
@@ -1766,7 +1767,7 @@ object EventOps {
               lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus AS gap_us
             FROM e)
       SELECT event_type, count(*) AS n_gaps,
-             CAST(sum(CAST(cents * gap_us AS DECIMAL(30,0))) AS DOUBLE)
+             CAST(sum(CAST(cents AS HUGEINT) * gap_us) AS DOUBLE)
                / CAST(sum(CAST(gap_us AS DECIMAL(30,0))) AS DOUBLE) / 100.0 AS twap
       FROM g WHERE gap_us IS NOT NULL
       GROUP BY event_type

@@ -2633,11 +2633,11 @@ object LlmOps {
     Some(s"""
       WITH g AS (SELECT count(*) AS n FROM embeddings),
       pp AS (SELECT n,
-               greatest(4, CAST(ceil(log2(greatest(1.0, n / 150.0))) AS BIGINT)) AS n_planes
+               greatest(4, CAST(ceil(log2(greatest(1.0, n / 150.0)) - 1e-9) AS BIGINT)) AS n_planes
              FROM g),
       pol AS (SELECT n, n_planes,
                least(64, greatest(2, CAST(ceil(ln(0.05) /
-                 ln(1 - pow(1 - acos(0.45) / pi(), n_planes))) AS BIGINT))) AS n_tables
+                 ln(1 - pow(1 - acos(0.45) / pi(), n_planes)) - 1e-9) AS BIGINT))) AS n_tables
               FROM pp),
       tr AS (SELECT count(*) AS n_true
              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -2741,7 +2741,7 @@ object LlmOps {
     Some("""
       WITH g AS (SELECT count(*) AS n FROM embeddings)
       SELECT CAST(n AS BIGINT) AS n,
-             CAST(least(n, greatest(4, CAST(ceil(n / 256.0) AS BIGINT))) AS BIGINT) AS k_policy,
+             CAST(least(n, greatest(4, CAST(ceil(n / 256.0 - 1e-9) AS BIGINT))) AS BIGINT) AS k_policy,
              CAST(least(100, n) AS BIGINT) AS n_q,
              CAST(least(100, n) * least(3, n - 1) AS BIGINT) AS n_exact,
              TRUE AS deg_ok, TRUE AS within_bound
@@ -3614,23 +3614,13 @@ object LlmOps {
     * (TakeOrderedAndProject: each partition forwards ≤ 20 rows). Two
     * corpus scans total at any corpus size.
     */
-  /** One BM25 term contribution from exact integer inputs — the
-    * shared scoring tree t57 (full scan) and t58 (index-served) must
-    * both produce so their results are bit-identical: rational idf
-    * ((N−df)·10⁴ div df) times the fraction-cleared saturation term
-    * 22·T·tf / (10·T·tf + 3·T + 9·dl·N), one IEEE multiply + divide.
-    */
+  // One BM25 term contribution — the scoring tree t57 (full scan) and
+  // t58 (index-served) share so their results are bit-identical; lives
+  // in TextIndex next to its serving consumer.
   private def bm25Contrib(tfc: org.apache.spark.sql.Column,
       dlc: org.apache.spark.sql.Column, df: Long, n: Long,
-      tot: Long): org.apache.spark.sql.Column = {
-    val idf = if (df <= 0) 0L else ((n - df) * 10000L) / df
-    when(tfc > 0,
-      lit(idf.toDouble) *
-        ((tfc * lit(22L) * lit(tot)).cast("double") /
-          (lit(10L) * lit(tot) * tfc + lit(3L) * lit(tot) +
-            lit(9L) * dlc * lit(n)).cast("double")))
-      .otherwise(lit(0.0))
-  }
+      tot: Long): org.apache.spark.sql.Column =
+    graft.functions.TextIndex.bm25Contrib(tfc, dlc, df, n, tot)
 
   /** The 4-term query and the shared t57/t58 oracle (the index-served
     * path must reproduce the scan-served relation exactly).
@@ -3709,6 +3699,140 @@ object LlmOps {
     },
     Some(bm25OracleSql))
 
+  /** One persisted text index per dataset dir — the ivfIndexFor
+    * pattern: built once (Bench's median-of-N reuses it), reclaimed at
+    * JVM exit.
+    */
+  private val textIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def textIndexFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    Tables.cachedTempRoot(textIndexCache, dir, "graft_text_index") { p =>
+      val idx = p.resolve("idx").toString
+      graft.functions.TextIndex.build(
+        Tables.load(s, dir, "documents"), "doc_id", "text", idx)
+      idx
+    }
+
+  /** Index-served BM25 — the same 4-term query as t57 answered from
+    * the persisted inverted index instead of a corpus scan, sharing
+    * t57's oracle SQL: the serving path (bucket-pruned postings read,
+    * denormalized df, one candidate aggregate) must reproduce the
+    * scan-served relation BIT-EXACTLY. This is the retrieval shape
+    * that holds at 100 TB: the scan path t57 pays two corpus scans per
+    * query; this one opens 4 of 64 postings directories and touches
+    * only the query terms' posting rows (TextIndexSpec pins the
+    * partition pruning; the fallback corpus reference is only consulted
+    * when fewer than k docs match any term — never on these fixtures).
+    */
+  val t58Bm25Index = Q(
+    "t58_bm25_index",
+    (s, dir) => {
+      graft.functions.TextIndex.bm25TopK(s, textIndexFor(s, dir),
+        bm25Terms, 20,
+        fallback = Some((Tables.load(s, dir, "documents"), "doc_id", "text")))
+    },
+    Some(bm25OracleSql))
+
+  /** The AUTO text-dedup path as an oracle row — the s09 pattern
+    * applied to minhashParamsFor (round-9 verdict item 5):
+    * nearDuplicatePairsAuto — the production entry whose (numHashes,
+    * bands) come from the corpus count instead of being fixed —
+    * evaluated against exact brute-force Jaccard truth, with BOTH the
+    * policy outputs and the recall bound as checked columns:
+    *
+    *  - num_hashes/bands: minhashParamsFor is a deterministic
+    *    fixpoint on the corpus count (bands from recall at current
+    *    rows, rows from the linear-candidate bound at current bands,
+    *    iterate), so the ORACLE RE-DERIVES IT with a recursive CTE —
+    *    12 unrolled iterations; the Scala loop converges in ≤5 on any
+    *    n and further iterations are idempotent, so step 12 IS the
+    *    fixpoint. A drifted formula fails the hash compare — the
+    *    scaling contract itself is oracle-checked. Every ceil goes
+    *    through the 1e-9 down-bias (VectorFunctions.stableCeil and
+    *    its SQL mirror) so a 1-ulp libm difference cannot flip the
+    *    integer policy.
+    *  - n_true: exact count of θ-pairs over the SAME distinct hashed
+    *    shingle sets the production path verifies with (engine-
+    *    portable: md5-derived longs both sides);
+    *  - within_bound: recall ≥ 1-3·missProb = 0.85 (the s09
+    *    small-sample headroom; DedupAutoSpec pins the tighter 0.95 on
+    *    the sf0.001 fixture where it holds). md5-deterministic, so
+    *    the flag is a constant, not a flake.
+    *
+    * The truth side is a labeled brute-force cross join bounded at
+    * every test SF (500 docs); the production recall audit bounds the
+    * query side instead (s05's shape) — same excuse as s09's truth
+    * side at the 100× board.
+    */
+  val t59AutoTextNearDup = Q(
+    "t59_auto_text_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val theta = 0.8
+      val n = docs.count()
+      val (numHashes, bands) = Dedup.minhashParamsFor(n, theta)
+      val auto = Dedup.nearDuplicatePairsAuto(docs, "doc_id", "text", theta)
+        .select($"id_a", $"id_b")
+      val sh = Dedup.hashedShingleFrame(docs, "doc_id", "text", 3)
+      val truth = sh.select($"__id".as("id_a"), $"__hhd".as("__ha"))
+        .crossJoin(sh.select($"__id".as("id_b"), $"__hhd".as("__hb")))
+        .filter($"id_a" < $"id_b")
+        .withColumn("j", Dedup.jaccardLongSets($"__ha", $"__hb",
+          assumeSorted = true))
+        .filter($"j" >= theta)
+        .select($"id_a", $"id_b")
+        .persist()
+      val nTrue = truth.count()
+      val nHit = truth.join(auto, Seq("id_a", "id_b"), "left_semi").count()
+      truth.unpersist()
+      val withinBound = nTrue > 0 && nHit.toDouble / nTrue >= 0.85
+      Seq((n, numHashes.toLong, bands.toLong, nTrue, withinBound))
+        .toDF("n", "num_hashes", "bands", "n_true", "within_bound")
+    },
+    Some {
+      val hex8 = (1 to 8).map { i =>
+        val w = math.pow(16, 8 - i).toLong
+        s"(strpos('0123456789abcdef', m[$i:$i]) - 1) * $w"
+      }.mkString(" + ")
+      s"""
+      WITH RECURSIVE
+      n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
+      s AS (SELECT doc_id, list_distinct([t[i:i+2] for i in range(1, length(t)-1)]) AS sh
+            FROM n WHERE length(t) >= 3),
+      m0 AS (SELECT doc_id, [md5(g) for g in sh] AS ms FROM s WHERE len(sh) > 0),
+      m1 AS (SELECT doc_id, [$hex8 for m in ms] AS hh FROM m0),
+      hd AS (SELECT doc_id, list_distinct(hh) AS h FROM m1),
+      g AS (SELECT count(*) AS n FROM documents),
+      it AS (
+        SELECT 0 AS i, 2 AS r, 2 AS b
+        UNION ALL
+        SELECT i + 1,
+               greatest(r, CAST(ceil(ln((SELECT n FROM g) *
+                   least(128, greatest(2, CAST(ceil(ln(0.05) / ln(1 - pow(0.8, r)) - 1e-9) AS BIGINT)))
+                 / 16.0) / ln(1.0 / (0.8 / 4.0)) - 1e-9) AS BIGINT)) AS r,
+               least(128, greatest(2, CAST(ceil(ln(0.05) / ln(1 - pow(0.8, r)) - 1e-9) AS BIGINT))) AS b
+        FROM it WHERE i < 12),
+      pol AS (SELECT CAST(r * b AS BIGINT) AS num_hashes,
+                     CAST(b AS BIGINT) AS bands
+              FROM it ORDER BY i DESC LIMIT 1),
+      ex AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b, count(*) AS inter
+             FROM (SELECT doc_id, unnest(h) AS gr FROM hd) a
+             JOIN (SELECT doc_id, unnest(h) AS gr FROM hd) b2
+               ON a.gr = b2.gr AND a.doc_id < b2.doc_id
+             GROUP BY 1, 2),
+      sz AS (SELECT doc_id, len(h) AS nh FROM hd),
+      tr AS (SELECT count(*) AS n_true
+             FROM ex JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+             WHERE CAST(inter AS DOUBLE) / (sa.nh + sb.nh - inter) >= 0.8)
+      SELECT CAST(n AS BIGINT) AS n, num_hashes, bands,
+             CAST(n_true AS BIGINT) AS n_true, TRUE AS within_bound
+      FROM g, pol, tr
+    """.trim
+    })
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
@@ -3726,5 +3850,6 @@ object LlmOps {
     t51DupKeeper, t52ZipfTable, t53SourceHealth, t54LeakageSplit,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
     s06IvfPqTopK, s07FilteredAnn, s08KnnGraph, s09AutoNearDup, s10AutoKnn,
-    t55TextRank, t56SsJoinPrefix, t57Bm25TopK)
+    t55TextRank, t56SsJoinPrefix, t57Bm25TopK, t58Bm25Index,
+    t59AutoTextNearDup)
 }

@@ -195,7 +195,9 @@ object ParityOps {
   /** Multi-action CDC apply (MutationOps.applyCdc — the MERGE INTO
     * shape): one mixed change feed carrying updates (ord 1, key%7),
     * deletes (ord 2, key%11), later updates (ord 3, key%9) and inserts
-    * (key%13 at an offset keyspace) applied in ONE pass. The oracle
+    * (key%13 at a 10¹² offset keyspace — far above any probe SF's max
+    * o_orderkey, so a synthetic insert can never collide with a real
+    * row and silently flip replace-vs-keep semantics) in ONE pass. The oracle
     * pins the keep-last resolution direction both ways: a key hit by
     * update-then-delete dies (%77 keys are gone), a key hit by
     * delete-then-update survives with the later value (%99 keys carry
@@ -218,7 +220,7 @@ object ParityOps {
         .unionByName(batch($"o_orderkey" % 9 === 0, "update", 3L,
           $"o_orderkey", concat(lit("W_"), $"o_orderpriority")))
         .unionByName(batch($"o_orderkey" % 13 === 0, "insert", 1L,
-          $"o_orderkey" + 10000000L, lit("NEW")))
+          $"o_orderkey" + 1000000000000L, lit("NEW")))
       MutationOps.applyCdc(orders, changes, Seq("o_orderkey"), "__op", $"__ord")
         .orderBy($"o_orderkey")
     },
@@ -235,7 +237,7 @@ object ParityOps {
              'W_' || o_orderpriority
       FROM orders WHERE o_orderkey % 9 = 0
       UNION ALL
-      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+      SELECT o_orderkey + 1000000000000, o_custkey, o_orderstatus, o_totalprice,
              o_orderdate, 'NEW'
       FROM orders WHERE o_orderkey % 13 = 0
       ORDER BY o_orderkey

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2634,29 +2634,20 @@ object Relational {
       ORDER BY s_nationkey
     """.trim))
 
-  /** Order-insensitive reconciliation checksum — the cross-system
-    * table-compare primitive behind every migration/replication
-    * validation ("does the copy hold exactly the same rows?") without
-    * shipping or sorting either side: per-row 60-bit md5 digest of a
-    * canonical column rendering, reduced mod 2³¹−1 and SUMMED — a
-    * commutative monoid, so the checksum is independent of row order,
-    * partitioning, and cluster width (the t28 Mersenne lesson; sums
-    * accumulate in decimal(38,0) so 10¹⁴ rows can't overflow).
+  /** Order-insensitive reconciliation checksum
+    * (functions.Reconcile — digest/monoid details and the 100 TB cost
+    * argument live on that object; ReconcileSpec pins the monoid,
+    * invariance, and sensitivity properties on arbitrary frames).
     * Variants pin both directions: `roundtrip` re-computes over a
     * deliberately re-ordered copy (split + re-union) and must MATCH;
     * `mutated` perturbs every row by one cent and must MISMATCH.
-    *
-    * Scale: one narrow projection + one all-partial aggregate per
-    * variant — no shuffle of data rows at all (the aggregate moves one
-    * partial sum per partition); comparing two 100 TB tables costs
-    * two scans and exchanges 16 bytes.
     */
   val q67ReconcileChecksum = Q(
     "q67_reconcile_checksum",
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val P = 2147483647L // 2^31 - 1
+      import graft.functions.Reconcile
       val orders = t(s, dir, "orders")
       def canonical(cents: Column): Column = concat_ws("|",
         $"o_orderkey".cast("string"), $"o_custkey".cast("string"),
@@ -2665,9 +2656,7 @@ object Relational {
           dayofmonth($"o_orderdate")).cast("long").cast("string"))
       val cents = ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long")
       def checksum(df: DataFrame, label: String, c: Column): DataFrame =
-        df.select(pmod(conv(substring(md5(canonical(c)), 1, 15), 16, 10)
-            .cast("long"), lit(P)).as("dg"))
-          .agg((sum($"dg".cast("decimal(38,0)")) % P).cast("long").as("checksum"))
+        df.agg(Reconcile.checksumAgg(canonical(c)).as("checksum"))
           .select(lit(label).as("variant"), $"checksum")
       val reordered = orders.filter($"o_orderkey" % 2 === 0)
         .unionByName(orders.filter($"o_orderkey" % 2 =!= 0))

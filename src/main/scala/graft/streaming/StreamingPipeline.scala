@@ -510,6 +510,64 @@ object StreamingAnalytics {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class TwapEvent(user_id: Long, event_type: String, ts_us: Long,
+      event_id: Long, cents: Long)
+  final case class TwapState(ts_us: Long, event_id: Long, tpe: String,
+      cents: Long)
+  final case class TwapGap(user_id: Long, event_type: String, cents: Long,
+      gap_us: Long)
+
+  /** Streaming TWAP gap extraction, the stateful face of EventOps.e34:
+    * per user, state holds ONE last-event record — O(users), never
+    * O(events). Each arriving event CLOSES the previous event's
+    * holding interval and emits (type, cents, Δt_us) exactly once —
+    * append-mode clean, no upsert contract needed, and the still-open
+    * interval (e34's excluded last event) stays in state, so gap
+    * exclusion is structural. Aggregate the emitted gaps with
+    * `twapFromGaps` (the aggregation e34 itself runs): stream-final ≡
+    * e34 row-for-row, including intervals spanning batch boundaries
+    * (TwapSpec pins single-batch and 3-batch splits). Same ordering
+    * contract as the other twins: within a batch (ts_us, event_id)
+    * sort; across batches event-time-ordered arrival.
+    */
+  def twapGaps(events: org.apache.spark.sql.Dataset[TwapEvent])
+      : org.apache.spark.sql.Dataset[TwapGap] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    def fn(uid: Long, batch: Iterator[TwapEvent],
+        state: GroupState[TwapState]): Iterator[TwapGap] = {
+      val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var st = state.getOption.orNull
+      val out = Seq.newBuilder[TwapGap]
+      sorted.foreach { e =>
+        if (st != null)
+          out += TwapGap(uid, st.tpe, st.cents, e.ts_us - st.ts_us)
+        st = TwapState(e.ts_us, e.event_id, e.event_type, e.cents)
+      }
+      if (st != null) state.update(st)
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** The gaps→TWAP aggregation both faces share (e34 routes through
+    * this too): cents widened to decimal(19,0) BEFORE the multiply —
+    * a long×long product at multi-day gaps can exceed Long.Max — then
+    * decimal(38,0)-summed; the TWAP is ONE double division over two
+    * exactly-summed integers, immune to partition order at any
+    * cluster width. Input needs `event_type, cents, gap_us`.
+    */
+  def twapFromGaps(gaps: DataFrame): DataFrame =
+    gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("cents").cast("decimal(19,0)") * col("gap_us")).as("cg"),
+        sum(col("gap_us").cast("decimal(30,0)")).as("g"))
+      .select(col("event_type"), col("n_gaps"),
+        (col("cg").cast("double") / col("g").cast("double") / 100.0)
+          .as("twap"))
+      .orderBy(col("event_type"))
+
   final case class PathState(a: Option[TransState], b: Option[TransState])
   final case class PathTrigram(user_id: Long, path: String)
 

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.queries.LlmOps
+
+class TextIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val terms = Seq("vector", "stream", "window", "hash")
+
+  test("index-served BM25 reproduces the full-scan t57 relation bit-exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val scan = LlmOps.t57Bm25TopK.fn(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val served = LlmOps.t58Bm25Index.fn(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // same rows, same order, same IEEE doubles — the two paths share
+    // one scoring tree (TextIndex.bm25Contrib) over identical integers
+    assert(served == scan && served.size == 20)
+  }
+
+  test("serving scans only the query terms' postings buckets (partition pruning)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = tmpDir("textidx")
+    TextIndex.build(docs, "doc_id", "text", dir)
+    val wanted = terms.toDF("term")
+      .select(pmod(hash($"term"), lit(TextIndex.DefaultBuckets)))
+      .as[Int].collect().toSet
+    val posts = TextIndex.postingsFor(spark, dir, terms)
+    // the bucket IN-list must land in PartitionFilters, and the files
+    // actually read must come only from the wanted __tb directories
+    val plan = posts.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__tb"),
+      s"no partition pruning in:\n$plan")
+    val scanned = posts.select(input_file_name()).distinct().as[String]
+      .collect().map(f => f.split("__tb=")(1).split("/")(0).toInt).toSet
+    assert(scanned.nonEmpty && scanned.subsetOf(wanted),
+      s"scanned $scanned, wanted $wanted")
+    // and only rows for the query terms survive
+    assert(posts.select($"term").distinct().as[String].collect().toSet
+      .subsetOf(terms.toSet))
+  }
+
+  test("fewer than k matching docs: zero-score fallback fills by doc_id") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "beta gamma delta"),
+      (3L, "vector beta"),
+      (4L, "gamma delta epsilon zeta"),
+      (5L, "vector vector gamma")).toDF("doc_id", "text")
+    val dir = tmpDir("textidxfb")
+    TextIndex.build(docs, "doc_id", "text", dir)
+    // output relation: (rank, doc_id, dl, tf_vector, score)
+    val got = TextIndex.bm25TopK(spark, dir, Seq("vector"), 4,
+        fallback = Some((docs, "doc_id", "text")))
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // docs 3 and 5 match; the zero-score tail is the smallest-id
+    // non-matching docs in doc_id order
+    assert(got.size == 4)
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    val (matched, zeros) = got.partition(_._5 > 0.0)
+    assert(matched.map(_._2).toSet == Set(3L, 5L))
+    assert(zeros.map(_._2) == Seq(1L, 2L))
+    // and the full row set equals the brute-force full-scan computation
+    val n = 5L
+    val tot = docs.select(sum(size(TextFunctions.terms($"text")))).as[Long].head()
+    val brute = docs
+      .select($"doc_id",
+        size(TextFunctions.terms($"text")).cast("long").as("dl"),
+        size(filter(TextFunctions.terms($"text"), x => x === lit("vector")))
+          .cast("long").as("tf"))
+      .withColumn("score", TextIndex.bm25Contrib($"tf", $"dl", 2L, n, tot))
+      .orderBy($"score".desc, $"doc_id").limit(4)
+      .select($"doc_id", $"dl", $"tf", $"score")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._2, r._3, r._4, r._5)) == brute)
+  }
+}
