@@ -282,8 +282,37 @@ object Multimodal {
     * bit-exact — which is what lets an oracle re-derive decoded sample
     * statistics analytically.
     */
+  /** Audio SPI providers resolved ONCE per JVM (public ServiceLoader
+    * API). `AudioSystem.getAudioInputStream`/`write` re-scan every
+    * installed provider PER CALL and pay a probe exception for each
+    * non-matching reader — measured 31–33 µs/row against 1.7–2.2 µs
+    * with the matching provider held (tools.CodecBench; this was the
+    * dominant constant of the t33/t34/t41 codec trio). The cached
+    * classes ARE the JDK codec — only the per-row service lookup and
+    * probe-exception churn are hoisted; emitted bytes are identical
+    * (CodecBench asserts it).
+    */
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val all = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.toSeq
+    // standard PCM WAV reader first: the common path probes exactly one
+    val (wav, rest) = all.partition(_.getClass.getSimpleName == "WaveFileReader")
+    wav ++ rest
+  }
+
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("no WAVE writer installed"))
+  }
+
   def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
     val pcm = new Array[Byte](samples.length * 2)
     var i = 0
     while (i < samples.length) { // little-endian per the format below
@@ -294,8 +323,8 @@ object Multimodal {
     val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
     val ais = new AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
-    val baos = new java.io.ByteArrayOutputStream()
-    try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    val baos = new java.io.ByteArrayOutputStream(44 + pcm.length)
+    try wavWriter.write(ais, AudioFileFormat.Type.WAVE, baos)
     finally ais.close()
     baos.toByteArray
   }
@@ -306,9 +335,16 @@ object Multimodal {
     * correctly, not just our encoder's.
     */
   def decodeWav(bytes: Array[Byte]): (Int, Int, Int, Array[Short]) = {
-    import javax.sound.sampled.AudioSystem
-    val ais = AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+    val in = new java.io.ByteArrayInputStream(bytes)
+    val ais = audioReaders.iterator.flatMap { r =>
+      try Some(r.getAudioInputStream(in))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException =>
+          in.reset(); None
+      }
+    }.nextOption().getOrElse(throw new
+      javax.sound.sampled.UnsupportedAudioFileException(
+        "no installed audio reader matches the payload"))
     try {
       val fmt = ais.getFormat
       require(fmt.getSampleSizeInBits == 16,
