@@ -146,13 +146,49 @@ object Dedup {
     * candidate join and an accidental cross join on template text.
     */
   def candidatePairsFromHashSets(hs: DataFrame, numHashes: Int,
-      bands: Int, maxBucket: Option[Int] = None): DataFrame = {
+      bands: Int, maxBucket: Option[Int] = None,
+      candidateBudget: Option[Long] = None): DataFrame = {
     val rows = numHashes / bands
     val exploded = hs
       .withColumn("__sig", minhashSignatureFromHashesFast(col("__hhd"), numHashes))
       .select(col("__id"),
         posexplode(lshBandKeys(col("__sig"), bands, rows)).as(Seq("__b", "__key")))
-    val capped = maxBucket match {
+    val budgetCap: Option[Long] = candidateBudget.map { budget =>
+      // The policy's linear-candidate bound (≈ n·fanout) assumes
+      // background pairs sit near θ/4; corpora with heavy shared
+      // boilerplate blow past it through MID-SIZE buckets (measured at
+      // the 100× probe: 85M candidate pairs against a 4M budget, long-
+      // tailed — no fixed cap both holds the budget and keeps small
+      // buckets). Enforce the contract BY CONSTRUCTION: take the pair-
+      // volume histogram BY bucket population (bounded cardinality —
+      // distinct populations, not buckets), cumulate ascending, and
+      // keep the largest population whose running volume still fits
+      // the budget. True near-dup clusters live in small buckets (a
+      // j≈1 clique's bucket is the clique); what the cut drops is the
+      // boilerplate tail, and a true pair confined to a dropped bucket
+      // can still surface through its other bands — the recall floor
+      // is re-checked, not assumed (t59's oracle row, DedupAutoSpec).
+      val hist = exploded.groupBy("__b", "__key")
+        .agg(count(lit(1)).as("__pop"))
+        .groupBy("__pop").agg(count(lit(1)).as("__nb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("__pop")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cap = hist
+        .withColumn("__cum",
+          sum((col("__pop") * (col("__pop") - 1) / 2 * col("__nb"))
+            .cast("long")).over(w))
+        .filter(col("__cum") <= budget)
+        .agg(coalesce(max(col("__pop")), lit(0L))).head().getLong(0)
+      // never cut below trivial cluster width: tiny buckets ARE the
+      // true-pair signal, so a budget smaller than their volume keeps
+      // them anyway and simply overshoots
+      math.max(cap, 8L)
+    }
+    val effectiveCap: Option[Long] =
+      (maxBucket.map(_.toLong).toSeq ++ budgetCap.toSeq)
+        .reduceOption((a, b) => math.min(a, b))
+    val capped = effectiveCap match {
       case Some(cap) =>
         val w = org.apache.spark.sql.expressions.Window.partitionBy("__b", "__key")
         exploded.withColumn("__pop", count(lit(1)).over(w))
@@ -238,7 +274,8 @@ object Dedup {
     */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingle: Int = 3, numHashes: Int = 16,
-      bands: Int = 2, maxBucket: Option[Int] = None): DataFrame = {
+      bands: Int = 2, maxBucket: Option[Int] = None,
+      candidateBudget: Option[Long] = None): DataFrame = {
     // shingle + md5 is the expensive narrow stage — the fused
     // CharNgramHashSet pass materializes ONLY the distinct 32-bit
     // base-hash sets (no shingle-string array ever exists), persisted
@@ -250,7 +287,8 @@ object Dedup {
     // collision merging two shingles shifts Jaccard by < 1/|set| with
     // probability ~2⁻³²·|set|².
     val sh = hashedShingleFrame(df, idCol, textCol, shingle).persist()
-    val cand = candidatePairsFromHashSets(sh, numHashes, bands, maxBucket)
+    val cand = candidatePairsFromHashSets(sh, numHashes, bands, maxBucket,
+      candidateBudget)
     // the per-document hash-set side is small relative to the candidate
     // stream when clusters are dense — broadcast it only when the size
     // estimate says it fits (see maybeBroadcast); otherwise shuffle on id.
@@ -324,9 +362,15 @@ object Dedup {
   def nearDuplicatePairsAuto(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingle: Int = 3, fanout: Int = 8,
       missProb: Double = 0.05, maxBucket: Option[Int] = None): DataFrame = {
-    val (numHashes, bands) = minhashParamsFor(df.count(), threshold, fanout, missProb)
+    val n = df.count()
+    val (numHashes, bands) = minhashParamsFor(n, threshold, fanout, missProb)
+    // the production path ENFORCES the policy's own linear-candidate
+    // contract (≈ n·fanout pairs) with the volume-budgeted bucket cut —
+    // boilerplate-heavy corpora otherwise blow past it through mid-size
+    // buckets (85M candidates vs a 4M budget measured at the 100×
+    // probe); the declared fixed-param form stays exact LSH
     nearDuplicatePairs(df, idCol, textCol, threshold, shingle, numHashes,
-      bands, maxBucket)
+      bands, maxBucket, candidateBudget = Some(fanout.toLong * n))
   }
 
   /** Cross-corpus near-dup pairs: incoming documents that near-duplicate

@@ -217,4 +217,15 @@ class PlanGuardSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"),
       s"supplier side must never shuffle for a ≤handful build side:\n$plan")
   }
+
+  test("q67 never hash-shuffles data rows (checksum is all-partial)") {
+    val plan = finalPlan(
+      SparkEntry.queries("q67_reconcile_checksum")(spark, "/root/testdata/sf0.001"))
+    // the reconciliation checksum's whole point at 100 TB: each variant
+    // is a partial aggregate whose exchange carries ONE row per
+    // partition, and the only other exchanges order the 3-row result —
+    // a hashpartitioning exchange anywhere means data rows shuffled
+    assert(!plan.contains("hashpartitioning"),
+      s"data-row shuffle in the checksum plan:\n$plan")
+  }
 }

@@ -46,6 +46,41 @@ object TextProbe {
     if (sections("fixed")) time("fixed 16x2") {
       Dedup.nearDuplicatePairs(docs, "doc_id", "text", theta).count()
     }
+    if (sections("buckets")) {
+      import org.apache.spark.sql.functions._
+      val sh = Dedup.hashedShingleFrame(docs, "doc_id", "text", 3)
+      val keys = sh.withColumn("__sig",
+          Dedup.minhashSignatureFromHashesFast(col("__hhd"), numHashes))
+        .select(col("__id"),
+          posexplode(Dedup.lshBandKeys(col("__sig"), bands, numHashes / bands))
+            .as(Seq("__b", "__key")))
+      val pops = keys.groupBy("__b", "__key").count().persist()
+      val top = pops.orderBy(col("count").desc).limit(10)
+        .select(col("count")).collect().map(_.getLong(0)).toSeq
+      println(s"[textprobe] top-10 bucket pops: $top")
+      for (cap <- Seq(Long.MaxValue, 1000L, 200L, 64L, 16L)) {
+        val vol = pops.filter(col("count") <= cap)
+          .select(sum((col("count") * (col("count") - 1) / 2).cast("long")))
+          .head().getLong(0)
+        println(s"[textprobe] cap=$cap candidate volume=$vol")
+      }
+      pops.unpersist()
+    }
+    if (sections("stages")) {
+      import org.apache.spark.sql.functions._
+      val sh = Dedup.hashedShingleFrame(docs, "doc_id", "text", 3)
+      time("stage: shingle hashes") { sh.select(sum(size(col("__hhd")))).head().getLong(0) }
+      val sig = sh.withColumn("__sig",
+        Dedup.minhashSignatureFromHashesFast(col("__hhd"), numHashes))
+      time("stage: + signature") { sig.select(sum(size(col("__sig")))).head().getLong(0) }
+      val keys = sig.select(col("__id"),
+        posexplode(Dedup.lshBandKeys(col("__sig"), bands, numHashes / bands))
+          .as(Seq("__b", "__key")))
+      time("stage: + band keys") { keys.count() }
+      val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        3, numHashes, bands)
+      time("stage: candidates") { cand.count() }
+    }
     spark.stop()
   }
 }
