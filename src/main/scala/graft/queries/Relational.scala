@@ -2701,6 +2701,171 @@ object Relational {
       """.trim
     })
 
+  /** TPC-H Q13 shape — order-count distribution: a LEFT OUTER join
+    * whose ON clause carries a selective predicate on the inner side
+    * (customers keep their row even when every order is filtered
+    * away), a per-customer count, then a second aggregate OVER the
+    * counts — the "distribution of a distribution" double aggregation.
+    * Scale: the outer join and the first groupBy share the c_custkey
+    * hash partitioning, so the per-customer count adds NO exchange
+    * over the join's; the second aggregate moves only
+    * distinct-count-cardinality rows. count(o_orderkey) (non-null
+    * counting) is what makes the never-ordered customer land in the
+    * c_count=0 bucket — count(*) would be an off-by-one on exactly
+    * the rows the outer join exists to keep.
+    */
+  val q68OrderCountDist = Q(
+    "q68_order_count_dist",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter($"o_orderpriority" =!= "1-URGENT"),
+          $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    },
+    Some("""
+      SELECT c_count, count(*) AS custdist
+      FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey) c
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC
+    """.trim))
+
+  /** TPC-H Q18 shape — large-volume customers: a semi join against a
+    * HAVING aggregate (orders whose total quantity exceeds the
+    * threshold), then the fact re-joined to aggregate the SAME measure
+    * per surviving order. Scale: the HAVING side is one partial-
+    * aggregated shuffle on l_orderkey; the semi join keeps orders
+    * narrow before customer/lineitem attach; the final top-100 is a
+    * TakeOrderedAndProject, never a global sort.
+    */
+  val q69LargeOrders = Q(
+    "q69_large_orders",
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy($"l_orderkey")
+        .agg(sum($"l_quantity".cast("decimal(12,2)")).as("qty"))
+        .filter($"qty" > 150).select($"l_orderkey")
+      t(s, dir, "orders")
+        .join(big, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(li, $"o_orderkey" === $"l_orderkey")
+        .groupBy($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+          $"o_totalprice")
+        .agg(sum($"l_quantity".cast("decimal(12,2)")).cast("double")
+          .as("total_qty"))
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(100)
+    },
+    Some("""
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+      GROUP BY 1, 2, 3, 4, 5
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 100
+    """.trim))
+
+  /** TPC-H Q2 shape — min-cost supplier per part: the correlated
+    * scalar-min subquery expressed the distributed way, aggregate-and-
+    * rejoin (per-part min over the (part, supplier) cost table, joined
+    * back on (part, cost) to recover WHICH suppliers achieve it — all
+    * of them on ties, like Q2). The fixture has no partsupp table, so
+    * the cost table derives from lineitem: min extended price each
+    * supplier ever charged for the part — same shape, same keys.
+    * Scale: the cost table and its per-part min share the l_partkey
+    * exchange; part/supplier/nation/region are broadcast dims; the
+    * region filter prunes before the supplier attach.
+    */
+  val q70MinCostSupplier = Q(
+    "q70_min_cost_supplier",
+    (s, dir) => {
+      import s.implicits._
+      // explicit isnotnull on the shared base: the supplier join infers
+      // isnotnull(l_suppkey) on ONE branch only, which breaks canonical
+      // equality between the two ps exchanges and silently doubles the
+      // lineitem aggregation (the t30 AQE stage-reuse lesson)
+      val ps = t(s, dir, "lineitem")
+        .filter($"l_partkey".isNotNull && $"l_suppkey".isNotNull)
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(min($"l_extendedprice".cast("decimal(12,2)")).as("cost"))
+      val mn = ps.groupBy($"l_partkey").agg(min($"cost").as("mcost"))
+        .withColumnRenamed("l_partkey", "m_partkey")
+      ps.join(mn, $"l_partkey" === $"m_partkey" && $"cost" === $"mcost")
+        .join(t(s, dir, "part").filter($"p_size" % 5 === 0),
+          $"p_partkey" === $"l_partkey")
+        .join(t(s, dir, "supplier"), $"s_suppkey" === $"l_suppkey")
+        .join(t(s, dir, "nation"), $"s_nationkey" === $"n_nationkey")
+        .join(t(s, dir, "region").filter($"r_name" === "EUROPE"),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey",
+          $"p_brand", $"cost".cast("double").as("cost"))
+        .orderBy($"s_acctbal".desc, $"s_name", $"p_partkey")
+    },
+    Some("""
+      WITH ps AS (SELECT l_partkey, l_suppkey,
+                         min(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+                  FROM lineitem GROUP BY 1, 2),
+      mn AS (SELECT l_partkey AS m_partkey, min(cost) AS mcost
+             FROM ps GROUP BY 1)
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+             CAST(ps.cost AS DOUBLE) AS cost
+      FROM ps
+      JOIN mn ON ps.l_partkey = mn.m_partkey AND ps.cost = mn.mcost
+      JOIN part ON p_partkey = ps.l_partkey AND p_size % 5 = 0
+      JOIN supplier ON s_suppkey = ps.l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+      ORDER BY s_acctbal DESC, s_name, p_partkey
+    """.trim))
+
+  /** TPC-H Q16 shape — supplier diversity per part attribute: an anti
+    * join against an exclusion list (Q16's NOT IN complaints
+    * suppliers; surrogate predicate here — the fixture has no comment
+    * column) feeding a COUNT(DISTINCT) per attribute group. Scale:
+    * the exclusion list broadcasts; the distinct-count expands to
+    * (group, supplier) partial-distinct before the final count, so
+    * the shuffle carries distinct pairs, not lineitem rows.
+    */
+  val q71SupplierDiversity = Q(
+    "q71_supplier_diversity",
+    (s, dir) => {
+      import s.implicits._
+      val excl = t(s, dir, "supplier")
+        .filter($"s_suppkey" % 3 === 0).select($"s_suppkey")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(
+          $"p_brand" =!= "Brand#45" && $"p_size" <= 10),
+          $"p_partkey" === $"l_partkey")
+        .join(excl, $"l_suppkey" === $"s_suppkey", "left_anti")
+        .groupBy($"p_brand", $"p_type", $"p_size")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+    },
+    Some("""
+      SELECT p_brand, p_type, p_size,
+             count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#45' AND p_size <= 10
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_suppkey % 3 = 0)
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -2718,5 +2883,6 @@ object Relational {
     q54WindowedDistinct, q55ZOrderKey, q56Listagg, q57SkewProfile,
     q58UnionEvolve, q59ShareOfParent, q60RankBreadth, q61ValueShareHaving,
     q62TopSupplier, q63SoleBlame, q64LateralTopK, q65DqGate,
-    q66XmlRoundtrip, q67ReconcileChecksum)
+    q66XmlRoundtrip, q67ReconcileChecksum, q68OrderCountDist,
+    q69LargeOrders, q70MinCostSupplier, q71SupplierDiversity)
 }
