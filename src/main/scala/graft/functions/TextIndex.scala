@@ -53,6 +53,58 @@ object TextIndex {
       .parquet(s"$indexDir/postings")
   }
 
+  /** Incremental append — the VectorIndex.append twin for the text
+    * index: tokenize ONLY the new documents, then rewrite ONLY the
+    * postings buckets their terms hash to (dynamic partition
+    * overwrite; untouched buckets are never read or written). The
+    * denormalized df is what makes this subtle: a term's df changes
+    * for its OLD postings too, so touched buckets are re-derived from
+    * their combined (old + new) posting rows — df is recomputable
+    * from the rows themselves, and terms in a touched bucket with no
+    * new postings get back the df they already had. Corpus stats
+    * accumulate. Append cost ∝ new-batch terms' buckets, independent
+    * of corpus size; serving from an appended index is BIT-IDENTICAL
+    * to a full rebuild (TextIndexSpec pins it).
+    */
+  def append(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, nBuckets: Int = DefaultBuckets): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tokens = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.terms(col(textCol)).as("ts"))
+    val newTf = tokens
+      .select($"doc_id", size($"ts").cast("long").as("dl"),
+        explode($"ts").as("term"))
+      .groupBy($"doc_id", $"term", $"dl")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("__tb", pmod(hash($"term"), lit(nBuckets)))
+    // touched buckets: bounded ≤ nBuckets control read
+    val touched = newTf.select($"__tb").distinct()
+      .as[Int].collect().toSeq
+    val old = spark.read.parquet(s"$indexDir/postings")
+      .filter($"__tb".isin(touched: _*))
+      .select($"doc_id", $"term", $"dl", $"tf", $"__tb")
+    val combined = old.unionByName(
+      newTf.select($"doc_id", $"term", $"dl", $"tf", $"__tb"))
+    val df = combined.groupBy($"term").agg(count(lit(1)).as("df"))
+    val rewritten = combined.join(df, "term")
+      .select($"term", $"doc_id", $"dl", $"tf", $"df", $"__tb")
+      // self-referential overwrite: the plan reads the same partitions
+      // it replaces, so materialize before the write truncates them
+      .localCheckpoint(true)
+    rewritten.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__tb")
+      .parquet(s"$indexDir/postings")
+    val (n0, t0) = corpusStats(spark, indexDir)
+    val st = tokens.agg(count(lit(1)).as("n"),
+      sum(size($"ts").cast("long")).as("t")).head()
+    Seq((n0 + st.getLong(0), t0 + st.getLong(1)))
+      .toDF("n_docs", "total_tokens")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/corpus_stats")
+  }
+
   /** Postings for a set of query terms. The bucket IN-list prunes
     * partition directories at planning time; the term filter prunes
     * row groups via parquet min/max inside the matching buckets.

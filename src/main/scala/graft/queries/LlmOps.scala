@@ -3833,6 +3833,105 @@ object LlmOps {
     """.trim
     })
 
+  /** BPE tokenizer TRAINING — the missing half of t08 (which APPLIES a
+    * merge table): learn the merge rules themselves from the corpus,
+    * the standard iterative argmax (Sennrich '16): count adjacent
+    * symbol pairs across all word occurrences, merge the most frequent
+    * pair everywhere, repeat. 8 rounds here; ties break
+    * lexicographically so the rule sequence is deterministic.
+    *
+    * Distributed shape: words collapse to (distinct word, count) FIRST
+    * — pair counting and merge application run over the vocabulary
+    * (tens of thousands of rows), never the corpus, which is why BPE
+    * training at 100 TB is one corpus scan + k vocabulary-sized
+    * rounds. Each round is one partial-aggregated shuffle at pair
+    * cardinality + a 1-row argmax (bounded control read, the t12/t22
+    * pattern); the merge applies as a string replace over the symbol
+    * string with TWO-space joins (" a  b  a  b " + merge (a,b) →
+    * " ab  ab ") — with single-space joins consecutive occurrences
+    * share their delimiter, so left-to-right non-overlapping replace
+    * silently skips every other occurrence (BpeTrainSpec's hand-built
+    * corpus caught exactly that); two-space joins make adjacent
+    * matches character-disjoint, and the replace semantics are then
+    * identical in Spark and DuckDB — the oracle re-runs all 8 rounds
+    * unrolled. Words are restricted to [a-z0-9]+ so char-splitting is
+    * code-point-safe in both engines.
+    */
+  val t60BpeTrain = Q(
+    "t60_bpe_train",
+    (s, dir) => {
+      import s.implicits._
+      val n = 8
+      var words = Tables.load(s, dir, "documents")
+        .select(explode(split(trim(lower($"text")), "\\s+")).as("w"))
+        .filter($"w".rlike("^[a-z0-9]+$"))
+        .select(concat(lit(" "),
+          concat_ws("  ", filter(split($"w", ""), x => x =!= "")),
+          lit(" ")).as("sw"))
+        .groupBy($"sw").agg(count(lit(1)).as("cnt"))
+        .persist()
+      val rules = Seq.newBuilder[(Long, String, String, String, Long)]
+      for (r <- 1 to n) {
+        val toks = split(trim($"sw"), "  ")
+        val pairs = words
+          .select($"cnt", explode(when(size(toks) >= 2,
+            transform(sequence(lit(1), size(toks) - 1), i =>
+              concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+            .otherwise(array().cast("array<string>"))).as("p"))
+          .groupBy($"p").agg(sum($"cnt").as("n"))
+        // 1-row argmax: bounded control read; empty ⇒ the vocabulary
+        // has no adjacent pairs left (degenerate corpora only — the
+        // oracle's unrolled rounds assume ≥ n merges exist, which
+        // every fixture satisfies)
+        val bestArr = pairs.orderBy($"n".desc, $"p").limit(1).collect()
+        if (bestArr.nonEmpty) {
+          val (p, cntP) = (bestArr(0).getString(0), bestArr(0).getLong(1))
+          val Array(l, rt) = p.split(" ", 2)
+          rules += ((r.toLong, l, rt, l + rt, cntP))
+          val next = words
+            .withColumn("sw",
+              replace($"sw", lit(s" $l  $rt "), lit(s" ${l + rt} ")))
+            .persist()
+          next.count()
+          words.unpersist()
+          words = next
+        }
+      }
+      words.unpersist()
+      rules.result()
+        .toDF("round", "left", "right", "merged", "n")
+        .orderBy($"round")
+    },
+    Some {
+      val stages = (1 to 8).map { r =>
+        s"""p$r AS MATERIALIZED (SELECT p, sum(cnt) AS n FROM (
+              SELECT cnt, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS p
+              FROM (SELECT cnt, string_split(trim(sw), '  ') AS t FROM w${r - 1})) GROUP BY 1),
+      b$r AS MATERIALIZED (SELECT p, n FROM p$r ORDER BY n DESC, p LIMIT 1),
+      w$r AS MATERIALIZED (SELECT replace(sw,
+                             ' ' || replace((SELECT p FROM b$r), ' ', '  ') || ' ',
+                             ' ' || replace((SELECT p FROM b$r), ' ', '') || ' ') AS sw, cnt
+              FROM w${r - 1})"""
+      }.mkString(",\n      ")
+      val rows = (1 to 8).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS round, split_part(p, ' ', 1) AS "left",
+               split_part(p, ' ', 2) AS "right",
+               replace(p, ' ', '') AS merged, CAST(n AS BIGINT) AS n FROM b$r"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH w0 AS MATERIALIZED (
+        SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS sw,
+               count(*) AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+              FROM documents)
+        WHERE regexp_matches(w, '^[a-z0-9]+$$')
+        GROUP BY 1),
+      $stages
+      $rows
+      ORDER BY round
+    """.trim
+    })
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
@@ -3851,5 +3950,5 @@ object LlmOps {
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
     s06IvfPqTopK, s07FilteredAnn, s08KnnGraph, s09AutoNearDup, s10AutoKnn,
     t55TextRank, t56SsJoinPrefix, t57Bm25TopK, t58Bm25Index,
-    t59AutoTextNearDup)
+    t59AutoTextNearDup, t60BpeTrain)
 }

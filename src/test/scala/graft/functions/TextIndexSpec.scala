@@ -43,6 +43,31 @@ class TextIndexSpec extends SparkTestBase {
       .subsetOf(terms.toSet))
   }
 
+  test("incremental append serves bit-identically to a full rebuild") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val first = docs.filter($"doc_id" < 400)
+    val delta = docs.filter($"doc_id" >= 400)
+    val incDir = tmpDir("textidxinc")
+    TextIndex.build(first, "doc_id", "text", incDir)
+    TextIndex.append(delta, "doc_id", "text", incDir)
+    val fullDir = tmpDir("textidxfull")
+    TextIndex.build(docs, "doc_id", "text", fullDir)
+    // corpus stats accumulate exactly
+    assert(TextIndex.corpusStats(spark, incDir) ==
+      TextIndex.corpusStats(spark, fullDir))
+    // the postings RELATION matches row-for-row (df re-derived for
+    // touched buckets must equal the rebuilt global df)
+    def rows(d: String) = spark.read.parquet(s"$d/postings")
+      .select($"term", $"doc_id", $"dl", $"tf", $"df", $"__tb")
+      .as[(String, Long, Long, Long, Long, Int)].collect().toSet
+    assert(rows(incDir) == rows(fullDir) && rows(incDir).nonEmpty)
+    // and the served BM25 is bit-identical
+    def serve(d: String) = TextIndex.bm25TopK(spark, d, terms, 20)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(serve(incDir) == serve(fullDir))
+  }
+
   test("fewer than k matching docs: zero-score fallback fills by doc_id") {
     val docs = Seq(
       (1L, "alpha beta gamma"),
