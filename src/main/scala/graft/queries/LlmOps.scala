@@ -3761,10 +3761,12 @@ object LlmOps {
     *    the sf0.001 fixture where it holds). md5-deterministic, so
     *    the flag is a constant, not a flake.
     *
-    * The truth side is a labeled brute-force cross join bounded at
-    * every test SF (500 docs); the production recall audit bounds the
-    * query side instead (s05's shape) — same excuse as s09's truth
-    * side at the 100× board.
+    * The truth side is EXACT Jaccard via the AllPairs/PPJoin prefix
+    * filter (t56's prefixJaccardJoin — recall 1 by theorem), so the
+    * check costs prefix-bounded candidate work, not corpus²; it still
+    * sits out the 100× board because truth-vs-auto comparison is the
+    * fixture's job — the production recall audit bounds the query
+    * side instead (s05's shape).
     */
   val t59AutoTextNearDup = Q(
     "t59_auto_text_neardup",
@@ -3776,13 +3778,15 @@ object LlmOps {
       val (numHashes, bands) = Dedup.minhashParamsFor(n, theta)
       val auto = Dedup.nearDuplicatePairsAuto(docs, "doc_id", "text", theta)
         .select($"id_a", $"id_b")
+      // EXACT truth via the AllPairs/PPJoin prefix filter (t56's
+      // machinery — recall 1 by theorem, SsJoinSpec-pinned), not a
+      // corpus² cross join: candidates come only from the rarest
+      // ⌈(1−θ)n⌉+1 grams per set, which took this row's sf0.1 truth
+      // side from 24 s of 12.5M fused intersections to prefix-bounded
+      // work — same n_true by construction
       val sh = Dedup.hashedShingleFrame(docs, "doc_id", "text", 3)
-      val truth = sh.select($"__id".as("id_a"), $"__hhd".as("__ha"))
-        .crossJoin(sh.select($"__id".as("id_b"), $"__hhd".as("__hb")))
-        .filter($"id_a" < $"id_b")
-        .withColumn("j", Dedup.jaccardLongSets($"__ha", $"__hb",
-          assumeSorted = true))
-        .filter($"j" >= theta)
+      val truth = Dedup.prefixJaccardJoin(sh, "__id", "__hhd", theta,
+          assumeSorted = true)
         .select($"id_a", $"id_b")
         .persist()
       val nTrue = truth.count()
