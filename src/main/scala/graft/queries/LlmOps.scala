@@ -3837,6 +3837,66 @@ object LlmOps {
     """.trim
     })
 
+  /** Hybrid retrieval — reciprocal-rank fusion (RRF, k=60) of the
+    * sparse BM25 top-20 (t57's exact ranking) and a dense cosine
+    * top-20 for a query embedding: the standard hybrid-search shape
+    * every RAG stack runs (sparse catches exact terms, dense catches
+    * paraphrase; RRF needs only RANKS, so the two scoring scales never
+    * have to be calibrated). doc_id and vec_id share a key domain on
+    * the fixtures, so fusion is a full outer join on id; each side's
+    * contribution is 1/(60+rank), an exact small-integer reciprocal —
+    * the one IEEE add of two such doubles is identical cross-engine.
+    *
+    * Scale: the sparse side is t57 (two corpus scans, or t58's
+    * index-served path in production); the dense side is a NARROW
+    * cosine projection against a 1-row query literal (bounded
+    * control-plane read — a constant-key join would constant-fold to
+    * BNLJ, the t12/t22 lesson) into TakeOrderedAndProject; fusion
+    * joins two 20-row frames.
+    */
+  val t61HybridRrf = Q(
+    "t61_hybrid_rrf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val sparse = t57Bm25TopK.fn(s, dir).select($"doc_id", $"rank".as("rank_s"))
+      val emb = Tables.load(s, dir, "embeddings")
+      val qv = emb.filter($"vec_id" === 0).select($"embedding").head()
+        .getAs[scala.collection.Seq[Float]](0).toArray
+      val dense = emb.filter($"vec_id" =!= 0)
+        .withColumn("cos", VF.cosine($"embedding", typedlit(qv)))
+        .orderBy($"cos".desc, $"vec_id").limit(20)
+        .withColumn("rank_d",
+          row_number().over(Window.orderBy($"cos".desc, $"vec_id")).cast("long"))
+        .select($"vec_id".as("doc_id"), $"rank_d")
+      sparse.join(dense, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + $"rank_s"), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + $"rank_d"), lit(0.0)))
+        .orderBy($"rrf".desc, $"doc_id").limit(10)
+        .withColumn("fused_rank",
+          row_number().over(Window.orderBy($"rrf".desc, $"doc_id")).cast("long"))
+        .select($"fused_rank", $"doc_id".as("id"), $"rank_s", $"rank_d", $"rrf")
+        .orderBy($"fused_rank")
+    },
+    Some(s"""
+      WITH sp AS MATERIALIZED ($bm25OracleSql),
+      de AS MATERIALIZED (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (ORDER BY cos DESC, vec_id) AS rank_d
+        FROM (SELECT b.vec_id, ${cosSql("a.embedding", "b.embedding")} AS cos
+              FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0)
+        ORDER BY rank_d LIMIT 20),
+      f AS (SELECT coalesce(sp.doc_id, de.doc_id) AS id,
+              sp.rank AS rank_s, de.rank_d,
+              coalesce(CAST(1 AS DOUBLE) / (60 + sp.rank), 0) +
+                coalesce(CAST(1 AS DOUBLE) / (60 + de.rank_d), 0) AS rrf
+            FROM sp FULL OUTER JOIN de ON sp.doc_id = de.doc_id)
+      SELECT row_number() OVER (ORDER BY rrf DESC, id) AS fused_rank,
+             id, rank_s, rank_d, rrf
+      FROM f ORDER BY fused_rank LIMIT 10
+    """.trim))
+
   /** BPE tokenizer TRAINING — the missing half of t08 (which APPLIES a
     * merge table): learn the merge rules themselves from the corpus,
     * the standard iterative argmax (Sennrich '16): count adjacent
@@ -3954,5 +4014,5 @@ object LlmOps {
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
     s06IvfPqTopK, s07FilteredAnn, s08KnnGraph, s09AutoNearDup, s10AutoKnn,
     t55TextRank, t56SsJoinPrefix, t57Bm25TopK, t58Bm25Index,
-    t59AutoTextNearDup, t60BpeTrain)
+    t59AutoTextNearDup, t60BpeTrain, t61HybridRrf)
 }
