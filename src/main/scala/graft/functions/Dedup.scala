@@ -65,6 +65,20 @@ object Dedup {
       ColumnBridge.expression(baseHashes), numHashes))
   }
 
+  /** One-permutation signature (OPH with rotation densification) from
+    * pre-computed base hashes: O(|set| + k) instead of O(|set|·k) —
+    * the production signature for the AUTO path, whose k grows with
+    * log n. NOT value-compatible with the k-permutation signatures
+    * (a signature family is an internal signing↔banding contract);
+    * the fixed-param declared outputs keep the classic family their
+    * oracles re-derive. See expressions.MinHashSigOPH.
+    */
+  def minhashSignatureFromHashesOPH(baseHashes: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.MinHashSigOPH(
+      ColumnBridge.expression(baseHashes), numHashes))
+  }
+
   /** LSH band keys: signature split into `bands` groups of `rowsPerBand`
     * adjacent minhashes, each group md5-compressed to one bucket key.
     */
@@ -133,77 +147,147 @@ object Dedup {
     * exchange shape as candidatePairsFromShingles.
     *
     * `maxBucket` (off by default — declared outputs are exact LSH
-    * semantics) drops band buckets whose population exceeds the cap
-    * BEFORE the self-join. A bucket of b docs contributes b(b−1)/2
-    * candidate pairs, so one boilerplate-heavy bucket (every page
-    * sharing a template header hashes its band to the same key) turns
-    * the candidate stream quadratic while carrying almost no recall —
-    * near-dups that common collide in other bands too. The count rides
-    * the SAME (__b, __key) partitioning the merge self-join shuffles
-    * and sorts on, so the cap adds a window pass but NO new Exchange;
-    * recall is lost only for pairs whose EVERY colliding band is
-    * pathological. At 100 TB this is the difference between a bounded
-    * candidate join and an accidental cross join on template text.
+    * semantics) caps band-bucket all-pairs expansion. A bucket of b
+    * docs contributes b(b−1)/2 candidate pairs, so one boilerplate-
+    * heavy bucket (every page sharing a template header hashes its
+    * band to the same key) turns the candidate stream quadratic while
+    * carrying almost no recall — near-dups that common usually collide
+    * in other bands too. Over-cap buckets degrade to STAR pairs
+    * (bucket-min × member, O(pop)) instead of being dropped: a giant
+    * j≈1 clique shares the same band key in EVERY band, so no other
+    * band could rescue a hard drop, while star pairs + connected
+    * components still recover it as one group. At 100 TB this is the
+    * difference between a bounded candidate stream and an accidental
+    * cross join on template text.
+    *
+    * `candidateBudget` derives the cap from a TOTAL pair budget via
+    * the bucket-population volume histogram (see the capped branch).
+    * Any cap switches candidate generation to the bucket-aggregated
+    * path (one exchange at bucket cardinality, pairs expanded in-plan
+    * from sorted id lists) — measured 3.0× over the banded self-join
+    * at the 100× probe with identical output.
+    *
+    * `oph = true` signs with the one-permutation family instead of the
+    * classic k permutations. Measured and REJECTED as the default for
+    * this workload (round 11, /tmp/probe100x): shingle sets (~140
+    * elements median) are comparable in size to the policy's k (189 at
+    * 500k docs), so ~a third of bins densify to COPIES of other bins'
+    * minima — band keys lose independence and candidate volume rose
+    * 79% (9.9M vs 5.5M pairs at the same budget), costing more in
+    * verification than the one-pass signing saves (signature eval was
+    * <2% of the path). Kept as an opt-in for corpora whose sets are
+    * ≫ k, where the classic family's O(|set|·k) signing dominates.
     */
   def candidatePairsFromHashSets(hs: DataFrame, numHashes: Int,
       bands: Int, maxBucket: Option[Int] = None,
-      candidateBudget: Option[Long] = None): DataFrame = {
+      candidateBudget: Option[Long] = None,
+      oph: Boolean = false): DataFrame = {
     val rows = numHashes / bands
+    val sig =
+      if (oph) minhashSignatureFromHashesOPH(col("__hhd"), numHashes)
+      else minhashSignatureFromHashesFast(col("__hhd"), numHashes)
     val exploded = hs
-      .withColumn("__sig", minhashSignatureFromHashesFast(col("__hhd"), numHashes))
+      .withColumn("__sig", sig)
       .select(col("__id"),
         posexplode(lshBandKeys(col("__sig"), bands, rows)).as(Seq("__b", "__key")))
-    val budgetCap: Option[Long] = candidateBudget.map { budget =>
-      // The policy's linear-candidate bound (≈ n·fanout) assumes
-      // background pairs sit near θ/4; corpora with heavy shared
-      // boilerplate blow past it through MID-SIZE buckets (measured at
-      // the 100× probe: 85M candidate pairs against a 4M budget, long-
-      // tailed — no fixed cap both holds the budget and keeps small
-      // buckets). Enforce the contract BY CONSTRUCTION: take the pair-
-      // volume histogram BY bucket population (bounded cardinality —
-      // distinct populations, not buckets), cumulate ascending, and
-      // keep the largest population whose running volume still fits
-      // the budget. True near-dup clusters live in small buckets (a
-      // j≈1 clique's bucket is the clique); what the cut drops is the
-      // boilerplate tail, and a true pair confined to a dropped bucket
-      // can still surface through its other bands — the recall floor
-      // is re-checked, not assumed (t59's oracle row, DedupAutoSpec).
-      val hist = exploded.groupBy("__b", "__key")
-        .agg(count(lit(1)).as("__pop"))
-        .groupBy("__pop").agg(count(lit(1)).as("__nb"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy("__pop")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val cap = hist
-        .withColumn("__cum",
-          sum((col("__pop") * (col("__pop") - 1) / 2 * col("__nb"))
-            .cast("long")).over(w))
-        .filter(col("__cum") <= budget)
-        .agg(coalesce(max(col("__pop")), lit(0L))).head().getLong(0)
-      // never cut below trivial cluster width: tiny buckets ARE the
-      // true-pair signal, so a budget smaller than their volume keeps
-      // them anyway and simply overshoots
-      math.max(cap, 8L)
+    if (maxBucket.isEmpty && candidateBudget.isEmpty) {
+      // Uncapped path (exact LSH semantics — the declared fixed-param
+      // rows): banded self-join over one reused Exchange.
+      val flat = exploded.hint("merge") // see candidatePairsFromShingles
+      flat.as("a").join(flat.as("b"),
+          col("a.__b") === col("b.__b") && col("a.__key") === col("b.__key") &&
+            col("a.__id") < col("b.__id"))
+        .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+        // REQUIRED at every band count: a pair whose documents collide in
+        // BOTH bands emits once per band — dropping this under bands=2
+        // duplicates such pairs in the declared output
+        .distinct()
+    } else {
+      // Capped path: aggregate each band bucket to ONE row (sorted id
+      // list) and expand pairs in-plan — one exchange at bucket
+      // cardinality instead of a window-annotate + sort-merge self-join
+      // over every banded row (three sorts of the bands × corpus row
+      // stream; measured 3.0× end-to-end at the 100× probe: 40.9 s →
+      // 13.7 s warm, identical pairs). Per-row expansion is bounded BY
+      // the cap: all-pairs rows emit ≤ cap·(cap−1)/2 structs, and a
+      // budget-derived cap satisfies cap·(cap−1)/2 ≤ budget by
+      // construction (its own population's volume is inside the
+      // cumulative sum). The bucket frame is persisted for the cap
+      // histogram and the two lazy pair consumers (same lifecycle
+      // contract as the shingle frames: the caller clears the cache
+      // once the result is consumed).
+      val buckets = exploded.groupBy("__b", "__key")
+        .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+        .select(col("__ids"), size(col("__ids")).cast("long").as("__pop"))
+        .persist()
+      val budgetCap: Option[Long] = candidateBudget.map { budget =>
+        // The policy's linear-candidate bound (≈ n·fanout) assumes
+        // background pairs sit near θ/4; corpora with heavy shared
+        // boilerplate blow past it through MID-SIZE buckets (measured
+        // at the 100× probe: 85M candidate pairs against a 4M budget,
+        // long-tailed — no fixed cap both holds the budget and keeps
+        // small buckets). Enforce the contract BY CONSTRUCTION: take
+        // the pair-volume histogram BY bucket population (bounded
+        // cardinality — distinct populations, not buckets), cumulate
+        // ascending, and keep the largest population whose running
+        // volume still fits the budget. True near-dup clusters live in
+        // small buckets (a j≈1 clique's bucket is the clique); what
+        // the cut demotes is the boilerplate tail, and a true pair
+        // confined to a demoted bucket can still surface through its
+        // other bands — the recall floor is re-checked, not assumed
+        // (t59's oracle row, DedupAutoSpec). Over-cap buckets are NOT
+        // dropped wholesale: they keep their STAR pairs (see below),
+        // so a giant j≈1 clique — which shares the same band key in
+        // EVERY band and could never be rescued by another band —
+        // still surfaces with O(pop) candidates.
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("__pop")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val stats = buckets
+          .groupBy("__pop").agg(count(lit(1)).as("__nb"))
+          .withColumn("__vol",
+            (col("__pop") * (col("__pop") - 1) / 2 * col("__nb")).cast("long"))
+          .withColumn("__cum", sum(col("__vol")).over(w))
+          .agg(
+            coalesce(max(when(col("__cum") <= budget, col("__pop"))), lit(0L)),
+            coalesce(sum(col("__vol")), lit(0L)),
+            coalesce(max(when(col("__cum") <= budget, col("__cum"))), lit(0L)))
+          .head()
+        val (cap, totalVol, keptVol) =
+          (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+        if (totalVol > keptVol)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"candidate budget cut engaged: ${totalVol - keptVol} of $totalVol " +
+              s"all-pairs candidates sit in buckets above cap=$cap " +
+              s"(budget=$budget); over-cap buckets contribute star pairs only " +
+              "— clique connectivity is preserved, sub-threshold boilerplate " +
+              "pairs inside them are not enumerated.")
+        // never cut below trivial cluster width: tiny buckets ARE the
+        // true-pair signal, so a budget smaller than their volume keeps
+        // them anyway and simply overshoots
+        math.max(cap, 8L)
+      }
+      val cap: Long = (maxBucket.map(_.toLong).toSeq ++ budgetCap.toSeq).min
+      // under-cap buckets: all pairs, expanded from the sorted id list
+      // (ids sorted ascending, so id_a < id_b by construction)
+      val allPairs = buckets.filter(col("__pop") <= cap && col("__pop") >= 2)
+        .select(explode(flatten(transform(col("__ids"), (x, i) =>
+          transform(slice(col("__ids"), i + lit(2),
+            greatest(col("__pop") - i - 1, lit(0)).cast("int")),
+            y => struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
+        .select(col("__p.id_a"), col("__p.id_b"))
+      // over-cap buckets degrade to star pairs: bucket-min × member —
+      // O(pop) candidates that keep mega-cliques connected
+      val starPairs = buckets.filter(col("__pop") > cap)
+        .select(element_at(col("__ids"), 1).as("id_a"),
+          explode(slice(col("__ids"), lit(2), (col("__pop") - 1).cast("int")))
+            .as("id_b"))
+        .select(col("id_a"), col("id_b"))
+      allPairs.unionByName(starPairs)
+        // REQUIRED at every band count: a pair colliding in several
+        // bands emits once per band
+        .distinct()
     }
-    val effectiveCap: Option[Long] =
-      (maxBucket.map(_.toLong).toSeq ++ budgetCap.toSeq)
-        .reduceOption((a, b) => math.min(a, b))
-    val capped = effectiveCap match {
-      case Some(cap) =>
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("__b", "__key")
-        exploded.withColumn("__pop", count(lit(1)).over(w))
-          .filter(col("__pop") <= cap).drop("__pop")
-      case None => exploded
-    }
-    val flat = capped.hint("merge") // see candidatePairsFromShingles
-    flat.as("a").join(flat.as("b"),
-        col("a.__b") === col("b.__b") && col("a.__key") === col("b.__key") &&
-          col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      // REQUIRED at every band count: a pair whose documents collide in
-      // BOTH bands emits once per band — dropping this under bands=2
-      // duplicates such pairs in the declared output
-      .distinct()
   }
 
   /** Candidate near-duplicate pairs of `df` by MinHash-LSH over
@@ -275,7 +359,7 @@ object Dedup {
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingle: Int = 3, numHashes: Int = 16,
       bands: Int = 2, maxBucket: Option[Int] = None,
-      candidateBudget: Option[Long] = None): DataFrame = {
+      candidateBudget: Option[Long] = None, oph: Boolean = false): DataFrame = {
     // shingle + md5 is the expensive narrow stage — the fused
     // CharNgramHashSet pass materializes ONLY the distinct 32-bit
     // base-hash sets (no shingle-string array ever exists), persisted
@@ -288,7 +372,7 @@ object Dedup {
     // probability ~2⁻³²·|set|².
     val sh = hashedShingleFrame(df, idCol, textCol, shingle).persist()
     val cand = candidatePairsFromHashSets(sh, numHashes, bands, maxBucket,
-      candidateBudget)
+      candidateBudget, oph)
     // the per-document hash-set side is small relative to the candidate
     // stream when clusters are dense — broadcast it only when the size
     // estimate says it fits (see maybeBroadcast); otherwise shuffle on id.
@@ -358,10 +442,26 @@ object Dedup {
     * whose size isn't known at authoring time; the fixed-param form
     * remains for oracle-pinned declared outputs. Same persist()
     * lifecycle contract as nearDuplicatePairs.
+    *
+    * Signatures stay the classic k-permutation family: the OPH
+    * alternative was implemented, A/B-measured at the 100× probe and
+    * rejected here — with shingle sets comparable in size to the
+    * policy's k, densified bins copy other bins' minima, band keys
+    * lose independence, and candidate volume rose 79% for a <2%
+    * signing saving (see candidatePairsFromHashSets scaladoc; recall
+    * is re-checked either way — DedupAutoSpec ≥0.95 on the fixture,
+    * t59's oracle row ≥0.85 at sf0.01).
+    *
+    * `candidateBudget` overrides the policy's own n·fanout pair budget
+    * (`Some(Long.MaxValue)` effectively disables the cut — every
+    * bucket stays under an unreachable cap). Over-budget buckets
+    * degrade to star pairs, never silent drops, so mega-cliques stay
+    * connected either way.
     */
   def nearDuplicatePairsAuto(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingle: Int = 3, fanout: Int = 8,
-      missProb: Double = 0.05, maxBucket: Option[Int] = None): DataFrame = {
+      missProb: Double = 0.05, maxBucket: Option[Int] = None,
+      candidateBudget: Option[Long] = None): DataFrame = {
     val n = df.count()
     val (numHashes, bands) = minhashParamsFor(n, threshold, fanout, missProb)
     // the production path ENFORCES the policy's own linear-candidate
@@ -370,7 +470,8 @@ object Dedup {
     // buckets (85M candidates vs a 4M budget measured at the 100×
     // probe); the declared fixed-param form stays exact LSH
     nearDuplicatePairs(df, idCol, textCol, threshold, shingle, numHashes,
-      bands, maxBucket, candidateBudget = Some(fanout.toLong * n))
+      bands, maxBucket,
+      candidateBudget = Some(candidateBudget.getOrElse(fanout.toLong * n)))
   }
 
   /** Cross-corpus near-dup pairs: incoming documents that near-duplicate

@@ -262,9 +262,11 @@ class FunctionsSpec extends SparkTestBase {
   test("band-bucket cap bounds pathological candidates, keeps real pairs") {
     // 120 boilerplate-identical docs collide into ONE bucket per band:
     // uncapped LSH emits all 120·119/2 pairs — the quadratic blowup a
-    // template-heavy crawl produces at scale. Capping drops those
-    // buckets while a genuine near-dup pair (bucket population 2)
-    // survives, and the population count must ride the self-join's own
+    // template-heavy crawl produces at scale. Capping degrades those
+    // buckets to O(pop) star pairs (the clique stays connected — it
+    // shares the same key in EVERY band, so nothing else could rescue
+    // it) while a genuine near-dup pair (bucket population 2) survives
+    // all-pairs, and the population count must ride the self-join's own
     // (__b, __key) Exchange, not add a second one.
     spark.catalog.clearCache()
     val template = (0L until 120L).map(i =>
@@ -283,19 +285,31 @@ class FunctionsSpec extends SparkTestBase {
     // two band-key exchanges at AQE time, not in the initial plan
     val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet.contains((500L, 501L)), "capped LSH lost a real pair")
-    assert(pairs.length < 100,
-      s"cap failed to bound the template bucket: ${pairs.length} candidates")
+    // linear, not quadratic: 119 star pairs for the template clique
+    // (every member reachable from doc 0) plus the one real pair
+    assert(pairs.length == 120,
+      s"cap must bound the template bucket to star pairs: ${pairs.length} candidates")
+    val starred = pairs.toSet
+    assert((1L until 120L).forall(i => starred.contains((0L, i))),
+      "star pairs must keep every clique member connected to the bucket min")
 
     val plan = capped.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(plan.contains("Window"), s"population count missing from plan:\n$plan")
+    // the capped path is bucket-aggregated: ONE exchange at bucket
+    // cardinality feeds the collect_list aggregate and pairs expand
+    // in-plan — no banded self-join, no window annotate (measured 3.0×
+    // over the sort-merge shape at the 100× probe, identical pairs)
+    assert(!plan.contains("SortMergeJoin"),
+      s"capped candidates must not self-join the banded rows:\n$plan")
+    assert(plan.contains("collect_list"),
+      s"bucket aggregation missing from the capped plan:\n$plan")
     // a ReusedExchange line repeats the referenced exchange's text —
     // count only real Exchange operators
     val realExchanges = plan.linesIterator
       .filterNot(_.contains("ReusedExchange"))
       .count(_.contains("Exchange hashpartitioning(__b"))
-    assert(realExchanges == 1 && plan.contains("ReusedExchange"),
-      s"cap must reuse the band-key Exchange, not add one:\n$plan")
+    assert(realExchanges == 1,
+      s"capped path must shuffle the banded rows exactly once:\n$plan")
   }
 
   test("simhash near-dup pairs find the exact dup at distance 0") {

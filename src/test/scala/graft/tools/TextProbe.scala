@@ -43,6 +43,17 @@ object TextProbe {
     if (sections("auto")) time("auto") {
       Dedup.nearDuplicatePairsAuto(docs, "doc_id", "text", theta).count()
     }
+    // like-for-like A/B for the OPH signature swap: the same policy
+    // params and budget, classic k-permutation signatures — run in the
+    // SAME JVM as `auto` so JIT/page-cache context cancels out
+    if (sections("autoclassic")) time("auto classic-sig") {
+      Dedup.nearDuplicatePairs(docs, "doc_id", "text", theta,
+        numHashes = numHashes, bands = bands,
+        candidateBudget = Some(8L * n)).count()
+    }
+    if (sections("auto2")) time("auto (2nd run, warm)") {
+      Dedup.nearDuplicatePairsAuto(docs, "doc_id", "text", theta).count()
+    }
     if (sections("fixed")) time("fixed 16x2") {
       Dedup.nearDuplicatePairs(docs, "doc_id", "text", theta).count()
     }
@@ -65,6 +76,86 @@ object TextProbe {
         println(s"[textprobe] cap=$cap candidate volume=$vol")
       }
       pops.unpersist()
+    }
+    // current budgeted candidate machinery in isolation (no
+    // verification) — the fastcand comparison baseline
+    if (sections("candbudget")) {
+      val sh = Dedup.hashedShingleFrame(docs, "doc_id", "text", 3).persist()
+      time("candbudget: candidates") {
+        Dedup.candidatePairsFromHashSets(sh, numHashes, bands, None,
+          Some(8L * n)).count()
+      }
+      sh.unpersist()
+    }
+    // candidate volume + cost under OPH signatures (same budget) — the
+    // densified-copy band correlation evidence
+    if (sections("candoph")) {
+      val sh = Dedup.hashedShingleFrame(docs, "doc_id", "text", 3).persist()
+      time("candoph: candidates") {
+        Dedup.candidatePairsFromHashSets(sh, numHashes, bands, None,
+          Some(8L * n), oph = true).count()
+      }
+      sh.unpersist()
+    }
+    // interleaved warm A/B: candbudget vs fastcand, 2 passes each
+    if (sections("ab")) {
+      for (pass <- 1 to 2) {
+        val sh = Dedup.hashedShingleFrame(docs, "doc_id", "text", 3).persist()
+        time(s"ab$pass candbudget") {
+          Dedup.candidatePairsFromHashSets(sh, numHashes, bands, None,
+            Some(8L * n)).count()
+        }
+        sh.unpersist()
+      }
+    }
+    // prototype: bucket-aggregated candidate generation — ONE shuffle
+    // (groupBy bucket, collect ids) + in-plan pair expansion, instead
+    // of window-annotate + sort-merge self-join over the banded rows
+    if (sections("fastcand")) {
+      import org.apache.spark.sql.functions._
+      val budget = 8L * n
+      val passes = if (sections("ab")) Seq(1, 2) else Seq(1)
+      for (pass <- passes) {
+      val sh = Dedup.hashedShingleFrame(docs, "doc_id", "text", 3).persist()
+      time(s"fastcand$pass: candidates") {
+        val exploded = sh.withColumn("__sig",
+            Dedup.minhashSignatureFromHashesFast(col("__hhd"), numHashes))
+          .select(col("__id"),
+            posexplode(Dedup.lshBandKeys(col("__sig"), bands, numHashes / bands))
+              .as(Seq("__b", "__key")))
+        val buckets = exploded.groupBy("__b", "__key")
+          .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+          .select(col("__ids"), size(col("__ids")).as("__pop"))
+          .persist()
+        val cap = {
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy("__pop")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+          val s = buckets.groupBy("__pop").agg(count(lit(1)).as("__nb"))
+            .withColumn("__vol",
+              (col("__pop") * (col("__pop") - 1) / 2 * col("__nb")).cast("long"))
+            .withColumn("__cum", sum(col("__vol")).over(w))
+            .agg(coalesce(max(when(col("__cum") <= budget, col("__pop"))), lit(0))
+              .cast("long"))
+            .head().getLong(0)
+          math.max(s, 8L)
+        }
+        val small = buckets.filter(col("__pop") <= cap && col("__pop") >= 2)
+          .select(explode(flatten(transform(col("__ids"), (x, i) =>
+            transform(slice(col("__ids"), i + lit(2),
+              greatest(col("__pop") - i - 1, lit(0))),
+              y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+          .select(col("p.id_a"), col("p.id_b"))
+        val star = buckets.filter(col("__pop") > cap)
+          .select(explode(slice(col("__ids"), lit(2), col("__pop") - 1)).as("id_b"),
+            element_at(col("__ids"), 1).as("id_a"))
+          .select(col("id_a"), col("id_b"))
+        val c = small.unionByName(star).distinct().count()
+        buckets.unpersist()
+        c
+      }
+      sh.unpersist()
+      }
     }
     if (sections("stages")) {
       import org.apache.spark.sql.functions._
