@@ -70,6 +70,10 @@ object TextIndex {
       indexDir: String, nBuckets: Int = DefaultBuckets): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // an empty micro-batch (a legitimate foreachBatch delivery) must be
+    // a no-op: sum(size) over 0 rows is NULL and the touched-bucket
+    // rewrite would pointlessly rewrite nothing
+    if (docs.isEmpty) return
     val tokens = docs.select(col(idCol).as("doc_id"),
       TextFunctions.terms(col(textCol)).as("ts"))
     val newTf = tokens
@@ -81,6 +85,20 @@ object TextIndex {
     // touched buckets: bounded ≤ nBuckets control read
     val touched = newTf.select($"__tb").distinct()
       .as[Int].collect().toSeq
+    // Torn-append protection: postings and corpus_stats are two
+    // separate writes; a crash between them would leave idf/avgdl
+    // silently inconsistent with the postings. The post-append stats
+    // are therefore STAGED FIRST under corpus_stats_next/ — its
+    // presence marks an append in flight, corpusStats refuses to serve
+    // past it, and recover() rolls the commit forward once the
+    // postings-done marker proves the rewrite completed.
+    val (n0, t0) = corpusStats(spark, indexDir)
+    val st = tokens.agg(count(lit(1)).as("n"),
+      sum(size($"ts").cast("long")).as("t")).head()
+    val nextDir = s"$indexDir/corpus_stats_next"
+    Seq((n0 + st.getLong(0), t0 + st.getLong(1)))
+      .toDF("n_docs", "total_tokens")
+      .coalesce(1).write.mode("overwrite").parquet(nextDir)
     val old = spark.read.parquet(s"$indexDir/postings")
       .filter($"__tb".isin(touched: _*))
       .select($"doc_id", $"term", $"dl", $"tf", $"__tb")
@@ -96,13 +114,50 @@ object TextIndex {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__tb")
       .parquet(s"$indexDir/postings")
-    val (n0, t0) = corpusStats(spark, indexDir)
-    val st = tokens.agg(count(lit(1)).as("n"),
-      sum(size($"ts").cast("long")).as("t")).head()
-    Seq((n0 + st.getLong(0), t0 + st.getLong(1)))
-      .toDF("n_docs", "total_tokens")
+    postingsDoneMarker(spark, nextDir).createNewFile()
+    promoteStats(spark, indexDir)
+  }
+
+  private def postingsDoneMarker(spark: SparkSession,
+      nextDir: String): java.io.File =
+    new java.io.File(new java.net.URI(
+      if (nextDir.contains(":")) nextDir else s"file://$nextDir")
+      .getPath, "_POSTINGS_DONE")
+
+  /** Roll a staged append commit forward: copy corpus_stats_next into
+    * corpus_stats and clear the staging dir. Only legal once the
+    * postings rewrite is proven complete (the _POSTINGS_DONE marker).
+    */
+  private def promoteStats(spark: SparkSession, indexDir: String): Unit = {
+    val nextDir = s"$indexDir/corpus_stats_next"
+    spark.read.parquet(nextDir)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$indexDir/corpus_stats")
+    val dir = new java.io.File(new java.net.URI(
+      if (nextDir.contains(":")) nextDir else s"file://$nextDir").getPath)
+    dir.listFiles().foreach(_.delete())
+    dir.delete()
+  }
+
+  /** Repair a torn append. If the staged stats carry the postings-done
+    * marker the crash hit AFTER the postings rewrite — the commit rolls
+    * forward (promote staged stats). Without the marker the postings
+    * rewrite itself may be partial and no automatic repair is sound —
+    * fail loudly so the operator rebuilds or replays the batch.
+    */
+  def recover(spark: SparkSession, indexDir: String): Unit = {
+    val nextDir = s"$indexDir/corpus_stats_next"
+    if (!new java.io.File(new java.net.URI(
+        if (nextDir.contains(":")) nextDir else s"file://$nextDir")
+        .getPath).exists()) return
+    if (postingsDoneMarker(spark, nextDir).exists()) {
+      promoteStats(spark, indexDir)
+    } else {
+      throw new IllegalStateException(
+        s"torn TextIndex append at $indexDir: staged stats exist but the " +
+          "postings rewrite is not proven complete — rebuild the index " +
+          "or replay the source batch after clearing corpus_stats_next")
+    }
   }
 
   /** Postings for a set of query terms. The bucket IN-list prunes
@@ -121,8 +176,19 @@ object TextIndex {
       .filter($"__tb".isin(buckets.distinct: _*) && $"term".isin(terms: _*))
   }
 
-  /** The (n_docs, total_tokens) row written at build time. */
+  /** The (n_docs, total_tokens) row written at build time. Refuses to
+    * serve while a staged append commit is pending (corpus_stats_next
+    * present) — stats and postings may disagree until recover() rolls
+    * the commit forward or the operator rebuilds.
+    */
   def corpusStats(spark: SparkSession, indexDir: String): (Long, Long) = {
+    val nextDir = s"$indexDir/corpus_stats_next"
+    if (new java.io.File(new java.net.URI(
+        if (nextDir.contains(":")) nextDir else s"file://$nextDir")
+        .getPath).exists())
+      throw new IllegalStateException(
+        s"TextIndex at $indexDir has a pending append commit " +
+          "(corpus_stats_next present) — run TextIndex.recover first")
     val r = spark.read.parquet(s"$indexDir/corpus_stats").head()
     (r.getLong(0), r.getLong(1))
   }
@@ -158,11 +224,13 @@ object TextIndex {
     * desc then doc_id.
     *
     * Retrieval truncates to matching docs, so when fewer than k docs
-    * contain any query term the top-k tail is zero-score rows the index
-    * cannot name. `fallback` (the corpus, id + text cols) closes that
-    * gap exactly: the k smallest-id non-candidates join the ranking
-    * with score 0 — the only case that touches the corpus, and only
-    * when the candidate set is smaller than k.
+    * contain any query term — or when the k-th candidate itself scores
+    * 0 (integer idf vanishes for df within n/10⁴ of n, not only
+    * df == n) — the top-k tail is zero-score rows the index cannot
+    * fully order against non-candidates. `fallback` (the corpus, id +
+    * text cols) closes that gap exactly: the k smallest-id
+    * non-candidates join the ranking with score 0 and the ≤2k-row
+    * union re-sorts. Only these cases touch the corpus.
     */
   def bm25TopK(spark: SparkSession, indexDir: String, terms: Seq[String],
       k: Int, fallback: Option[(DataFrame, String, String)] = None,
@@ -184,12 +252,23 @@ object TextIndex {
     // materialize the ≤k candidate rows once (bounded control read, the
     // t12/t22 pattern) — deciding whether the zero-score fallback is
     // needed must not rescan the postings
-    val topCand = {
+    val (topCand, candRows) = {
       val lim = scored.orderBy($"score".desc, $"doc_id").limit(k)
-      spark.createDataFrame(
-        java.util.Arrays.asList(lim.collect(): _*), lim.schema)
+      val rows = lim.collect()
+      (spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), lim.schema), rows)
     }
-    val top = if (fallback.isEmpty || topCand.count() >= k) topCand else {
+    // The fallback must also run when the k-th CANDIDATE scores 0:
+    // integer idf ((n−df)·10⁴ div df) is 0 for any df within n/10⁴ of n
+    // (not only df == n), so zero-score candidates can coexist with
+    // non-candidates — and the full-scan ordering breaks their tie by
+    // doc_id, which a smaller-id non-candidate can win. candRows is
+    // ordered score desc, so the last row carries the k-th score.
+    val scoreIdx = topCand.schema.fieldIndex("score")
+    val kthIsZero = candRows.nonEmpty &&
+      candRows.last.getDouble(scoreIdx) == 0.0
+    val top = if (fallback.isEmpty ||
+        (candRows.length >= k && !kthIsZero)) topCand else {
       val (docs, idCol, textCol) = fallback.get
       // k smallest-id docs OUTSIDE the candidate set at score 0: a
       // zero-score candidate can still outrank them only by doc_id, so

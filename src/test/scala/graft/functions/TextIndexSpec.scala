@@ -102,4 +102,62 @@ class TextIndexSpec extends SparkTestBase {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(got.map(r => (r._2, r._3, r._4, r._5)) == brute)
   }
+
+  test("append of an empty batch is a no-op (empty foreachBatch delivery)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" < 100)
+    val dir = tmpDir("textidxempty")
+    TextIndex.build(docs, "doc_id", "text", dir)
+    val statsBefore = TextIndex.corpusStats(spark, dir)
+    val before = TextIndex.bm25TopK(spark, dir, terms, 10)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    TextIndex.append(docs.filter($"doc_id" < 0), "doc_id", "text", dir)
+    assert(TextIndex.corpusStats(spark, dir) == statsBefore)
+    val after = TextIndex.bm25TopK(spark, dir, terms, 10)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(after == before)
+  }
+
+  test("torn append is detected; recover rolls a proven commit forward") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" < 100)
+    val dir = tmpDir("textidxtorn")
+    TextIndex.build(docs, "doc_id", "text", dir)
+    val (n0, t0) = TextIndex.corpusStats(spark, dir)
+    // crash BETWEEN staged stats and postings completion: next exists,
+    // no done marker -> serving refuses, recover refuses (postings may
+    // be partial — no sound automatic repair)
+    Seq((n0 + 7L, t0 + 99L)).toDF("n_docs", "total_tokens")
+      .coalesce(1).write.parquet(s"$dir/corpus_stats_next")
+    intercept[IllegalStateException](TextIndex.corpusStats(spark, dir))
+    intercept[IllegalStateException](TextIndex.recover(spark, dir))
+    // crash AFTER the postings rewrite: the done marker proves the
+    // commit — recover promotes the staged stats and clears staging
+    new java.io.File(new java.net.URI(s"file://$dir/corpus_stats_next")
+      .getPath, "_POSTINGS_DONE").createNewFile()
+    TextIndex.recover(spark, dir)
+    assert(TextIndex.corpusStats(spark, dir) == (n0 + 7L, t0 + 99L))
+    // idempotent once clean
+    TextIndex.recover(spark, dir)
+    assert(TextIndex.corpusStats(spark, dir) == (n0 + 7L, t0 + 99L))
+  }
+
+  test("zero integer idf (df within n/10^4 of n): fallback restores full-scan order") {
+    // 10002 docs, term in 10001 of them: idf = ((n-df)*10^4) div df =
+    // (1*10^4) div 10001 = 0 — every CANDIDATE scores 0.0, yet doc 0
+    // (the one non-candidate) wins the doc_id tiebreak in the full-scan
+    // ordering. Skipping the fallback because "k candidates exist"
+    // would silently drop it.
+    val docs = spark.range(10002)
+      .select($"id".as("doc_id"),
+        when($"id" === 0, "rare").otherwise("common").as("text"))
+    val dir = tmpDir("textidxzeroidf")
+    TextIndex.build(docs, "doc_id", "text", dir)
+    val got = TextIndex.bm25TopK(spark, dir, Seq("common"), 5,
+        fallback = Some((docs, "doc_id", "text")))
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._2) == Seq(0L, 1L, 2L, 3L, 4L),
+      s"expected doc 0 to enter via the zero-score tiebreak, got $got")
+    assert(got.forall(_._5 == 0.0))
+  }
 }
