@@ -3897,6 +3897,81 @@ object LlmOps {
       FROM f ORDER BY fused_rank LIMIT 10
     """.trim))
 
+  /** Index-served hybrid retrieval — t61's RRF fusion with BOTH sides
+    * served from persisted indexes, the shape production retrieval
+    * actually runs: the sparse side is t58's inverted-index BM25
+    * top-20 (opens only the 4 query terms' postings buckets of 64 —
+    * bit-identical to the t57 full scan by the shared scoring tree),
+    * the dense side is s07's filtered ANN (VectorIndex.topKFiltered:
+    * partition-pruned to the 4 probed inverted lists of 16, label
+    * predicate row-group-skipped via the index's metadata clustering
+    * BEFORE any distance math). Neither side scans the corpus — serve
+    * cost is ∝ (queried terms' postings + probed lists ∩ filter), which
+    * is the 100 TB contract t61's scan-side formulation cannot make.
+    *
+    * RRF (k=60) needs only RANKS, so fusing an approximate dense side
+    * with an exact sparse side needs no score calibration. The oracle
+    * re-derives BOTH serving paths exactly: the sparse CTE is t57's,
+    * the dense CTE replays the s03/s04 centroid training + probe +
+    * label filter + exact rerank — so every rank, and therefore every
+    * reciprocal sum, hash-matches bit-for-bit. HybridIndexedSpec
+    * additionally pins the fused relation against an independently
+    * composed filter-then-probe reference and both sides' partition
+    * pruning.
+    */
+  val t62HybridIndexed = Q(
+    "t62_hybrid_indexed",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val sparse = t58Bm25Index.fn(s, dir)
+        .select($"doc_id", $"rank".as("rank_s"))
+      val emb = Tables.load(s, dir, "embeddings")
+      val dense = graft.functions.VectorIndex.topKFiltered(
+          s, ivfIndexFor(s, dir), emb.filter($"vec_id" === 0),
+          "vec_id", "embedding", k = 20, $"label" === 1, nprobe = 4)
+        .select($"neighbor_id".as("doc_id"), $"rank".as("rank_d"))
+      sparse.join(dense, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + $"rank_s"), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + $"rank_d"), lit(0.0)))
+        .orderBy($"rrf".desc, $"doc_id").limit(10)
+        .withColumn("fused_rank",
+          row_number().over(Window.orderBy($"rrf".desc, $"doc_id")).cast("long"))
+        .select($"fused_rank", $"doc_id".as("id"), $"rank_s", $"rank_d", $"rrf")
+        .orderBy($"fused_rank")
+    },
+    Some(s"""
+      WITH ${ivfCentroidSql(k = 16, dims = 64, sampleSize = 256, iters = 2)},
+      $corpusAssignCte,
+      probes AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+          FROM embeddings e CROSS JOIN cent c
+          WHERE e.vec_id = 0)
+        WHERE rn <= 4),
+      dsc AS (SELECT a.vec_id AS neighbor_id, ${cosSql("q.embedding", "e.embedding")} AS cos
+              FROM probes p
+              JOIN corpus_assign a ON p.cid = a.cid AND a.vec_id <> 0
+              JOIN embeddings e ON a.vec_id = e.vec_id AND e.label = 1
+              JOIN embeddings q ON q.vec_id = 0),
+      de AS MATERIALIZED (
+        SELECT neighbor_id AS doc_id,
+               row_number() OVER (ORDER BY cos DESC, neighbor_id) AS rank_d
+        FROM dsc ORDER BY rank_d LIMIT 20),
+      sp AS MATERIALIZED ($bm25OracleSql),
+      f AS (SELECT coalesce(sp.doc_id, de.doc_id) AS id,
+              sp.rank AS rank_s, de.rank_d,
+              coalesce(CAST(1 AS DOUBLE) / (60 + sp.rank), 0) +
+                coalesce(CAST(1 AS DOUBLE) / (60 + de.rank_d), 0) AS rrf
+            FROM sp FULL OUTER JOIN de ON sp.doc_id = de.doc_id)
+      SELECT row_number() OVER (ORDER BY rrf DESC, id) AS fused_rank,
+             id, rank_s, rank_d, rrf
+      FROM f ORDER BY fused_rank LIMIT 10
+    """.trim))
+
   /** BPE tokenizer TRAINING — the missing half of t08 (which APPLIES a
     * merge table): learn the merge rules themselves from the corpus,
     * the standard iterative argmax (Sennrich '16): count adjacent
@@ -4014,5 +4089,5 @@ object LlmOps {
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
     s06IvfPqTopK, s07FilteredAnn, s08KnnGraph, s09AutoNearDup, s10AutoKnn,
     t55TextRank, t56SsJoinPrefix, t57Bm25TopK, t58Bm25Index,
-    t59AutoTextNearDup, t60BpeTrain, t61HybridRrf)
+    t59AutoTextNearDup, t60BpeTrain, t61HybridRrf, t62HybridIndexed)
 }
