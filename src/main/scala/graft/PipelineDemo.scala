@@ -60,6 +60,25 @@ object PipelineDemo {
       .select("QueryId", "DeleteQuery", "ExecutedFlag").show(false)
     println(s"-- notifications sent: ${notifier.sent.length}")
     notifier.sent.foreach(n => println(s"   ${n.subject}"))
+
+    // DEV -> UAT -> PROD promotion with per-stage validation (the
+    // reference diagram's "Performs validations/checks (DEV/UAT/PROD)"
+    // box): each environment is its own catalog root; a snapshot moves
+    // only after its stage gates pass, and PROD additionally enforces
+    // its own registered CHECK constraints at commit time.
+    val uat = new Catalog(spark, Files.createTempDirectory("uat").toString)
+    val prod = new Catalog(spark, Files.createTempDirectory("prod").toString)
+    val r1 = graft.catalog.Promotion.promote(p.catalog, uat, "customers",
+      Map("balance_nonneg" -> "CAST(balance AS DOUBLE) >= 0",
+        "name_present" -> "length(name) > 0"))
+    println(s"-- promoted customers DEV->UAT @ ${r1.promotedVersion} " +
+      s"(gates: ${r1.gates.map(g => s"${g.gate}=${g.violations}").mkString(", ")})")
+    prod.registerConstraints("customers",
+      Map("pk_present" -> "customer_id IS NOT NULL"))
+    val r2 = graft.catalog.Promotion.promote(uat, prod, "customers",
+      Map("balance_nonneg" -> "CAST(balance AS DOUBLE) >= 0"))
+    println(s"-- promoted customers UAT->PROD @ ${r2.promotedVersion}")
+    prod.read("customers").orderBy("customer_id").show(false)
     spark.stop()
   }
 }
