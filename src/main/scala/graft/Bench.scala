@@ -24,8 +24,56 @@ import org.apache.spark.sql.SparkSession
   * inflates at most one of its samples, which the median discards.
   */
 object Bench {
+
+  /** Replication factor of a MakeProbe-built directory (its
+    * `_probe_meta.json` stamp), 1 for plain sf fixtures or pre-stamp
+    * probe dirs.
+    */
+  private[graft] def probeFactor(sfDir: String): Int = {
+    val p = java.nio.file.Paths.get(sfDir, "_probe_meta.json")
+    if (!java.nio.file.Files.exists(p)) 1
+    else {
+      val m = "\"factor\"\\s*:\\s*(\\d+)".r
+        .findFirstMatchIn(java.nio.file.Files.readString(p))
+      m.map(_.group(1).toInt).getOrElse(1)
+    }
+  }
+
+  /** The probe memory contract (round-10 lesson: the 100× sweep under
+    * the default 8 GB heap OOM'd at the heavy dedup tail and the dead
+    * SparkContext took 10 subsequent queries with it — an environment
+    * knob the harness must own, not the operator). local[*] puts the
+    * whole "cluster" in ONE heap, so required memory scales with the
+    * probe factor: ~0.5 GiB per replication decade unit, floor 8
+    * (100× → 50 GiB, matching the 64 GiB that cleared the round-10
+    * tail; ≤10× runs at the default). Refuses to start rather than
+    * die mid-suite; SPARK_GRAFT_FORCE_HEAP=1 overrides for deliberate
+    * under-heap experiments.
+    */
+  private[graft] def requiredGiB(factor: Int): Long =
+    math.max(8L, factor / 2L)
+
+  private def enforceHeapContract(sfDir: String): Unit = {
+    val factor = probeFactor(sfDir)
+    val requiredGiB = this.requiredGiB(factor)
+    val heapGiB = Runtime.getRuntime.maxMemory().toDouble / (1L << 30)
+    // maxMemory under-reports Xmx by a survivor-space correction —
+    // allow ~15% slack so Xmx=8g passes an 8 GiB floor
+    if (heapGiB < requiredGiB * 0.85 &&
+        !sys.env.contains("SPARK_GRAFT_FORCE_HEAP")) {
+      System.err.println(
+        f"[bench] REFUSING to start: $sfDir is a ${factor}x probe needing " +
+          f"~$requiredGiB GiB heap, JVM has $heapGiB%.1f GiB. " +
+          s"Set SPARK_DRIVER_MEM=${requiredGiB}g (forked-JVM -Xmx; " +
+          "SBT_OPTS does NOT reach the fork) or " +
+          "SPARK_GRAFT_FORCE_HEAP=1 to override.")
+      sys.exit(2)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    enforceHeapContract(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

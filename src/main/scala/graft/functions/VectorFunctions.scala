@@ -316,9 +316,34 @@ object VectorFunctions {
     * Default off (0) so the fixed-param oracle-declared rows keep
     * their pinned outputs; the auto policy path turns it on.
     */
+  /** Explicit fixed LSH/IVF parameters are declared fixture-scale
+    * BASELINES (their outputs are oracle-pinned), not production
+    * configs: bucket/cell population grows ∝ n under fixed params, so
+    * pair work is quadratic in corpus size (measured: t10's fixed 4×4
+    * went ~100× on a 10× corpus; s08's fixed k=16 cost 853 s at the
+    * 100× probe vs 67 s for the sized policy). Past this row count the
+    * fixed-param entry points REFUSE and name their auto twin, so no
+    * sweep or user pays the quadratic cost by picking the wrong name;
+    * `allowFixedAtScale = true` overrides for deliberate baseline
+    * measurement.
+    */
+  private[graft] val FixedParamMaxRows = 50000L
+
+  private def guardFixedParams(n: Long, entry: String,
+      autoTwin: String, allow: Boolean): Unit =
+    if (!allow && n > FixedParamMaxRows)
+      throw new IllegalArgumentException(
+        s"$entry with FIXED parameters on $n rows (> $FixedParamMaxRows): " +
+          s"fixed params make pair work quadratic in corpus size — use " +
+          s"$autoTwin (the sized policy path), or pass " +
+          "allowFixedAtScale = true to measure the declared baseline " +
+          "deliberately")
+
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, tables: Int = 4, planesPerTable: Int = 4,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = 0, allowFixedAtScale: Boolean = false): DataFrame = {
+    guardFixedParams(df.count(), "cosineNearDupPairs",
+      "cosineNearDupPairsAuto", allowFixedAtScale)
     // merge hint: see Dedup.candidatePairsFromShingles — one reused
     // Exchange instead of a broadcast build re-running the signature
     // projections (a corpus-wide broadcast at scale). Ids + signatures
@@ -431,9 +456,51 @@ object VectorFunctions {
     val (tables, planes) = lshParamsFor(df.count(), threshold, targetBucket, missProb)
     // hot-bucket cap at 20× the expected population: the policy holds
     // E[bucket] ≈ targetBucket, so only degenerate directions (which
-    // would make the pair join quadratic) exceed it
+    // would make the pair join quadratic) exceed it. The params here
+    // ARE the sized policy, so the fixed-at-scale guard doesn't apply.
     cosineNearDupPairs(df, idCol, vecCol, threshold, tables, planes,
-      maxBucket = 20 * targetBucket)
+      maxBucket = 20 * targetBucket, allowFixedAtScale = true)
+  }
+
+  /** Batch kNN graph over IVF cells — the NAMED production entry point
+    * for the s08/s10 shape (every vector's top-k among the vectors
+    * sharing its cell): one assignment pass, a self-join keyed on cell
+    * id (fan-out bounded by cell population), a per-query top-k window
+    * Spark rewrites to WindowGroupLimit. `numCentroids ≤ 0` (default)
+    * sizes cells with ivfParamsFor so cell population stays bounded as
+    * the corpus grows — the only configuration that is linear-ish at
+    * scale (measured: sized policy 67 s vs fixed-k 853 s at the 100×
+    * probe). An explicit numCentroids is a fixture-scale baseline and
+    * refuses past [[FixedParamMaxRows]] unless `allowFixedAtScale`.
+    * The cell assignment is persisted internally (it feeds both join
+    * sides — the materialize-once pattern of t43/s08).
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int = 3,
+      numCentroids: Int = 0, allowFixedAtScale: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val kc =
+      if (numCentroids > 0) {
+        guardFixedParams(n, "knnGraph(numCentroids = fixed)",
+          "knnGraph() [ivfParamsFor auto sizing]", allowFixedAtScale)
+        numCentroids
+      } else math.min(n, ivfParamsFor(n).toLong).toInt
+    val cents = ivfTrainCentroids(df, idCol, vecCol, kc,
+      sampleSize = math.max(256, 2 * kc))
+    val assigned = (if (kc >= VectorIndex.TwoLevelMinCentroids)
+        ivfAssignTwoLevel(df, idCol, vecCol, cents, coarseProbe = 2)
+      else ivfAssign(df, idCol, vecCol, cents)).persist()
+    val a = assigned.select(col("__cid").as("cid"),
+      col("__aid").as("query_id"), col("__avec").as("qv"))
+    val b = assigned.select(col("__cid").as("cid"),
+      col("__aid").as("neighbor_id"), col("__avec").as("nv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    a.join(b, "cid").filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
   /** ANN top-k: candidates share any per-table bucket, then exact

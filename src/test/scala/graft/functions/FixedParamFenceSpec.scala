@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Pins the fixed-parameter scale fence: the two declared quadratic
+  * baselines (fixed-LSH near-dup, fixed-k kNN cells) REFUSE past
+  * FixedParamMaxRows and name their sized-policy twins, so no sweep or
+  * user pays the quadratic cost by picking the wrong name; the
+  * explicit acknowledgment flag and the auto paths stay open.
+  */
+class FixedParamFenceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 50001 rows with a cheap 2-dim embedding: the guard counts BEFORE
+  // any signature/assignment work, so this never does vector math
+  private def bigVecs = spark.range(VectorFunctions.FixedParamMaxRows + 1)
+    .select($"id".as("vec_id"),
+      array(lit(0.1f), lit(0.2f)).as("embedding"))
+
+  test("fixed-LSH near-dup refuses past the row cap and names the auto twin") {
+    val e = intercept[IllegalArgumentException] {
+      VectorFunctions.cosineNearDupPairs(bigVecs, "vec_id", "embedding", 0.45)
+    }
+    assert(e.getMessage.contains("cosineNearDupPairsAuto"))
+    assert(e.getMessage.contains("allowFixedAtScale"))
+  }
+
+  test("fixed-k kNN graph refuses past the row cap and names the sized policy") {
+    val e = intercept[IllegalArgumentException] {
+      VectorFunctions.knnGraph(bigVecs, "vec_id", "embedding",
+        k = 3, numCentroids = 16)
+    }
+    assert(e.getMessage.contains("ivfParamsFor"))
+  }
+
+  test("fixture-scale fixed params and the acknowledged baseline still run") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // under the cap: no fence
+    assert(VectorFunctions.cosineNearDupPairs(
+      emb, "vec_id", "embedding", 0.45).count() >= 0)
+    assert(VectorFunctions.knnGraph(
+      emb, "vec_id", "embedding", k = 3, numCentroids = 16).count() > 0)
+    // the knnGraph default is the sized policy — open at any n (the
+    // count here proves no fence fires on the auto path's plan build)
+    assert(VectorFunctions.knnGraph(emb, "vec_id", "embedding").count() > 0)
+  }
+}

@@ -135,5 +135,13 @@ object MakeProbe {
       spark.read.parquet(s"$src/$name.parquet")
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
+    // stamp the replication factor so Bench can enforce its memory
+    // contract (round-10 lesson: a 100x sweep under the 8 GB default
+    // heap OOM'd the heavy dedup tail and took 10 successors down
+    // with the SparkContext — the harness, not the operator's memory
+    // of a knob, must own that check)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "_probe_meta.json"),
+      s"""{"source":"$src","factor":$n}""")
   }
 }

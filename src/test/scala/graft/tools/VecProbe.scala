@@ -44,7 +44,10 @@ object VecProbe {
       VectorFunctions.cosineNearDupPairsAuto(emb, "vec_id", "embedding", threshold).count()
     }
     if (sections("lsh-fixed")) time("fixed 4x4") {
-      VectorFunctions.cosineNearDupPairs(emb, "vec_id", "embedding", threshold).count()
+      // deliberate baseline measurement: the fixed-at-scale fence is
+      // exactly what this probe exists to quantify, so acknowledge it
+      VectorFunctions.cosineNearDupPairs(emb, "vec_id", "embedding", threshold,
+        allowFixedAtScale = true).count()
     }
     // s08-shaped kNN graph: fixed k=16 cells vs the ivfParamsFor policy
     import org.apache.spark.sql.expressions.Window
