@@ -22,7 +22,8 @@ class PlanGuardSpec extends SparkTestBase {
     "e22_cms_freq", // 5-row probe set × 1-row merged sketch, labeled
     "t47_source_divergence", // 1-row global token total attach
     "s09_auto_near_dup", // truth side is the s01 brute-force baseline
-    "s10_auto_knn") // broadcast-centroid assignment + query-bounded exact side
+    "s10_auto_knn", // broadcast-centroid assignment + query-bounded exact side
+    "t62_hybrid_indexed") // dense side probes via the s04 broadcast-centroid assignment (1 query row × ≤16 centroids)
 
   test("no query plans nested-loop or cartesian joins (labeled baselines excepted)") {
     val offenders = SparkEntry.allQueries
