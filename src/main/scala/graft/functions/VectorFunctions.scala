@@ -462,6 +462,48 @@ object VectorFunctions {
       maxBucket = 20 * targetBucket, allowFixedAtScale = true)
   }
 
+  /** Greedy maximal-marginal-relevance selection (Carbonell &
+    * Goldstein '98) over a BOUNDED candidate shortlist: step 1 takes
+    * the most relevant candidate; step r takes
+    * argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), ties by id
+    * ascending — the diversity-aware rerank every retrieval stack runs
+    * AFTER its top-k. Pure driver-side function by design: rerank
+    * inputs are control data (a k'-row shortlist the distributed top-k
+    * already bounded — the t12/t22 pattern), and the greedy recurrence
+    * is inherently sequential in the selection count. The arithmetic
+    * is one shared IEEE tree (λ·rel − (1−λ)·maxsim on doubles both
+    * engines produce bit-identically), so the selection is
+    * hash-reproducible cross-engine — t63's oracle replays it as k
+    * unrolled SQL rounds.
+    *
+    * `cands` must be duplicate-free; `sims` must cover every ordered
+    * candidate pair. Returns (mmr_rank, id, rel), rank 1-based.
+    */
+  def mmrSelect(cands: Seq[(Long, Double)], sims: Map[(Long, Long), Double],
+      k: Int, lambda: Double): Seq[(Long, Long, Double)] = {
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda in [0,1]")
+    val rel = cands.toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val remaining = scala.collection.mutable.TreeSet.from(cands.map(_._1))
+    val out = Seq.newBuilder[(Long, Long, Double)]
+    var r = 1
+    while (r <= math.min(k, cands.size)) {
+      val pick =
+        if (selected.isEmpty)
+          // step 1: plain relevance argmax, ties by id ascending
+          remaining.maxBy(id => (rel(id), -id))
+        else remaining.maxBy { id =>
+          val maxSim = selected.map(s => sims(id -> s)).max
+          (lambda * rel(id) - (1.0 - lambda) * maxSim, -id)
+        }
+      out += ((r.toLong, pick, rel(pick)))
+      selected += pick
+      remaining -= pick
+      r += 1
+    }
+    out.result()
+  }
+
   /** Batch kNN graph over IVF cells — the NAMED production entry point
     * for the s08/s10 shape (every vector's top-k among the vectors
     * sharing its cell): one assignment pass, a self-join keyed on cell

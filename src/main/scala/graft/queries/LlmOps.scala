@@ -3959,6 +3959,78 @@ object LlmOps {
       FROM f ORDER BY fused_rank LIMIT 10
     """.trim))
 
+  /** MMR diversity re-rank (t63) — the stage every retrieval stack
+    * runs AFTER its top-k: from the dense top-20 shortlist for the
+    * query embedding (t61's dense side), greedily select 10 results
+    * maximizing λ·relevance − (1−λ)·max-similarity-to-already-selected
+    * (λ=0.7), so near-duplicate hits don't crowd the answer set.
+    *
+    * Scale shape: the DISTRIBUTED part is candidate generation
+    * (TakeOrderedAndProject here; the t62 index path in production) —
+    * MMR itself runs on the BOUNDED shortlist (20 rows of control
+    * data, the t12/t22 pattern), which is how real systems do it: the
+    * rerank is always on a shortlist, never the corpus. Both rel and
+    * the 20×20 pairwise sims are computed IN-PLAN by the same codegen
+    * cosine the oracle's cosSql mirrors, so every selection compare is
+    * one shared IEEE tree and the greedy sequence is hash-exact
+    * cross-engine; the oracle replays all 10 rounds as unrolled CTEs
+    * (the t60 pattern). MmrSpec pins λ=1 ≡ plain top-k and that
+    * diversity strictly improves (lower mean pairwise sim than the
+    * undiversified top-10).
+    */
+  val t63MmrRerank = Q(
+    "t63_mmr_rerank",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val qv = emb.filter($"vec_id" === 0).select($"embedding").head()
+        .getAs[scala.collection.Seq[Float]](0).toArray
+      val cand = emb.filter($"vec_id" =!= 0)
+        .withColumn("rel", VF.cosine($"embedding", typedlit(qv)))
+        .orderBy($"rel".desc, $"vec_id").limit(20)
+        .select($"vec_id".as("id"), $"rel", $"embedding")
+      // bounded 20-row shortlist: materialize once as control data
+      val rows = cand.collect()
+      val local = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), cand.schema)
+      val sims = local.as("a").join(local.as("b"),
+          col("a.id") =!= col("b.id"))
+        .select(col("a.id"), col("b.id"),
+          VF.cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val cands = rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      VF.mmrSelect(cands, sims, k = 10, lambda = 0.7)
+        .toDF("mmr_rank", "id", "rel")
+        .orderBy($"mmr_rank")
+    },
+    Some {
+      val rounds = (2 to 10).map { r =>
+        s"""s$r AS MATERIALIZED (SELECT $r AS r, id, rel FROM (
+              SELECT c.id, c.rel, 0.7 * c.rel - 0.3 * max(p.sim) AS score
+              FROM cand c JOIN pairs p ON p.id_a = c.id
+              JOIN selu${r - 1} sel ON p.id_b = sel.id
+              WHERE c.id NOT IN (SELECT id FROM selu${r - 1})
+              GROUP BY c.id, c.rel
+              ORDER BY score DESC, c.id LIMIT 1)),
+      selu$r AS MATERIALIZED (SELECT * FROM selu${r - 1} UNION ALL SELECT * FROM s$r)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH cand AS MATERIALIZED (
+        SELECT vec_id AS id, cos AS rel, embedding
+        FROM (SELECT b.vec_id, b.embedding, ${cosSql("a.embedding", "b.embedding")} AS cos
+              FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0)
+        ORDER BY cos DESC, vec_id LIMIT 20),
+      pairs AS MATERIALIZED (
+        SELECT a.id AS id_a, b.id AS id_b, ${cosSql("a.embedding", "b.embedding")} AS sim
+        FROM cand a JOIN cand b ON a.id <> b.id),
+      selu1 AS MATERIALIZED (SELECT 1 AS r, id, rel FROM cand ORDER BY rel DESC, id LIMIT 1),
+      $rounds
+      SELECT CAST(r AS BIGINT) AS mmr_rank, id, rel
+      FROM selu10 ORDER BY mmr_rank
+    """.trim
+    })
+
   /** BPE tokenizer TRAINING — the missing half of t08 (which APPLIES a
     * merge table): learn the merge rules themselves from the corpus,
     * the standard iterative argmax (Sennrich '16): count adjacent
@@ -4076,5 +4148,6 @@ object LlmOps {
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
     s06IvfPqTopK, s07FilteredAnn, s08KnnGraph, s09AutoNearDup, s10AutoKnn,
     t55TextRank, t56SsJoinPrefix, t57Bm25TopK, t58Bm25Index,
-    t59AutoTextNearDup, t60BpeTrain, t61HybridRrf, t62HybridIndexed)
+    t59AutoTextNearDup, t60BpeTrain, t61HybridRrf, t62HybridIndexed,
+    t63MmrRerank)
 }
