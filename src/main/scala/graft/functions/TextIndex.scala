@@ -160,6 +160,30 @@ object TextIndex {
     }
   }
 
+  /** Maintenance twin of append — the Catalog.compact story for the
+    * inverted index: every append rewrites its TOUCHED buckets to
+    * fresh files, but buckets repeatedly touched by small batches
+    * accumulate files (dynamic partition overwrite replaces whole
+    * partitions, so fragmentation here comes from the batch pattern's
+    * task parallelism). Compaction rewrites each bucket to ONE file
+    * with NO content change — df is already denormalized and correct,
+    * so this is a pure layout rewrite; serving is bit-identical
+    * before/after (spec-pinned) and the read-side benefit is fewer
+    * file opens per probed bucket. Hash-repartitioning on the bucket
+    * column sends each bucket to exactly one task (1 file each) while
+    * buckets compact in parallel across tasks. Run in maintenance
+    * windows, like Catalog.compact.
+    */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    val posts = spark.read.parquet(s"$indexDir/postings")
+      // self-referential overwrite: materialize before truncating
+      .repartition(col("__tb"))
+      .localCheckpoint(true)
+    posts.write.mode("overwrite")
+      .partitionBy("__tb")
+      .parquet(s"$indexDir/postings")
+  }
+
   /** Postings for a set of query terms. The bucket IN-list prunes
     * partition directories at planning time; the term filter prunes
     * row groups via parquet min/max inside the matching buckets.

@@ -90,6 +90,25 @@ object VectorIndex {
       .parquet(s"$indexDir/lists")
   }
 
+  /** Maintenance twin of append — the fragmentation answer the append
+    * scaladoc defers to maintenance windows: every append lands one
+    * new file per touched list, so a high-frequency ingest leaves each
+    * list directory with many small files and serving pays an open per
+    * file. Compaction rewrites each inverted list to ONE file with no
+    * content change (centroids untouched — assignment stays frozen);
+    * serving is bit-identical before/after (spec-pinned).
+    * Hash-repartitioning on the list id compacts lists in parallel,
+    * one task per list.
+    */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    val lists = spark.read.parquet(s"$indexDir/lists")
+      // self-referential overwrite: materialize before truncating
+      .repartition(col("__cid"))
+      .localCheckpoint(true)
+    lists.write.mode("overwrite").partitionBy("__cid")
+      .parquet(s"$indexDir/lists")
+  }
+
   def topK(spark: SparkSession, indexDir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame =
     serve(spark, indexDir, queries, idCol, vecCol, k, nprobe, None)

@@ -103,6 +103,30 @@ class TextIndexSpec extends SparkTestBase {
     assert(got.map(r => (r._2, r._3, r._4, r._5)) == brute)
   }
 
+  test("compact rewrites each bucket to one file; serving is bit-identical") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = tmpDir("textidxcompact")
+    TextIndex.build(docs.filter($"doc_id" < 200), "doc_id", "text", dir)
+    TextIndex.append(docs.filter($"doc_id" >= 200 && $"doc_id" < 350),
+      "doc_id", "text", dir)
+    TextIndex.append(docs.filter($"doc_id" >= 350), "doc_id", "text", dir)
+    def serve() = TextIndex.bm25TopK(spark, dir, terms, 20)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    def bucketFiles() = new java.io.File(
+        new java.net.URI(s"file://$dir/postings").getPath)
+      .listFiles().filter(_.getName.startsWith("__tb=")).map(d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+      .toMap
+    val before = serve()
+    val statsBefore = TextIndex.corpusStats(spark, dir)
+    assert(bucketFiles().values.exists(_ > 1),
+      "fixture too small: appends left no fragmented bucket")
+    TextIndex.compact(spark, dir)
+    assert(bucketFiles().values.forall(_ == 1), s"${bucketFiles()}")
+    assert(serve() == before)
+    assert(TextIndex.corpusStats(spark, dir) == statsBefore)
+  }
+
   test("append of an empty batch is a no-op (empty foreachBatch delivery)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter($"doc_id" < 100)

@@ -46,6 +46,36 @@ class VectorIndexSpec extends SparkTestBase {
     assert(serve(incDir) == serve(fullDir) && serve(incDir).nonEmpty)
   }
 
+  test("compact rewrites each list to one file; serving is bit-identical") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = tmpDir("ivfcompact")
+    VectorIndex.build(emb.filter($"vec_id" < 200), "vec_id", "embedding", dir)
+    VectorIndex.append(emb.filter($"vec_id" >= 200 && $"vec_id" < 350),
+      "vec_id", "embedding", dir)
+    VectorIndex.append(emb.filter($"vec_id" >= 350), "vec_id", "embedding", dir)
+    val queries = emb.filter($"vec_id" < 8)
+    def serve() =
+      VectorIndex.topK(spark, dir, queries, "vec_id", "embedding", 3)
+        .select($"query_id", $"neighbor_id", $"rank", $"cos")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    def listFiles() = new java.io.File(
+        new java.net.URI(s"file://$dir/lists").getPath)
+      .listFiles().filter(_.getName.startsWith("__cid=")).map(d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+      .toMap
+    val before = serve()
+    val centsBefore = spark.read.parquet(s"$dir/centroids")
+      .collect().map(_.toString).sorted.toSeq
+    assert(listFiles().values.exists(_ > 1),
+      "fixture too small: appends left no fragmented list")
+    VectorIndex.compact(spark, dir)
+    assert(listFiles().values.forall(_ == 1), s"${listFiles()}")
+    assert(serve() == before)
+    // centroids (the frozen assignment function) untouched
+    assert(spark.read.parquet(s"$dir/centroids")
+      .collect().map(_.toString).sorted.toSeq == centsBefore)
+  }
+
   test("two-level build with full coarse probe serves identically to flat build") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val flatDir = tmpDir("ivfflat")
