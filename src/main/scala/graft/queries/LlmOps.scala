@@ -4031,6 +4031,71 @@ object LlmOps {
     """.trim
     })
 
+  /** Contrastive triplet mining (t64) — the training-data face of the
+    * vector family: for each anchor, emit (anchor, positive, hard
+    * negative) where positive = the nearest neighbor and hard negative
+    * = the MOST similar vector at least `margin` below the positive —
+    * the "confusable but wrong" example contrastive embedding training
+    * needs (random negatives are too easy to carry gradient; negatives
+    * inside the margin are likely unlabeled positives). One margin
+    * band, two argmaxes per anchor.
+    *
+    * Scale shape: the mining logic (per-anchor argmax + margin-band
+    * argmax) is candidate-source-agnostic — production feeds it from
+    * the persisted IVF index's probed candidates (s04/s07); here the
+    * candidate side is the LABELED EXACT baseline (8 anchors × corpus,
+    * the s01 pattern) so the oracle is brute-force-exact and the
+    * triplet selection itself is what's pinned. Both argmaxes ride ONE
+    * shared (anchor) window exchange.
+    */
+  val t64TripletMining = Q(
+    "t64_triplet_mining",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val margin = 0.05
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("anchor_id"), $"embedding".as("qv"))
+      val scored = q.crossJoin(
+          emb.select($"vec_id".as("cand_id"), $"embedding".as("cv")))
+        .filter($"anchor_id" =!= $"cand_id")
+        .withColumn("cos", VF.cosine($"qv", $"cv"))
+        .select($"anchor_id", $"cand_id", $"cos")
+      val w = Window.partitionBy($"anchor_id")
+        .orderBy($"cos".desc, $"cand_id")
+      val pos = scored.withColumn("r", row_number().over(w))
+        .filter($"r" === 1)
+        .select($"anchor_id", $"cand_id".as("pos_id"), $"cos".as("pos_cos"))
+      val neg = scored.join(pos, Seq("anchor_id"))
+        .filter($"cos" < $"pos_cos" - margin)
+        .withColumn("r", row_number().over(w))
+        .filter($"r" === 1)
+        .select($"anchor_id", $"pos_id", $"pos_cos",
+          $"cand_id".as("neg_id"), $"cos".as("neg_cos"))
+      neg.orderBy($"anchor_id")
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+      sc AS MATERIALIZED (
+        SELECT anchor_id, c.vec_id AS cand_id,
+               ${cosSql("q.qv", "c.embedding")} AS cos
+        FROM q JOIN embeddings c ON q.anchor_id <> c.vec_id),
+      pos AS (SELECT anchor_id, cand_id AS pos_id, cos AS pos_cos
+              FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                      ORDER BY cos DESC, cand_id) AS r FROM sc)
+              WHERE r = 1),
+      neg AS (SELECT anchor_id, pos_id, pos_cos, cand_id AS neg_id, cos AS neg_cos
+              FROM (SELECT sc.anchor_id, pos.pos_id, pos.pos_cos, sc.cand_id, sc.cos,
+                      row_number() OVER (PARTITION BY sc.anchor_id
+                        ORDER BY sc.cos DESC, sc.cand_id) AS r
+                    FROM sc JOIN pos ON sc.anchor_id = pos.anchor_id
+                    WHERE sc.cos < pos.pos_cos - 0.05)
+              WHERE r = 1)
+      SELECT anchor_id, pos_id, pos_cos, neg_id, neg_cos
+      FROM neg ORDER BY anchor_id
+    """.trim))
+
   /** BPE tokenizer TRAINING — the missing half of t08 (which APPLIES a
     * merge table): learn the merge rules themselves from the corpus,
     * the standard iterative argmax (Sennrich '16): count adjacent
@@ -4149,5 +4214,5 @@ object LlmOps {
     s06IvfPqTopK, s07FilteredAnn, s08KnnGraph, s09AutoNearDup, s10AutoKnn,
     t55TextRank, t56SsJoinPrefix, t57Bm25TopK, t58Bm25Index,
     t59AutoTextNearDup, t60BpeTrain, t61HybridRrf, t62HybridIndexed,
-    t63MmrRerank)
+    t63MmrRerank, t64TripletMining)
 }
