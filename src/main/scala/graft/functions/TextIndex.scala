@@ -29,6 +29,13 @@ object TextIndex {
     * vocab-cardinality shuffle), bucketed and written. Build cost is
     * two shuffles at (doc,term) / term cardinality — the offline cost
     * every retrieval system pays once per corpus snapshot.
+    *
+    * Postings are POSITIONAL (`pss` = sorted 0-based token positions
+    * per posting): positions ride the same explode the tf aggregation
+    * already pays and dictionary/delta-encode tightly in parquet, and
+    * they are what turns the index from BM25-only into a phrase-
+    * capable one ([[phraseMatches]]) — the standard positional-index
+    * trade every production text index makes.
     */
   def build(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, nBuckets: Int = DefaultBuckets): Unit = {
@@ -38,9 +45,10 @@ object TextIndex {
       TextFunctions.terms(col(textCol)).as("ts"))
     val tf = tokens
       .select($"doc_id", size($"ts").cast("long").as("dl"),
-        explode($"ts").as("term"))
+        posexplode($"ts").as(Seq("pos", "term")))
       .groupBy($"doc_id", $"term", $"dl")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list($"pos")).as("pss"))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val stats = tokens.agg(
       count(lit(1)).as("n_docs"),
@@ -78,9 +86,10 @@ object TextIndex {
       TextFunctions.terms(col(textCol)).as("ts"))
     val newTf = tokens
       .select($"doc_id", size($"ts").cast("long").as("dl"),
-        explode($"ts").as("term"))
+        posexplode($"ts").as(Seq("pos", "term")))
       .groupBy($"doc_id", $"term", $"dl")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list($"pos")).as("pss"))
       .withColumn("__tb", pmod(hash($"term"), lit(nBuckets)))
     // touched buckets: bounded ≤ nBuckets control read
     val touched = newTf.select($"__tb").distinct()
@@ -101,12 +110,12 @@ object TextIndex {
       .coalesce(1).write.mode("overwrite").parquet(nextDir)
     val old = spark.read.parquet(s"$indexDir/postings")
       .filter($"__tb".isin(touched: _*))
-      .select($"doc_id", $"term", $"dl", $"tf", $"__tb")
+      .select($"doc_id", $"term", $"dl", $"tf", $"pss", $"__tb")
     val combined = old.unionByName(
-      newTf.select($"doc_id", $"term", $"dl", $"tf", $"__tb"))
+      newTf.select($"doc_id", $"term", $"dl", $"tf", $"pss", $"__tb"))
     val df = combined.groupBy($"term").agg(count(lit(1)).as("df"))
     val rewritten = combined.join(df, "term")
-      .select($"term", $"doc_id", $"dl", $"tf", $"df", $"__tb")
+      .select($"term", $"doc_id", $"dl", $"tf", $"df", $"pss", $"__tb")
       // self-referential overwrite: the plan reads the same partitions
       // it replaces, so materialize before the write truncates them
       .localCheckpoint(true)
@@ -158,6 +167,38 @@ object TextIndex {
           "postings rewrite is not proven complete — rebuild the index " +
           "or replay the source batch after clearing corpus_stats_next")
     }
+  }
+
+  /** Index-served PHRASE search: documents containing the exact
+    * consecutive token sequence `phrase`, with occurrence counts.
+    * Serve cost is the phrase terms' postings only (bucket partition
+    * pruning via postingsFor — a 100 TB corpus answers a 2-word phrase
+    * from 2 of `nBuckets` directories): per term a (doc, positions)
+    * frame, inner-joined on doc (every phrase term must appear), then
+    * the match set folds left-to-right IN-ROW —
+    * start ∩ (positions(next) − 1) via transform+array_intersect — so
+    * the per-doc cost is the posting-list arithmetic every positional
+    * index pays, with no explode and no per-position shuffle. Output:
+    * (doc_id, n_matches > 0), the start-position occurrence count.
+    */
+  def phraseMatches(spark: SparkSession, indexDir: String,
+      phrase: Seq[String], nBuckets: Int = DefaultBuckets): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two terms")
+    val posts = postingsFor(spark, indexDir, phrase.distinct, nBuckets)
+      .select(col("doc_id"), col("term"), col("pss"))
+    val frames = phrase.zipWithIndex.map { case (t, i) =>
+      posts.filter(col("term") === t).select(col("doc_id"),
+        col("pss").as(s"__p$i"))
+    }
+    val joined = frames.reduce((a, b) => a.join(b, "doc_id"))
+    // fold: after step i the array holds the positions of term i in
+    // valid prefix occurrences; array_intersect is set-semantics, which
+    // is exact here because positions within one posting are distinct
+    val ends = (1 until phrase.size).foldLeft(col("__p0")) { (acc, i) =>
+      array_intersect(transform(acc, x => x + 1), col(s"__p$i"))
+    }
+    joined.select(col("doc_id"), size(ends).cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
   }
 
   /** Maintenance twin of append — the Catalog.compact story for the

@@ -4031,6 +4031,36 @@ object LlmOps {
     """.trim
     })
 
+  /** Index-served phrase search (t65) — the capability positional
+    * postings exist for: documents containing the exact consecutive
+    * token sequence "window join", with occurrence counts, answered
+    * from the persisted inverted index (TextIndex.phraseMatches: only
+    * the 2 phrase terms' postings buckets of 64 are opened; the match
+    * set folds in-row via transform+array_intersect over each
+    * posting's position list — no explode, no per-position shuffle).
+    * The oracle re-derives the same counts from the raw text
+    * (consecutive-token scan), so the positional postings, the bucket
+    * routing, and the fold are all pinned hash-exact against
+    * first-principles truth.
+    */
+  val t65PhraseSearch = Q(
+    "t65_phrase_search",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.TextIndex.phraseMatches(
+          s, textIndexFor(s, dir), Seq("window", "join"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
+      m AS (SELECT doc_id,
+              len([i for i in range(1, len(ts)) if ts[i] = 'window' AND ts[i+1] = 'join']) AS n_matches
+            FROM tk)
+      SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches
+      FROM m WHERE n_matches > 0
+      ORDER BY doc_id
+    """.trim))
+
   /** Contrastive triplet mining (t64) — the training-data face of the
     * vector family: for each anchor, emit (anchor, positive, hard
     * negative) where positive = the nearest neighbor and hard negative
@@ -4214,5 +4244,5 @@ object LlmOps {
     s06IvfPqTopK, s07FilteredAnn, s08KnnGraph, s09AutoNearDup, s10AutoKnn,
     t55TextRank, t56SsJoinPrefix, t57Bm25TopK, t58Bm25Index,
     t59AutoTextNearDup, t60BpeTrain, t61HybridRrf, t62HybridIndexed,
-    t63MmrRerank, t64TripletMining)
+    t63MmrRerank, t64TripletMining, t65PhraseSearch)
 }

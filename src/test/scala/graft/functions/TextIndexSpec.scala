@@ -55,11 +55,13 @@ class TextIndexSpec extends SparkTestBase {
     // corpus stats accumulate exactly
     assert(TextIndex.corpusStats(spark, incDir) ==
       TextIndex.corpusStats(spark, fullDir))
-    // the postings RELATION matches row-for-row (df re-derived for
-    // touched buckets must equal the rebuilt global df)
+    // the postings RELATION matches row-for-row — including the
+    // POSITION lists (df re-derived for touched buckets must equal the
+    // rebuilt global df; appended docs' positions must equal a fresh
+    // tokenization's)
     def rows(d: String) = spark.read.parquet(s"$d/postings")
-      .select($"term", $"doc_id", $"dl", $"tf", $"df", $"__tb")
-      .as[(String, Long, Long, Long, Long, Int)].collect().toSet
+      .select($"term", $"doc_id", $"dl", $"tf", $"df", $"pss", $"__tb")
+      .collect().map(_.toString).toSet
     assert(rows(incDir) == rows(fullDir) && rows(incDir).nonEmpty)
     // and the served BM25 is bit-identical
     def serve(d: String) = TextIndex.bm25TopK(spark, d, terms, 20)
@@ -101,6 +103,25 @@ class TextIndexSpec extends SparkTestBase {
       .select($"doc_id", $"dl", $"tf", $"score")
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(got.map(r => (r._2, r._3, r._4, r._5)) == brute)
+  }
+
+  test("phrase search: 3-term phrases, overlapping repeats, adjacency required") {
+    val docs = Seq(
+      (1L, "a b c a b c"), // "a b c" twice, "b c" twice
+      (2L, "a x b c"),     // all of a,b,c present but "a b" never adjacent
+      (3L, "b b b"),       // overlapping "b b" twice
+      (4L, "c a")).toDF("doc_id", "text")
+    val dir = tmpDir("textidxphrase")
+    TextIndex.build(docs, "doc_id", "text", dir)
+    def q(phrase: String*) =
+      TextIndex.phraseMatches(spark, dir, phrase)
+        .as[(Long, Long)].collect().toSet
+    assert(q("a", "b", "c") == Set((1L, 2L)))
+    assert(q("b", "c") == Set((1L, 2L), (2L, 1L)))
+    // overlapping occurrences each count (start positions 0 and 1)
+    assert(q("b", "b") == Set((3L, 2L)))
+    // all terms present but never consecutive => no row
+    assert(q("x", "a") == Set.empty)
   }
 
   test("compact rewrites each bucket to one file; serving is bit-identical") {
