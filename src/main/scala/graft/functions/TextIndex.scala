@@ -201,6 +201,38 @@ object TextIndex {
       .filter(col("n_matches") > 0)
   }
 
+  /** Index-served PROXIMITY search: documents where `termA` and
+    * `termB` co-occur within `window` tokens (unordered) — the
+    * relevance/decontamination primitive between bag-of-words AND
+    * (too loose) and exact phrase (too strict). Same serving shape as
+    * [[phraseMatches]]: two bucket-pruned postings reads, one doc
+    * join, then IN-ROW position arithmetic — `n_near` counts termA
+    * positions with a termB within the window, `min_gap` is the
+    * closest pair distance. The pair expansion is per-doc tf(A)·tf(B)
+    * — bounded by document length, never corpus-sized.
+    */
+  def proximityMatches(spark: SparkSession, indexDir: String,
+      termA: String, termB: String, window: Int,
+      nBuckets: Int = DefaultBuckets): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val posts = postingsFor(spark, indexDir, Seq(termA, termB).distinct,
+        nBuckets)
+      .select(col("doc_id"), col("term"), col("pss"))
+    val a = posts.filter(col("term") === termA)
+      .select(col("doc_id"), col("pss").as("__pa"))
+    val b = posts.filter(col("term") === termB)
+      .select(col("doc_id"), col("pss").as("__pb"))
+    a.join(b, "doc_id")
+      .select(col("doc_id"),
+        size(filter(col("__pa"), pa =>
+          exists(col("__pb"), pb => abs(pa - pb) <= window)))
+          .cast("long").as("n_near"),
+        array_min(flatten(transform(col("__pa"), pa =>
+          transform(col("__pb"), pb => abs(pa - pb)))))
+          .cast("long").as("min_gap"))
+      .filter(col("n_near") > 0)
+  }
+
   /** Maintenance twin of append — the Catalog.compact story for the
     * inverted index: every append rewrites its TOUCHED buckets to
     * fresh files, but buckets repeatedly touched by small batches

@@ -4061,6 +4061,38 @@ object LlmOps {
       ORDER BY doc_id
     """.trim))
 
+  /** Index-served proximity search (t66) — "vector" within 5 tokens of
+    * "hash", unordered: the middle ground between bag-of-words AND and
+    * exact phrase that relevance and decontamination filters actually
+    * use. Two postings buckets opened, one doc join, in-row position
+    * arithmetic (per-doc tf·tf pair work, bounded by document length).
+    * Oracle re-derives n_near and min_gap from the raw text with
+    * nested list comprehensions — hash-exact integers.
+    */
+  val t66ProximitySearch = Q(
+    "t66_proximity_search",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.TextIndex.proximityMatches(
+          s, textIndexFor(s, dir), "vector", "hash", window = 5)
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
+      ps AS (SELECT doc_id,
+               [i - 1 for i in range(1, len(ts) + 1) if ts[i] = 'vector'] AS pa,
+               [i - 1 for i in range(1, len(ts) + 1) if ts[i] = 'hash'] AS pb
+             FROM tk),
+      m AS (SELECT doc_id,
+              len([x for x in pa if len([y for y in pb if abs(x - y) <= 5]) > 0]) AS n_near,
+              list_min(flatten([[abs(x - y) for y in pb] for x in pa])) AS min_gap
+            FROM ps WHERE len(pa) > 0 AND len(pb) > 0)
+      SELECT doc_id, CAST(n_near AS BIGINT) AS n_near,
+             CAST(min_gap AS BIGINT) AS min_gap
+      FROM m WHERE n_near > 0
+      ORDER BY doc_id
+    """.trim))
+
   /** Contrastive triplet mining (t64) — the training-data face of the
     * vector family: for each anchor, emit (anchor, positive, hard
     * negative) where positive = the nearest neighbor and hard negative
@@ -4244,5 +4276,5 @@ object LlmOps {
     s06IvfPqTopK, s07FilteredAnn, s08KnnGraph, s09AutoNearDup, s10AutoKnn,
     t55TextRank, t56SsJoinPrefix, t57Bm25TopK, t58Bm25Index,
     t59AutoTextNearDup, t60BpeTrain, t61HybridRrf, t62HybridIndexed,
-    t63MmrRerank, t64TripletMining, t65PhraseSearch)
+    t63MmrRerank, t64TripletMining, t65PhraseSearch, t66ProximitySearch)
 }
