@@ -90,6 +90,96 @@ object VectorIndex {
       .parquet(s"$indexDir/lists")
   }
 
+  /** Persisted IVF-PQ index — the memory/disk-bounded serving layout:
+    * inverted lists store m one-byte-ish PQ codes + one reconstructed
+    * norm per vector (~14× smaller than raw floats at m=16 over 64
+    * dims) instead of the vectors themselves, so the probed-list scan
+    * at serve time reads code bytes, not vectors. Raw vectors stay in
+    * the corpus table (cold storage at 100 TB) and are touched only
+    * for the exact rerank of the ADC shortlist — a pointed id join
+    * bounded by queries × shortlist. Same deterministic trainers as
+    * the in-memory ivfPqTopK, so serving from this index is
+    * bit-identical to the in-memory path (spec-pinned, the s03/s04
+    * precedent).
+    */
+  def buildPq(corpus: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, numCentroids: Int = 16, dims: Int = 64,
+      m: Int = 16, codes: Int = 16, sampleSize: Int = 256,
+      iters: Int = 2): Unit = {
+    require(dims % m == 0, s"dims $dims not divisible into $m subspaces")
+    val cents = VectorFunctions.ivfTrainCentroids(
+      corpus, idCol, vecCol, numCentroids, sampleSize, iters)
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val cb = VectorFunctions.pqCodebooks(
+      corpus, idCol, vecCol, m, codes, sampleSize, iters)
+    cb.write.mode("overwrite").parquet(s"$indexDir/pq_codebooks")
+    val enc = VectorFunctions.pqEncode(
+      corpus, idCol, vecCol, cb, m, dims / m)
+    VectorFunctions.ivfAssign(corpus, idCol, vecCol, broadcast(cents))
+      .select(col("__cid"), col("__aid").as("neighbor_id"))
+      .join(enc.withColumnRenamed("__eid", "neighbor_id"), "neighbor_id")
+      .write.mode("overwrite").partitionBy("__cid")
+      .parquet(s"$indexDir/lists")
+  }
+
+  /** Serve top-k from a [[buildPq]] index: probe nprobe lists
+    * (partition-pruned scan over CODE rows), score candidates by
+    * asymmetric distance against a per-query broadcast LUT
+    * (dot(q,x) ≈ Σₘ dot(qₘ, c[m,codeₘ]); no raw vector touched), then
+    * exact-rerank only the `shortlist` ADC-best via a pointed id join
+    * into `rerank` (the corpus table). Identical result to the
+    * in-memory ivfPqTopK with the same parameters.
+    */
+  def topKPq(spark: SparkSession, indexDir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, rerank: DataFrame,
+      nprobe: Int = 4, shortlist: Int = 64, dims: Int = 64,
+      m: Int = 16): DataFrame = {
+    import spark.implicits._
+    val subDim = dims / m
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cb = spark.read.parquet(s"$indexDir/pq_codebooks")
+    val probes = VectorFunctions.ivfAssign(queries, idCol, vecCol,
+        broadcast(cents), nprobe)
+      .select(col("__aid").as("query_id"), col("__cid"))
+    // list ids to open: bounded by numCentroids — control-plane collect
+    val needed = probes.select("__cid").distinct().as[Long].collect()
+    val lists = spark.read.parquet(s"$indexDir/lists")
+      .filter(col("__cid").isin(needed.map(x => x: Any): _*))
+    val lut = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .select(col("query_id"), VectorFunctions.norm(col("__qv")).as("__qn"),
+        posexplode(array((0 until m).map(i =>
+          slice(col("__qv"), i * subDim + 1, subDim)): _*)).as(Seq("__m", "__qsv")))
+      .withColumn("__m", col("__m").cast("long"))
+      .join(broadcast(cb), Seq("__m"))
+      .select(col("query_id"), col("__qn"), col("__m"), col("__code"),
+        VectorFunctions.dot(col("__qsv"), col("__cvec")).as("__qdot"))
+    val adc = probes.join(lists, Seq("__cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__rnorm2"),
+        posexplode(col("__codes")).as(Seq("__m", "__code")))
+      .withColumn("__m", col("__m").cast("long"))
+      .join(lut, Seq("query_id", "__m", "__code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("__qn")).as("__qn"), first(col("__rnorm2")).as("__r2"),
+        sum(col("__qdot")).as("__adot"))
+      .withColumn("__adc", col("__adot") / (col("__qn") * sqrt(col("__r2"))))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("neighbor_id"))
+    val short = adc.withColumn("__srn", row_number().over(ws))
+      .filter(col("__srn") <= shortlist)
+    val rer = short.select(col("query_id"), col("neighbor_id"))
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+        "query_id")
+      .join(rerank.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        "neighbor_id")
+      .withColumn("cos", VectorFunctions.cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    rer.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** Maintenance twin of append — the fragmentation answer the append
     * scaladoc defers to maintenance windows: every append lands one
     * new file per touched list, so a high-frequency ingest leaves each

@@ -2325,12 +2325,20 @@ object LlmOps {
           (coalesce($"n_hit", lit(0L)) >= 2).as("recall3_ok"))
         .orderBy($"query_id")
     },
-    Some {
-      val cosine =
-        """list_sum([CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(qv)+1)]) /
-               (sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) for i in range(1, len(qv)+1)])) *
-                sqrt(list_sum([CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(cv)+1)])))"""
-      s"""
+    Some(pqRecallOracleSql))
+
+  /** Shared s06/s11 oracle: the exact side (full brute-force top-1) is
+    * hash-pinned; the PQ side is bound-pinned (recall3_ok TRUE — the
+    * e06 pattern), identical whether PQ serves from memory (s06) or
+    * the persisted index (s11), because both run the same
+    * deterministic trainers.
+    */
+  private lazy val pqRecallOracleSql: String = {
+    val cosine =
+      """list_sum([CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(qv)+1)]) /
+             (sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) for i in range(1, len(qv)+1)])) *
+              sqrt(list_sum([CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(cv)+1)])))"""
+    s"""
       WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
       c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
       bsc AS (SELECT query_id, neighbor_id, $cosine AS cos
@@ -2340,7 +2348,54 @@ object LlmOps {
       WHERE rank = 1
       ORDER BY query_id
       """.trim
-    })
+  }
+
+  /** One persisted PQ index per dataset dir (the ivfIndexFor pattern). */
+  private val pqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def pqIndexFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    Tables.cachedTempRoot(pqIndexCache, dir, "graft_pq_index") { p =>
+      graft.functions.VectorIndex.buildPq(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", p.toString,
+        numCentroids = 16)
+      p.toString
+    }
+
+  /** IVF-PQ served from the PERSISTED code index (s11) — s06's shape
+    * with the production storage layout: probed lists hold m=16 code
+    * bytes + one norm per vector (~14× smaller than raw floats), the
+    * partition-pruned scan reads codes only, and raw vectors are
+    * touched exclusively in the pointed-id exact rerank of the ADC
+    * shortlist (queries × 64 rows). Same oracle as s06: the persisted
+    * path must reproduce the in-memory PQ path's guarantees —
+    * VectorIndexPqSpec additionally pins bit-equality of the two.
+    */
+  val s11PqIndexTopK = Q(
+    "s11_pq_index_topk",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" < 8)
+      val idx = pqIndexFor(s, dir)
+      val exact = VF.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3)
+      val cents = s.read.parquet(s"$idx/centroids")
+      val probedExact = VF.ivfTopK(emb, q, "vec_id", "embedding",
+        k = 3, nprobe = 4, centroids = Some(cents))
+      val pq = graft.functions.VectorIndex.topKPq(s, idx, q,
+        "vec_id", "embedding", k = 3, rerank = emb, nprobe = 4)
+      val hits = probedExact.select($"query_id", $"neighbor_id")
+        .join(pq.select($"query_id", $"neighbor_id"), Seq("query_id", "neighbor_id"))
+        .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
+      exact.filter($"rank" === 1)
+        .select($"query_id", $"neighbor_id".as("top1_neighbor"))
+        .join(hits, Seq("query_id"), "left")
+        .select($"query_id", $"top1_neighbor",
+          (coalesce($"n_hit", lit(0L)) >= 2).as("recall3_ok"))
+        .orderBy($"query_id")
+    },
+    Some(pqRecallOracleSql))
 
   /** Filtered ANN (VectorIndex.topKFiltered): top-k restricted to
     * corpus vectors matching a metadata predicate — the RAG-retrieval
@@ -4274,6 +4329,7 @@ object LlmOps {
     t51DupKeeper, t52ZipfTable, t53SourceHealth, t54LeakageSplit,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
     s06IvfPqTopK, s07FilteredAnn, s08KnnGraph, s09AutoNearDup, s10AutoKnn,
+    s11PqIndexTopK,
     t55TextRank, t56SsJoinPrefix, t57Bm25TopK, t58Bm25Index,
     t59AutoTextNearDup, t60BpeTrain, t61HybridRrf, t62HybridIndexed,
     t63MmrRerank, t64TripletMining, t65PhraseSearch, t66ProximitySearch)

@@ -24,6 +24,7 @@ class PlanGuardSpec extends SparkTestBase {
     "s09_auto_near_dup", // truth side is the s01 brute-force baseline
     "s10_auto_knn", // broadcast-centroid assignment + query-bounded exact side
     "t62_hybrid_indexed", // dense side probes via the s04 broadcast-centroid assignment (1 query row × ≤16 centroids)
+    "s11_pq_index_topk", // exact side is the s01 baseline cross join (s06's shape, persisted)
     "t63_mmr_rerank", // rel/sim computed over the bounded 20-row shortlist (control data)
     "t64_triplet_mining") // candidate side is the labeled exact baseline (8 anchors × corpus, the s01 pattern)
 
