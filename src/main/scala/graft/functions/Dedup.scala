@@ -799,4 +799,71 @@ object Dedup {
         size(col("__sb")).cast("long").as("n_b"),
         col("jaccard"))
   }
+
+  /** Exact cross-document repeated-span profile — the suffix-dedup
+    * operation of Lee et al. '22 ("Deduplicating Training Data Makes
+    * Language Models Better") at word-gram granularity: any repeated
+    * span of ≥ `gram` words contains a repeated `gram`-gram, so the
+    * maximal runs of repeated grams ARE the maximal repeated spans
+    * (up to gram-1 boundary words).
+    *
+    * Per surviving doc: number of maximal repeated spans, the longest
+    * span, and the count/share of token positions covered by any span
+    * (overlapping runs are interval-merged so no token counts twice).
+    *
+    * Scale design: the data-sized stage is ONE exchange of (gram-hash,
+    * doc, pos) at corpus-token cardinality — the suffix-automaton
+    * lower bound; everything after the df≥2 semi-join is partitioned
+    * and windowed by doc_id (near-dup-population-sized). Never
+    * all-pairs. The gram key is the full md5 hex so the oracle can
+    * re-derive it; at petabyte scale you'd ship unhex(md5) (16-byte
+    * binary, half the shuffle bytes) — grouping semantics identical.
+    * The sampled 1/w-cost alternative is winnowing (t44).
+    */
+  def repeatedSpanProfile(df: DataFrame, idCol: String, textCol: String,
+      gram: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.select(col(idCol).as("doc_id"),
+        split(TextFunctions.normalize(col(textCol)), " ").as("__ws"))
+      .withColumn("n_tokens", size(col("__ws")).cast("long"))
+    // sequence(0, n-gram) REVERSES when n < gram (negative stop) — the
+    // short-doc filter is a correctness guard, not an optimization.
+    val grams = docs.filter(col("n_tokens") >= gram)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), col("n_tokens").cast("int") - gram),
+          i => md5(concat_ws(" ", slice(col("__ws"), i + 1, lit(gram))))))
+          .as(Seq("pos", "gh")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("gh"))
+    // grams in ≥2 distinct docs; partial-aggregated, then a semi join
+    // that reuses the gh partitioning of the aggregate's exchange.
+    val rep = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= 2).select(col("gh"))
+    val rp = grams.join(rep, Seq("gh"), "left_semi")
+    // maximal runs of consecutive repeated positions (islands), then
+    // interval-merge runs whose token ranges still overlap (gap < gram).
+    val wP = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = rp
+      .withColumn("__isl", col("pos") - row_number().over(wP))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + lit(gram.toLong - 1)).as("e"))
+    val wS = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val spans = runs
+      .withColumn("__brk", when(col("s") > coalesce(
+        max(col("e")).over(wS.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(-1L)), lit(1L)).otherwise(lit(0L)))
+      .withColumn("__grp",
+        sum(col("__brk")).over(wS.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("e") - col("s") + 1).as("max_span_tokens"),
+        sum(col("e") - col("s") + 1).as("covered_tokens"))
+      .join(docs.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      .withColumn("coverage",
+        col("covered_tokens").cast("double") / col("n_tokens").cast("double"))
+  }
 }

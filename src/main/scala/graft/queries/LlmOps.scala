@@ -4312,6 +4312,107 @@ object LlmOps {
     """.trim
     })
 
+  /** Exact cross-document repeated-span profile (suffix dedup at
+    * 8-word-gram granularity, Lee et al. '22). One corpus-token-sized
+    * exchange; everything after the df≥2 semi-join is doc-partitioned.
+    */
+  val t67RepeatedSpans = Q(
+    "t67_repeated_spans",
+    (s, dir) => {
+      import s.implicits._
+      Dedup.repeatedSpanProfile(
+        Tables.load(s, dir, "documents"), "doc_id", "text", gram = 8)
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id,
+                   string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+                 FROM documents),
+      g AS (SELECT doc_id, i - 1 AS pos,
+              md5(array_to_string(ws[i:i+7], ' ')) AS gh
+            FROM w, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)
+            WHERE len(ws) >= 8),
+      rep AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+      rp AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (gh)),
+      isl AS (SELECT doc_id, pos,
+                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+              FROM rp),
+      runs AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+               FROM isl GROUP BY doc_id, isl),
+      mg AS (SELECT doc_id, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                 THEN 1 ELSE 0 END AS brk
+             FROM runs),
+      mg2 AS (SELECT doc_id, s, e,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+              FROM mg),
+      spans AS (SELECT doc_id, min(s) AS s, max(e) AS e
+                FROM mg2 GROUP BY doc_id, grp),
+      agg AS (SELECT doc_id, count(*) AS n_spans,
+                CAST(max(e - s + 1) AS BIGINT) AS max_span_tokens,
+                CAST(sum(e - s + 1) AS BIGINT) AS covered_tokens
+              FROM spans GROUP BY doc_id)
+      SELECT agg.doc_id, n_spans, max_span_tokens, covered_tokens,
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(covered_tokens AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS coverage
+      FROM agg JOIN w ON agg.doc_id = w.doc_id
+      ORDER BY agg.doc_id
+    """.trim))
+
+  /** ANN via JL projection (Achlioptas ±1 signs) to 16 dims, LSH
+    * bucketing in the PROJECTED space, full-dimension exact re-rank —
+    * the cheap-space/exact-space split for corpora whose full vectors
+    * are too wide to bucket directly.
+    */
+  val s12JlAnn = Q(
+    "s12_jl_ann",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      VF.jlLshTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding",
+        k = 3, dOut = 24, tables = 8, planesPerTable = 4)
+        .orderBy($"query_id", $"rank")
+    },
+    Some {
+      val sign = (key: String) =>
+        s"(CASE WHEN (strpos('0123456789abcdef', md5('$key' || (i-1))[32:32]) - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+      val projComp = (j: Int) =>
+        s"list_sum([CAST(v[i] AS DOUBLE) * ${sign(s"jl${j}_")} for i in range(1, len(v)+1)])"
+      val planeSum = (p: Int) =>
+        s"list_sum([pv[i] * ${sign(s"plane${p}_")} for i in range(1, len(pv)+1)])"
+      def tableSig(t: Int) = (0 until 4)
+        .map(j => s"(CASE WHEN ${planeSum(t * 4 + j)} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      val sigCase = (0 until 8)
+        .map(t => s"WHEN $t THEN sig$t").mkString("CASE tt ", " ", " END")
+      s"""
+      WITH proj AS (SELECT vec_id,
+                      [${(0 until 24).map(projComp).mkString(", ")}] AS pv
+                    FROM (SELECT vec_id, embedding AS v FROM embeddings)),
+      sigs AS (SELECT vec_id,
+                 ${(0 until 8).map(t => s"${tableSig(t)} AS sig$t").mkString(", ")}
+               FROM proj),
+      flat AS (SELECT vec_id, tt, $sigCase AS sig
+               FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS tt)),
+      cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+               FROM flat q JOIN flat c ON q.tt = c.tt AND q.sig = c.sig
+               WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+      sc AS (SELECT query_id, neighbor_id,
+               list_sum([CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(qv)+1)]) /
+               (sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) for i in range(1, len(qv)+1)])) *
+                sqrt(list_sum([CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(cv)+1)]))) AS cos
+             FROM (SELECT cand.query_id, cand.neighbor_id, eq.embedding AS qv, ec.embedding AS cv
+                   FROM cand JOIN embeddings eq ON cand.query_id = eq.vec_id
+                             JOIN embeddings ec ON cand.neighbor_id = ec.vec_id))
+      SELECT query_id, neighbor_id, rank, cos
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+      WHERE rank <= 3
+      ORDER BY query_id, rank
+      """.trim
+    })
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
@@ -4332,5 +4433,6 @@ object LlmOps {
     s11PqIndexTopK,
     t55TextRank, t56SsJoinPrefix, t57Bm25TopK, t58Bm25Index,
     t59AutoTextNearDup, t60BpeTrain, t61HybridRrf, t62HybridIndexed,
-    t63MmrRerank, t64TripletMining, t65PhraseSearch, t66ProximitySearch)
+    t63MmrRerank, t64TripletMining, t65PhraseSearch, t66ProximitySearch,
+    t67RepeatedSpans, s12JlAnn)
 }

@@ -2866,6 +2866,188 @@ object Relational {
       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """.trim))
 
+  /** TPC-H Q9 shape — product-type profit by nation and year. The
+    * fixture has no partsupp table, so unit cost is modeled as
+    * 0.6 * p_retailprice (deterministic, same formula in the oracle).
+    * Scale: the p_name filter prunes the part dim BEFORE the fact join
+    * (broadcast — part is tiny relative to lineitem); lineitem joins
+    * orders on its own key (one shuffle each side, AQE-coalesced);
+    * nation attaches by broadcast after supplier. The per-row profit
+    * expression stays in whole-stage codegen; the final group-by is a
+    * low-cardinality (nation × year) hash aggregate with map-side
+    * partials — at 100 TB the only large exchange is lineitem⋈orders.
+    */
+  val q72ProductProfit = Q(
+    "q72_product_profit",
+    (s, dir) => {
+      import s.implicits._
+      val prt = broadcast(t(s, dir, "part").filter($"p_name".contains("ol"))
+        .select($"p_partkey", $"p_retailprice"))
+      val sup = broadcast(t(s, dir, "supplier")
+        .select($"s_suppkey", $"s_nationkey"))
+      val nat = broadcast(t(s, dir, "nation")
+        .select($"n_nationkey", $"n_name"))
+      val profit = ($"l_extendedprice" * (lit(1.0) - $"l_discount") -
+        lit(0.6) * $"p_retailprice" * $"l_quantity").cast("decimal(18,4)")
+      t(s, dir, "lineitem")
+        .join(prt, $"l_partkey" === $"p_partkey")
+        .join(sup, $"l_suppkey" === $"s_suppkey")
+        .join(nat, $"s_nationkey" === $"n_nationkey")
+        .join(t(s, dir, "orders").select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"n_name".as("nation"),
+          year($"o_orderdate").cast("long").as("o_year"))
+        .agg(sum(profit).cast("double").as("sum_profit"))
+        .orderBy($"nation", $"o_year".desc)
+    },
+    Some("""
+      SELECT n_name AS nation,
+             EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           - 0.6 * p_retailprice * l_quantity
+                           AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      WHERE p_name LIKE '%ol%'
+      GROUP BY 1, 2
+      ORDER BY nation, o_year DESC
+    """.trim))
+
+  /** TPC-H Q10 shape — returned-item revenue ranking: which customers
+    * returned the most value in a quarter. Scale: the o_orderdate
+    * window prunes orders at the scan (pushed filter), the R-flag
+    * filter prunes lineitem at the scan; the surviving fact⋈orders is
+    * the one large exchange; customer attaches by its key and nation
+    * by broadcast; the top-20 is TakeOrderedAndProject (per-partition
+    * heads, never a global sort).
+    */
+  val q73ReturnedItems = Q(
+    "q73_returned_items",
+    (s, dir) => {
+      import s.implicits._
+      val rev = ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast("decimal(18,4)")
+      t(s, dir, "lineitem").filter($"l_returnflag" === "R")
+        .join(t(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1996-07-01").cast("timestamp"))
+          .select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "nation")),
+          $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"n_name", $"c_acctbal")
+        .agg(sum(rev).cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    },
+    Some("""
+      SELECT c_custkey, c_name, n_name, c_acctbal,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-07-01'
+      GROUP BY 1, 2, 3, 4
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20
+    """.trim))
+
+  /** TPC-H Q11 shape — important stock: parts whose shipped value from
+    * a nation group exceeds a fixed fraction of that group's total.
+    * The operator highlight is the scalar-aggregate HAVING: the
+    * threshold is one global sum computed over the SAME filtered fact,
+    * broadcast into the group filter. Scale: the per-part aggregate is
+    * one shuffle on l_partkey with map-side partials; the scalar side
+    * re-aggregates the per-part partials (not the raw fact) so the
+    * fact is scanned once; comparison is a 1-row broadcast join.
+    */
+  val q74ImportantStock = Q(
+    "q74_important_stock",
+    (s, dir) => {
+      import s.implicits._
+      val sup = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .filter($"n_regionkey" === 0).select($"n_nationkey")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey"))
+      val perPart = t(s, dir, "lineitem")
+        .join(sup, $"l_suppkey" === $"s_suppkey")
+        .groupBy($"l_partkey")
+        .agg(sum($"l_extendedprice".cast("decimal(18,4)")).as("value_dec"))
+      val total = perPart.agg(
+        (sum($"value_dec").cast("double") * lit(0.001)).as("threshold"))
+      perPart
+        .join(broadcast(total))
+        .filter($"value_dec".cast("double") > $"threshold")
+        .select($"l_partkey",
+          $"value_dec".cast("double").as("part_value"))
+        .orderBy($"part_value".desc, $"l_partkey")
+    },
+    Some("""
+      WITH per_part AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS value_dec
+        FROM lineitem
+        WHERE l_suppkey IN (
+          SELECT s_suppkey FROM supplier JOIN nation
+            ON s_nationkey = n_nationkey WHERE n_regionkey = 0)
+        GROUP BY l_partkey)
+      SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+      FROM per_part
+      WHERE CAST(value_dec AS DOUBLE) >
+            (SELECT CAST(sum(value_dec) AS DOUBLE) * 0.001 FROM per_part)
+      ORDER BY part_value DESC, l_partkey
+    """.trim))
+
+  /** TPC-H Q14 shape — promotion revenue share by ship month: a
+    * conditional aggregate ratio over one fact scan. Scale: part is
+    * broadcast (only p_partkey + p_type read — column pruning to two
+    * columns); the month group-by is low-cardinality with map-side
+    * partials; numerator and denominator come from the SAME aggregate
+    * pass (no second scan, no self-join).
+    */
+  val q75PromoShare = Q(
+    "q75_promo_share",
+    (s, dir) => {
+      import s.implicits._
+      val vol = ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast("decimal(18,4)")
+      val zero = lit(0).cast("decimal(18,4)")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select($"p_partkey", $"p_type")),
+          $"l_partkey" === $"p_partkey")
+        .groupBy(date_trunc("month", $"l_shipdate").as("ship_month"))
+        .agg(
+          (lit(100.0) *
+            sum(when($"p_type" === "PROMO", vol).otherwise(zero))
+              .cast("double") /
+            sum(vol).cast("double")).as("promo_share"),
+          sum(vol).cast("double").as("total_revenue"))
+        .orderBy($"ship_month")
+    },
+    Some("""
+      SELECT date_trunc('month', l_shipdate) AS ship_month,
+             100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS promo_share,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1
+      ORDER BY ship_month
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -2884,5 +3066,6 @@ object Relational {
     q58UnionEvolve, q59ShareOfParent, q60RankBreadth, q61ValueShareHaving,
     q62TopSupplier, q63SoleBlame, q64LateralTopK, q65DqGate,
     q66XmlRoundtrip, q67ReconcileChecksum, q68OrderCountDist,
-    q69LargeOrders, q70MinCostSupplier, q71SupplierDiversity)
+    q69LargeOrders, q70MinCostSupplier, q71SupplierDiversity,
+    q72ProductProfit, q73ReturnedItems, q74ImportantStock, q75PromoShare)
 }

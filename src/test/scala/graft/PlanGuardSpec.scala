@@ -26,7 +26,8 @@ class PlanGuardSpec extends SparkTestBase {
     "t62_hybrid_indexed", // dense side probes via the s04 broadcast-centroid assignment (1 query row × ≤16 centroids)
     "s11_pq_index_topk", // exact side is the s01 baseline cross join (s06's shape, persisted)
     "t63_mmr_rerank", // rel/sim computed over the bounded 20-row shortlist (control data)
-    "t64_triplet_mining") // candidate side is the labeled exact baseline (8 anchors × corpus, the s01 pattern)
+    "t64_triplet_mining", // candidate side is the labeled exact baseline (8 anchors × corpus, the s01 pattern)
+    "q74_important_stock") // 1-row global-threshold attach (the t47 pattern)
 
   test("no query plans nested-loop or cartesian joins (labeled baselines excepted)") {
     val offenders = SparkEntry.allQueries
