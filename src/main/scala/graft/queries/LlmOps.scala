@@ -4361,7 +4361,7 @@ object LlmOps {
       ORDER BY agg.doc_id
     """.trim))
 
-  /** ANN via JL projection (Achlioptas ±1 signs) to 16 dims, LSH
+  /** ANN via JL projection (Achlioptas ±1 signs) to 24 dims, LSH
     * bucketing in the PROJECTED space, full-dimension exact re-rank —
     * the cheap-space/exact-space split for corpora whose full vectors
     * are too wide to bucket directly.

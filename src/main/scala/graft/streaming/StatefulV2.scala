@@ -279,4 +279,98 @@ object StatefulV2 {
       .transformWithState(new TtlCountProcessor(ttl),
         TimeMode.ProcessingTime(), OutputMode.Update())
   }
+
+  // ----- Bounded-state heavy hitters: sharded Misra–Gries ------------
+
+  final case class ShardedToken(shard: Int, token: String)
+
+  /** One live summary row: `est` never exceeds the token's true count
+    * in its shard and undercounts by at most `decrements`; `n_processed`
+    * is monotone per shard, so max-per-shard selects the final summary.
+    */
+  final case class MgEntry(shard: Int, token: String, est: Long,
+      n_processed: Long, decrements: Long)
+
+  final case class MgMeta(processed: Long, decrements: Long)
+
+  /** Misra–Gries '82 frequency summary with at most `m` counters per
+    * shard — the bounded-state answer when the vocabulary exceeds what
+    * a state store should hold (exact per-token counting at 100 TB is
+    * a billion-entry MapState; MG is m entries, with the theorem that
+    * any token whose shard frequency exceeds N_shard/m is STILL
+    * tracked, undercounted by at most the decrement total ≤ N_shard/m).
+    * All of a token's occurrences hash to one shard, so a global heavy
+    * hitter is heavy in its shard and cannot be lost.
+    *
+    * The decrement round is O(m) but runs at most N/m times (each
+    * round cancels m occurrences), so the amortized cost per token is
+    * O(1). With m ≥ the shard vocabulary no decrement ever fires and
+    * the summary IS the exact count table — the bit-exact bridge to
+    * the batch heavy-hitters query that the spec pins.
+    *
+    * Each batch re-emits the shard's full live summary stamped with
+    * `n_processed`; MG summaries are arrival-order-dependent, so the
+    * spec contract is the GUARANTEE (containment + error bound), plus
+    * bit-equality in the m-unbounded regime where order cancels out.
+    */
+  final class MisraGriesProcessor(m: Int)
+      extends StatefulProcessor[Int, ShardedToken, MgEntry] {
+    @transient private var counters: MapState[String, Long] = _
+    @transient private var meta: ValueState[MgMeta] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counters = getHandle.getMapState[String, Long]("counters",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      meta = getHandle.getValueState[MgMeta]("meta",
+        Encoders.product[MgMeta], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Int, rows: Iterator[ShardedToken],
+        timerValues: TimerValues): Iterator[MgEntry] = {
+      // work on an in-memory copy: the decrement round touches every
+      // counter, and per-entry state-store writes inside a loop over
+      // the store's own iterator are both slow and undefined
+      val live = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      counters.iterator().foreach { p => live(p._1) = p._2 }
+      var mt = if (meta.exists()) meta.get() else MgMeta(0L, 0L)
+      rows.foreach { r =>
+        mt = mt.copy(processed = mt.processed + 1)
+        live.get(r.token) match {
+          case Some(c) => live(r.token) = c + 1
+          case None if live.size < m => live(r.token) = 1L
+          case None =>
+            // full: the arrival cancels against one unit of every
+            // tracked counter (m+1 distinct tokens each lose one)
+            mt = mt.copy(decrements = mt.decrements + 1)
+            live.filterInPlace((_, c) => c > 1)
+            live.mapValuesInPlace((_, c) => c - 1)
+        }
+      }
+      // rewrite only the delta: removed keys, then upserts
+      counters.keys().toList.foreach { k =>
+        if (!live.contains(k)) counters.removeKey(k)
+      }
+      live.foreach { case (t, c) => counters.updateValue(t, c) }
+      meta.update(mt)
+      live.iterator.map { case (t, c) =>
+        MgEntry(key, t, c, mt.processed, mt.decrements)
+      }
+    }
+  }
+
+  /** Sharded MG heavy hitters over a `(token string)` stream: tokens
+    * hash to `shards` independent summaries of at most `m` counters.
+    */
+  def misraGriesTokens(tokens: DataFrame, m: Int,
+      shards: Int): Dataset[MgEntry] = {
+    val s = tokens.sparkSession
+    import s.implicits._
+    tokens
+      .select(pmod(hash(col("token")), lit(shards)).cast("int").as("shard"),
+        col("token"))
+      .as[ShardedToken]
+      .groupByKey(_.shard)
+      .transformWithState(new MisraGriesProcessor(m),
+        TimeMode.None(), OutputMode.Append())
+  }
 }
