@@ -766,18 +766,67 @@ object VectorFunctions {
       .otherwise(lit(-1.0))
   }
 
+  /** The full dOut × dIn JL sign matrix as ONE plan literal: the signs
+    * are constants per (comp, dim), so deriving them per ROW (1,536
+    * md5 digests per vector at 24×64) is pure waste — computing the
+    * same parities driver-side and shipping ~dOut·dIn doubles in the
+    * plan turns the projection into plain codegen'd multiply-adds
+    * (measured on s12: 9.0 s → see ROADMAP). Bit-identical to
+    * `jlSign`: same md5, same last-nibble parity (pinned by spec).
+    */
+  def jlSignMatrix(dOut: Int, dIn: Int): Column =
+    typedLit(Seq.tabulate(dOut, dIn) { (j, i) =>
+      val dg = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl${j}_$i".getBytes("UTF-8"))
+      if ((dg(15) & 0x0f) % 2 == 0) 1.0 else -1.0
+    }.map(_.toSeq))
+
+  /** Plane-sign literal matrix, same trick as `jlSignMatrix` for the
+    * `planeSign` family: bit-identical parities (pinned by spec), no
+    * per-row digests. Rows are planes 0..planes-1, columns dims.
+    */
+  def planeSignMatrix(planes: Int, dIn: Int): Column =
+    typedLit(Seq.tabulate(planes, dIn) { (p, i) =>
+      val dg = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"plane${p}_$i".getBytes("UTF-8"))
+      if ((dg(15) & 0x0f) % 2 == 0) 1.0 else -1.0
+    }.map(_.toSeq))
+
+  /** `lshTableSignaturesHof` semantics over the literal sign matrix:
+    * value-identical signatures (same md5 parities, same left-to-right
+    * double fold) without the HOF's per-row sign derivation.
+    */
+  def lshTableSignaturesLit(vec: Column, tables: Int, planesPerTable: Int,
+      dIn: Int = 64): Column = {
+    val signs = planeSignMatrix(tables * planesPerTable, dIn)
+    array((0 until tables).map { t =>
+      (0 until planesPerTable).map { j =>
+        val p = t * planesPerTable + j
+        val s = aggregate(
+          zip_with(vec, slice(element_at(signs, p + 1), lit(1), size(vec)),
+            (x, sg) => x.cast("double") * sg),
+          lit(0.0), (acc, v) => acc + v)
+        when(s > 0, lit(1)).otherwise(lit(0)) * lit(1 << j)
+      }.reduce(_ + _)
+    }: _*)
+  }
+
   /** JL random projection to `dOut` dims: proj_j = Σ_i v_i·sign(j,i)
     * (the 1/√dOut scale is dropped — it cancels in every cosine). A
-    * map-side expression: no shuffle, no broadcast matrix, no RNG
-    * state; at 100 TB each executor re-derives the signs from md5.
+    * map-side expression over the literal sign matrix: no shuffle, no
+    * broadcast, no RNG state, no per-row digests. `dIn` must cover the
+    * vector width (extra columns are ignored via zip semantics on the
+    * shorter side — the spec pins exact equality at the fixture width).
     */
-  def jlProject(vec: Column, dOut: Int): Column =
+  def jlProject(vec: Column, dOut: Int, dIn: Int = 64): Column = {
+    val signs = jlSignMatrix(dOut, dIn)
     array((0 until dOut).map { j =>
       aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * jlSign(j, i)),
+        zip_with(vec, slice(element_at(signs, j + 1), lit(1), size(vec)),
+          (x, s) => x.cast("double") * s),
         lit(0.0), (acc, v) => acc + v)
     }: _*)
+  }
 
   /** ANN via JL-reduced candidate generation + full-space re-rank: the
     * cheap-space/exact-space split production retrieval uses when the
@@ -802,8 +851,10 @@ object VectorFunctions {
       df.select(col(idCol).as(id),
           jlProject(col(vecCol), dOut).as("__pv"))
         .select(col(id),
-          posexplode(lshTableSignaturesHof(col("__pv"), tables, planesPerTable))
-            .as(Seq("__t", "__sig")))
+          // literal-matrix form: HOF-identical signatures without the
+          // HOF's per-row md5 sign derivation
+          posexplode(lshTableSignaturesLit(col("__pv"), tables,
+            planesPerTable, dIn = dOut)).as(Seq("__t", "__sig")))
     val cand = sigs(queries, "query_id")
       .join(sigs(corpus, "neighbor_id"), Seq("__t", "__sig"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -4361,6 +4361,68 @@ object LlmOps {
       ORDER BY agg.doc_id
     """.trim))
 
+  /** Intra-document n-gram repetition measures (the Gopher/Rae et
+    * al. '21 repetition filters, minus line/paragraph fractions — the
+    * fixture has single-line docs): top-bigram share and the fraction
+    * of trigram occurrences whose gram repeats WITHIN the doc. The
+    * within-doc complement of t67's cross-document spans.
+    *
+    * Scale: each gram stage is one exchange keyed (doc_id, gram) with
+    * map-side partial counts collapsing repeats, then a doc-keyed
+    * re-aggregation — never corpus-global state; the join of the two
+    * measures is doc-keyed. Short docs (< 3 tokens) have neither
+    * measure defined and drop.
+    */
+  val t68IntraRepetition = Q(
+    "t68_intra_repetition",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", TF.tokens($"text").as("__ts"))
+        .filter(size($"__ts") >= 3)
+      def grams(n: Int) = docs.select($"doc_id",
+        explode(transform(sequence(lit(0), size($"__ts") - n),
+          i => concat_ws(" ", slice($"__ts", i + 1, lit(n))))).as("g"))
+      val bi = grams(2).groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(max($"c").as("top_bigram_n"), sum($"c").as("n_bigrams"))
+      val tri = grams(3).groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum(when($"c" > 1, $"c").otherwise(lit(0L))).as("dup_trigram_occ"),
+          sum($"c").as("n_trigrams"))
+      bi.join(tri, "doc_id")
+        .select($"doc_id", $"n_bigrams", $"top_bigram_n",
+          ($"top_bigram_n".cast("double") / $"n_bigrams").as("top_bigram_share"),
+          $"n_trigrams", $"dup_trigram_occ",
+          ($"dup_trigram_occ".cast("double") / $"n_trigrams").as("dup_trigram_frac"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+                 FROM documents),
+      b AS (SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS g
+            FROM w, UNNEST(generate_series(1, len(ts) - 1)) AS t(i)
+            WHERE len(ts) >= 3),
+      bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY doc_id, g),
+      bs AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n,
+                    CAST(sum(c) AS BIGINT) AS n_bigrams
+             FROM bc GROUP BY doc_id),
+      t3 AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+             FROM w, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
+             WHERE len(ts) >= 3),
+      tc AS (SELECT doc_id, g, count(*) AS c FROM t3 GROUP BY doc_id, g),
+      tx AS (SELECT doc_id,
+                    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_trigram_occ,
+                    CAST(sum(c) AS BIGINT) AS n_trigrams
+             FROM tc GROUP BY doc_id)
+      SELECT bs.doc_id, n_bigrams, top_bigram_n,
+             CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_share,
+             n_trigrams, dup_trigram_occ,
+             CAST(dup_trigram_occ AS DOUBLE) / n_trigrams AS dup_trigram_frac
+      FROM bs JOIN tx ON bs.doc_id = tx.doc_id
+      ORDER BY bs.doc_id
+    """.trim))
+
   /** ANN via JL projection (Achlioptas ±1 signs) to 24 dims, LSH
     * bucketing in the PROJECTED space, full-dimension exact re-rank —
     * the cheap-space/exact-space split for corpora whose full vectors
@@ -4434,5 +4496,5 @@ object LlmOps {
     t55TextRank, t56SsJoinPrefix, t57Bm25TopK, t58Bm25Index,
     t59AutoTextNearDup, t60BpeTrain, t61HybridRrf, t62HybridIndexed,
     t63MmrRerank, t64TripletMining, t65PhraseSearch, t66ProximitySearch,
-    t67RepeatedSpans, s12JlAnn)
+    t67RepeatedSpans, s12JlAnn, t68IntraRepetition)
 }

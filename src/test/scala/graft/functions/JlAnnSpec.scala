@@ -47,6 +47,16 @@ class JlAnnSpec extends SparkTestBase {
     assert(keysJl.toSet.intersect(keysPl.toSet).isEmpty)
   }
 
+  test("literal plane-sign signatures equal the HOF reference form") {
+    val df = emb.limit(100)
+      .select(VectorFunctions.jlProject($"embedding", 24).as("pv"))
+    val diff = df.select(
+        VectorFunctions.lshTableSignaturesLit($"pv", 8, 4, dIn = 24).as("a"),
+        VectorFunctions.lshTableSignaturesHof($"pv", 8, 4).as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(diff == 0L)
+  }
+
   test("re-rank is full-space: every returned cosine equals the exact one") {
     val queries = emb.filter($"vec_id" < 8)
     val jl = VectorFunctions.jlLshTopK(emb, queries, "vec_id", "embedding", k = 3)
