@@ -4423,6 +4423,59 @@ object LlmOps {
       ORDER BY bs.doc_id
     """.trim))
 
+  /** Token-budget corpus selection: rank docs by a quality score
+    * (here the distinct-token ratio, descending — the score is
+    * pluggable; the OPERATOR is the budgeted cumulative cutoff) and
+    * keep the prefix whose running token total stays within budget —
+    * the "select the best N tokens" step of dataset curation (the
+    * DataComp/DsDm selection shape). A doc is kept iff the cumulative
+    * tokens INCLUDING it fit; later (worse) docs never backfill — the
+    * greedy prefix rule, deterministic via the (score desc, doc_id)
+    * total order.
+    *
+    * Scale: one global sort by (score, doc_id) — a range-partitioned
+    * exchange, the price of a total order; the running sum is one
+    * unbounded-preceding window over it (no second shuffle: window
+    * partitioning is empty but ordering reuses the sort). At 100 TB
+    * you'd pre-bucket scores into quantile bands (computed via
+    * approx percentiles) and only total-order the boundary band —
+    * noted here, not needed at fixture scale.
+    */
+  val t69BudgetSelection = Q(
+    "t69_budget_selection",
+    (s, dir) => {
+      import s.implicits._
+      val toks = TF.tokens($"text")
+      val scored = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          size(toks).cast("long").as("n_tokens"),
+          (size(array_distinct(toks)).cast("double") / size(toks))
+            .as("score"))
+      val w = Window.orderBy($"score".desc, $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored
+        .withColumn("cum_tokens", sum($"n_tokens").over(w))
+        .filter($"cum_tokens" <= 20000L)
+        .select($"doc_id", $"n_tokens", $"score", $"cum_tokens")
+        .orderBy($"score".desc, $"doc_id")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+                 / len(regexp_split_to_array(trim(text), '\s+')) AS score
+        FROM documents),
+      c AS (SELECT doc_id, n_tokens, score,
+              CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum_tokens
+            FROM scored)
+      SELECT doc_id, n_tokens, score, cum_tokens
+      FROM c WHERE cum_tokens <= 20000
+      ORDER BY score DESC, doc_id
+    """.trim))
+
   /** ANN via JL projection (Achlioptas ±1 signs) to 24 dims, LSH
     * bucketing in the PROJECTED space, full-dimension exact re-rank —
     * the cheap-space/exact-space split for corpora whose full vectors
@@ -4496,5 +4549,5 @@ object LlmOps {
     t55TextRank, t56SsJoinPrefix, t57Bm25TopK, t58Bm25Index,
     t59AutoTextNearDup, t60BpeTrain, t61HybridRrf, t62HybridIndexed,
     t63MmrRerank, t64TripletMining, t65PhraseSearch, t66ProximitySearch,
-    t67RepeatedSpans, s12JlAnn, t68IntraRepetition)
+    t67RepeatedSpans, s12JlAnn, t68IntraRepetition, t69BudgetSelection)
 }

@@ -3048,6 +3048,60 @@ object Relational {
       ORDER BY ship_month
     """.trim))
 
+  /** TPC-H Q5 shape — local supplier volume: revenue where the
+    * CUSTOMER and the SUPPLIER sit in the same nation of one region.
+    * The operator highlight is the equality constraint BETWEEN two
+    * dimension paths (c_nationkey = s_nationkey), which prunes the
+    * fact⋈orders⋈customer result against the supplier side rather
+    * than either dim alone. Scale: lineitem⋈orders is the one large
+    * exchange; supplier/nation/region broadcast; the same-nation
+    * predicate rides the supplier hash join (no extra shuffle); the
+    * final per-nation aggregate is 25 groups with map-side partials.
+    */
+  val q76LocalSupplierVolume = Q(
+    "q76_local_supplier_volume",
+    (s, dir) => {
+      import s.implicits._
+      val vol = ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast("decimal(18,4)")
+      val nat = broadcast(t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+          .select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(t(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+          $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "supplier")
+          .select($"s_suppkey", $"s_nationkey")),
+          $"l_suppkey" === $"s_suppkey" &&
+            $"c_nationkey" === $"s_nationkey")
+        .join(nat, $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(sum(vol).cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"n_name")
+    },
+    Some("""
+      SELECT n_name,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name
+    """.trim))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RevenueByNation, q04SemiJoin,
     q05AntiJoin, q06OuterJoinCounts, q07TopK, q08WindowTopNPerKey,
@@ -3067,5 +3121,6 @@ object Relational {
     q62TopSupplier, q63SoleBlame, q64LateralTopK, q65DqGate,
     q66XmlRoundtrip, q67ReconcileChecksum, q68OrderCountDist,
     q69LargeOrders, q70MinCostSupplier, q71SupplierDiversity,
-    q72ProductProfit, q73ReturnedItems, q74ImportantStock, q75PromoShare)
+    q72ProductProfit, q73ReturnedItems, q74ImportantStock, q75PromoShare,
+    q76LocalSupplierVolume)
 }
