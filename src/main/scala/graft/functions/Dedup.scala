@@ -811,14 +811,21 @@ object Dedup {
     * span, and the count/share of token positions covered by any span
     * (overlapping runs are interval-merged so no token counts twice).
     *
-    * Scale design: the data-sized stage is ONE exchange of (gram-hash,
-    * doc, pos) at corpus-token cardinality — the suffix-automaton
-    * lower bound; everything after the df≥2 semi-join is partitioned
-    * and windowed by doc_id (near-dup-population-sized). Never
-    * all-pairs. The gram key is the full md5 hex so the oracle can
-    * re-derive it; at petabyte scale you'd ship unhex(md5) (16-byte
-    * binary, half the shuffle bytes) — grouping semantics identical.
-    * The sampled 1/w-cost alternative is winnowing (t44).
+    * Scale design: the data-sized work is two token-cardinality stages
+    * sharing the gh key — the df≥2 aggregate (map-side partials
+    * collapse repeated grams before the wire) and the semi-join probe
+    * (full (gh, doc, pos) rows) — the suffix-automaton lower bound up
+    * to the constant. The gram pipeline (scan→split→md5) executes once
+    * per stage; a collect_list bucket aggregation would fuse them into
+    * one pass but puts EVERY occurrence of a boilerplate gram into one
+    * row (the mega-clique skew the capped-LSH path had to rescue), so
+    * the skew-safe two-stage form is deliberate. Everything after the
+    * semi-join is partitioned and windowed by doc_id (near-dup-
+    * population-sized). Never all-pairs. The gram key is the full md5
+    * hex so the oracle can re-derive it; at petabyte scale you'd ship
+    * unhex(md5) (16-byte binary, half the shuffle bytes) — grouping
+    * semantics identical. The sampled 1/w-cost alternative is
+    * winnowing (t44).
     */
   def repeatedSpanProfile(df: DataFrame, idCol: String, textCol: String,
       gram: Int = 8): DataFrame = {

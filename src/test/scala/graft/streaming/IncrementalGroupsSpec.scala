@@ -83,6 +83,24 @@ class IncrementalGroupsSpec extends SparkTestBase {
     assert(labelsOf(IncrementalGroups.latestLabels(spark, stateDir)) == after)
   }
 
+  test("a torn version (parquet without marker) is invisible and rewritten") {
+    val stateDir = tmpDir("igtorn") + "/state"
+    IncrementalGroups.processBatch(
+      Seq((1L, 2L)).toDF("id_a", "id_b"), 0L, stateDir)
+    val before = labelsOf(IncrementalGroups.latestLabels(spark, stateDir))
+    // simulate a crash between parquet write and marker: v=1 parquet
+    // lands with bogus content but no _graft_committed
+    Seq((99L, 99L)).toDF("doc_id", "rep")
+      .write.mode("overwrite").parquet(s"$stateDir/v=1")
+    assert(labelsOf(IncrementalGroups.latestLabels(spark, stateDir)) == before,
+      "uncommitted version must be invisible")
+    // the replayed batch 1 recomputes FROM v=0 and overwrites the torn dir
+    IncrementalGroups.processBatch(
+      Seq((2L, 3L)).toDF("id_a", "id_b"), 1L, stateDir)
+    assert(labelsOf(IncrementalGroups.latestLabels(spark, stateDir)) ==
+      Set((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
   test("streaming pair files maintain labels equal to the batch CC") {
     val root = tmpDir("igstream")
     val srcDir = s"$root/pairs"
