@@ -4433,13 +4433,18 @@ object LlmOps {
     * greedy prefix rule, deterministic via the (score desc, doc_id)
     * total order.
     *
-    * Scale: one global sort by (score, doc_id) — a range-partitioned
-    * exchange, the price of a total order; the running sum is one
-    * unbounded-preceding window over it (no second shuffle: window
-    * partitioning is empty but ordering reuses the sort). At 100 TB
-    * you'd pre-bucket scores into quantile bands (computed via
-    * approx percentiles) and only total-order the boundary band —
-    * noted here, not needed at fixture scale.
+    * Scale: a naive running sum is a WINDOW WITH NO PARTITION KEYS —
+    * every row lands in one task, the classic single-reducer killer.
+    * Instead the score axis is cut into quantile bands (approx
+    * percentiles; band = count of edges above the score, so band
+    * membership is a function of score alone and bands are contiguous
+    * in the (score desc, doc_id) total order), per-band token totals
+    * are a B-row collect (bounded control data), and the running sum
+    * becomes band-prefix + a window PARTITIONED BY BAND — parallel
+    * across bands, each band ~1/B of the corpus. The kept set and
+    * every cum_tokens value are IDENTICAL to the total-order
+    * definition the oracle computes — banding only re-parallelizes
+    * the same prefix sums.
     */
   val t69BudgetSelection = Q(
     "t69_budget_selection",
@@ -4451,10 +4456,26 @@ object LlmOps {
           size(toks).cast("long").as("n_tokens"),
           (size(array_distinct(toks)).cast("double") / size(toks))
             .as("score"))
-      val w = Window.orderBy($"score".desc, $"doc_id")
+        .localCheckpoint(true) // two consumers: edges probe + main pass
+      val edges = scored.stat
+        .approxQuantile("score", (1 until 32).map(_ / 32.0).toArray, 0.001)
+        .distinct.sorted.toSeq
+      val band = size(filter(typedLit(edges), e => e > $"score"))
+      val banded = scored.withColumn("band", band)
+      // band → tokens in all STRICTLY BETTER (lower-numbered) bands;
+      // ≤ 32 rows — the bounded driver-side read the policy allows
+      val totals = banded.groupBy($"band")
+        .agg(sum($"n_tokens").as("t")).collect()
+        .map(r => r.getAs[Int]("band") -> r.getAs[Long]("t")).toMap
+      val cumBefore = (0 to edges.size).map { b =>
+        b -> (0 until b).map(totals.getOrElse(_, 0L)).sum
+      }.toMap
+      val w = Window.partitionBy($"band").orderBy($"score".desc, $"doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      scored
-        .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      banded
+        .withColumn("cum_tokens",
+          element_at(typedLit(cumBefore), $"band") +
+            sum($"n_tokens").over(w))
         .filter($"cum_tokens" <= 20000L)
         .select($"doc_id", $"n_tokens", $"score", $"cum_tokens")
         .orderBy($"score".desc, $"doc_id")

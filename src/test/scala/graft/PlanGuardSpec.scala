@@ -233,4 +233,19 @@ class PlanGuardSpec extends SparkTestBase {
     assert(!plan.contains("hashpartitioning"),
       s"data-row shuffle in the checksum plan:\n$plan")
   }
+
+  test("t69's running sum is band-partitioned, never a single-reducer window") {
+    val plan = finalPlan(
+      SparkEntry.queries("t69_budget_selection")(spark, "/root/testdata/sf0.001"))
+    // a running sum over a window with NO partition keys plans one
+    // SinglePartition exchange — the classic total-order scale killer
+    // the quantile banding exists to avoid
+    val windowSection = plan.linesIterator
+      .filter(l => l.contains("Window") || l.contains("Exchange"))
+      .mkString("\n")
+    assert(windowSection.contains("hashpartitioning(band"),
+      s"running sum not band-partitioned:\n$windowSection")
+    assert(!windowSection.contains("Exchange SinglePartition"),
+      s"single-reducer exchange in the selection plan:\n$windowSection")
+  }
 }
