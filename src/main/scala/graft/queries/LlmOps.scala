@@ -4367,30 +4367,34 @@ object LlmOps {
     * of trigram occurrences whose gram repeats WITHIN the doc. The
     * within-doc complement of t67's cross-document spans.
     *
-    * Scale: each gram stage is one exchange keyed (doc_id, gram) with
-    * map-side partial counts collapsing repeats, then a doc-keyed
-    * re-aggregation — never corpus-global state; the join of the two
-    * measures is doc-keyed. Short docs (< 3 tokens) have neither
-    * measure defined and drop.
+    * Scale: ONE corpus scan emits bigrams and trigrams tagged with
+    * their width into ONE (doc_id, width, gram) exchange (map-side
+    * partial counts collapse repeats), and ONE doc-keyed aggregate
+    * computes all four measures with width-conditional aggregation —
+    * no second scan, no bi⋈tri join, never corpus-global state. Short
+    * docs (< 3 tokens) have neither measure defined and drop.
     */
   val t68IntraRepetition = Q(
     "t68_intra_repetition",
     (s, dir) => {
       import s.implicits._
-      val docs = Tables.load(s, dir, "documents")
+      def gramStructs(n: Int) =
+        transform(sequence(lit(0), size($"__ts") - n),
+          i => struct(lit(n).as("w"),
+            concat_ws(" ", slice($"__ts", i + 1, lit(n))).as("g")))
+      val counts = Tables.load(s, dir, "documents")
         .select($"doc_id", TF.tokens($"text").as("__ts"))
         .filter(size($"__ts") >= 3)
-      def grams(n: Int) = docs.select($"doc_id",
-        explode(transform(sequence(lit(0), size($"__ts") - n),
-          i => concat_ws(" ", slice($"__ts", i + 1, lit(n))))).as("g"))
-      val bi = grams(2).groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
-        .groupBy($"doc_id")
-        .agg(max($"c").as("top_bigram_n"), sum($"c").as("n_bigrams"))
-      val tri = grams(3).groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
-        .groupBy($"doc_id")
-        .agg(sum(when($"c" > 1, $"c").otherwise(lit(0L))).as("dup_trigram_occ"),
-          sum($"c").as("n_trigrams"))
-      bi.join(tri, "doc_id")
+        .select($"doc_id",
+          explode(concat(gramStructs(2), gramStructs(3))).as("x"))
+        .groupBy($"doc_id", $"x.w", $"x.g").agg(count(lit(1)).as("c"))
+      counts.groupBy($"doc_id")
+        .agg(
+          sum(when($"w" === 2, $"c").otherwise(lit(0L))).as("n_bigrams"),
+          max(when($"w" === 2, $"c")).as("top_bigram_n"),
+          sum(when($"w" === 3, $"c").otherwise(lit(0L))).as("n_trigrams"),
+          sum(when($"w" === 3 && $"c" > 1, $"c").otherwise(lit(0L)))
+            .as("dup_trigram_occ"))
         .select($"doc_id", $"n_bigrams", $"top_bigram_n",
           ($"top_bigram_n".cast("double") / $"n_bigrams").as("top_bigram_share"),
           $"n_trigrams", $"dup_trigram_occ",
