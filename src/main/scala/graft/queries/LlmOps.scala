@@ -4501,6 +4501,82 @@ object LlmOps {
       ORDER BY score DESC, doc_id
     """.trim))
 
+  /** Small-in-large containment SEARCH (quote/excerpt detection) —
+    * the query-prefix extension t39's scaladoc names: find every doc
+    * containing ≥ θ of a query snippet's word-3-grams. Candidates come
+    * from the ⌊(1−θ)n⌋+1 RAREST grams of each QUERY (rarity = corpus
+    * df): a doc with containment ≥ θ misses ≤ n−⌈θn⌉ of the query's
+    * grams, so it must share one of any n−⌈θn⌉+1 of them — recall 1
+    * by construction (grams absent from the corpus are misses for
+    * every doc, so they only shrink the live prefix). Threshold math
+    * is integer (⌈4n/5⌉ = (4n+4) div 5; verify as 5·|∩| ≥ 4·n) — a
+    * double 0.8·n would ceil wrong on exact multiples.
+    *
+    * Scale: the df table is one token-cardinality exchange; the prefix
+    * is queries×(n−⌈θn⌉+1) rows (tiny — broadcast into the posting
+    * join, so candidate cost ∝ the rare grams' total df, never
+    * corpus×queries); verification joins gram-set arrays only for
+    * candidates. Queries are corpus snippets here (doc_id % 97 == 5,
+    * words 4..15) so the oracle can re-derive them.
+    */
+  val t70QuoteSearch = Q(
+    "t70_quote_search",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", TF.tokens($"text").as("__ws"))
+      def gram(i: org.apache.spark.sql.Column) =
+        md5(concat_ws(" ", slice($"__ws", i, lit(3))))
+      val corpus = docs.filter(size($"__ws") >= 3)
+        .select($"doc_id",
+          array_distinct(transform(sequence(lit(1), size($"__ws") - 2),
+            i => gram(i))).as("dg"))
+      val queries = docs.filter($"doc_id" % 97 === 5 && size($"__ws") >= 15)
+        .select($"doc_id".as("query_id"),
+          array_distinct(transform(sequence(lit(4), lit(13)),
+            i => gram(i))).as("qg"))
+        .withColumn("nq", size($"qg").cast("long"))
+      val dfreq = corpus.select($"doc_id", explode($"dg").as("gh"))
+        .groupBy($"gh").agg(count(lit(1)).as("df"))
+      val wQ = Window.partitionBy($"query_id").orderBy($"df", $"gh")
+      val prefix = queries
+        .select($"query_id", $"nq", explode($"qg").as("gh"))
+        .join(dfreq, Seq("gh"), "left")
+        .withColumn("df", coalesce($"df", lit(0L)))
+        .withColumn("__rk", row_number().over(wQ))
+        .filter($"__rk" <=
+          $"nq" - floor(($"nq" * 4 + 4) / lit(5)).cast("long") + 1)
+        .select($"query_id", $"gh")
+      val cand = broadcast(prefix)
+        .join(corpus.select($"doc_id", explode($"dg").as("gh")), "gh")
+        .select($"query_id", $"doc_id").distinct()
+      cand
+        .join(queries.select($"query_id", $"qg", $"nq"), "query_id")
+        .join(corpus, "doc_id")
+        .withColumn("__i", size(array_intersect($"qg", $"dg")).cast("long"))
+        .filter($"__i" * 5 >= $"nq" * 4)
+        .select($"query_id", $"doc_id",
+          ($"__i".cast("double") / $"nq").as("containment"))
+        .orderBy($"query_id", $"doc_id")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents),
+      d AS (SELECT doc_id,
+              list_distinct([md5(array_to_string(ws[i:i+2], ' '))
+                             for i in range(1, len(ws) - 1)]) AS dg
+            FROM w WHERE len(ws) >= 3),
+      q AS (SELECT doc_id AS query_id,
+              list_distinct([md5(array_to_string(ws[i:i+2], ' '))
+                             for i in range(4, 14)]) AS qg
+            FROM w WHERE doc_id % 97 = 5 AND len(ws) >= 15)
+      SELECT query_id, doc_id,
+             CAST(len(list_intersect(qg, dg)) AS DOUBLE) / len(qg) AS containment
+      FROM q, d
+      WHERE len(list_intersect(qg, dg)) * 5 >= len(qg) * 4
+      ORDER BY query_id, doc_id
+    """.trim))
+
   /** ANN via JL projection (Achlioptas ±1 signs) to 24 dims, LSH
     * bucketing in the PROJECTED space, full-dimension exact re-rank —
     * the cheap-space/exact-space split for corpora whose full vectors
@@ -4574,5 +4650,6 @@ object LlmOps {
     t55TextRank, t56SsJoinPrefix, t57Bm25TopK, t58Bm25Index,
     t59AutoTextNearDup, t60BpeTrain, t61HybridRrf, t62HybridIndexed,
     t63MmrRerank, t64TripletMining, t65PhraseSearch, t66ProximitySearch,
-    t67RepeatedSpans, s12JlAnn, t68IntraRepetition, t69BudgetSelection)
+    t67RepeatedSpans, s12JlAnn, t68IntraRepetition, t69BudgetSelection,
+    t70QuoteSearch)
 }
