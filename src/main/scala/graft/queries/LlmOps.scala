@@ -4527,17 +4527,18 @@ object LlmOps {
         .select($"doc_id", TF.tokens($"text").as("__ws"))
       def gram(i: org.apache.spark.sql.Column) =
         md5(concat_ws(" ", slice($"__ws", i, lit(3))))
-      val corpus = docs.filter(size($"__ws") >= 3)
-        .select($"doc_id",
-          array_distinct(transform(sequence(lit(1), size($"__ws") - 2),
-            i => gram(i))).as("dg"))
+      def docGrams = array_distinct(transform(
+        sequence(lit(1), size($"__ws") - 2), i => gram(i)))
+      // flat (doc, gh) rows for df + candidate generation; the per-doc
+      // gram ARRAYS (wide rows) are built only for candidate docs below
+      val gramRows = docs.filter(size($"__ws") >= 3)
+        .select($"doc_id", explode(docGrams).as("gh"))
       val queries = docs.filter($"doc_id" % 97 === 5 && size($"__ws") >= 15)
         .select($"doc_id".as("query_id"),
           array_distinct(transform(sequence(lit(4), lit(13)),
             i => gram(i))).as("qg"))
         .withColumn("nq", size($"qg").cast("long"))
-      val dfreq = corpus.select($"doc_id", explode($"dg").as("gh"))
-        .groupBy($"gh").agg(count(lit(1)).as("df"))
+      val dfreq = gramRows.groupBy($"gh").agg(count(lit(1)).as("df"))
       val wQ = Window.partitionBy($"query_id").orderBy($"df", $"gh")
       val prefix = queries
         .select($"query_id", $"nq", explode($"qg").as("gh"))
@@ -4548,11 +4549,14 @@ object LlmOps {
           $"nq" - floor(($"nq" * 4 + 4) / lit(5)).cast("long") + 1)
         .select($"query_id", $"gh")
       val cand = broadcast(prefix)
-        .join(corpus.select($"doc_id", explode($"dg").as("gh")), "gh")
+        .join(gramRows, "gh")
         .select($"query_id", $"doc_id").distinct()
+      val corpusCand = docs.filter(size($"__ws") >= 3)
+        .join(cand.select($"doc_id").distinct(), Seq("doc_id"), "left_semi")
+        .select($"doc_id", docGrams.as("dg"))
       cand
         .join(queries.select($"query_id", $"qg", $"nq"), "query_id")
-        .join(corpus, "doc_id")
+        .join(corpusCand, "doc_id")
         .withColumn("__i", size(array_intersect($"qg", $"dg")).cast("long"))
         .filter($"__i" * 5 >= $"nq" * 4)
         .select($"query_id", $"doc_id",
