@@ -55,6 +55,10 @@ object Bench {
 
   private def enforceHeapContract(sfDir: String): Unit = {
     val factor = probeFactor(sfDir)
+    // plain sf fixtures (factor 1) ran fine under default heaps long
+    // before this guard existed — the contract is about PROBE factors,
+    // so an un-stamped dir must never refuse
+    if (factor <= 1) return
     val requiredGiB = this.requiredGiB(factor)
     val heapGiB = Runtime.getRuntime.maxMemory().toDouble / (1L << 30)
     // maxMemory under-reports Xmx by a survivor-space correction —

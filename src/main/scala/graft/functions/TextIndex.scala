@@ -123,15 +123,30 @@ object TextIndex {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__tb")
       .parquet(s"$indexDir/postings")
-    postingsDoneMarker(spark, nextDir).createNewFile()
+    touchMarker(spark, s"$nextDir/_POSTINGS_DONE")
     promoteStats(spark, indexDir)
   }
 
-  private def postingsDoneMarker(spark: SparkSession,
-      nextDir: String): java.io.File =
-    new java.io.File(new java.net.URI(
-      if (nextDir.contains(":")) nextDir else s"file://$nextDir")
-      .getPath, "_POSTINGS_DONE")
+  /** Hadoop FileSystem for a path — NOT java.io.File: the index dir
+    * may be hdfs://, s3a://, or any scheme Spark writes to, and the
+    * crash-safety machinery (markers, staged dirs) must live on the
+    * SAME filesystem as the data or it is silently dead off-box.
+    */
+  private def hfs(spark: SparkSession,
+      p: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+  }
+
+  private def pathExists(spark: SparkSession, p: String): Boolean = {
+    val (fs, hp) = hfs(spark, p)
+    fs.exists(hp)
+  }
+
+  private def touchMarker(spark: SparkSession, p: String): Unit = {
+    val (fs, hp) = hfs(spark, p)
+    fs.create(hp, true).close()
+  }
 
   /** Roll a staged append commit forward: copy corpus_stats_next into
     * corpus_stats and clear the staging dir. Only legal once the
@@ -142,24 +157,23 @@ object TextIndex {
     spark.read.parquet(nextDir)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$indexDir/corpus_stats")
-    val dir = new java.io.File(new java.net.URI(
-      if (nextDir.contains(":")) nextDir else s"file://$nextDir").getPath)
-    dir.listFiles().foreach(_.delete())
-    dir.delete()
+    val (fs, hp) = hfs(spark, nextDir)
+    fs.delete(hp, true)
   }
 
-  /** Repair a torn append. If the staged stats carry the postings-done
-    * marker the crash hit AFTER the postings rewrite — the commit rolls
-    * forward (promote staged stats). Without the marker the postings
-    * rewrite itself may be partial and no automatic repair is sound —
-    * fail loudly so the operator rebuilds or replays the batch.
+  /** Repair a torn append or compact. If the staged stats carry the
+    * postings-done marker the crash hit AFTER the postings rewrite —
+    * the commit rolls forward (promote staged stats). Without the
+    * marker the postings rewrite itself may be partial and no
+    * automatic repair is sound — fail loudly so the operator rebuilds
+    * or replays the batch. A staged compact (content-identical by
+    * construction) always either rolls forward or is discarded.
     */
   def recover(spark: SparkSession, indexDir: String): Unit = {
+    rollForwardCompact(spark, indexDir)
     val nextDir = s"$indexDir/corpus_stats_next"
-    if (!new java.io.File(new java.net.URI(
-        if (nextDir.contains(":")) nextDir else s"file://$nextDir")
-        .getPath).exists()) return
-    if (postingsDoneMarker(spark, nextDir).exists()) {
+    if (!pathExists(spark, nextDir)) return
+    if (pathExists(spark, s"$nextDir/_POSTINGS_DONE")) {
       promoteStats(spark, indexDir)
     } else {
       throw new IllegalStateException(
@@ -167,6 +181,25 @@ object TextIndex {
           "postings rewrite is not proven complete — rebuild the index " +
           "or replay the source batch after clearing corpus_stats_next")
     }
+  }
+
+  /** Finish (marker present) or discard (no marker) a staged compact
+    * left by a crash. Safe in every window: before the marker the old
+    * postings are untouched and the stage is garbage; after the marker
+    * the stage is a complete content-identical copy, so deleting the
+    * old dir and renaming forward loses nothing even if THIS pass
+    * crashes too (rename is re-runnable — the marker rides inside the
+    * staged dir and Spark readers ignore underscore files).
+    */
+  private def rollForwardCompact(spark: SparkSession, indexDir: String): Unit = {
+    val next = s"$indexDir/postings_compact_next"
+    val (fs, nextP) = hfs(spark, next)
+    if (!fs.exists(nextP)) return
+    if (pathExists(spark, s"$next/_COMPACT_DONE")) {
+      val (_, livePath) = hfs(spark, s"$indexDir/postings")
+      fs.delete(livePath, true)
+      fs.rename(nextP, livePath)
+    } else fs.delete(nextP, true)
   }
 
   /** Index-served PHRASE search: documents containing the exact
@@ -222,13 +255,19 @@ object TextIndex {
       .select(col("doc_id"), col("pss").as("__pa"))
     val b = posts.filter(col("term") === termB)
       .select(col("doc_id"), col("pss").as("__pb"))
+    // pa =!= pb: distinct terms can never share a position (harmless),
+    // but termA == termB would otherwise match every occurrence with
+    // ITSELF (n_near = tf, min_gap = 0 even at tf = 1); excluding the
+    // self-pair makes the degenerate case mean "occurrences with
+    // ANOTHER occurrence within the window" — the right semantics
     a.join(b, "doc_id")
       .select(col("doc_id"),
         size(filter(col("__pa"), pa =>
-          exists(col("__pb"), pb => abs(pa - pb) <= window)))
+          exists(col("__pb"), pb =>
+            pa =!= pb && abs(pa - pb) <= window)))
           .cast("long").as("n_near"),
-        array_min(flatten(transform(col("__pa"), pa =>
-          transform(col("__pb"), pb => abs(pa - pb)))))
+        array_min(filter(flatten(transform(col("__pa"), pa =>
+          transform(col("__pb"), pb => abs(pa - pb)))), d => d > 0))
           .cast("long").as("min_gap"))
       .filter(col("n_near") > 0)
   }
@@ -248,13 +287,18 @@ object TextIndex {
     * windows, like Catalog.compact.
     */
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    val posts = spark.read.parquet(s"$indexDir/postings")
-      // self-referential overwrite: materialize before truncating
+    // staged, never in place: an in-place overwrite DELETES the live
+    // postings before the job commits, so a mid-compact crash destroys
+    // the only copy. Stage → marker → swap instead; every crash window
+    // either keeps the old dir intact or leaves a marked complete copy
+    // that recover()/the next compact rolls forward.
+    rollForwardCompact(spark, indexDir)
+    val next = s"$indexDir/postings_compact_next"
+    spark.read.parquet(s"$indexDir/postings")
       .repartition(col("__tb"))
-      .localCheckpoint(true)
-    posts.write.mode("overwrite")
-      .partitionBy("__tb")
-      .parquet(s"$indexDir/postings")
+      .write.mode("overwrite").partitionBy("__tb").parquet(next)
+    touchMarker(spark, s"$next/_COMPACT_DONE")
+    rollForwardCompact(spark, indexDir)
   }
 
   /** Postings for a set of query terms. The bucket IN-list prunes
@@ -280,9 +324,7 @@ object TextIndex {
     */
   def corpusStats(spark: SparkSession, indexDir: String): (Long, Long) = {
     val nextDir = s"$indexDir/corpus_stats_next"
-    if (new java.io.File(new java.net.URI(
-        if (nextDir.contains(":")) nextDir else s"file://$nextDir")
-        .getPath).exists())
+    if (pathExists(spark, nextDir))
       throw new IllegalStateException(
         s"TextIndex at $indexDir has a pending append commit " +
           "(corpus_stats_next present) — run TextIndex.recover first")

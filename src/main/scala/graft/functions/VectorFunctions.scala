@@ -329,15 +329,22 @@ object VectorFunctions {
     */
   private[graft] val FixedParamMaxRows = 50000L
 
-  private def guardFixedParams(n: Long, entry: String,
+  /** `n` is by-name: the guard is the ONLY consumer of the row count
+    * on the fixed-param entry points, so an acknowledged baseline run
+    * (allow = true) must not pay a corpus count it never reads.
+    */
+  private def guardFixedParams(n: => Long, entry: String,
       autoTwin: String, allow: Boolean): Unit =
-    if (!allow && n > FixedParamMaxRows)
-      throw new IllegalArgumentException(
-        s"$entry with FIXED parameters on $n rows (> $FixedParamMaxRows): " +
-          s"fixed params make pair work quadratic in corpus size — use " +
-          s"$autoTwin (the sized policy path), or pass " +
-          "allowFixedAtScale = true to measure the declared baseline " +
-          "deliberately")
+    if (!allow) {
+      val rows = n
+      if (rows > FixedParamMaxRows)
+        throw new IllegalArgumentException(
+          s"$entry with FIXED parameters on $rows rows (> $FixedParamMaxRows): " +
+            s"fixed params make pair work quadratic in corpus size — use " +
+            s"$autoTwin (the sized policy path), or pass " +
+            "allowFixedAtScale = true to measure the declared baseline " +
+            "deliberately")
+    }
 
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, tables: Int = 4, planesPerTable: Int = 4,
@@ -538,11 +545,18 @@ object VectorFunctions {
       col("__aid").as("neighbor_id"), col("__avec").as("nv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    a.join(b, "cid").filter(col("query_id") =!= col("neighbor_id"))
+    val out = a.join(b, "cid").filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("nv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+      // materialize out of the cache before returning (the
+      // connectedComponents pattern): the assignment cache is private
+      // to this call, so it must be released HERE, and the k·n result
+      // rows are skinny — an eager checkpoint, not a corpus rewrite
+      .localCheckpoint(true)
+    assigned.unpersist()
+    out
   }
 
   /** ANN top-k: candidates share any per-table bucket, then exact
@@ -775,9 +789,17 @@ object VectorFunctions {
     * `jlSign`: same md5, same last-nibble parity (pinned by spec).
     */
   def jlSignMatrix(dOut: Int, dIn: Int): Column =
-    typedLit(Seq.tabulate(dOut, dIn) { (j, i) =>
+    signMatrix("jl", dOut, dIn)
+
+  /** Driver-side md5-last-nibble-parity sign matrix — the ONE encoding
+    * of the `jlSign`/`planeSign` convention (key = s"$prefix${row}_$dim",
+    * even last nibble → +1.0). Spec-pinned bit-identical to the
+    * per-row md5 Column forms; change it in lockstep with them.
+    */
+  private def signMatrix(prefix: String, rows: Int, dIn: Int): Column =
+    typedLit(Seq.tabulate(rows, dIn) { (r, i) =>
       val dg = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"jl${j}_$i".getBytes("UTF-8"))
+        .digest(s"$prefix${r}_$i".getBytes("UTF-8"))
       if ((dg(15) & 0x0f) % 2 == 0) 1.0 else -1.0
     }.map(_.toSeq))
 
@@ -786,11 +808,7 @@ object VectorFunctions {
     * per-row digests. Rows are planes 0..planes-1, columns dims.
     */
   def planeSignMatrix(planes: Int, dIn: Int): Column =
-    typedLit(Seq.tabulate(planes, dIn) { (p, i) =>
-      val dg = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"plane${p}_$i".getBytes("UTF-8"))
-      if ((dg(15) & 0x0f) % 2 == 0) 1.0 else -1.0
-    }.map(_.toSeq))
+    signMatrix("plane", planes, dIn)
 
   /** `lshTableSignaturesHof` semantics over the literal sign matrix:
     * value-identical signatures (same md5 parities, same left-to-right

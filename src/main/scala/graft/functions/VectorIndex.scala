@@ -191,12 +191,41 @@ object VectorIndex {
     * one task per list.
     */
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    val lists = spark.read.parquet(s"$indexDir/lists")
-      // self-referential overwrite: materialize before truncating
+    // staged, never in place (same protocol as TextIndex.compact): an
+    // in-place overwrite deletes the live lists before the job commits,
+    // so a mid-compact crash destroys the only copy. Stage → marker →
+    // swap; every crash window either keeps the old dir intact or
+    // leaves a marked complete copy the next call rolls forward.
+    rollForwardCompact(spark, indexDir)
+    val next = s"$indexDir/lists_compact_next"
+    spark.read.parquet(s"$indexDir/lists")
       .repartition(col("__cid"))
-      .localCheckpoint(true)
-    lists.write.mode("overwrite").partitionBy("__cid")
-      .parquet(s"$indexDir/lists")
+      .write.mode("overwrite").partitionBy("__cid").parquet(next)
+    val (fs, _) = hfs(spark, next)
+    fs.create(new org.apache.hadoop.fs.Path(s"$next/_COMPACT_DONE"), true)
+      .close()
+    rollForwardCompact(spark, indexDir)
+  }
+
+  private def hfs(spark: SparkSession, p: String
+      ): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+  }
+
+  /** Finish (marker present) or discard (no marker) a staged compact
+    * left by a crash — content-identical by construction, so rolling
+    * forward is always safe and re-runnable.
+    */
+  private def rollForwardCompact(spark: SparkSession, indexDir: String): Unit = {
+    val next = s"$indexDir/lists_compact_next"
+    val (fs, nextP) = hfs(spark, next)
+    if (!fs.exists(nextP)) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$next/_COMPACT_DONE"))) {
+      val (_, livePath) = hfs(spark, s"$indexDir/lists")
+      fs.delete(livePath, true)
+      fs.rename(nextP, livePath)
+    } else fs.delete(nextP, true)
   }
 
   def topK(spark: SparkSession, indexDir: String, queries: DataFrame,

@@ -4062,7 +4062,13 @@ object LlmOps {
     Some {
       val rounds = (2 to 10).map { r =>
         s"""s$r AS MATERIALIZED (SELECT $r AS r, id, rel FROM (
-              SELECT c.id, c.rel, 0.7 * c.rel - 0.3 * max(p.sim) AS score
+              -- the EXACT double tree mmrSelect evaluates: a bare 0.3
+              -- literal is DECIMAL->double 0.29999999999999998890,
+              -- while Scala's (1.0 - 0.7) is 0.30000000000000004441 —
+              -- two ulps apart, a latent argmax flake on near-ties
+              SELECT c.id, c.rel,
+                     CAST(0.7 AS DOUBLE) * c.rel
+                       - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * max(p.sim) AS score
               FROM cand c JOIN pairs p ON p.id_a = c.id
               JOIN selu${r - 1} sel ON p.id_b = sel.id
               WHERE c.id NOT IN (SELECT id FROM selu${r - 1})

@@ -148,6 +148,44 @@ class TextIndexSpec extends SparkTestBase {
     assert(TextIndex.corpusStats(spark, dir) == statsBefore)
   }
 
+  test("compact crash windows: unmarked stage discarded, marked stage rolls forward") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" < 200)
+    val dir = tmpDir("textidxcrash")
+    TextIndex.build(docs, "doc_id", "text", dir)
+    def serve() = TextIndex.bm25TopK(spark, dir, terms, 10)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val want = serve()
+    val next = s"$dir/postings_compact_next"
+
+    // crash BEFORE the marker: the stage is garbage, live dir intact
+    spark.range(1).toDF("junk").write.parquet(next)
+    TextIndex.compact(spark, dir)
+    assert(!new java.io.File(next).exists())
+    assert(serve() == want)
+
+    // crash AFTER the marker but BEFORE the swap: stage is a complete
+    // copy; a crash may even have deleted the live dir already —
+    // recover() must restore serving bit-identically in both windows
+    spark.read.parquet(s"$dir/postings").repartition(col("__tb"))
+      .write.partitionBy("__tb").parquet(next)
+    new java.io.File(next, "_COMPACT_DONE").createNewFile()
+    TextIndex.recover(spark, dir) // live dir still present
+    assert(serve() == want && !new java.io.File(next).exists())
+
+    spark.read.parquet(s"$dir/postings").repartition(col("__tb"))
+      .write.partitionBy("__tb").parquet(next)
+    new java.io.File(next, "_COMPACT_DONE").createNewFile()
+    // the post-delete pre-rename window: live dir gone
+    val live = new java.io.File(s"$dir/postings")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(live)
+    TextIndex.recover(spark, dir)
+    assert(serve() == want && !new java.io.File(next).exists())
+  }
+
   test("append of an empty batch is a no-op (empty foreachBatch delivery)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter($"doc_id" < 100)
