@@ -526,6 +526,24 @@ object VectorFunctions {
     */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int = 3,
       numCentroids: Int = 0, allowFixedAtScale: Boolean = false): DataFrame = {
+    val (out, assigned) =
+      knnGraphFrame(df, idCol, vecCol, k, numCentroids, allowFixedAtScale)
+    // materialize out of the cache before returning (the
+    // connectedComponents pattern): the assignment cache is private
+    // to this call, so it must be released HERE, and the k·n result
+    // rows are skinny — an eager checkpoint, not a corpus rewrite
+    val released = out.localCheckpoint(true)
+    assigned.unpersist()
+    released
+  }
+
+  /** The un-checkpointed knnGraph plan plus its live assignment cache —
+    * for plan pins (the public entry hides the window behind the
+    * checkpoint's LogicalRDD). Callers own `assigned.unpersist()`.
+    */
+  private[graft] def knnGraphFrame(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, numCentroids: Int,
+      allowFixedAtScale: Boolean): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val n = df.count()
     val kc =
@@ -550,13 +568,7 @@ object VectorFunctions {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
-      // materialize out of the cache before returning (the
-      // connectedComponents pattern): the assignment cache is private
-      // to this call, so it must be released HERE, and the k·n result
-      // rows are skinny — an eager checkpoint, not a corpus rewrite
-      .localCheckpoint(true)
-    assigned.unpersist()
-    out
+    (out, assigned)
   }
 
   /** ANN top-k: candidates share any per-table bucket, then exact

@@ -186,12 +186,22 @@ class PlanGuardSpec extends SparkTestBase {
   }
 
   test("s08's top-k rank filter rewrites to WindowGroupLimit too") {
-    val plan = finalPlan(
-      SparkEntry.queries("s08_knn_graph")(spark, "/root/testdata/sf0.001"))
-    // candidate pairs per query are cell-bounded but still fan out;
-    // the group-limit keeps at most k per query ahead of the rank
-    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
-      s"expected partial+final WindowGroupLimit:\n$plan")
+    // the public knnGraph returns an eager checkpoint (so it can
+    // release its assignment cache) whose plan is a flat LogicalRDD —
+    // pin the UN-checkpointed frame the checkpoint materializes
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (df, assigned) = graft.functions.VectorFunctions.knnGraphFrame(
+      emb, "vec_id", "embedding", k = 3, numCentroids = 16,
+      allowFixedAtScale = true)
+    try {
+      val plan = finalPlan(df.orderBy(
+        org.apache.spark.sql.functions.col("query_id"),
+        org.apache.spark.sql.functions.col("rank")))
+      // candidate pairs per query are cell-bounded but still fan out;
+      // the group-limit keeps at most k per query ahead of the rank
+      assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+        s"expected partial+final WindowGroupLimit:\n$plan")
+    } finally assigned.unpersist()
   }
 
   test("q63 plans EXISTS/NOT-EXISTS as one semi + one anti hash join") {
