@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Shared staged-swap machinery for persisted on-disk indexes
+  * (TextIndex postings, VectorIndex inverted lists — any layout that
+  * compacts by "write a complete staged copy → marker → delete live →
+  * rename stage over live"). One copy of the subtle crash-recovery
+  * protocol instead of two drifting ones (r11 ADVICE).
+  *
+  * Hadoop `FileSystem.delete`/`rename` report most failures by
+  * RETURNING FALSE rather than throwing; the swap checks every return
+  * and fails loudly naming the staged dir — a silent false on the
+  * rename after the live dir was deleted would otherwise leave the
+  * index with no live dir and no error until an unrelated
+  * path-not-found at read time.
+  */
+private[graft] object StagedSwap {
+
+  private def hfs(spark: SparkSession, p: String): (FileSystem, Path) = {
+    val hp = new Path(p)
+    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+  }
+
+  def exists(spark: SparkSession, p: String): Boolean = {
+    val (fs, hp) = hfs(spark, p)
+    fs.exists(hp)
+  }
+
+  def touchMarker(spark: SparkSession, p: String): Unit = {
+    val (fs, hp) = hfs(spark, p)
+    fs.create(hp, true).close()
+  }
+
+  /** Finish (marker present inside `stageDir`) or discard (no marker)
+    * a staged swap left by a crash. Safe in every window: before the
+    * marker the live dir is untouched and the stage is garbage; after
+    * the marker the stage is a complete copy, so deleting the live dir
+    * and renaming forward loses nothing even if THIS pass crashes too
+    * (the swap is re-runnable — the marker rides inside the staged dir
+    * and Spark readers ignore underscore files).
+    */
+  def rollForward(spark: SparkSession, liveDir: String, stageDir: String,
+      marker: String): Unit = {
+    val (fs, stageP) = hfs(spark, stageDir)
+    if (!fs.exists(stageP)) return
+    if (fs.exists(new Path(s"$stageDir/$marker"))) {
+      val liveP = new Path(liveDir)
+      if (fs.exists(liveP) && !fs.delete(liveP, true))
+        throw new IllegalStateException(
+          s"staged swap: could not delete live dir $liveDir " +
+            s"(staged copy at $stageDir is intact — retry the swap)")
+      if (!fs.rename(stageP, liveP))
+        throw new IllegalStateException(
+          s"staged swap: rename $stageDir -> $liveDir failed; the live " +
+            "dir was already removed and the staged dir holds the only " +
+            "complete copy — retry the swap, do NOT delete the stage")
+    } else if (!fs.delete(stageP, true))
+      throw new IllegalStateException(
+        s"staged swap: could not discard incomplete stage $stageDir")
+  }
+
+  /** Read-path guard: while a staged swap is pending the live dir may
+    * already be deleted (the post-delete pre-rename crash window), so a
+    * direct read would fail with a bare path-not-found. Refuse with an
+    * actionable error instead.
+    */
+  def pendingStageGuard(spark: SparkSession, stageDir: String,
+      hint: String): Unit =
+    if (exists(spark, stageDir))
+      throw new IllegalStateException(
+        s"pending staged swap at $stageDir — $hint")
+}

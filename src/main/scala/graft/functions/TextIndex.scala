@@ -82,6 +82,10 @@ object TextIndex {
     // a no-op: sum(size) over 0 rows is NULL and the touched-bucket
     // rewrite would pointlessly rewrite nothing
     if (docs.isEmpty) return
+    // BEFORE any staging: refusing mid-append would itself leave a
+    // torn-append state (staged stats with no postings-done marker)
+    StagedSwap.pendingStageGuard(spark, s"$indexDir/postings_compact_next",
+      s"run TextIndex.recover(spark, \"$indexDir\") before appending")
     val tokens = docs.select(col(idCol).as("doc_id"),
       TextFunctions.terms(col(textCol)).as("ts"))
     val newTf = tokens
@@ -138,15 +142,11 @@ object TextIndex {
     (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
   }
 
-  private def pathExists(spark: SparkSession, p: String): Boolean = {
-    val (fs, hp) = hfs(spark, p)
-    fs.exists(hp)
-  }
+  private def pathExists(spark: SparkSession, p: String): Boolean =
+    StagedSwap.exists(spark, p)
 
-  private def touchMarker(spark: SparkSession, p: String): Unit = {
-    val (fs, hp) = hfs(spark, p)
-    fs.create(hp, true).close()
-  }
+  private def touchMarker(spark: SparkSession, p: String): Unit =
+    StagedSwap.touchMarker(spark, p)
 
   /** Roll a staged append commit forward: copy corpus_stats_next into
     * corpus_stats and clear the staging dir. Only legal once the
@@ -184,23 +184,14 @@ object TextIndex {
   }
 
   /** Finish (marker present) or discard (no marker) a staged compact
-    * left by a crash. Safe in every window: before the marker the old
-    * postings are untouched and the stage is garbage; after the marker
-    * the stage is a complete content-identical copy, so deleting the
-    * old dir and renaming forward loses nothing even if THIS pass
-    * crashes too (rename is re-runnable — the marker rides inside the
-    * staged dir and Spark readers ignore underscore files).
+    * left by a crash — the shared [[StagedSwap]] protocol with this
+    * index's dir/marker names. delete/rename return-false failures
+    * throw naming the staged dir (r11 ADVICE — Hadoop reports most
+    * failures by returning false, not throwing).
     */
-  private def rollForwardCompact(spark: SparkSession, indexDir: String): Unit = {
-    val next = s"$indexDir/postings_compact_next"
-    val (fs, nextP) = hfs(spark, next)
-    if (!fs.exists(nextP)) return
-    if (pathExists(spark, s"$next/_COMPACT_DONE")) {
-      val (_, livePath) = hfs(spark, s"$indexDir/postings")
-      fs.delete(livePath, true)
-      fs.rename(nextP, livePath)
-    } else fs.delete(nextP, true)
-  }
+  private def rollForwardCompact(spark: SparkSession, indexDir: String): Unit =
+    StagedSwap.rollForward(spark, s"$indexDir/postings",
+      s"$indexDir/postings_compact_next", "_COMPACT_DONE")
 
   /** Index-served PHRASE search: documents containing the exact
     * consecutive token sequence `phrase`, with occurrence counts.
@@ -304,10 +295,16 @@ object TextIndex {
   /** Postings for a set of query terms. The bucket IN-list prunes
     * partition directories at planning time; the term filter prunes
     * row groups via parquet min/max inside the matching buckets.
+    * Refuses to serve while a staged compact is pending — in the
+    * post-delete pre-rename crash window the live postings dir is
+    * already gone, and a direct read would fail with an unactionable
+    * path-not-found instead of "run recover".
     */
   def postingsFor(spark: SparkSession, indexDir: String,
       terms: Seq[String], nBuckets: Int = DefaultBuckets): DataFrame = {
     import spark.implicits._
+    StagedSwap.pendingStageGuard(spark, s"$indexDir/postings_compact_next",
+      s"run TextIndex.recover(spark, \"$indexDir\") first")
     // bucket ids re-derived with the same codegen'd hash the writer
     // used; one bounded local job for the whole (tiny) term list
     val buckets = terms.toDF("term")

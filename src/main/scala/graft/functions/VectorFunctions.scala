@@ -836,25 +836,46 @@ object VectorFunctions {
           zip_with(vec, slice(element_at(signs, p + 1), lit(1), size(vec)),
             (x, sg) => x.cast("double") * sg),
           lit(0.0), (acc, v) => acc + v)
-        when(s > 0, lit(1)).otherwise(lit(0)) * lit(1 << j)
+        widthGuard(vec, dIn, "lshTableSignaturesLit",
+          when(s > 0, lit(1)).otherwise(lit(0)) * lit(1 << j))
       }.reduce(_ + _)
     }: _*)
   }
+
+  /** A sign matrix covers `dIn` dims; a WIDER input vector would make
+    * `slice` truncate the sign row, `zip_with` null-pad the shorter
+    * side, and the null propagate through the aggregate — signatures
+    * silently all-null, candidates silently none. Fail loudly instead
+    * (r11 ADVICE). Narrower vectors remain fine: zip semantics ignore
+    * the unused sign-row tail.
+    */
+  private def widthGuard(vec: Column, dIn: Int, ctx: String,
+      res: Column): Column =
+    // raise_error is NullType — the branch coerces to res's type, so
+    // the guard never changes the guarded expression's schema
+    when(size(vec) > lit(dIn),
+      raise_error(concat(lit(s"$ctx: input vector width "),
+        size(vec).cast("string"),
+        lit(s" exceeds dIn=$dIn — pass the true dimensionality"))))
+      .otherwise(res)
 
   /** JL random projection to `dOut` dims: proj_j = Σ_i v_i·sign(j,i)
     * (the 1/√dOut scale is dropped — it cancels in every cosine). A
     * map-side expression over the literal sign matrix: no shuffle, no
     * broadcast, no RNG state, no per-row digests. `dIn` must cover the
-    * vector width (extra columns are ignored via zip semantics on the
-    * shorter side — the spec pins exact equality at the fixture width).
+    * vector width: a NARROWER vector is fine (zip semantics ignore the
+    * unused sign-row tail — the spec pins exact equality at the
+    * fixture width), but a WIDER one raises at evaluation instead of
+    * silently null-projecting (see [[widthGuard]]).
     */
   def jlProject(vec: Column, dOut: Int, dIn: Int = 64): Column = {
     val signs = jlSignMatrix(dOut, dIn)
     array((0 until dOut).map { j =>
-      aggregate(
-        zip_with(vec, slice(element_at(signs, j + 1), lit(1), size(vec)),
-          (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, v) => acc + v)
+      widthGuard(vec, dIn, "jlProject",
+        aggregate(
+          zip_with(vec, slice(element_at(signs, j + 1), lit(1), size(vec)),
+            (x, s) => x.cast("double") * s),
+          lit(0.0), (acc, v) => acc + v))
     }: _*)
   }
 

@@ -81,6 +81,9 @@ object VectorIndex {
   def append(corpus: DataFrame, idCol: String, vecCol: String,
       indexDir: String, coarseProbe: Option[Int] = None): Unit = {
     val spark = corpus.sparkSession
+    // in the compact crash window the live lists dir may be gone — an
+    // unguarded append would silently recreate it holding ONLY this batch
+    pendingCompactGuard(spark, indexDir)
     val cents = spark.read.parquet(s"$indexDir/centroids")
     // same auto rule as build: the frozen centroid count decides the path
     assignWith(corpus, idCol, vecCol, broadcast(cents), coarseProbe,
@@ -135,6 +138,7 @@ object VectorIndex {
       nprobe: Int = 4, shortlist: Int = 64, dims: Int = 64,
       m: Int = 16): DataFrame = {
     import spark.implicits._
+    pendingCompactGuard(spark, indexDir)
     val subDim = dims / m
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val cb = spark.read.parquet(s"$indexDir/pq_codebooks")
@@ -201,32 +205,33 @@ object VectorIndex {
     spark.read.parquet(s"$indexDir/lists")
       .repartition(col("__cid"))
       .write.mode("overwrite").partitionBy("__cid").parquet(next)
-    val (fs, _) = hfs(spark, next)
-    fs.create(new org.apache.hadoop.fs.Path(s"$next/_COMPACT_DONE"), true)
-      .close()
+    StagedSwap.touchMarker(spark, s"$next/_COMPACT_DONE")
     rollForwardCompact(spark, indexDir)
   }
 
-  private def hfs(spark: SparkSession, p: String
-      ): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
-    val hp = new org.apache.hadoop.fs.Path(p)
-    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
-  }
+  /** Repair a torn compact: finish a marked staged swap or discard an
+    * unmarked one (the TextIndex.recover twin — a compact stage is
+    * content-identical by construction, so both directions are safe).
+    */
+  def recover(spark: SparkSession, indexDir: String): Unit =
+    rollForwardCompact(spark, indexDir)
 
   /** Finish (marker present) or discard (no marker) a staged compact
-    * left by a crash — content-identical by construction, so rolling
-    * forward is always safe and re-runnable.
+    * left by a crash — the shared [[StagedSwap]] protocol with this
+    * index's dir/marker names; delete/rename return-false failures
+    * throw naming the staged dir (r11 ADVICE).
     */
-  private def rollForwardCompact(spark: SparkSession, indexDir: String): Unit = {
-    val next = s"$indexDir/lists_compact_next"
-    val (fs, nextP) = hfs(spark, next)
-    if (!fs.exists(nextP)) return
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$next/_COMPACT_DONE"))) {
-      val (_, livePath) = hfs(spark, s"$indexDir/lists")
-      fs.delete(livePath, true)
-      fs.rename(nextP, livePath)
-    } else fs.delete(nextP, true)
-  }
+  private def rollForwardCompact(spark: SparkSession, indexDir: String): Unit =
+    StagedSwap.rollForward(spark, s"$indexDir/lists",
+      s"$indexDir/lists_compact_next", "_COMPACT_DONE")
+
+  /** Serve-path guard: in the post-delete pre-rename compact crash
+    * window the live lists dir is gone — refuse with "run recover"
+    * instead of a bare path-not-found (r11 ADVICE).
+    */
+  private def pendingCompactGuard(spark: SparkSession, indexDir: String): Unit =
+    StagedSwap.pendingStageGuard(spark, s"$indexDir/lists_compact_next",
+      s"run VectorIndex.recover(spark, \"$indexDir\") first")
 
   def topK(spark: SparkSession, indexDir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame =
@@ -251,6 +256,7 @@ object VectorIndex {
       nprobe: Int,
       predicate: Option[org.apache.spark.sql.Column]): DataFrame = {
     import spark.implicits._
+    pendingCompactGuard(spark, indexDir)
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val probes = VectorFunctions.ivfAssign(queries, idCol, vecCol,
         broadcastableCentroids(cents), nprobe)

@@ -66,7 +66,11 @@ object IncrementalGroups {
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
       .map(_.getPath.getName).filter(_.startsWith("v="))
-      .map(_.stripPrefix("v=").toLong)
+      // ONLY all-digit versions: a foreign dir like "v=tmp" must not
+      // NumberFormatException-poison every later read of this state dir
+      .map(_.stripPrefix("v="))
+      .filter(s => s.nonEmpty && s.forall(_.isDigit))
+      .map(_.toLong)
       .filter(v => fs.exists(new org.apache.hadoop.fs.Path(
         versionDir(stateDir, v) + "/_graft_committed")))
       .sorted

@@ -81,4 +81,25 @@ class JlAnnSpec extends SparkTestBase {
     val recall = jl.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall@3 = $recall")
   }
+
+  test("a vector wider than dIn raises instead of silently null-projecting") {
+    // before the guard: slice truncated the sign row, zip_with
+    // null-padded, null swallowed the whole projection — a mis-sized
+    // dIn degraded candidates to NOTHING with no error (r11 ADVICE)
+    def chainMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    val wide = Seq((1L, Array.fill(12)(1.0f))).toDF("id", "v")
+    val e1 = intercept[Throwable](
+      wide.select(VectorFunctions.jlProject($"v", 4, dIn = 8)).collect())
+    assert(chainMsg(e1).contains("exceeds dIn=8"), chainMsg(e1))
+    val e2 = intercept[Throwable](
+      wide.select(VectorFunctions.lshTableSignaturesLit($"v", 2, 4,
+        dIn = 8)).collect())
+    assert(chainMsg(e2).contains("exceeds dIn=8"), chainMsg(e2))
+    // the narrower-vector direction stays exact zip semantics: no raise
+    val narrow = Seq((1L, Array.fill(6)(1.0f))).toDF("id", "v")
+    assert(narrow.select(VectorFunctions.jlProject($"v", 4, dIn = 8))
+      .collect().length == 1)
+  }
 }

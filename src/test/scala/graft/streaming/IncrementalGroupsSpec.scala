@@ -118,4 +118,19 @@ class IncrementalGroupsSpec extends SparkTestBase {
     val got = labelsOf(IncrementalGroups.latestLabels(spark, s"$root/state"))
     assert(got == globalCc(pairs.toDF("id_a", "id_b")))
   }
+
+  test("a foreign v=-prefixed dir in the state root is ignored, not fatal") {
+    val stateDir = tmpDir("igforeign") + "/state"
+    IncrementalGroups.processBatch(
+      Seq((1L, 2L)).toDF("id_a", "id_b"), 0L, stateDir)
+    val before = labelsOf(IncrementalGroups.latestLabels(spark, stateDir))
+    // e.g. an operator's scratch dir or an editor artifact — before the
+    // digit filter this NumberFormatException-poisoned every later read
+    new java.io.File(s"$stateDir/v=tmp").mkdirs()
+    assert(labelsOf(IncrementalGroups.latestLabels(spark, stateDir)) == before)
+    IncrementalGroups.processBatch(
+      Seq((2L, 3L)).toDF("id_a", "id_b"), 1L, stateDir)
+    assert(labelsOf(IncrementalGroups.latestLabels(spark, stateDir)) ==
+      Set((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
 }
