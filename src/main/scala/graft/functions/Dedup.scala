@@ -522,29 +522,36 @@ object Dedup {
       .select(col("id_new"), col("id_base"), col("jaccard"))
   }
 
-  /** Containment pairs: LSH candidates → exact containment
+  /** Containment pairs over WORD-n-gram hash sets: EXACT
     * |A∩B| / min(|A|,|B|) ≥ threshold — the ASYMMETRIC near-dup
     * measure that catches quotes, excerpts and boilerplate-plus-body
     * composites which symmetric Jaccard dilutes (a 100-shingle doc
     * fully containing a 20-shingle doc scores containment 1.0 but
-    * Jaccard 0.2). Candidate generation is the SAME banded MinHash as
-    * nearDuplicatePairs — recall follows the Jaccard curve, so this
-    * face finds containment among comparably-sized candidates; a
-    * dedicated small-in-large search would band the smaller side's
-    * shingle PREFIXES instead (the standard prefix-filter extension),
-    * at which point candidates stop being symmetric.
+    * Jaccard 0.2). Candidates come from the containment prefix filter
+    * ([[prefixContainmentJoin]] — recall 1 by theorem), not banded
+    * MinHash: the LSH route kept Jaccard-curve recall (< 1 for exactly
+    * the asymmetric pairs this face exists to find) while its bucket
+    * volume was the r11 verdict's heaviest non-audit row at 100×.
+    *
+    * The shingle unit is the word n-gram (the t56/t70 basis), NOT the
+    * char-3-gram the r6–r11 face used, and the reason is measured, not
+    * aesthetic: char-3-grams draw from a ~40³ universe, so at corpus
+    * scale every doc shares most of its shingles with every other —
+    * at sf0.1, 83% of ALL pairs were candidates under the exact prefix
+    * filter (25.4M of 12.5M·2) AND the true θ=0.9 answer itself was
+    * 160k pairs of boilerplate-character overlap, NOT quote reuse. No
+    * candidate scheme is sub-quadratic on an element universe that
+    * small (the LSH buckets were dense for the same reason). Word
+    * grams make rarity real (vocab 27k on the same corpus, candidates
+    * 68k, 1.75 s vs 7.8 s) and are the unit quote/excerpt detection
+    * actually wants. ContainProbe re-derives both basis numbers.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingle: Int = 3, numHashes: Int = 16,
-      bands: Int = 2): DataFrame = {
-    val sh = hashedShingleFrame(df, idCol, textCol, shingle).persist()
-    val cand = candidatePairsFromHashSets(sh, numHashes, bands, None)
-    cand
-      .join(maybeBroadcast(sh.select(col("__id").as("id_a"), col("__hhd").as("__ha"))), "id_a")
-      .join(maybeBroadcast(sh.select(col("__id").as("id_b"), col("__hhd").as("__hb"))), "id_b")
-      .withColumn("containment",
-        containmentLongSets(col("__ha"), col("__hb"), assumeSorted = true))
-      .filter(col("containment") >= threshold)
+      threshold: Double, shingle: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"),
+      TextFunctions.wordNgramHashes(col(textCol), shingle).as("__hhd"))
+    prefixContainmentJoin(sh, "__id", "__hhd", threshold,
+        assumeSorted = true)
       .select(col("id_a"), col("id_b"), col("containment"))
   }
 
@@ -798,6 +805,99 @@ object Dedup {
         size(col("__sa")).cast("long").as("n_a"),
         size(col("__sb")).cast("long").as("n_b"),
         col("jaccard"))
+  }
+
+  /** Exact CONTAINMENT self-join via prefix filtering — the asymmetric
+    * twin of [[prefixJaccardJoin]]: every pair with
+    * |A∩B| / min(|A|,|B|) ≥ theta, recall 1 BY THEOREM. Containment
+    * breaks the symmetric prefix scheme (the overlap bound is
+    * ⌈θ·min(|A|,|B|)⌉ — a tiny quote inside a huge doc leaves the
+    * huge side's prefix nearly full-length), so the candidate join is
+    * prefix(smaller) × FULL element list(larger) instead of prefix ×
+    * prefix: order the pair by (set size, id) and let the smaller set
+    * contribute only its ⌊(1−θ)·n⌋+1 globally-RAREST elements.
+    *
+    * Candidate completeness: with A the (n, id)-lexicographic smaller
+    * side, containment ≥ θ means |A∩B| ≥ ⌈θ·|A|⌉, so A has at most
+    * |A| − ⌈θ|A|⌉ elements OUTSIDE A∩B — fewer than its
+    * (|A| − ⌈θ|A|⌉ + 1)-prefix under ANY fixed total order, so at
+    * least one prefix element lies in A∩B ⊆ B and the join on B's
+    * full list finds it. Exact verification on the full sets means
+    * pruning only ever drops non-answers.
+    *
+    * Scale shape vs prefixJaccardJoin: same df aggregation and per-set
+    * rank; the candidate join keys prefix rows (rare by construction —
+    * global frequency ordering pushes boilerplate out of every prefix)
+    * against the corpus element rows, so the extra cost over the
+    * symmetric join is one corpus-element-sized exchange and bucket
+    * sizes are prefix-df(el) × df(el) — boilerplate elements carry
+    * corpus-sized df but appear in ~no prefixes. Output-quadratic only
+    * where the TRUE pair set is (duplicate cliques), like every exact
+    * dedup join. Replaces the LSH-candidate containment path for t39:
+    * char-3-gram sets at θ=0.9 made LSH bucket volume intrinsically
+    * dense while recall stayed < 1; this is exact AND cheaper.
+    *
+    * `sets` must carry DISTINCT-element arrays; empty sets are
+    * dropped. Output: (id_a < id_b, n_a, n_b, containment).
+    */
+  def prefixContainmentJoin(sets: DataFrame, idCol: String, setCol: String,
+      theta: Double, assumeSorted: Boolean = false): DataFrame = {
+    require(theta > 0 && theta <= 1, s"theta in (0, 1], got $theta")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val longSets = sets.schema(setCol).dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    val g = sets.select(col(idCol).as("__id"), col(setCol).as("__set"))
+      .filter(size(col("__set")) > 0)
+      .persist()
+    val ex = g.select(col("__id"), size(col("__set")).as("__n"),
+      explode(col("__set")).as("__el"))
+    val dfreq = ex.groupBy(col("__el")).agg(count(lit(1)).as("__df"))
+    // every element keeps its rank in the GLOBAL (df, el) order — the
+    // prefix is a rank filter, and the rank doubles as the PPJoin
+    // positional filter's input on the full side
+    val ranked = ex.join(dfreq, "__el")
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__df"), col("__el"))))
+      .select(col("__el"), col("__id"), col("__n"), col("__pos"))
+    val pref = ranked
+      .filter(col("__pos") <= col("__n") - ceil(lit(theta) * col("__n")) + 1)
+    // Positional filter (the PPJoin bound, adapted to containment): the
+    // FIRST common element e* of a qualifying pair sits in the smaller
+    // side's prefix (prefixes are downward-closed in the shared order),
+    // and every other common element follows e* on BOTH sides, so
+    // |A∩B| ≤ 1 + min(n_a−pos_a(e*), n_b−pos_b(e*)) must clear
+    // ⌈θ·n_a⌉. A pair only needs its e*-row to survive — rows for
+    // later common elements may be pruned freely. Without this, a
+    // low-cardinality element universe (char-3-grams: ~400 distinct)
+    // makes prefix × full-list degenerate to all-pairs — measured at
+    // sf0.1: 25.4M raw candidate rows → ~65× fewer, same result.
+    val cands = pref.as("a").join(ranked.as("b"),
+        col("a.__el") === col("b.__el") &&
+          (col("a.__n") < col("b.__n") ||
+            (col("a.__n") === col("b.__n") && col("a.__id") < col("b.__id"))) &&
+          lit(1) + least(col("a.__n") - col("a.__pos"),
+            col("b.__n") - col("b.__pos")) >=
+            ceil(lit(theta) * col("a.__n")))
+      // normalize to id_a < id_b: the smaller SET may carry the larger id
+      .select(least(col("a.__id"), col("b.__id")).as("id_a"),
+        greatest(col("a.__id"), col("b.__id")).as("id_b"))
+      .distinct()
+    val cont =
+      if (longSets) containmentLongSets(col("__sa"), col("__sb"), assumeSorted)
+      else size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+        least(size(col("__sa")), size(col("__sb")))
+    cands
+      .join(g.select(col("__id").as("id_a"), col("__set").as("__sa")), Seq("id_a"))
+      .join(g.select(col("__id").as("id_b"), col("__set").as("__sb")), Seq("id_b"))
+      .withColumn("containment", cont)
+      .filter(col("containment") >= theta)
+      .select(col("id_a"), col("id_b"),
+        size(col("__sa")).cast("long").as("n_a"),
+        size(col("__sb")).cast("long").as("n_b"),
+        col("containment"))
   }
 
   /** Exact cross-document repeated-span profile — the suffix-dedup

@@ -196,12 +196,21 @@ object LlmOps {
       ORDER BY id_a, id_b
     """.trim))
 
-  /** Asymmetric containment dedup (Dedup.containmentPairs): exact
-    * |A∩B|/min(|A|,|B|) over the SAME banded-MinHash candidates as t05
-    * — quotes and excerpt composites that symmetric Jaccard dilutes.
-    * Same scale shape as t05 (one reused band exchange, verification
-    * ∝ candidates); the containment column is integer set sizes in an
-    * identical double division on both engines.
+  /** Asymmetric containment dedup (Dedup.containmentPairs): EVERY pair
+    * with |A∩B|/min(|A|,|B|) ≥ 0.9 over word-3-gram hash sets — quotes
+    * and excerpt composites that symmetric Jaccard dilutes. Candidates
+    * via the containment prefix filter (Dedup.prefixContainmentJoin,
+    * recall 1 by theorem — the r12 rewrite off banded MinHash, whose
+    * recall was < 1 for exactly the asymmetric pairs this face exists
+    * to find and whose bucket volume was the r11 verdict's heaviest
+    * non-audit row at 100×). The shingle basis moved char-3-gram →
+    * word-3-gram with the rewrite: the ~40³ char-gram universe made
+    * containment intrinsically all-pairs at corpus scale (measured in
+    * Dedup.containmentPairs' scaladoc + ContainProbe), and word grams
+    * are the unit quote detection wants (t70's basis). The oracle is
+    * the NAIVE all-pairs containment join, so the hash check pins that
+    * the prefix prune dropped nothing; the containment column is
+    * integer set sizes in an identical double division on both engines.
     */
   val t39Containment = Q(
     "t39_containment",
@@ -212,13 +221,19 @@ object LlmOps {
         .orderBy($"id_a", $"id_b")
     },
     Some(s"""
-      WITH $minhashCandidateCte,
-      hd AS (SELECT doc_id, list_distinct(hh) AS h FROM m1),
-      j AS (SELECT c.id_a, c.id_b,
-              CAST(len(list_intersect(ha.h, hb.h)) AS DOUBLE) /
-                least(len(ha.h), len(hb.h)) AS containment
-            FROM cand c JOIN hd ha ON c.id_a = ha.doc_id
-                        JOIN hd hb ON c.id_b = hb.doc_id)
+      WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                    FROM documents),
+      gs AS (SELECT doc_id,
+                    unnest([md5(array_to_string(t[i:i+2], ' '))
+                            for i in range(1, len(t) - 1)]) AS m
+             FROM toks WHERE len(t) >= 3),
+      grams AS (SELECT DISTINCT doc_id, CAST(${oracleHex("m", 15)} AS BIGINT) AS g
+                FROM gs),
+      ga AS (SELECT doc_id, list(g) AS h FROM grams GROUP BY doc_id),
+      j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) /
+                least(len(a.h), len(b.h)) AS containment
+            FROM ga a JOIN ga b ON a.doc_id < b.doc_id)
       SELECT id_a, id_b, containment FROM j
       WHERE containment >= 0.9
       ORDER BY id_a, id_b
