@@ -57,6 +57,26 @@ class DedupAutoSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("sf0.01 recall audit: auto pairs cover >= 0.85 of prefix-filter truth") {
+    // the audit that used to ride t59's board row (r11 verdict item 2):
+    // the board row now declares the production pair set itself, and
+    // the recall floor is enforced HERE on every `sbt test` — truth via
+    // the exact AllPairs/PPJoin prefix join (recall 1 by theorem,
+    // SsJoinSpec-pinned), not a corpus^2 cross join
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val auto = Dedup.nearDuplicatePairsAuto(docs, "doc_id", "text",
+        threshold = 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val sh = Dedup.hashedShingleFrame(docs, "doc_id", "text", 3)
+    val truth = Dedup.prefixJaccardJoin(sh, "__id", "__hhd", 0.8,
+        assumeSorted = true)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    val recall = auto.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.85, s"recall $recall over ${truth.size} true pairs")
+    spark.catalog.clearCache()
+  }
+
   test("a mega duplicate clique survives the candidate budget cut connected") {
     // 300 copies of one template in a 500-doc corpus: every copy's band
     // key is identical in EVERY band, so the clique's buckets blow any
