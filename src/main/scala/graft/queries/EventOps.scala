@@ -1774,6 +1774,112 @@ object EventOps {
       ORDER BY event_type
     """.trim))
 
+  /** The Misra–Gries stateful path driven through its batch bridge as
+    * an oracle row (r11 verdict item 3 — the face was spec-only and
+    * invisible to the driver's per-round board): the fixture's tokens
+    * become a 3-file stream, transformWithState (RocksDB MapState)
+    * folds them through MisraGriesProcessor across three micro-batches
+    * with cross-batch state handoff, and the FINAL summary — taken at
+    * m far above the vocabulary, the regime where no decrement ever
+    * fires and MG is provably the exact count table, order-independent
+    * — is filtered through t22's 0.1% integer threshold. The oracle is
+    * t22's plain-SQL heavy-hitter query verbatim: a regression
+    * anywhere in the stateful machinery (sharding, MapState rewrite,
+    * summary re-emission, processed accounting) breaks hash equality
+    * with a relation DuckDB derives with none of it.
+    */
+  val e35MgHeavyHitters = Q(
+    "e35_mg_heavy_hitters",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{TextFunctions => TF}
+      val shards = 4
+      val srcDir =
+        java.nio.file.Files.createTempDirectory("mg_e35").toString + "/toks"
+      Tables.load(s, dir, "documents")
+        .select(explode(TF.tokens($"text")).as("token"))
+        .filter($"token" =!= "")
+        .repartition(3)
+        .write.parquet(srcDir)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val old = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val stream = s.readStream.schema("token string")
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val name = "e35_mg_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.StatefulV2
+          .misraGriesTokens(stream, m = 1 << 20, shards)
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        import org.apache.spark.sql.expressions.Window
+        // final summary: each batch re-emits the full live table, so
+        // keep the rows stamped with each shard's max n_processed
+        val fin = s.table(name)
+          .withColumn("__maxp",
+            max($"n_processed").over(Window.partitionBy($"shard")))
+          .filter($"n_processed" === $"__maxp")
+          // bounded: ≤ vocabulary rows — past here nothing is streaming
+          .localCheckpoint(true)
+        // total corpus tokens = Σ over shards of that shard's processed
+        // count (bounded control read — `shards` rows)
+        val tot = fin.select($"shard", $"n_processed").distinct()
+          .agg(sum($"n_processed")).head().getLong(0)
+        fin.filter($"est" * lit(1000L) > lit(tot))
+          .select($"token", $"est".as("n"))
+          .orderBy($"token")
+      } finally old match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    },
+    graft.queries.LlmOps.t22HeavyHitters.oracle)
+
+  /** The IncrementalGroups stateful path driven through its batch
+    * bridge as an oracle row (r11 verdict item 3's second face): t23's
+    * near-dup pairs become a 3-file stream, foreachBatch folds each
+    * micro-batch into the versioned label table (exactly-once commit
+    * markers, cross-batch cluster merges), and the stream-final labels
+    * — joined back to the corpus with t23's singleton rule — must
+    * equal the one-shot global connected components. The oracle is
+    * t23's recursive-closure SQL verbatim, so a regression in
+    * applyPairs' merge logic or the commit protocol fails the driver's
+    * hash compare against a relation derived with neither.
+    */
+  val e36IncrementalGroups = Q(
+    "e36_incremental_groups",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = graft.functions.Dedup
+        .nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.8)
+        .select($"id_a", $"id_b")
+      val root = java.nio.file.Files.createTempDirectory("ig_e36").toString
+      val srcDir = s"$root/pairs"
+      // 2 files -> 2 micro-batches: cross-batch cluster merges are
+      // exercised (finer splits are IncrementalGroupsSpec's job) while
+      // the row pays the incremental fold twice, not N times
+      pairs.repartition(2).write.parquet(srcDir)
+      s.catalog.clearCache() // nearDuplicatePairs' shingle persist
+      val stream = s.readStream.schema("id_a long, id_b long")
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = graft.streaming.IncrementalGroups
+        .start(stream, s"$root/state", s"$root/ckpt")
+      q.processAllAvailable()
+      q.stop()
+      val labels = graft.streaming.IncrementalGroups
+        .latestLabels(s, s"$root/state")
+      docs.select($"doc_id").join(labels, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"rep", $"doc_id").as("rep"))
+        .withColumn("keep", $"doc_id" === $"rep")
+        .orderBy($"doc_id")
+    },
+    graft.queries.LlmOps.t23DedupGroups.oracle)
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
     e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin,
     e09Unpivot, e10DynamicSession, e11BusRoundtrip, e12Funnel,
@@ -1782,5 +1888,5 @@ object EventOps {
     e21Seasonality, e22CmsFreq, e23MarkovTransitions, e24InterArrival,
     e25LateProfile, e26Stickiness, e27SessionPaths, e28ChurnFlows,
     e29BoundedFunnel, e30Attribution, e31SessionLift, e32Scd2History,
-    e33Scd2Lookup, e34Twap)
+    e33Scd2Lookup, e34Twap, e35MgHeavyHitters, e36IncrementalGroups)
 }
