@@ -4667,6 +4667,34 @@ object LlmOps {
       """.trim
     })
 
+  /** Cross-corpus near-dup served from the PERSISTED signature index
+    * (r11 verdict item 4) — t49's snapshot-dedup relation, but the
+    * base side comes from a SignatureIndex that was built on half the
+    * base and APPENDED the other half, so the declared row exercises
+    * build + staged append + bucket-pruned serve and must still be
+    * bit-identical to the in-plan recompute: the oracle is t49's SQL
+    * verbatim (same even/odd split, same 16×2 banding, same exact
+    * Jaccard), derived with no index at all. Serve cost is ∝ batch +
+    * matched buckets, never base size — SigProbe measures the claim
+    * against 1×/10×/100× bases.
+    */
+  val t71SignatureIndex = Q(
+    "t71_signature_index",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("t71_sigidx").toString + "/idx"
+      graft.functions.SignatureIndex.build(
+        docs.filter($"doc_id" % 4 === 0), "doc_id", "text", idx)
+      graft.functions.SignatureIndex.append(
+        docs.filter($"doc_id" % 4 === 2), "doc_id", "text", idx)
+      graft.functions.SignatureIndex.servePairs(
+          s, idx, docs.filter($"doc_id" % 2 === 1), "doc_id", "text", 0.8)
+        .orderBy($"id_new", $"id_base")
+    },
+    t49SnapshotDedup.oracle)
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
@@ -4689,5 +4717,5 @@ object LlmOps {
     t59AutoTextNearDup, t60BpeTrain, t61HybridRrf, t62HybridIndexed,
     t63MmrRerank, t64TripletMining, t65PhraseSearch, t66ProximitySearch,
     t67RepeatedSpans, s12JlAnn, t68IntraRepetition, t69BudgetSelection,
-    t70QuoteSearch)
+    t70QuoteSearch, t71SignatureIndex)
 }
