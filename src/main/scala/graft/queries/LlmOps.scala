@@ -4564,9 +4564,17 @@ object LlmOps {
       def docGrams = array_distinct(transform(
         sequence(lit(1), size($"__ws") - 2), i => gram(i)))
       // flat (doc, gh) rows for df + candidate generation; the per-doc
-      // gram ARRAYS (wide rows) are built only for candidate docs below
+      // gram ARRAYS (wide rows) are built only for candidate docs below.
+      // PERSISTED across its two consumers (the df aggregate and the
+      // candidate join): the corpus md5 stream otherwise digests twice,
+      // and the A/B at the 100× probe (GramCacheProbe) measured the
+      // cache at 6.6× (149.6 s → 22.7 s; wash at sf0.1). The mirror
+      // experiment on t67's positional gram frame LOST 3.2× at 100×
+      // (corpus-token-sized rows, spill pressure beats the saved md5
+      // pass) and stays recompute — same probe, both numbers in ROADMAP.
       val gramRows = docs.filter(size($"__ws") >= 3)
         .select($"doc_id", explode(docGrams).as("gh"))
+        .persist()
       val queries = docs.filter($"doc_id" % 97 === 5 && size($"__ws") >= 15)
         .select($"doc_id".as("query_id"),
           array_distinct(transform(sequence(lit(4), lit(13)),
