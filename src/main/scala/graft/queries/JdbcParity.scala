@@ -136,6 +136,41 @@ object JdbcParity {
       ORDER BY o_orderkey
     """.trim))
 
+  /** The SET-BASED delete roundtrip (JdbcSink.deleteByPkStaged — the
+    * op07/op08 staged pattern applied to DELETE): each partition
+    * stages its key split and the database resolves it as ONE
+    * `DELETE WHERE EXISTS` semi-join instead of one index lookup per
+    * key statement. The reference-parity row-batched path stays op09;
+    * this is the bulk-retention shape. The seeded table is CUSTOMER
+    * (op07/op08's scale — 1.5M rows at the 100× probe, ~90 s), not
+    * op09's orders: op09's 695.6 s at 100× was the 15M-row embedded-
+    * Derby WRITE path, intrinsic to the parity append and identical in
+    * both delete modes — seeding the op07-sized table is what actually
+    * makes the delete roundtrip sweepable (r11 verdict item 6).
+    */
+  val op09bJdbcDeleteStaged = Q(
+    "op09b_jdbc_delete_staged",
+    (s, dir) => {
+      import s.implicits._
+      val customer = Tables.load(s, dir, "customer")
+      val url = freshUrl("delstg")
+      JdbcSink.createTableIfAbsent(url, "customer", customer.schema,
+        Seq("c_custkey"))
+      JdbcSink.append(customer, url, "customer")
+      val keys = customer
+        .filter($"c_mktsegment" === "BUILDING" && $"c_custkey" % 5 === 0)
+      JdbcSink.deleteByPkStaged(keys, url, "customer", Seq("c_custkey"))
+      JdbcSink.read(s, url, "customer", partitionCol = Some("c_custkey"))
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT * FROM customer
+      WHERE c_custkey NOT IN
+        (SELECT c_custkey FROM customer
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey % 5 = 0)
+      ORDER BY c_custkey
+    """.trim))
+
   val all: Seq[Q] = Seq(op06JdbcRoundtrip, op07JdbcInsertIgnore,
-    op08JdbcUpsert, op09JdbcDelete)
+    op08JdbcUpsert, op09JdbcDelete, op09bJdbcDeleteStaged)
 }

@@ -124,7 +124,13 @@ object JdbcSink {
     */
   def append(df: DataFrame, url: String, table: String,
       batchSize: Int = 1000): Unit = {
-    val aligned = alignToTable(df, url, table)
+    // same concurrent-writer cap as the MERGE paths: every partition is
+    // one INSERT transaction against the single target table, and past
+    // a modest writer count the database's lock manager serializes them
+    // anyway — measured at the 100× probe, an uncapped scan fanned the
+    // 1.5M-row customer seed into enough concurrent writers that the
+    // append ran >20 min; capped it is ~a minute
+    val aligned = capWriters(alignToTable(df, url, table))
     val schema = aligned.schema
     val colList = schema.fields.map(f => q(f.name)).mkString(", ")
     val sql = s"INSERT INTO $table ($colList) VALUES " +
@@ -169,13 +175,16 @@ object JdbcSink {
       case x => ps.setObject(i, x)
     }
 
-  /** Stage a partition into a private temp table and run one set-based
-    * statement against the target; transactional per partition (the
-    * reference commits/rolls back per call).
+  /** Stage a partition's rows into a private temp table and run ONE
+    * set-based statement against the target; transactional per
+    * partition (the reference commits/rolls back per call). Returns the statement's
+    * update count (0 for an empty partition) — MERGE callers ignore
+    * it, the staged delete sums it.
     */
   private def stageAndRun(rows: Iterator[Row], url: String, schema: StructType,
-      batchSize: Int)(stmt: String => String): Unit = {
-    if (!rows.hasNext) return
+      batchSize: Int, indexCols: Seq[String] = Nil)(
+      stmt: String => String): Long = {
+    if (!rows.hasNext) return 0L
     derbyHome
     val conn = DriverManager.getConnection(url)
     try {
@@ -185,6 +194,13 @@ object JdbcSink {
       val colsDdl = schema.fields
         .map(f => s"${q(f.name)} ${ddlType(f.dataType)}").mkString(", ")
       st.executeUpdate(s"CREATE TABLE $stg ($colsDdl)")
+      // an index on the staged key lets the database probe the stage
+      // from the target side: without it a DELETE … WHERE EXISTS can
+      // plan as target-scan × unindexed-stage nested loop — measured as
+      // a >10-minute hang at the 100× probe (1.5M target × 60k stage)
+      if (indexCols.nonEmpty)
+        st.executeUpdate(s"CREATE INDEX ${stg}_IX ON $stg " +
+          s"(${indexCols.map(q).mkString(", ")})")
       val ins = conn.prepareStatement(
         s"INSERT INTO $stg VALUES (${schema.fields.map(_ => "?").mkString(", ")})")
       var pending = 0
@@ -197,10 +213,11 @@ object JdbcSink {
       }
       if (pending > 0) ins.executeBatch()
       ins.close()
-      st.executeUpdate(stmt(stg))
+      val n = st.executeUpdate(stmt(stg)).toLong
       st.executeUpdate(s"DROP TABLE $stg")
       st.close()
       conn.commit()
+      n
     } catch {
       case e: Throwable => conn.rollback(); throw e
     } finally conn.close()
@@ -256,6 +273,7 @@ object JdbcSink {
         s"""MERGE INTO $table t USING $stg v ON $onClause
            |WHEN NOT MATCHED THEN INSERT ($colList) VALUES ($valList)""".stripMargin
       }
+      ()
     }
   }
 
@@ -284,6 +302,7 @@ object JdbcSink {
            |WHEN MATCHED THEN UPDATE SET $setList
            |WHEN NOT MATCHED THEN INSERT ($colList) VALUES ($valList)""".stripMargin
       }
+      ()
     }
   }
 
@@ -326,6 +345,35 @@ object JdbcSink {
           case e: Throwable => conn.rollback(); throw e
         } finally conn.close()
       }
+    }
+    deleted.value
+  }
+
+  /** Set-based DELETE by PK — the op07/op08 staged-MERGE pattern
+    * applied to O14: each partition batch-loads its key split into a
+    * private staging table and issues ONE
+    * `DELETE … WHERE EXISTS (SELECT 1 FROM stg …)` against the target,
+    * so the database resolves the whole split in one set operation
+    * (index semi-join) instead of one index lookup per key statement.
+    * [[deleteByPk]] remains the reference-parity mode (one batched
+    * DELETE per key, summed rowcounts — process-pipeline.py:215-223);
+    * this is the shape a bulk retention/GDPR pass runs at scale.
+    * Returns the total deleted, identical to deleteByPk's count (keys
+    * absent from the target naturally count zero in both).
+    */
+  def deleteByPkStaged(keys: DataFrame, url: String, table: String,
+      pkCols: Seq[String], batchSize: Int = 1000): Long = {
+    require(pkCols.nonEmpty, "delete requires a primary key")
+    val distinctKeys = capWriters(keys.select(pkCols.map(col): _*).distinct())
+    val schema = distinctKeys.schema
+    val onClause = pkCols.map(c => s"t.${q(c)} = v.${q(c)}").mkString(" AND ")
+    val deleted =
+      keys.sparkSession.sparkContext.longAccumulator("jdbc_deleted_staged")
+    distinctKeys.foreachPartition { rows: Iterator[Row] =>
+      deleted.add(stageAndRun(rows, url, schema, batchSize,
+        indexCols = pkCols) { stg =>
+        s"DELETE FROM $table t WHERE EXISTS (SELECT 1 FROM $stg v WHERE $onClause)"
+      })
     }
     deleted.value
   }

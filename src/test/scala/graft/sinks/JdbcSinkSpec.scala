@@ -96,6 +96,30 @@ class JdbcSinkSpec extends SparkTestBase {
     assert(left.toSeq == Seq(2L))
   }
 
+  test("deleteByPkStaged matches deleteByPk: count, survivors, absent keys") {
+    val url = freshUrl()
+    JdbcSink.createTableIfAbsent(url, "t", baseDf.schema, Seq("k"))
+    JdbcSink.append(baseDf, url, "t")
+    val keys = Seq(1L, 3L, 99L).toDF("k")
+    assert(JdbcSink.deleteByPkStaged(keys, url, "t", Seq("k")) == 2L)
+    val left = JdbcSink.read(spark, url, "t").collect().map(_.getLong(0))
+    assert(left.toSeq == Seq(2L))
+    // deleting the same keys again: nothing left to delete, count 0
+    assert(JdbcSink.deleteByPkStaged(keys, url, "t", Seq("k")) == 0L)
+  }
+
+  test("many-partition staged delete sums counts without double-counting") {
+    val url = freshUrl()
+    val seed = (1L to 300L).map(i => (i, s"n$i", i.toDouble)).toDF("k", "name", "bal")
+    JdbcSink.createTableIfAbsent(url, "t", seed.schema, Seq("k"))
+    JdbcSink.append(seed, url, "t")
+    // duplicate keys in the batch must not double-count: distinct first
+    val keys = ((1L to 100L) ++ (1L to 100L) ++ (290L to 310L)).toDF("k")
+      .repartition(8)
+    assert(JdbcSink.deleteByPkStaged(keys, url, "t", Seq("k")) == 111L)
+    assert(JdbcSink.read(spark, url, "t").count() == 189L)
+  }
+
   test("many-partition upsert loses no rows under concurrent writers") {
     val url = freshUrl()
     val seed = (1L to 200L).map(i => (i, s"n$i", i.toDouble)).toDF("k", "name", "bal")
