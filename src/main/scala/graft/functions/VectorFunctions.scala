@@ -405,15 +405,26 @@ object VectorFunctions {
     * First measured as t10 going ~100× on a 10× corpus with the fixed
     * 4×4 defaults: 16 buckets/table ⇒ bucket population ∝ n.
     */
+  /** The UNCAPPED table count the recall target wants at this n/θ —
+    * shared by lshParamsFor (which caps it) and the cap-regime guard
+    * in cosineNearDupPairsAuto (which refuses when the cap bites), so
+    * the two can never drift.
+    */
+  private[functions] def lshTablesWanted(n: Long, threshold: Double,
+      targetBucket: Int = 150, missProb: Double = 0.05): Int = {
+    val planes = math.max(4, stableCeil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)))
+    val pPlane = 1.0 - math.acos(threshold) / math.Pi
+    val pTable = math.pow(pPlane, planes.toDouble)
+    math.max(2, stableCeil(math.log(missProb) / math.log(1.0 - pTable)))
+  }
+
   def lshParamsFor(n: Long, threshold: Double, targetBucket: Int = 150,
       missProb: Double = 0.05, maxTables: Int = 64): (Int, Int) = {
     require(threshold > 0.0 && threshold < 1.0, "cosine threshold in (0,1)")
     val planes = math.max(4, stableCeil(
       math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)))
-    val pPlane = 1.0 - math.acos(threshold) / math.Pi
-    val pTable = math.pow(pPlane, planes.toDouble)
-    val tables = math.max(2, stableCeil(
-      math.log(missProb) / math.log(1.0 - pTable)))
+    val tables = lshTablesWanted(n, threshold, targetBucket, missProb)
     // Low thresholds at large n make the recall formula explode (e.g.
     // θ=0.45 at n=10M wants ~4700 tables — a multi-thousand-signature
     // explode nobody should silently plan). Cap the table count and say
@@ -459,8 +470,29 @@ object VectorFunctions {
     */
   def cosineNearDupPairsAuto(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, targetBucket: Int = 150,
-      missProb: Double = 0.05): DataFrame = {
-    val (tables, planes) = lshParamsFor(df.count(), threshold, targetBucket, missProb)
+      missProb: Double = 0.05, allowCapRegime: Boolean = false): DataFrame = {
+    val n = df.count()
+    val (tables, planes) = lshParamsFor(n, threshold, targetBucket, missProb)
+    // Cap-regime guard (the fixed-param fence's policy twin): when the
+    // recall target wants MORE tables than the cap, two things are true
+    // at once — the 1−missProb recall floor is NOT met, and candidate
+    // volume (≈ tables·n·targetBucket/2 by the policy's own design) has
+    // outgrown the LSH near-dup envelope (measured: θ=0.45 at the 100×
+    // probe wants 542 tables; the capped-64 run ground through ~2.4B
+    // candidate pairs before failing). Broad-similarity regimes belong
+    // to the IVF family — refuse fast and say so, instead of a
+    // silently-degraded many-minute grind; opt in deliberately to
+    // measure the capped baseline.
+    val want = lshTablesWanted(n, threshold, targetBucket, missProb)
+    if (want > tables && !allowCapRegime)
+      throw new IllegalArgumentException(
+        s"cosineNearDupPairsAuto(threshold=$threshold) on $n rows wants " +
+          s"$want LSH tables (cap $tables): recall >= ${1 - missProb} is " +
+          "NOT met and candidate volume has outgrown the LSH near-dup " +
+          "envelope — broad similarity at this scale belongs to the IVF " +
+          "family (ivfTopK / VectorIndex / semanticDedup cells; s10 is " +
+          "the sized policy row), or pass allowCapRegime = true to " +
+          "measure the capped baseline deliberately")
     // hot-bucket cap at 20× the expected population: the policy holds
     // E[bucket] ≈ targetBucket, so only degenerate directions (which
     // would make the pair join quadratic) exceed it. The params here

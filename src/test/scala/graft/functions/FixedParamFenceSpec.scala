@@ -35,6 +35,25 @@ class FixedParamFenceSpec extends SparkTestBase {
     assert(e.getMessage.contains("ivfParamsFor"))
   }
 
+  test("auto LSH refuses in the table-cap regime and names the IVF family") {
+    // targetBucket=1 pushes planes to log2(n) at fixture n, so the
+    // recall target wants >64 tables — the same regime θ=0.45 reaches
+    // at the 100× corpus (wants 542 tables; the capped run ground
+    // through ~2.4B candidates before failing)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert(VectorFunctions.lshTablesWanted(500000L, 0.45) > 64)
+    val e = intercept[IllegalArgumentException] {
+      VectorFunctions.cosineNearDupPairsAuto(emb, "vec_id", "embedding",
+        0.45, targetBucket = 1)
+    }
+    assert(e.getMessage.contains("IVF") &&
+      e.getMessage.contains("allowCapRegime"))
+    // the deliberate opt-in still runs
+    assert(VectorFunctions.cosineNearDupPairsAuto(emb, "vec_id", "embedding",
+      0.45, targetBucket = 1, allowCapRegime = true).count() >= 0)
+    spark.catalog.clearCache()
+  }
+
   test("fixture-scale fixed params and the acknowledged baseline still run") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // under the cap: no fence

@@ -74,4 +74,25 @@ class LshAutoSpec extends SparkTestBase {
     val recall = found.intersect(truth).size.toDouble / truth.size
     assert(recall >= 0.95, s"recall $recall over ${truth.size} true pairs")
   }
+
+  test("sf0.01 recall audit: auto pairs cover >= 0.85 of brute-force truth") {
+    // the audit that used to ride s09's board row (the t59 treatment):
+    // the board row now declares the production pair set itself, and
+    // the recall floor vs the corpus^2 truth join is enforced HERE on
+    // every `sbt test` — the truth side is fixture-scale work by
+    // definition, which is exactly why it left the bench board
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val auto = VectorFunctions.cosineNearDupPairsAuto(
+        emb, "vec_id", "embedding", threshold = 0.45)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val v = emb.select($"vec_id".as("id_a"), $"embedding".as("__va"))
+    val w = emb.select($"vec_id".as("id_b"), $"embedding".as("__vb"))
+    val truth = v.crossJoin(w).filter($"id_a" < $"id_b")
+      .withColumn("cos", VectorFunctions.cosine($"__va", $"__vb"))
+      .filter($"cos" >= 0.45)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    val recall = auto.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.85, s"recall $recall over ${truth.size} true pairs")
+  }
 }
