@@ -1825,6 +1825,10 @@ object EventOps {
           .filter($"n_processed" === $"__maxp")
           // bounded: ≤ vocabulary rows — past here nothing is streaming
           .localCheckpoint(true)
+        // the eager checkpoint detached us from the sink: drop the
+        // memory table so repeated runs don't accumulate vocab-sized
+        // sinks in the session
+        s.catalog.dropTempView(name)
         // total corpus tokens = Σ over shards of that shard's processed
         // count (bounded control read — `shards` rows)
         val tot = fin.select($"shard", $"n_processed").distinct()
