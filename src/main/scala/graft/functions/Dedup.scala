@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Column form of VectorFunctions.stableCeil — ceil biased down by
+    * 1e-9. Every θ·n threshold the prefix joins derive goes through
+    * this: the double product can land 1 ulp ABOVE the true integer
+    * (0.28·25 = 7.000000000000001), and a plain ceil then overstates
+    * the overlap bound by 1 and prunes an exact-boundary true pair
+    * that exact verification would accept — contradicting "recall 1
+    * by theorem". True thresholds never sit within 1e-9 of the
+    * boundary from BELOW, so the bias is semantically free.
+    */
+  private def stableCeilCol(x: Column): Column = ceil(x - lit(1e-9))
+
   /** MinHash prime modulus (smallest prime above 2^32). */
   val MinhashPrime: Long = 4294967311L
 
@@ -784,12 +795,15 @@ object Dedup {
     val pref = ex.join(dfreq, "__el")
       .withColumn("__pos", row_number().over(
         Window.partitionBy(col("__id")).orderBy(col("__df"), col("__el"))))
-      .filter(col("__pos") <= col("__n") - ceil(lit(theta) * col("__n")) + 1)
+      .filter(col("__pos") <= col("__n") - stableCeilCol(lit(theta) * col("__n")) + 1)
       .select(col("__el"), col("__id"), col("__n"))
       .hint("merge")
     val cands = pref.as("a").join(pref.as("b"),
         col("a.__el") === col("b.__el") && col("a.__id") < col("b.__id") &&
-          greatest(col("a.__n"), col("b.__n")) * lit(theta) <=
+          // 1e-9 down-bias like stableCeilCol: θ·max can land 1 ulp
+          // ABOVE the true product (0.28·25 = 7.000000000000001) and
+          // prune an exact-boundary true pair the verification accepts
+          greatest(col("a.__n"), col("b.__n")) * lit(theta) - lit(1e-9) <=
             least(col("a.__n"), col("b.__n")))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
@@ -863,7 +877,7 @@ object Dedup {
         Window.partitionBy(col("__id")).orderBy(col("__df"), col("__el"))))
       .select(col("__el"), col("__id"), col("__n"), col("__pos"))
     val pref = ranked
-      .filter(col("__pos") <= col("__n") - ceil(lit(theta) * col("__n")) + 1)
+      .filter(col("__pos") <= col("__n") - stableCeilCol(lit(theta) * col("__n")) + 1)
     // Positional filter (the PPJoin bound, adapted to containment): the
     // FIRST common element e* of a qualifying pair sits in the smaller
     // side's prefix (prefixes are downward-closed in the shared order),
@@ -880,7 +894,7 @@ object Dedup {
             (col("a.__n") === col("b.__n") && col("a.__id") < col("b.__id"))) &&
           lit(1) + least(col("a.__n") - col("a.__pos"),
             col("b.__n") - col("b.__pos")) >=
-            ceil(lit(theta) * col("a.__n")))
+            stableCeilCol(lit(theta) * col("a.__n")))
       // normalize to id_a < id_b: the smaller SET may carry the larger id
       .select(least(col("a.__id"), col("b.__id")).as("id_a"),
         greatest(col("a.__id"), col("b.__id")).as("id_b"))

@@ -96,6 +96,28 @@ class ContainmentJoinSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("exact-boundary theta survives the IEEE ceil overstatement") {
+    // θ=0.28 on 25-element sets: the double product 0.28·25 =
+    // 7.000000000000001, so a PLAIN ceil gives 8 — one more than the
+    // true overlap bound 7 — which (a) shortens the prefix to 18 and
+    // (b) tightens the positional filter to ≥8. The pair below shares
+    // EXACTLY 7 elements (containment 7/25 = 0.28, a true pair the
+    // exact verification accepts), and the shared elements carry the
+    // highest df so they rank LAST (positions 19–25) in both sets:
+    // under the unbiased ceil the prefix misses every shared element
+    // and recall drops below 1. stableCeilCol's 1e-9 down-bias keeps
+    // the theorem's bound.
+    val shared = (1 to 7).map(i => s"zz$i").toSet
+    val sets = Seq[(Long, Set[String])](
+      1L -> ((1 to 18).map(i => s"a$i").toSet ++ shared),
+      2L -> ((1 to 18).map(i => s"b$i").toSet ++ shared))
+    val got = run(sets, 0.28)
+    assert(got == bruteForce(sets, 0.28))
+    assert(got.contains((1L, 2L, 25L, 25L, 0.28)),
+      "exact-boundary pair must be found (recall 1 by theorem)")
+    spark.catalog.clearCache()
+  }
+
   test("frequency ordering prunes the boilerplate element from prefixes") {
     // same-size sets sharing one hot element, otherwise disjoint:
     // containment 1/4 < θ; the hot element's df pushes it out of every

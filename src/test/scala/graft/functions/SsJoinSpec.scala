@@ -51,6 +51,25 @@ class SsJoinSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("exact-boundary theta survives the IEEE size-filter overstatement") {
+    // θ=0.28, |A|=25 ⊇ |B|=7 sharing all 7: J = 7/25 = 0.28 exactly —
+    // a true pair. Two unbiased comparisons used to prune it: the size
+    // filter greatest·θ ≤ least evaluates 7.000000000000001 ≤ 7 (the
+    // double product lands 1 ulp above the true 7), and A's prefix
+    // length 25 − ceil(7.000000000000001) + 1 = 18 misses the shared
+    // elements, which rank LAST (df=2 vs df=1) at positions 19–25.
+    // Both sites now carry the 1e-9 down-bias.
+    val shared = (1 to 7).map(i => s"zz$i").toSet
+    val sets = Seq[(Long, Set[String])](
+      1L -> ((1 to 18).map(i => s"a$i").toSet ++ shared),
+      2L -> shared)
+    val got = run(sets, 0.28)
+    assert(got == bruteForce(sets, 0.28))
+    assert(got.contains((1L, 2L, 25L, 7L, 0.28)),
+      "exact-boundary subset pair must be found")
+    spark.catalog.clearCache()
+  }
+
   test("boundary thetas: theta=1 keeps only identical sets") {
     val sets = Seq[(Long, Set[String])](
       1L -> Set("a", "b"), 2L -> Set("a", "b"), 3L -> Set("a", "b", "c"))
