@@ -116,6 +116,10 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0,
       if (heldSinceMs.exists(_ > lockStaleMs)) {
         val grave = new Path(lock.getParent,
           s".${lock.getName}.stale.${java.util.UUID.randomUUID().toString.take(8)}")
+        // the rename RETURN decides who wins the break race (checked);
+        // the grave delete is best-effort cleanup of an already-
+        // neutralized tombstone — a leftover .stale.* file is not live
+        // state and never consulted again
         try { if (fs.rename(lock, grave)) fs.delete(grave, false) }
         catch { case _: java.io.IOException => () }
       } else if (System.currentTimeMillis() > deadline) {
@@ -131,7 +135,15 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0,
     try body
     finally {
       heldLocks -= name
-      try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+      // must not throw (finally would mask the body's exception) but
+      // must not be SILENT either: a false return leaves the lock held
+      // and every writer stalled until the stale-break window passes
+      try {
+        if (!fs.delete(lock, false) && fs.exists(lock))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"could not release commit lock $lock — writers on this " +
+              s"table stall until the ${lockStaleMs}ms stale-break")
+      } catch { case _: java.io.IOException => () }
     }
   }
 
@@ -816,8 +828,10 @@ class Catalog(spark: SparkSession, root: String, val graceVersions: Int = 0,
       .sortBy(_.getName)
       .dropRight(keepLast)
       .filter(p => versionMillis(p.getName).forall(now - _ >= minAgeMs))
-    expendable.foreach(p => fs.delete(p, true))
-    expendable.map(_.getName)
+    // report only versions ACTUALLY deleted: a false return must not
+    // claim a prune that didn't happen (the dir would linger and the
+    // caller's accounting drift)
+    expendable.filter(p => fs.delete(p, true)).map(_.getName)
   }
 
   private def versionMillis(v: String): Option[Long] = {

