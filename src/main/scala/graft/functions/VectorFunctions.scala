@@ -165,6 +165,52 @@ object VectorFunctions {
       assignCol.as("__cid"))
   }
 
+  /** Multi-assignment face of ivfAssignTwoLevel: each vector lands in
+    * its top `nAssign` cells (cosine desc, ties to the lower cid),
+    * scored through the SAME coarse-probe kernel family
+    * (expressions.TwoLevelAssignTopK) — one fused map-side pass, then
+    * a bounded nAssign-wide explode. With coarseProbe = #supers this
+    * is exactly flat ivfAssign(nprobe = nAssign) (spec-pinned); at
+    * partial probes it is approximate the way TwoLevelAssign is.
+    * Output shape matches ivfAssign's multi-probe form: one
+    * (__aid, __avec, __cid) row per assigned cell.
+    */
+  def ivfAssignTwoLevelTopK(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, coarseProbe: Int = 2,
+      nAssign: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = centroids.select(col("__cid").cast("long"), col("__cvec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(cents.nonEmpty, "empty centroid set")
+    val nSuper = math.max(1, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+    val supers = trainKMeansDeterministic(cents.map(_._2), nSuper, iters = 2)
+    val grouped = Array.fill(supers.length)(
+      Vector.newBuilder[(Long, Array[Float])])
+    cents.foreach { case (cid, v) =>
+      var best = 0
+      var bc = Double.NegativeInfinity
+      var si = 0
+      while (si < supers.length) {
+        val c = cosScalar(v, supers(si))
+        if (c > bc) { bc = c; best = si }
+        si += 1
+      }
+      grouped(best) += ((cid, v))
+    }
+    val kept = grouped.map(_.result()).zipWithIndex.filter(_._1.nonEmpty)
+    val keptSupers = kept.map { case (_, si) => supers(si) }
+    val childCids = kept.map(_._1.map(_._1).toArray)
+    val childVecs = kept.map(_._1.map(_._2).toArray)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val assignCol = ColumnBridge.column(
+      graft.functions.expressions.TwoLevelAssignTopK(
+        ColumnBridge.expression(col(vecCol)), keptSupers, childCids,
+        childVecs, coarseProbe, nAssign))
+    df.select(col(idCol).as("__aid"), col(vecCol).as("__avec"),
+        explode(assignCol).as("__cid"))
+  }
+
   /** Fixed-point scale (2²⁰) for exact cross-engine cluster means: a
     * coordinate is floored to floor(x·2²⁰ + 0.5) and summed as a long —
     * the sum is order-independent, so the mean is bit-identical in any
@@ -499,6 +545,105 @@ object VectorFunctions {
     // ARE the sized policy, so the fixed-at-scale guard doesn't apply.
     cosineNearDupPairs(df, idCol, vecCol, threshold, tables, planes,
       maxBucket = 20 * targetBucket, allowFixedAtScale = true)
+  }
+
+  /** The routing decision behind [[nearDupPairsRouted]], as plain data
+    * so callers (and oracle rows) can pin it: `wanted` is the UNCAPPED
+    * lshTablesWanted count, and `route` is "lsh" iff that count fits
+    * under `maxTables` — the SAME comparison cosineNearDupPairsAuto's
+    * cap-regime fence makes, sharing lshTablesWanted so the fence, the
+    * router, and any declared policy columns can never drift apart.
+    * `kCells` is the IVF-branch sizing (ivfParamsFor), populated on
+    * both routes for observability.
+    */
+  case class NearDupRoute(n: Long, wanted: Int, cap: Int, route: String,
+      kCells: Int)
+
+  def nearDupRoutePolicy(n: Long, threshold: Double, targetBucket: Int = 150,
+      missProb: Double = 0.05, maxTables: Int = 64,
+      cellTarget: Int = 256): NearDupRoute = {
+    val wanted = lshTablesWanted(n, threshold, targetBucket, missProb)
+    val kc = math.max(1, math.min(n, ivfParamsFor(n, cellTarget).toLong)).toInt
+    NearDupRoute(n, wanted, maxTables,
+      if (wanted <= maxTables) "lsh" else "ivf", kc)
+  }
+
+  /** Routed near-dup pairs — the entry point that turns the cap-regime
+    * fence's refusal into a working plan (round-12 verdict item 1).
+    * Below the cap boundary it IS cosineNearDupPairsAuto (the LSH
+    * family, recall ≥ 1−missProb by the table policy); once the recall
+    * target wants more tables than the cap — the regime where LSH
+    * candidate volume (≈ tables·n·targetBucket/2) has outgrown the
+    * near-dup envelope and the auto entry refuses — it routes to the
+    * IVF cell-bounded exact pair join: the t43 SemDeDup kernel over
+    * ivfParamsFor sizing, cells trained/assigned exactly like knnGraph
+    * (flat assignment below TwoLevelMinCentroids, the fused two-level
+    * kernel at/above), pairs formed ONLY within a cell and verified
+    * with one codegen'd cosine each. Cell population stays ≤ ~cellTarget
+    * as the corpus grows, so pair work is ∝ n·cellTarget — linear-ish
+    * where capped LSH was measured grinding ~2.4B candidates (s09's
+    * θ=0.45 @ 100× probe). The trade is explicit: the IVF branch's
+    * recall is cell-coverage-bounded (cross-cell true pairs are
+    * missed; LshAutoSpec pins the measured floor), which is the honest
+    * price of a broad-similarity ask at corpus scale — against a
+    * refusal, or a capped-LSH run that is BOTH slower and recall-broken.
+    *
+    * Output: (id_a, id_b, cos, route) with id_a < id_b; `route` is the
+    * branch actually taken. The IVF branch is self-contained (its
+    * assignment cache is released before returning, knnGraph's
+    * pattern); the LSH branch inherits cosineNearDupPairsAuto's
+    * caller-clears cache contract.
+    */
+  def nearDupPairsRouted(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, targetBucket: Int = 150, missProb: Double = 0.05,
+      maxTables: Int = 64, cellTarget: Int = 256): DataFrame = {
+    val pol = nearDupRoutePolicy(df.count(), threshold, targetBucket,
+      missProb, maxTables, cellTarget)
+    if (pol.route == "lsh")
+      cosineNearDupPairsAuto(df, idCol, vecCol, threshold, targetBucket,
+          missProb)
+        .withColumn("route", lit("lsh"))
+    else {
+      val kc = pol.kCells
+      val cents = ivfTrainCentroids(df, idCol, vecCol, kc,
+        sampleSize = math.max(256, 2 * kc))
+      // SYMMETRIC nprobe=2 multi-assignment: single-assignment misses
+      // every θ-pair straddling a cell boundary (measured 0.50 recall
+      // at the s13 fixture); assigning BOTH sides to their top-2 cells
+      // recovers a boundary pair whenever any of the 2×2 cells is
+      // shared (0.857 measured, LshAutoSpec pins the floor). Candidate
+      // volume stays bounded — ≈4·n·cellTarget pre-verification —
+      // against LSH's tables·n·targetBucket/2 with tables > 64 here.
+      val assigned = (if (kc >= VectorIndex.TwoLevelMinCentroids)
+          ivfAssignTwoLevelTopK(df, idCol, vecCol, cents, coarseProbe = 2,
+            nAssign = 2)
+        else ivfAssign(df, idCol, vecCol, cents, nprobe = 2)).persist()
+      val a = assigned.select(col("__cid").as("cid"), col("__aid").as("id_a"))
+      val b = assigned.select(col("__cid").as("cid"), col("__aid").as("id_b"))
+      // a pair sharing several probed cells collides once per cell:
+      // dedup ids-only candidates BEFORE attaching vectors/cosine (the
+      // cosineNearDupPairs cand-distinct pattern)
+      val cand = a.join(b, "cid").filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .distinct()
+      val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      val out = cand
+        .join(vecs.select(col("__id").as("id_a"), col("__v").as("__va")),
+          "id_a")
+        .join(vecs.select(col("__id").as("id_b"), col("__v").as("__vb")),
+          "id_b")
+        .withColumn("cos", cosine(col("__va"), col("__vb")))
+        .filter(col("cos") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cos"),
+          lit("ivf").as("route"))
+      // materialize out of the private assignment cache before
+      // releasing it (knnGraph's pattern): pair volume is bounded by
+      // Σ cell² ≈ 4·n·cellTarget candidates pre-filter, skinny rows
+      // after
+      val released = out.localCheckpoint(true)
+      assigned.unpersist()
+      released
+    }
   }
 
   /** Greedy maximal-marginal-relevance selection (Carbonell &

@@ -17,6 +17,28 @@ import graft.Tables
   */
 object EventOps {
 
+  /** Session-scoped source artifacts for the streaming-bridge rows
+    * (e35/e36): their input streams are deterministic functions of the
+    * fixture dir (t22's token explode, t23's near-dup pairs), so the
+    * parquet file-stream SOURCE is built once per (JVM, fixture dir)
+    * and reused — Bench's interleaved passes and its sf0.001 warm-up
+    * then time the STATEFUL machinery the rows exist to measure, not a
+    * re-derivation another board row already prices (r12 verdict item
+    * 5: e36 re-paid t23's pair generation on every pass). Only the
+    * source dir is cached; checkpoint/state dirs stay fresh per run —
+    * they hold the mutable state under test.
+    */
+  private val srcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def cachedSrc(kind: String, dir: String)
+      (build: String => Unit): String =
+    srcCache.computeIfAbsent(s"$kind:$dir", _ => {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_$kind")
+        .toString + "/data"
+      build(d)
+      d
+    })
+
   /** Tumbling 1-hour event-time windows: count + exact value sum per
     * (window, event_type). Streaming equivalent: groupBy(window($"ts",
     * "1 hour"), $"event_type") with a watermark.
@@ -1794,13 +1816,13 @@ object EventOps {
       import s.implicits._
       import graft.functions.{TextFunctions => TF}
       val shards = 4
-      val srcDir =
-        java.nio.file.Files.createTempDirectory("mg_e35").toString + "/toks"
-      Tables.load(s, dir, "documents")
-        .select(explode(TF.tokens($"text")).as("token"))
-        .filter($"token" =!= "")
-        .repartition(3)
-        .write.parquet(srcDir)
+      val srcDir = cachedSrc("mg_toks", dir) { d =>
+        Tables.load(s, dir, "documents")
+          .select(explode(TF.tokens($"text")).as("token"))
+          .filter($"token" =!= "")
+          .repartition(3)
+          .write.parquet(d)
+      }
       val key = "spark.sql.streaming.stateStore.providerClass"
       val old = s.conf.getOption(key)
       s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
@@ -1859,16 +1881,20 @@ object EventOps {
     (s, dir) => {
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
-      val pairs = graft.functions.Dedup
-        .nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.8)
-        .select($"id_a", $"id_b")
-      val root = java.nio.file.Files.createTempDirectory("ig_e36").toString
-      val srcDir = s"$root/pairs"
       // 2 files -> 2 micro-batches: cross-batch cluster merges are
       // exercised (finer splits are IncrementalGroupsSpec's job) while
-      // the row pays the incremental fold twice, not N times
-      pairs.repartition(2).write.parquet(srcDir)
-      s.catalog.clearCache() // nearDuplicatePairs' shingle persist
+      // the row pays the incremental fold twice, not N times. The pair
+      // frame itself is t23's generation, built once per session
+      // (cachedSrc) — this row prices the INCREMENTAL fold, not a pair
+      // derivation t05/t23 already price on the same board.
+      val srcDir = cachedSrc("ig_pairs", dir) { d =>
+        graft.functions.Dedup
+          .nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.8)
+          .select($"id_a", $"id_b")
+          .repartition(2).write.parquet(d)
+        s.catalog.clearCache() // nearDuplicatePairs' shingle persist
+      }
+      val root = java.nio.file.Files.createTempDirectory("ig_e36").toString
       val stream = s.readStream.schema("id_a long, id_b long")
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
       val q = graft.streaming.IncrementalGroups
@@ -1884,6 +1910,70 @@ object EventOps {
     },
     graft.queries.LlmOps.t23DedupGroups.oracle)
 
+  /** The production crawl-ingest shape end-to-end on the board (r12
+    * verdict item 6): graftbus → foreachBatch → persisted signature
+    * index → bucket-pruned serve. The BASE corpus (even doc_ids)
+    * publishes to a 2-partition bus FROM THE EXECUTORS in two segment
+    * waves (doc_id%4==0 then %4==2 — t71's exact split), the DSv2
+    * micro-batch stream drains it one segment per partition per
+    * trigger, and foreachBatch folds each micro-batch into the index:
+    * build on the first, staged idempotent append on the rest. The
+    * stream-final index then serves the odd-doc_id batch and must be
+    * hash-identical to t49's SQL — a relation DuckDB derives with no
+    * bus, no stream, and no index, so offsets, segment decode, the
+    * append protocol's generation flips, and the bucket-pruned serve
+    * all sit behind one driver-checked hash. (SignatureIndexStreamSpec
+    * pins the file-stream face and the IncrementalDedup state
+    * equivalence; this row makes the BUS-fed face driver-visible.)
+    */
+  val e37BusSignatureIndex = Q(
+    "e37_bus_signature_index",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val busParts = 2
+      val root = java.nio.file.Files.createTempDirectory("bus_e37").toString
+      graft.sources.bus.BusLog.create(root, busParts)
+      // two publish waves -> every partition holds ≤2 segments in wave
+      // order, so maxSegmentsPerTrigger=1 drains wave 0 (all
+      // partitions' first segments) as micro-batch 0, wave 1 as batch 1
+      for (g <- Seq(0, 2)) {
+        docs.filter($"doc_id" % 4 === g)
+          .select(concat_ws("\u0001", $"doc_id", $"text").as("v"))
+          .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+            val recs = rows.map(r => (0L, r.getString(0))).toSeq
+            if (recs.nonEmpty) {
+              val p = org.apache.spark.TaskContext.getPartitionId() % busParts
+              graft.sources.bus.BusLog.publish(root, p, recs)
+            }
+            ()
+          }
+      }
+      val idx = s"$root/idx"
+      var built = false
+      val parts = split($"value", "\u0001", 2)
+      val q = s.readStream.format("graftbus").option("path", root)
+        .option("maxSegmentsPerTrigger", "1").load()
+        .select(parts.getItem(0).cast("long").as("doc_id"),
+          parts.getItem(1).as("text"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!built) {
+            graft.functions.SignatureIndex.build(batch, "doc_id", "text", idx)
+            built = true
+          } else
+            graft.functions.SignatureIndex.append(batch, "doc_id", "text", idx)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.functions.SignatureIndex.servePairs(
+          s, idx, docs.filter($"doc_id" % 2 === 1), "doc_id", "text", 0.8)
+        .orderBy($"id_new", $"id_base")
+    },
+    graft.queries.LlmOps.t49SnapshotDedup.oracle)
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
     e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin,
     e09Unpivot, e10DynamicSession, e11BusRoundtrip, e12Funnel,
@@ -1892,5 +1982,6 @@ object EventOps {
     e21Seasonality, e22CmsFreq, e23MarkovTransitions, e24InterArrival,
     e25LateProfile, e26Stickiness, e27SessionPaths, e28ChurnFlows,
     e29BoundedFunnel, e30Attribution, e31SessionLift, e32Scd2History,
-    e33Scd2Lookup, e34Twap, e35MgHeavyHitters, e36IncrementalGroups)
+    e33Scd2Lookup, e34Twap, e35MgHeavyHitters, e36IncrementalGroups,
+    e37BusSignatureIndex)
 }

@@ -2828,6 +2828,80 @@ object LlmOps {
       FROM g
     """.trim))
 
+  /** The ROUTED near-dup path serving the cap regime s09's fence
+    * refuses (round-12 verdict item 1): `VF.nearDupPairsRouted` picks
+    * LSH while the recall target fits under the 64-table cap and the
+    * IVF cell-bounded exact pair join once `lshTablesWanted` overruns
+    * it — at these params (θ=0.45, targetBucket=10, missProb=0.005:
+    * a 99.5% recall ask at tight bucket occupancy) the policy wants 69
+    * tables at the sf0.01 fixture's 500 vectors (167 at sf0.1, 617 at
+    * the 10× probe), so the route is "ivf" at every fixture scale and
+    * DEEPENS with n — exactly the regime where capped LSH was measured
+    * grinding ~2.4B candidates at the 100× probe before r12's fence.
+    * The oracle re-derives the WHOLE routed path in SQL: the uncapped
+    * table-count policy (closed form with the stableCeil down-bias),
+    * the route comparison against the cap, the ivfParamsFor cell
+    * sizing, the deterministic k-means centroids at the derived
+    * fixture k (ivfCentroidSql — farthest-first init + integer-exact
+    * Lloyd steps), the SYMMETRIC top-2 multi-assignment (rn ≤ 2 —
+    * the boundary-loss fix that took measured recall 0.50 → 0.857),
+    * and the deduped within-cell exact-cosine pair rule — a drift
+    * anywhere in router, policy, or kernel fails the hash compare.
+    * (The centroid CTE unrolls at the fixture k = ⌈500/256⌉→4, the
+    * one policy output SQL cannot derive dynamically; both
+    * oracle-gated SFs share n=500 so the unroll is exact where the
+    * driver compares. The recall floor for the routed regime —
+    * cell-coverage-bounded by design — is measured and enforced in
+    * LshAutoSpec.)
+    */
+  val s13RoutedNearDup = Q(
+    "s13_routed_near_dup",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val theta = 0.45
+      val pol = VF.nearDupRoutePolicy(emb.count(), theta,
+        targetBucket = 10, missProb = 0.005)
+      VF.nearDupPairsRouted(emb, "vec_id", "embedding", theta,
+          targetBucket = 10, missProb = 0.005)
+        .select($"id_a", $"id_b", $"cos", $"route",
+          lit(pol.wanted.toLong).as("n_tables_wanted"),
+          lit(pol.kCells.toLong).as("k_cells"))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""
+      WITH ${ivfCentroidSql(k = 4, dims = 64, sampleSize = 256, iters = 2)},
+      assign2 AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+          FROM embeddings e CROSS JOIN cent c)
+        WHERE rn <= 2),
+      g AS (SELECT count(*) AS n FROM embeddings),
+      pp AS (SELECT n,
+               greatest(4, CAST(ceil(log2(greatest(1.0, n / 10.0)) - 1e-9) AS BIGINT)) AS n_planes
+             FROM g),
+      pol AS (SELECT n, n_planes,
+               greatest(2, CAST(ceil(ln(0.005) /
+                 ln(1 - pow(1 - acos(0.45) / pi(), n_planes)) - 1e-9) AS BIGINT)) AS want
+              FROM pp),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM assign2 a JOIN assign2 b
+                 ON a.cid = b.cid AND a.vec_id < b.vec_id),
+      sc AS (SELECT id_a, id_b,
+                    ${cosSql("ea.embedding", "eb.embedding")} AS cos
+             FROM cand JOIN embeddings ea ON id_a = ea.vec_id
+                       JOIN embeddings eb ON id_b = eb.vec_id)
+      SELECT id_a, id_b, cos,
+             CASE WHEN pol.want > 64 THEN 'ivf' ELSE 'lsh' END AS route,
+             pol.want AS n_tables_wanted,
+             greatest(4, CAST(ceil(pol.n / 256.0 - 1e-9) AS BIGINT)) AS k_cells
+      FROM sc, pol
+      WHERE cos >= 0.45
+      ORDER BY id_a, id_b
+    """.trim))
+
   /** Winnowing document fingerprints (the MOSS plagiarism-detection
     * algorithm): hash every word 4-gram, slide a 4-hash window over
     * the sequence, keep each window's minimum — the selected
@@ -4726,6 +4800,54 @@ object LlmOps {
     },
     t49SnapshotDedup.oracle)
 
+  /** The signature index built+appended ONCE per (JVM, fixture dir) —
+    * t71b's serving artifact. t71 deliberately prices the full
+    * lifecycle (build + staged append + serve) in one row; this cache
+    * is what makes t71b price the SERVE alone, the way t58/t62 split
+    * index construction from index-served retrieval: in production the
+    * build is an offline job over the base snapshot and every crawl
+    * batch pays only the bucket-pruned serve.
+    */
+  private val sigIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def servedSigIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    sigIdxCache.computeIfAbsent(dir, _ => {
+      val docs = Tables.load(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("t71b_sigidx").toString + "/idx"
+      graft.functions.SignatureIndex.build(
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", idx)
+      graft.functions.SignatureIndex.append(
+        docs.filter(col("doc_id") % 4 === 2), "doc_id", "text", idx)
+      idx
+    })
+
+  /** t71's SERVING face (round-12 verdict item 7): the same persisted
+    * signature index — built on half the base, appended the other half
+    * — but constructed once per session (servedSigIndex) so this row's
+    * cost is the production steady-state operation alone: sign the
+    * incoming batch in-plan, open ONLY the batch's key buckets of the
+    * base band table and the candidates' set buckets of the base set
+    * table (generation dirs the manifest pins — reader-consistent
+    * under concurrent appends), verify with exact Jaccard. The oracle
+    * is t49's SQL verbatim, derived with no index at all — so the row
+    * pins that a WARM index serves bit-identically to the in-plan
+    * recompute while t71 (the lifecycle row) keeps the build + append
+    * crash-safety surface on the board next to it.
+    */
+  val t71bSignatureServe = Q(
+    "t71b_signature_serve",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      graft.functions.SignatureIndex.servePairs(
+          s, servedSigIndex(s, dir), docs.filter($"doc_id" % 2 === 1),
+          "doc_id", "text", 0.8)
+        .orderBy($"id_new", $"id_base")
+    },
+    t49SnapshotDedup.oracle)
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
@@ -4743,10 +4865,10 @@ object LlmOps {
     t51DupKeeper, t52ZipfTable, t53SourceHealth, t54LeakageSplit,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
     s06IvfPqTopK, s07FilteredAnn, s08KnnGraph, s09AutoNearDup, s10AutoKnn,
-    s11PqIndexTopK,
+    s11PqIndexTopK, s13RoutedNearDup,
     t55TextRank, t56SsJoinPrefix, t57Bm25TopK, t58Bm25Index,
     t59AutoTextNearDup, t60BpeTrain, t61HybridRrf, t62HybridIndexed,
     t63MmrRerank, t64TripletMining, t65PhraseSearch, t66ProximitySearch,
     t67RepeatedSpans, s12JlAnn, t68IntraRepetition, t69BudgetSelection,
-    t70QuoteSearch, t71SignatureIndex)
+    t70QuoteSearch, t71SignatureIndex, t71bSignatureServe)
 }

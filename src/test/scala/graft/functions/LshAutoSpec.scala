@@ -95,4 +95,95 @@ class LshAutoSpec extends SparkTestBase {
     val recall = auto.intersect(truth).size.toDouble / truth.size
     assert(recall >= 0.85, s"recall $recall over ${truth.size} true pairs")
   }
+
+  test("routed entry: LSH below the cap boundary, identical to the auto path") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    // default policy params at n=500 want ~16 tables — comfortably
+    // under the cap, so the router must take the LSH branch and emit
+    // exactly cosineNearDupPairsAuto's pair set
+    val pol = VectorFunctions.nearDupRoutePolicy(500L, 0.45)
+    assert(pol.route == "lsh" && pol.wanted <= pol.cap, pol.toString)
+    val routed = VectorFunctions.nearDupPairsRouted(
+      emb, "vec_id", "embedding", threshold = 0.45)
+    assert(routed.select($"route").distinct()
+      .as[String].collect().toSeq == Seq("lsh"))
+    val routedPairs = routed.select($"id_a", $"id_b")
+      .as[(Long, Long)].collect().toSet
+    val auto = VectorFunctions.cosineNearDupPairsAuto(
+        emb, "vec_id", "embedding", threshold = 0.45)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(routedPairs == auto)
+    spark.catalog.clearCache()
+  }
+
+  test("routed entry: cap regime routes to IVF cells where the auto entry refuses, recall floor holds") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    // θ=0.45 at 99.5% recall with tight buckets: the policy wants more
+    // tables than the cap at n=500 (69 > 64) — the exact regime where
+    // cosineNearDupPairsAuto throws (FixedParamFenceSpec pins that);
+    // the router must turn it into a working IVF-cell plan instead
+    val pol = VectorFunctions.nearDupRoutePolicy(500L, 0.45,
+      targetBucket = 10, missProb = 0.005)
+    assert(pol.route == "ivf" && pol.wanted > pol.cap, pol.toString)
+    intercept[IllegalArgumentException] {
+      VectorFunctions.cosineNearDupPairsAuto(emb, "vec_id", "embedding",
+        threshold = 0.45, targetBucket = 10, missProb = 0.005)
+    }
+    val routed = VectorFunctions.nearDupPairsRouted(emb, "vec_id",
+        "embedding", threshold = 0.45, targetBucket = 10, missProb = 0.005)
+      .select($"id_a", $"id_b", $"cos", $"route")
+      .as[(Long, Long, Double, String)].collect()
+    assert(routed.nonEmpty && routed.forall(_._4 == "ivf"))
+    // every emitted pair is exact-verified and ordered
+    assert(routed.forall(p => p._3 >= 0.45 && p._1 < p._2))
+    // deterministic: k-means init/Lloyd and assignment are
+    // comparison- or integer-exact, so the pair set is a constant
+    val again = VectorFunctions.nearDupPairsRouted(emb, "vec_id",
+        "embedding", threshold = 0.45, targetBucket = 10, missProb = 0.005)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(routed.map(p => (p._1, p._2)).toSet == again)
+    // recall floor vs brute-force truth: IVF-branch recall is
+    // cell-coverage-bounded by design (a true pair is missed only if
+    // NONE of either side's top-2 cells is shared; single assignment
+    // measured 0.50 here, symmetric nprobe=2 measured 0.857 = 12/14)
+    // — the floor pins the MEASURED constant so a regression in
+    // training/assignment/pairing shows up, and documents the honest
+    // price of the routed regime next to LSH's 1−missProb
+    val v = emb.select($"vec_id".as("id_a"), $"embedding".as("__va"))
+    val w = emb.select($"vec_id".as("id_b"), $"embedding".as("__vb"))
+    val truth = v.crossJoin(w).filter($"id_a" < $"id_b")
+      .withColumn("cos", VectorFunctions.cosine($"__va", $"__vb"))
+      .filter($"cos" >= 0.45)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    val recall = routed.map(p => (p._1, p._2)).toSet
+      .intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.80, s"routed recall $recall over ${truth.size} true pairs")
+    spark.catalog.clearCache()
+  }
+
+  test("two-level top-k assignment at full probe equals flat multi-probe assignment") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val kc = 16
+    val cents = VectorFunctions.ivfTrainCentroids(
+      emb, "vec_id", "embedding", kc, sampleSize = 256)
+    val flat = VectorFunctions.ivfAssign(
+        emb, "vec_id", "embedding", cents, nprobe = 2)
+      .select($"__aid", $"__cid").as[(Long, Long)].collect().toSet
+    // coarseProbe >= #supers (ceil(sqrt(16)) = 4): every child is
+    // scored, so the top-2 list must match the flat window exactly
+    val full = VectorFunctions.ivfAssignTwoLevelTopK(
+        emb, "vec_id", "embedding", cents, coarseProbe = 16, nAssign = 2)
+      .select($"__aid", $"__cid").as[(Long, Long)].collect().toSet
+    assert(full == flat)
+    // partial probe: approximate, but home-cell agreement stays high
+    // and output stays exactly 2 cells per vector
+    val part = VectorFunctions.ivfAssignTwoLevelTopK(
+        emb, "vec_id", "embedding", cents, coarseProbe = 2, nAssign = 2)
+      .select($"__aid", $"__cid").as[(Long, Long)].collect()
+    val n = emb.count()
+    assert(part.length == 2 * n)
+    val agree = part.toSet.intersect(flat).size.toDouble / flat.size
+    assert(agree >= 0.75, s"partial-probe agreement $agree")
+  }
 }
