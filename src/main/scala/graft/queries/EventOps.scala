@@ -1934,12 +1934,18 @@ object EventOps {
       val busParts = 2
       val root = java.nio.file.Files.createTempDirectory("bus_e37").toString
       graft.sources.bus.BusLog.create(root, busParts)
-      // two publish waves -> every partition holds ≤2 segments in wave
-      // order, so maxSegmentsPerTrigger=1 drains wave 0 (all
-      // partitions' first segments) as micro-batch 0, wave 1 as batch 1
+      // two publish waves, repartitioned to the BUS partition count so
+      // each wave lands as exactly ONE segment per bus partition (a
+      // publish call = a segment = a drained micro-batch under
+      // maxSegmentsPerTrigger=1): wave 0 becomes micro-batch 0 (the
+      // build), wave 1 becomes batch 1 (the append). Without the
+      // repartition every Spark task publishes its own segment and the
+      // drain degrades to ~tasks micro-batches, each paying an index
+      // append — measured 171 s at the 10× probe vs ~2 batches' cost
       for (g <- Seq(0, 2)) {
         docs.filter($"doc_id" % 4 === g)
           .select(concat_ws("\u0001", $"doc_id", $"text").as("v"))
+          .repartition(busParts)
           .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
             val recs = rows.map(r => (0L, r.getString(0))).toSeq
             if (recs.nonEmpty) {
