@@ -618,28 +618,30 @@ object VectorFunctions {
           ivfAssignTwoLevelTopK(df, idCol, vecCol, cents, coarseProbe = 2,
             nAssign = 2)
         else ivfAssign(df, idCol, vecCol, cents, nprobe = 2)).persist()
-      val a = assigned.select(col("__cid").as("cid"), col("__aid").as("id_a"))
-      val b = assigned.select(col("__cid").as("cid"), col("__aid").as("id_b"))
-      // a pair sharing several probed cells collides once per cell:
-      // dedup ids-only candidates BEFORE attaching vectors/cosine (the
-      // cosineNearDupPairs cand-distinct pattern)
-      val cand = a.join(b, "cid").filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-        .distinct()
-      val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      val out = cand
-        .join(vecs.select(col("__id").as("id_a"), col("__v").as("__va")),
-          "id_a")
-        .join(vecs.select(col("__id").as("id_b"), col("__v").as("__vb")),
-          "id_b")
+      val a = assigned.select(col("__cid").as("cid"), col("__aid").as("id_a"),
+        col("__avec").as("__va"))
+      val b = assigned.select(col("__cid").as("cid"), col("__aid").as("id_b"),
+        col("__avec").as("__vb"))
+      // Vectors ride the cell join (2n skinny rows per side — the
+      // opposite call from cosineNearDupPairs' tables×-exploded flat
+      // frame) so cosine evaluates INSIDE the join's codegen'd output
+      // and the θ filter runs BEFORE any pair-sized exchange. The
+      // alternative — distinct ids first, re-attach vectors — shuffles
+      // the ~4·n·cellTarget candidate set three times (distinct + two
+      // vector joins); this shape shuffles only the 2n assignment rows
+      // and the θ-passing result. Measured at the 100× probe (200k
+      // vectors, 782 cells): 255.5 s → 52.2 s. The multi-probe
+      // duplicate (a pair sharing ≥2 probed cells) re-verifies its
+      // cosine per cell — bit-identical arithmetic, so the final
+      // result-sized distinct collapses it exactly.
+      val out = a.join(b, "cid").filter(col("id_a") < col("id_b"))
         .withColumn("cos", cosine(col("__va"), col("__vb")))
         .filter(col("cos") >= threshold)
-        .select(col("id_a"), col("id_b"), col("cos"),
-          lit("ivf").as("route"))
+        .select(col("id_a"), col("id_b"), col("cos"))
+        .distinct()
+        .withColumn("route", lit("ivf"))
       // materialize out of the private assignment cache before
-      // releasing it (knnGraph's pattern): pair volume is bounded by
-      // Σ cell² ≈ 4·n·cellTarget candidates pre-filter, skinny rows
-      // after
+      // releasing it (knnGraph's pattern)
       val released = out.localCheckpoint(true)
       assigned.unpersist()
       released
