@@ -604,48 +604,61 @@ object VectorFunctions {
           missProb)
         .withColumn("route", lit("lsh"))
     else {
-      val kc = pol.kCells
-      val cents = ivfTrainCentroids(df, idCol, vecCol, kc,
-        sampleSize = math.max(256, 2 * kc))
-      // SYMMETRIC nprobe=2 multi-assignment: single-assignment misses
-      // every θ-pair straddling a cell boundary (measured 0.50 recall
-      // at the s13 fixture); assigning BOTH sides to their top-2 cells
-      // recovers a boundary pair whenever any of the 2×2 cells is
-      // shared (0.857 measured, LshAutoSpec pins the floor). Candidate
-      // volume stays bounded — ≈4·n·cellTarget pre-verification —
-      // against LSH's tables·n·targetBucket/2 with tables > 64 here.
-      val assigned = (if (kc >= VectorIndex.TwoLevelMinCentroids)
-          ivfAssignTwoLevelTopK(df, idCol, vecCol, cents, coarseProbe = 2,
-            nAssign = 2)
-        else ivfAssign(df, idCol, vecCol, cents, nprobe = 2)).persist()
-      val a = assigned.select(col("__cid").as("cid"), col("__aid").as("id_a"),
-        col("__avec").as("__va"))
-      val b = assigned.select(col("__cid").as("cid"), col("__aid").as("id_b"),
-        col("__avec").as("__vb"))
-      // Vectors ride the cell join (2n skinny rows per side — the
-      // opposite call from cosineNearDupPairs' tables×-exploded flat
-      // frame) so cosine evaluates INSIDE the join's codegen'd output
-      // and the θ filter runs BEFORE any pair-sized exchange. The
-      // alternative — distinct ids first, re-attach vectors — shuffles
-      // the ~4·n·cellTarget candidate set three times (distinct + two
-      // vector joins); this shape shuffles only the 2n assignment rows
-      // and the θ-passing result. Measured at the 100× probe (200k
-      // vectors, 782 cells): 255.5 s → 52.2 s. The multi-probe
-      // duplicate (a pair sharing ≥2 probed cells) re-verifies its
-      // cosine per cell — bit-identical arithmetic, so the final
-      // result-sized distinct collapses it exactly.
-      val out = a.join(b, "cid").filter(col("id_a") < col("id_b"))
-        .withColumn("cos", cosine(col("__va"), col("__vb")))
-        .filter(col("cos") >= threshold)
-        .select(col("id_a"), col("id_b"), col("cos"))
-        .distinct()
-        .withColumn("route", lit("ivf"))
+      val (out, assigned) =
+        ivfCellPairsFrame(df, idCol, vecCol, threshold, pol.kCells)
       // materialize out of the private assignment cache before
       // releasing it (knnGraph's pattern)
       val released = out.localCheckpoint(true)
       assigned.unpersist()
       released
     }
+  }
+
+  /** The routed entry's un-checkpointed IVF-branch plan plus its live
+    * assignment cache — for plan pins (the public entry hides the
+    * join behind the checkpoint's LogicalRDD, the knnGraphFrame
+    * precedent). Callers own `assigned.unpersist()`.
+    *
+    * SYMMETRIC nprobe=2 multi-assignment: single-assignment misses
+    * every θ-pair straddling a cell boundary (measured 0.50 recall at
+    * the s13 fixture); assigning BOTH sides to their top-2 cells
+    * recovers a boundary pair whenever any of the 2×2 cells is shared
+    * (0.857 measured, LshAutoSpec pins the floor). Candidate volume
+    * stays bounded — ≈4·n·cellTarget pre-verification — against LSH's
+    * tables·n·targetBucket/2 with tables > 64 in the routed regime.
+    *
+    * Vectors ride the cell join (2n skinny rows per side — the
+    * opposite call from cosineNearDupPairs' tables×-exploded flat
+    * frame) so cosine evaluates INSIDE the join's codegen'd output and
+    * the θ filter runs BEFORE any pair-sized exchange. The alternative
+    * — distinct ids first, re-attach vectors — shuffles the
+    * ~4·n·cellTarget candidate set three times (distinct + two vector
+    * joins); this shape shuffles only the 2n assignment rows and the
+    * θ-passing result. Measured at the 100× probe (200k vectors, 782
+    * cells): 255.5 s → 52.2 s. The multi-probe duplicate (a pair
+    * sharing ≥2 probed cells) re-verifies its cosine per cell —
+    * bit-identical arithmetic, so the final result-sized distinct
+    * collapses it exactly.
+    */
+  private[graft] def ivfCellPairsFrame(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, kc: Int): (DataFrame, DataFrame) = {
+    val cents = ivfTrainCentroids(df, idCol, vecCol, kc,
+      sampleSize = math.max(256, 2 * kc))
+    val assigned = (if (kc >= VectorIndex.TwoLevelMinCentroids)
+        ivfAssignTwoLevelTopK(df, idCol, vecCol, cents, coarseProbe = 2,
+          nAssign = 2)
+      else ivfAssign(df, idCol, vecCol, cents, nprobe = 2)).persist()
+    val a = assigned.select(col("__cid").as("cid"), col("__aid").as("id_a"),
+      col("__avec").as("__va"))
+    val b = assigned.select(col("__cid").as("cid"), col("__aid").as("id_b"),
+      col("__avec").as("__vb"))
+    val out = a.join(b, "cid").filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("__va"), col("__vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .distinct()
+      .withColumn("route", lit("ivf"))
+    (out, assigned)
   }
 
   /** Greedy maximal-marginal-relevance selection (Carbonell &

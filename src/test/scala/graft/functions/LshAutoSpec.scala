@@ -162,6 +162,35 @@ class LshAutoSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("routed IVF plan: theta filter fused into the ONE cell join, no pair-sized re-join") {
+    // the 255→52 s lesson at the 100× probe: the pair set must never
+    // cross an exchange before the θ filter. Pin the shape — exactly
+    // one top-level join (the cid cell join) carrying the cosine
+    // threshold in its condition, and no vector re-attach joins above
+    // it (the distinct runs at RESULT cardinality, above the filter).
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val (out, assigned) = VectorFunctions.ivfCellPairsFrame(
+      emb, "vec_id", "embedding", 0.45, kc = 4)
+    out.collect() // finalize the adaptive plan
+    val plan = out.queryExecution.executedPlan.toString
+    // outer plan only: drop the cached assignment's nested plan (it
+    // owns a LABELED centroid-broadcast cross join) and AQE's
+    // "== Initial Plan ==" echo
+    val outer = plan.split("\n")
+      .takeWhile(l => !l.contains("InMemoryRelation"))
+      .filterNot(_.contains("ReusedExchange"))
+    val joins = outer.filter(l => l.contains("Join"))
+    assert(joins.length == 1, s"expected 1 outer join:\n${joins.mkString("\n")}")
+    assert(joins.head.contains("[cid") || joins.head.contains("cid#"),
+      s"join not on cid: ${joins.head}")
+    // θ reaches the join itself (fused condition) — nothing pair-sized
+    // runs unfiltered
+    assert(joins.head.contains(">= 0.45"),
+      s"cosine threshold not fused into the join: ${joins.head}")
+    assigned.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("two-level top-k assignment at full probe equals flat multi-probe assignment") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val kc = 16
