@@ -181,7 +181,11 @@ object Bench {
     // round and per-family timings were invisible outside the repo.
     // This self-contained summary (total, per-family subtotals, the
     // top-10 slowest rows, failures) always fits the tail.
-    def j(d: Double) = f"$d%.3f"
+    // Locale.ROOT: f"%.3f" uses the JVM default locale, and a comma
+    // decimal separator (de_DE, fr_FR, …) would make this line — which
+    // exists solely to be machine-parsed — invalid JSON
+    def j(d: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(d))
     val fams = results.filter(_._2 >= 0)
       .groupBy { case (k, _) => k.takeWhile(!_.isDigit) }
       .toSeq.sortBy(_._1)

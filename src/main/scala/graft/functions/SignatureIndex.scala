@@ -56,9 +56,15 @@ import org.apache.spark.sql.functions._
   * cleared (exactly-once, not at-least-once). Readers never observe a
   * half-applied state because nothing mutates in place; a reader that
   * opened mid-append serves the pre-append snapshot bit-exactly
-  * (spec-pinned). Old generations accumulate until [[vacuum]] — run it
-  * in maintenance windows once no reader older than the current
-  * snapshot remains.
+  * (spec-pinned). Old generations accumulate until [[vacuum]], whose
+  * default grace window keeps the previous snapshot servable; full
+  * reclaim (`graceVersions = 0`) belongs in maintenance windows.
+  *
+  * Writers are mutually exclusive: build/append/compact/recover/vacuum
+  * each hold `_commit.lock` (StagedSwap.withFileLock, the Catalog
+  * protocol) for their whole read→write→flip span — without it two
+  * concurrent appends both compute generation N+1 and the loser's
+  * acknowledged batch silently vanishes. Reads stay lock-free.
   */
 object SignatureIndex {
 
@@ -71,10 +77,11 @@ object SignatureIndex {
     * buckets so that unit stays a bounded chunk (default ~4M band
     * rows ≈ 100 MB parquet): at 64 buckets a 10⁹-doc base puts ~31M
     * rows in every touched bucket and an append rewrites essentially
-    * the whole base; at bucketsFor(1e9) = 500 buckets the same append
+    * the whole base; at bucketsFor(1e9) = 477 buckets the same append
     * rewrites only the buckets it actually touches at ~4M rows each.
     * The default stays 64 for small corpora (fixture scale) where
-    * per-bucket task overhead dominates.
+    * per-bucket task overhead dominates. (Spec-pinned: floor,
+    * monotonicity, and the 1e9 example.)
     */
   def bucketsFor(nBaseDocs: Long, bandsPerDoc: Int = 2,
       targetBandRowsPerBucket: Long = 4L << 20): Int =
@@ -83,6 +90,17 @@ object SignatureIndex {
         targetBandRowsPerBucket - 1e-9).toInt)
 
   private def stageDir(indexDir: String) = s"$indexDir/append_next"
+
+  /** Writer lock: every public mutation (build/append/compact/recover/
+    * vacuum) runs its whole read→write→pointer-flip span under this
+    * cross-process lock (StagedSwap.withFileLock — the Catalog
+    * protocol). Without it two concurrent appends both compute
+    * generation N+1 and the loser's acknowledged batch silently
+    * vanishes from every later serve. READS take no lock: serves
+    * resolve immutable generation paths through the manifest.
+    */
+  private val LockName = "_commit.lock"
+  private def lockPath(indexDir: String) = s"$indexDir/$LockName"
 
   private case class Params(shingle: Int, numHashes: Int, bands: Int,
       nBuckets: Int)
@@ -124,13 +142,36 @@ object SignatureIndex {
       version: Int): Unit =
     StagedSwap.writeAtomic(spark, s"$indexDir/_current", version.toString)
 
+  /** Versions of every `_manifest_v*.json` present at indexDir. */
+  private def manifestVersions(spark: SparkSession,
+      indexDir: String): Seq[Int] = {
+    val (fs, root) = hfs(spark, indexDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("_manifest_v") && n.endsWith(".json"))
+      .map(_.stripPrefix("_manifest_v").stripSuffix(".json").toInt)
+  }
+
   private def readManifest(spark: SparkSession,
       indexDir: String): Manifest = {
+    // Missing-pointer fallback: StagedSwap.writeAtomic's non-atomic
+    // delete+rename path (filesystems without an AbstractFileSystem
+    // binding) can crash between deleting _current and recreating it,
+    // with every manifest intact — fall back READ-ONLY to the newest
+    // manifest (manifests are written before the flip, so newest IS
+    // the committed state); recover() re-materializes the pointer.
     val v = StagedSwap.readSmallFile(spark, s"$indexDir/_current")
+      .map(_.trim.toInt)
+      .orElse(manifestVersions(spark, indexDir).maxOption)
       .getOrElse(throw new IllegalStateException(
-        s"signature index at $indexDir has no _current pointer — not " +
-          "built, or a build crashed before its first commit"))
-      .trim.toInt
+        s"signature index at $indexDir has no _current pointer and no " +
+          "manifest — not built, or a build crashed before its first " +
+          "commit"))
+    readManifestVersion(spark, indexDir, v)
+  }
+
+  private def readManifestVersion(spark: SparkSession, indexDir: String,
+      v: Int): Manifest = {
     val txt = StagedSwap
       .readSmallFile(spark, s"$indexDir/_manifest_v$v.json")
       .getOrElse(throw new IllegalStateException(
@@ -227,8 +268,26 @@ object SignatureIndex {
       bands: Int = 2, nBuckets: Int = DefaultBuckets): Unit = {
     val spark = docs.sparkSession
     require(numHashes % bands == 0, s"numHashes $numHashes not divisible by $bands")
-    StagedSwap.deleteChecked(spark, indexDir,
-      "prior signature index state (stale stages must not survive a rebuild)")
+    StagedSwap.withFileLock(spark, lockPath(indexDir)) {
+      buildLocked(docs, idCol, textCol, indexDir, shingle, numHashes,
+        bands, nBuckets)
+    }
+  }
+
+  private def buildLocked(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, shingle: Int, numHashes: Int,
+      bands: Int, nBuckets: Int): Unit = {
+    val spark = docs.sparkSession
+    // clear prior index state — including a stale append_next stage
+    // from a crashed append of a previous life, which must never roll
+    // forward over an index built under new parameters (r12 ADVICE
+    // item 1) — but NOT the lock file this writer is holding
+    val (fs, root) = hfs(spark, indexDir)
+    if (fs.exists(root)) fs.listStatus(root).foreach { s =>
+      if (s.getPath.getName != LockName)
+        StagedSwap.deleteChecked(spark, s.getPath.toString,
+          "prior signature index state (stale stages must not survive a rebuild)")
+    }
     val p = Params(shingle, numHashes, bands, nBuckets)
     writeMeta(spark, indexDir, p)
     bandRows(docs, idCol, textCol, p)
@@ -263,18 +322,21 @@ object SignatureIndex {
   def append(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String): Unit = {
     val spark = docs.sparkSession
-    rollForwardAppend(spark, indexDir)
-    if (docs.isEmpty) return
-    val p = readMeta(spark, indexDir)
-    val st = stageDir(indexDir)
-    setRows(docs, idCol, textCol, p)
-      .write.mode("overwrite").parquet(s"$st/sets")
-    bandRows(docs, idCol, textCol, p)
-      .write.mode("overwrite").parquet(s"$st/bands")
-    StagedSwap.writeAtomic(spark, s"$st/_APPEND_ID",
-      java.util.UUID.randomUUID().toString)
-    StagedSwap.touchMarker(spark, s"$st/_STAGE_DONE")
-    applyStagedAppend(spark, indexDir, p)
+    StagedSwap.withFileLock(spark, lockPath(indexDir)) {
+      rollForwardAppend(spark, indexDir)
+      if (!docs.isEmpty) {
+        val p = readMeta(spark, indexDir)
+        val st = stageDir(indexDir)
+        setRows(docs, idCol, textCol, p)
+          .write.mode("overwrite").parquet(s"$st/sets")
+        bandRows(docs, idCol, textCol, p)
+          .write.mode("overwrite").parquet(s"$st/bands")
+        StagedSwap.writeAtomic(spark, s"$st/_APPEND_ID",
+          java.util.UUID.randomUUID().toString)
+        StagedSwap.touchMarker(spark, s"$st/_STAGE_DONE")
+        applyStagedAppend(spark, indexDir)
+      }
+    }
   }
 
   /** The apply: write (live touched-bucket rows minus the staged
@@ -284,8 +346,8 @@ object SignatureIndex {
     * re-run after a post-flip crash sees its own append id in the
     * current manifest and just clears the stage.
     */
-  private def applyStagedAppend(spark: SparkSession, indexDir: String,
-      p: Params): Unit = {
+  private def applyStagedAppend(spark: SparkSession,
+      indexDir: String): Unit = {
     import spark.implicits._
     val st = stageDir(indexDir)
     val appendId = StagedSwap.readSmallFile(spark, s"$st/_APPEND_ID")
@@ -338,8 +400,9 @@ object SignatureIndex {
     * small (maybeBroadcast), keeping the pruned base read
     * shuffle-free. Because the resolved paths are generation dirs no
     * append ever rewrites, a frame returned here keeps serving ITS
-    * snapshot even while appends commit (readers racing a [[vacuum]]
-    * is the one excluded case).
+    * snapshot even while appends commit; [[vacuum]]'s default grace
+    * window additionally protects the previous snapshot, so only a
+    * reader ≥2 commits stale can race a full-reclaim vacuum.
     *
     * Cache contract (shared with the other Dedup entry points): the
     * batch band frame and the candidate frame are persisted for their
@@ -389,10 +452,18 @@ object SignatureIndex {
     * pure layout, serving bit-identical before/after (spec-pinned).
     * Commits like an append (fresh generation + pointer flip), so a
     * crash mid-compact leaves only orphan generation dirs the next
-    * [[vacuum]] clears; readers are never disturbed. Runs [[vacuum]]
-    * afterwards — compaction IS the maintenance window.
+    * [[vacuum]] clears. Runs [[vacuum]] afterwards at its default
+    * grace window, which keeps the immediately-previous manifest's
+    * generations — so a reader that resolved its snapshot just before
+    * the compact keeps serving it; only snapshots ≥2 versions old
+    * need the explicit `vacuum(graceVersions = 0)` maintenance window.
     */
-  def compact(spark: SparkSession, indexDir: String): Unit = {
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    StagedSwap.withFileLock(spark, lockPath(indexDir)) {
+      compactLocked(spark, indexDir)
+    }
+
+  private def compactLocked(spark: SparkSession, indexDir: String): Unit = {
     // complete any torn append first: compact must snapshot a state
     // that includes every acknowledged-or-marked batch
     rollForwardAppend(spark, indexDir)
@@ -416,45 +487,68 @@ object SignatureIndex {
       bucketsIn(spark, s"$indexDir/sets_g$gen", "__db")
         .map(_ -> s"sets_g$gen").toMap))
     flipCurrent(spark, indexDir, gen)
-    vacuum(spark, indexDir)
+    vacuumLocked(spark, indexDir, graceVersions = 1)
   }
 
-  /** Delete generation dirs no bucket of the CURRENT manifest
-    * references, and manifest files older than the current version.
-    * Run only when no reader holds a snapshot older than the current
-    * pointer (maintenance windows) — the one operation that can
-    * invalidate an in-flight reader's resolved paths.
+  /** Delete generation dirs referenced by NO manifest inside the grace
+    * window, and the manifest files older than that window. The
+    * default `graceVersions = 1` keeps the immediately-previous
+    * snapshot fully servable — a reader that resolved its paths just
+    * before a concurrent commit is never invalidated (Catalog.vacuum's
+    * keepLast treatment). `graceVersions = 0` reclaims everything but
+    * the current snapshot: run THAT only in maintenance windows when
+    * no reader holds an older snapshot.
     */
-  def vacuum(spark: SparkSession, indexDir: String): Unit = {
+  def vacuum(spark: SparkSession, indexDir: String,
+      graceVersions: Int = 1): Unit =
+    StagedSwap.withFileLock(spark, lockPath(indexDir)) {
+      vacuumLocked(spark, indexDir, graceVersions)
+    }
+
+  private def vacuumLocked(spark: SparkSession, indexDir: String,
+      graceVersions: Int): Unit = {
     val cur = readManifest(spark, indexDir)
-    val live = (cur.bands.values ++ cur.sets.values).toSet
+    val floor = cur.version - math.max(0, graceVersions)
+    // every generation any in-grace manifest references stays servable
+    val live = manifestVersions(spark, indexDir)
+      .filter(v => v >= floor && v <= cur.version)
+      .map(v => readManifestVersion(spark, indexDir, v))
+      .flatMap(m => m.bands.values ++ m.sets.values)
+      .toSet
     val (fs, root) = hfs(spark, indexDir)
     fs.listStatus(root).foreach { s =>
       val name = s.getPath.getName
       val isGen = name.startsWith("bands_g") || name.startsWith("sets_g")
       val isOldManifest = name.startsWith("_manifest_v") &&
-        name.stripPrefix("_manifest_v").stripSuffix(".json").toInt < cur.version
+        name.stripPrefix("_manifest_v").stripSuffix(".json").toInt < floor
       if ((isGen && !live.contains(name)) || isOldManifest)
         StagedSwap.deleteChecked(spark, s.getPath.toString,
-          "unreferenced signature index generation")
+          "out-of-grace signature index generation")
     }
   }
 
-  /** Repair any torn maintenance: roll a marked staged append forward
-    * (exactly-once via its append id) or discard an unmarked one, then
-    * vacuum orphan generations a crashed compact/apply left behind.
+  /** Repair any torn maintenance: re-materialize a lost `_current`
+    * pointer (the torn-flip window of StagedSwap.writeAtomic's
+    * non-atomic fallback — manifests are flip-ordered, so newest wins),
+    * roll a marked staged append forward (exactly-once via its append
+    * id) or discard an unmarked one, then vacuum out-of-grace
+    * generations a crashed compact/apply left behind.
     */
-  def recover(spark: SparkSession, indexDir: String): Unit = {
-    rollForwardAppend(spark, indexDir)
-    vacuum(spark, indexDir)
-  }
+  def recover(spark: SparkSession, indexDir: String): Unit =
+    StagedSwap.withFileLock(spark, lockPath(indexDir)) {
+      if (StagedSwap.readSmallFile(spark, s"$indexDir/_current").isEmpty)
+        manifestVersions(spark, indexDir).maxOption
+          .foreach(flipCurrent(spark, indexDir, _))
+      rollForwardAppend(spark, indexDir)
+      vacuumLocked(spark, indexDir, graceVersions = 1)
+    }
 
   private def rollForwardAppend(spark: SparkSession,
       indexDir: String): Unit = {
     val st = stageDir(indexDir)
     if (!StagedSwap.exists(spark, st)) return
     if (StagedSwap.exists(spark, s"$st/_STAGE_DONE")) {
-      applyStagedAppend(spark, indexDir, readMeta(spark, indexDir))
+      applyStagedAppend(spark, indexDir)
     } else StagedSwap.deleteChecked(spark, st,
       "incomplete append stage (no _STAGE_DONE marker)")
   }

@@ -124,4 +124,77 @@ private[graft] object StagedSwap {
       } finally in.close()
     }
   }
+
+  /** Cross-process mutual exclusion around a writer's whole
+    * read→write→pointer-flip span — Catalog.withTableLock's protocol,
+    * factored here for the persisted indexes (two concurrent appends
+    * without it both compute generation N+1 and the second pointer
+    * flip silently drops the first's batch). Create-exclusive lock
+    * file; a lock older than `staleMs` (crashed holder) is broken by
+    * renaming it to a unique grave first — rename succeeds for exactly
+    * one breaker, so two processes can't both "delete stale, create
+    * fresh" and end up holding it together. NOT reentrant: public
+    * entry points lock, private internals stay lock-free.
+    */
+  def withFileLock[T](spark: SparkSession, lockPath: String,
+      staleMs: Long = 60000L, timeoutMs: Long = 120000L)(body: => T): T = {
+    val (fs, lock) = hfs(spark, lockPath)
+    fs.mkdirs(lock.getParent)
+    def tryAcquire(): Boolean = {
+      val content = s"""{"pid":${ProcessHandle.current().pid()},""" +
+        s""""epochMs":${System.currentTimeMillis()}}"""
+      if (fs.getScheme == "file") {
+        // local FS: FileSystem.create(_, false) is check-then-create
+        // (not atomic); File.createNewFile IS atomic on POSIX
+        val f = new java.io.File(fs.makeQualified(lock).toUri.getPath)
+        try {
+          if (!f.createNewFile()) false
+          else {
+            val out = new java.io.FileOutputStream(f)
+            try out.write(content.getBytes("UTF-8")) finally out.close()
+            true
+          }
+        } catch { case _: java.io.IOException => false }
+      } else {
+        try {
+          val out = fs.create(lock, false)
+          try out.write(content.getBytes("UTF-8")) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      }
+    }
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var acquired = tryAcquire()
+    while (!acquired) {
+      val heldSinceMs = try {
+        Some(System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime)
+      } catch { case _: java.io.FileNotFoundException => None }
+      if (heldSinceMs.exists(_ > staleMs)) {
+        val grave = new Path(lock.getParent,
+          s".${lock.getName}.stale.${java.util.UUID.randomUUID().toString.take(8)}")
+        // the rename RETURN decides who wins the break race; the grave
+        // delete is best-effort cleanup of a neutralized tombstone
+        try { if (fs.rename(lock, grave)) fs.delete(grave, false) }
+        catch { case _: java.io.IOException => () }
+      } else if (System.currentTimeMillis() > deadline) {
+        throw new IllegalStateException(
+          s"could not acquire writer lock $lockPath within ${timeoutMs}ms " +
+            s"— another writer holds it (held ${heldSinceMs.getOrElse(0L)}ms; " +
+            s"breaks as stale after ${staleMs}ms if its holder crashed)")
+      } else Thread.sleep(25 + scala.util.Random.nextInt(50))
+      acquired = tryAcquire()
+    }
+    try body
+    finally {
+      // must not throw (would mask the body's exception) but must not
+      // be silent: a false return stalls writers until the stale-break
+      try {
+        if (!fs.delete(lock, false) && fs.exists(lock))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"could not release writer lock $lockPath — writers stall " +
+              s"until the ${staleMs}ms stale-break")
+      } catch { case _: java.io.IOException => () }
+    }
+  }
 }

@@ -125,9 +125,19 @@ object VectorFunctions {
     * and the partial-probe agreement rate. Output matches ivfAssign's
     * single-assignment shape: (__aid, __avec, __cid).
     */
-  def ivfAssignTwoLevel(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, coarseProbe: Int = 2): DataFrame = {
-    val spark = df.sparkSession
+  /** Driver-side super-quantizer construction shared by the two-level
+    * assignment kernels: cluster the (control-sized) centroid set into
+    * ⌈√k⌉ supers with the same deterministic k-means, group children
+    * under their nearest super, and DROP childless supers
+    * (trainKMeansDeterministic keeps empty clusters): a probed super
+    * with no children contributes nothing, and at low probe counts it
+    * would waste a probe slot — worse, if ALL probed supers were
+    * childless the kernel could only fall back. Every centroid lands
+    * in exactly one group, so ≥1 super survives.
+    */
+  private def superGroups(centroids: DataFrame): (Array[Array[Float]],
+      Array[Array[Long]], Array[Array[Array[Float]]]) = {
+    val spark = centroids.sparkSession
     import spark.implicits._
     val cents = centroids.select(col("__cid").cast("long"), col("__cvec"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
@@ -147,15 +157,15 @@ object VectorFunctions {
       }
       grouped(best) += ((cid, v))
     }
-    // Drop childless supers (trainKMeansDeterministic keeps empty
-    // clusters): a probed super with no children contributes nothing,
-    // and at low probe counts it would waste a probe slot — worse, if
-    // ALL probed supers were childless the kernel could only fall back.
-    // Every centroid lands in exactly one group, so ≥1 super survives.
     val kept = grouped.map(_.result()).zipWithIndex.filter(_._1.nonEmpty)
-    val keptSupers = kept.map { case (_, si) => supers(si) }
-    val childCids = kept.map(_._1.map(_._1).toArray)
-    val childVecs = kept.map(_._1.map(_._2).toArray)
+    (kept.map { case (_, si) => supers(si) },
+      kept.map(_._1.map(_._1).toArray),
+      kept.map(_._1.map(_._2).toArray))
+  }
+
+  def ivfAssignTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, coarseProbe: Int = 2): DataFrame = {
+    val (keptSupers, childCids, childVecs) = superGroups(centroids)
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val assignCol = ColumnBridge.column(
       graft.functions.expressions.TwoLevelAssign(
@@ -178,30 +188,7 @@ object VectorFunctions {
   def ivfAssignTwoLevelTopK(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, coarseProbe: Int = 2,
       nAssign: Int = 2): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val cents = centroids.select(col("__cid").cast("long"), col("__cvec"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    require(cents.nonEmpty, "empty centroid set")
-    val nSuper = math.max(1, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
-    val supers = trainKMeansDeterministic(cents.map(_._2), nSuper, iters = 2)
-    val grouped = Array.fill(supers.length)(
-      Vector.newBuilder[(Long, Array[Float])])
-    cents.foreach { case (cid, v) =>
-      var best = 0
-      var bc = Double.NegativeInfinity
-      var si = 0
-      while (si < supers.length) {
-        val c = cosScalar(v, supers(si))
-        if (c > bc) { bc = c; best = si }
-        si += 1
-      }
-      grouped(best) += ((cid, v))
-    }
-    val kept = grouped.map(_.result()).zipWithIndex.filter(_._1.nonEmpty)
-    val keptSupers = kept.map { case (_, si) => supers(si) }
-    val childCids = kept.map(_._1.map(_._1).toArray)
-    val childVecs = kept.map(_._1.map(_._2).toArray)
+    val (keptSupers, childCids, childVecs) = superGroups(centroids)
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val assignCol = ColumnBridge.column(
       graft.functions.expressions.TwoLevelAssignTopK(
@@ -516,8 +503,12 @@ object VectorFunctions {
     */
   def cosineNearDupPairsAuto(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, targetBucket: Int = 150,
-      missProb: Double = 0.05, allowCapRegime: Boolean = false): DataFrame = {
-    val n = df.count()
+      missProb: Double = 0.05, allowCapRegime: Boolean = false,
+      knownN: Long = -1L): DataFrame = {
+    // knownN: callers that already paid the corpus count (the router,
+    // policy-column rows) pass it through instead of re-executing the
+    // whole upstream plan for a number they hold
+    val n = if (knownN >= 0L) knownN else df.count()
     val (tables, planes) = lshParamsFor(n, threshold, targetBucket, missProb)
     // Cap-regime guard (the fixed-param fence's policy twin): when the
     // recall target wants MORE tables than the cap, two things are true
@@ -596,12 +587,14 @@ object VectorFunctions {
     */
   def nearDupPairsRouted(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, targetBucket: Int = 150, missProb: Double = 0.05,
-      maxTables: Int = 64, cellTarget: Int = 256): DataFrame = {
-    val pol = nearDupRoutePolicy(df.count(), threshold, targetBucket,
+      maxTables: Int = 64, cellTarget: Int = 256,
+      knownN: Long = -1L): DataFrame = {
+    val n = if (knownN >= 0L) knownN else df.count()
+    val pol = nearDupRoutePolicy(n, threshold, targetBucket,
       missProb, maxTables, cellTarget)
     if (pol.route == "lsh")
       cosineNearDupPairsAuto(df, idCol, vecCol, threshold, targetBucket,
-          missProb)
+          missProb, knownN = n)
         .withColumn("route", lit("lsh"))
     else {
       val (out, assigned) =

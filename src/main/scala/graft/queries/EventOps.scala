@@ -1934,26 +1934,27 @@ object EventOps {
       val busParts = 2
       val root = java.nio.file.Files.createTempDirectory("bus_e37").toString
       graft.sources.bus.BusLog.create(root, busParts)
-      // two publish waves, repartitioned to the BUS partition count so
-      // each wave lands as exactly ONE segment per bus partition (a
-      // publish call = a segment = a drained micro-batch under
-      // maxSegmentsPerTrigger=1): wave 0 becomes micro-batch 0 (the
-      // build), wave 1 becomes batch 1 (the append). Without the
-      // repartition every Spark task publishes its own segment and the
-      // drain degrades to ~tasks micro-batches, each paying an index
-      // append — measured 171 s at the 10× probe vs ~2 batches' cost
+      // two publish waves through the DSv2 bus SINK (two-phase commit:
+      // executors stage, the driver renames into live segments — so a
+      // retried/speculative task can never publish a duplicate segment
+      // the way a raw executor-side BusLog.publish could), repartitioned
+      // to the BUS partition count so each wave lands as exactly ONE
+      // segment per bus partition (a staged file = a segment = a
+      // drained micro-batch under maxSegmentsPerTrigger=1): wave 0
+      // becomes micro-batch 0 (the build), wave 1 becomes batch 1 (the
+      // append). Without the repartition every Spark task stages its
+      // own segment and the drain degrades to ~tasks micro-batches,
+      // each paying an index append — measured 171 s at the 10× probe
+      // vs ~2 batches' cost.
       for (g <- Seq(0, 2)) {
         docs.filter($"doc_id" % 4 === g)
-          .select(concat_ws("\u0001", $"doc_id", $"text").as("v"))
-          .repartition(busParts)
-          .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-            val recs = rows.map(r => (0L, r.getString(0))).toSeq
-            if (recs.nonEmpty) {
-              val p = org.apache.spark.TaskContext.getPartitionId() % busParts
-              graft.sources.bus.BusLog.publish(root, p, recs)
-            }
-            ()
-          }
+          .select(pmod(hash($"doc_id"), lit(busParts)).as("partition"),
+            lit(0L).as("seq"), lit(0).as("idx"),
+            lit(new java.sql.Timestamp(0L)).as("ts"),
+            concat_ws("\u0001", $"doc_id", $"text").as("value"))
+          .repartition(busParts, $"partition")
+          .write.format("graftbus").option("path", root)
+          .mode("append").save()
       }
       val idx = s"$root/idx"
       var built = false

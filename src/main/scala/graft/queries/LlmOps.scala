@@ -2863,7 +2863,7 @@ object LlmOps {
       val pol = VF.nearDupRoutePolicy(emb.count(), theta,
         targetBucket = 10, missProb = 0.005)
       VF.nearDupPairsRouted(emb, "vec_id", "embedding", theta,
-          targetBucket = 10, missProb = 0.005)
+          targetBucket = 10, missProb = 0.005, knownN = pol.n)
         .select($"id_a", $"id_b", $"cos", $"route",
           lit(pol.wanted.toLong).as("n_tables_wanted"),
           lit(pol.kCells.toLong).as("k_cells"))

@@ -106,12 +106,82 @@ class SignatureIndexSpec extends SparkTestBase {
         d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
     assert(bucketFiles("bands").forall(_._2 == 1))
     assert(bucketFiles("sets").forall(_._2 == 1))
-    // compact's vacuum removed every superseded generation + manifest
-    val leftovers = new java.io.File(dir).listFiles().map(_.getName).filter(n =>
-      (n.startsWith("bands_g") || n.startsWith("sets_g")) &&
-        !n.endsWith(s"_g$v"))
+    // compact's trailing vacuum runs at the DEFAULT grace window: the
+    // immediately-previous manifest's generations stay servable (an
+    // in-flight reader is never invalidated by a compact), everything
+    // older is reclaimed
+    def gens() = new java.io.File(dir).listFiles().map(_.getName).filter(n =>
+      n.startsWith("bands_g") || n.startsWith("sets_g")).toSet
+    val prevVersionGens = gens().filterNot(_.endsWith(s"_g$v"))
+    assert(prevVersionGens.nonEmpty,
+      "grace window should keep the previous snapshot's generations")
+    assert(new java.io.File(s"$dir/_manifest_v${v - 1}.json").exists(),
+      "grace window should keep the previous manifest")
+    // full reclaim is the explicit maintenance-window call
+    SignatureIndex.vacuum(spark, dir, graceVersions = 0)
+    val leftovers = gens().filterNot(_.endsWith(s"_g$v"))
     assert(leftovers.isEmpty, s"unvacuumed generations: ${leftovers.toSeq}")
     assert(serve(dir) == before && before == recompute)
+    spark.catalog.clearCache()
+  }
+
+  test("a reader opened before a compact survives the compact's vacuum (grace window)") {
+    val dir = tmpDir("sigidxgrace") + "/idx"
+    SignatureIndex.build(base.filter($"doc_id" % 4 === 0), "doc_id", "text", dir)
+    SignatureIndex.append(base.filter($"doc_id" % 4 === 2), "doc_id", "text", dir)
+    val reader = SignatureIndex
+      .servePairs(spark, dir, incoming, "doc_id", "text", 0.8)
+    // compact + its trailing default-grace vacuum land while `reader`
+    // is un-consumed — its resolved pre-compact generation paths must
+    // still exist
+    SignatureIndex.compact(spark, dir)
+    assert(reader.as[(Long, Long, Double)].collect().toSet == recompute)
+    spark.catalog.clearCache()
+  }
+
+  test("recover re-materializes a lost _current pointer from the newest manifest") {
+    val dir = tmpDir("sigidxptr") + "/idx"
+    SignatureIndex.build(base.filter($"doc_id" % 4 === 0), "doc_id", "text", dir)
+    SignatureIndex.append(base.filter($"doc_id" % 4 === 2), "doc_id", "text", dir)
+    val v = currentVersion(dir)
+    // the torn-flip window of writeAtomic's non-atomic FS fallback:
+    // _current deleted, not yet recreated — every manifest intact
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_current"))
+    // reads fall back to the newest manifest even before repair
+    assert(serve(dir) == recompute)
+    SignatureIndex.recover(spark, dir)
+    assert(currentVersion(dir) == v)
+    assert(serve(dir) == recompute)
+    spark.catalog.clearCache()
+  }
+
+  test("bucketsFor: floor, monotonicity, and the documented 1e9 example") {
+    assert(SignatureIndex.bucketsFor(1000L) == SignatureIndex.DefaultBuckets)
+    assert(SignatureIndex.bucketsFor(1000000000L) == 477)
+    val ks = Seq(1000L, 1000000L, 100000000L, 1000000000L, 10000000000L)
+      .map(SignatureIndex.bucketsFor(_))
+    assert(ks == ks.sorted)
+  }
+
+  test("writer lock: a held _commit.lock blocks a second writer until the stale break") {
+    val dir = tmpDir("sigidxlock") + "/idx"
+    SignatureIndex.build(base.filter($"doc_id" % 4 === 0), "doc_id", "text", dir)
+    // simulate a concurrent writer holding the commit lock
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_commit.lock"), "{}")
+    val t0 = System.currentTimeMillis()
+    intercept[IllegalStateException] {
+      StagedSwap.withFileLock(spark, s"$dir/_commit.lock",
+        staleMs = 60000L, timeoutMs = 300L) { fail("must not acquire") }
+    }
+    assert(System.currentTimeMillis() - t0 >= 300L)
+    // a STALE lock (crashed holder) breaks and the writer proceeds
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(dir, "_commit.lock"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600000L))
+    SignatureIndex.append(base.filter($"doc_id" % 4 === 2), "doc_id", "text", dir)
+    assert(serve(dir) == recompute)
     spark.catalog.clearCache()
   }
 
