@@ -41,6 +41,7 @@ object TextIndex {
       indexDir: String, nBuckets: Int = DefaultBuckets): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    StagedSwap.withFileLock(spark, s"$indexDir/_commit.lock") {
     val tokens = docs.select(col(idCol).as("doc_id"),
       TextFunctions.terms(col(textCol)).as("ts"))
     val tf = tokens
@@ -59,6 +60,7 @@ object TextIndex {
       .withColumn("__tb", pmod(hash($"term"), lit(nBuckets)))
       .write.mode("overwrite").partitionBy("__tb")
       .parquet(s"$indexDir/postings")
+    }
   }
 
   /** Incremental append — the VectorIndex.append twin for the text
@@ -82,6 +84,7 @@ object TextIndex {
     // a no-op: sum(size) over 0 rows is NULL and the touched-bucket
     // rewrite would pointlessly rewrite nothing
     if (docs.isEmpty) return
+    StagedSwap.withFileLock(spark, s"$indexDir/_commit.lock") {
     // BEFORE any staging: refusing mid-append would itself leave a
     // torn-append state (staged stats with no postings-done marker)
     StagedSwap.pendingStageGuard(spark, s"$indexDir/postings_compact_next",
@@ -129,6 +132,7 @@ object TextIndex {
       .parquet(s"$indexDir/postings")
     touchMarker(spark, s"$nextDir/_POSTINGS_DONE")
     promoteStats(spark, indexDir)
+    }
   }
 
   /** Hadoop FileSystem for a path — NOT java.io.File: the index dir
@@ -170,7 +174,8 @@ object TextIndex {
     * or replays the batch. A staged compact (content-identical by
     * construction) always either rolls forward or is discarded.
     */
-  def recover(spark: SparkSession, indexDir: String): Unit = {
+  def recover(spark: SparkSession, indexDir: String): Unit =
+    StagedSwap.withFileLock(spark, s"$indexDir/_commit.lock") {
     rollForwardCompact(spark, indexDir)
     val nextDir = s"$indexDir/corpus_stats_next"
     if (!pathExists(spark, nextDir)) return
@@ -182,7 +187,7 @@ object TextIndex {
           "postings rewrite is not proven complete — rebuild the index " +
           "or replay the source batch after clearing corpus_stats_next")
     }
-  }
+    }
 
   /** Finish (marker present) or discard (no marker) a staged compact
     * left by a crash — the shared [[StagedSwap]] protocol with this
@@ -278,7 +283,8 @@ object TextIndex {
     * buckets compact in parallel across tasks. Run in maintenance
     * windows, like Catalog.compact.
     */
-  def compact(spark: SparkSession, indexDir: String): Unit = {
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    StagedSwap.withFileLock(spark, s"$indexDir/_commit.lock") {
     // staged, never in place: an in-place overwrite DELETES the live
     // postings before the job commits, so a mid-compact crash destroys
     // the only copy. Stage → marker → swap instead; every crash window
@@ -291,7 +297,7 @@ object TextIndex {
       .write.mode("overwrite").partitionBy("__tb").parquet(next)
     touchMarker(spark, s"$next/_COMPACT_DONE")
     rollForwardCompact(spark, indexDir)
-  }
+    }
 
   /** Postings for a set of query terms. The bucket IN-list prunes
     * partition directories at planning time; the term filter prunes

@@ -41,7 +41,9 @@ object VectorIndex {
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       indexDir: String, numCentroids: Int = 0, sampleSize: Int = 256,
       iters: Int = 2, metaCols: Seq[String] = Nil,
-      coarseProbe: Option[Int] = None, cellTarget: Int = 256): Unit = {
+      coarseProbe: Option[Int] = None, cellTarget: Int = 256): Unit =
+   StagedSwap.withFileLock(corpus.sparkSession,
+       s"$indexDir/_commit.lock") {
     val k =
       if (numCentroids > 0) numCentroids
       else {
@@ -68,7 +70,7 @@ object VectorIndex {
         .sortWithinPartitions(metaCols.map(col): _*)
     lists.write.mode("overwrite").partitionBy("__cid")
       .parquet(s"$indexDir/lists")
-  }
+   }
 
   /** Incremental maintenance: assign a batch of NEW vectors against the
     * frozen centroids and append them into the matching list
@@ -81,6 +83,7 @@ object VectorIndex {
   def append(corpus: DataFrame, idCol: String, vecCol: String,
       indexDir: String, coarseProbe: Option[Int] = None): Unit = {
     val spark = corpus.sparkSession
+    StagedSwap.withFileLock(spark, s"$indexDir/_commit.lock") {
     // in the compact crash window the live lists dir may be gone — an
     // unguarded append would silently recreate it holding ONLY this batch
     pendingCompactGuard(spark, indexDir)
@@ -91,6 +94,7 @@ object VectorIndex {
       .select(col("__cid"), col("__aid").as("neighbor_id"), col("__avec").as("__cv"))
       .write.mode("append").partitionBy("__cid")
       .parquet(s"$indexDir/lists")
+    }
   }
 
   /** Persisted IVF-PQ index — the memory/disk-bounded serving layout:
@@ -110,6 +114,8 @@ object VectorIndex {
       m: Int = 16, codes: Int = 16, sampleSize: Int = 256,
       iters: Int = 2): Unit = {
     require(dims % m == 0, s"dims $dims not divisible into $m subspaces")
+    StagedSwap.withFileLock(corpus.sparkSession,
+        s"$indexDir/_commit.lock") {
     val cents = VectorFunctions.ivfTrainCentroids(
       corpus, idCol, vecCol, numCentroids, sampleSize, iters)
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
@@ -123,6 +129,7 @@ object VectorIndex {
       .join(enc.withColumnRenamed("__eid", "neighbor_id"), "neighbor_id")
       .write.mode("overwrite").partitionBy("__cid")
       .parquet(s"$indexDir/lists")
+    }
   }
 
   /** Serve top-k from a [[buildPq]] index: probe nprobe lists
@@ -194,7 +201,8 @@ object VectorIndex {
     * Hash-repartitioning on the list id compacts lists in parallel,
     * one task per list.
     */
-  def compact(spark: SparkSession, indexDir: String): Unit = {
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    StagedSwap.withFileLock(spark, s"$indexDir/_commit.lock") {
     // staged, never in place (same protocol as TextIndex.compact): an
     // in-place overwrite deletes the live lists before the job commits,
     // so a mid-compact crash destroys the only copy. Stage → marker →
@@ -207,14 +215,16 @@ object VectorIndex {
       .write.mode("overwrite").partitionBy("__cid").parquet(next)
     StagedSwap.touchMarker(spark, s"$next/_COMPACT_DONE")
     rollForwardCompact(spark, indexDir)
-  }
+    }
 
   /** Repair a torn compact: finish a marked staged swap or discard an
     * unmarked one (the TextIndex.recover twin — a compact stage is
     * content-identical by construction, so both directions are safe).
     */
   def recover(spark: SparkSession, indexDir: String): Unit =
-    rollForwardCompact(spark, indexDir)
+    StagedSwap.withFileLock(spark, s"$indexDir/_commit.lock") {
+      rollForwardCompact(spark, indexDir)
+    }
 
   /** Finish (marker present) or discard (no marker) a staged compact
     * left by a crash — the shared [[StagedSwap]] protocol with this
