@@ -1931,7 +1931,12 @@ object EventOps {
     (s, dir) => {
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
-      val busParts = 2
+      // 8 partitions: the drain is still 2 micro-batches (one segment
+      // per partition per wave — a trigger takes one segment from
+      // EVERY partition), but staging parallelism is ~busParts tasks
+      // instead of the 1–2 a 2-partition bus leaves after hash
+      // collisions (measured 253 s vs 81 s at the 100× probe with 2)
+      val busParts = 8
       val root = java.nio.file.Files.createTempDirectory("bus_e37").toString
       graft.sources.bus.BusLog.create(root, busParts)
       // two publish waves through the DSv2 bus SINK (two-phase commit:
