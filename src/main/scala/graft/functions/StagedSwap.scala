@@ -135,14 +135,30 @@ private[graft] object StagedSwap {
     * one breaker, so two processes can't both "delete stale, create
     * fresh" and end up holding it together. NOT reentrant: public
     * entry points lock, private internals stay lock-free.
+    *
+    * `staleMs` defaults to Catalog's lockStaleMs (30 min): the bodies
+    * this guards are index build/append/compact Spark jobs measured at
+    * 81–255 s on the 100× probes, and a stale window BELOW the body's
+    * runtime breaks a LIVE holder and reintroduces the lost-append
+    * race the lock exists to prevent (r13 ADVICE #1). Keep `timeoutMs`
+    * well under `staleMs` so contention fails loudly instead of
+    * breaking a live lock; set `staleMs` above your slowest expected
+    * commit, as with Catalog.
+    *
+    * The lock content carries a unique ownership token, re-checked
+    * before the release delete: a holder whose lock WAS stale-broken
+    * (clock skew, an operator's too-small staleMs) must not delete the
+    * NEW holder's lock — that would let a third writer enter mid-commit
+    * (r13 ADVICE #2).
     */
   def withFileLock[T](spark: SparkSession, lockPath: String,
-      staleMs: Long = 60000L, timeoutMs: Long = 120000L)(body: => T): T = {
+      staleMs: Long = 1800000L, timeoutMs: Long = 120000L)(body: => T): T = {
     val (fs, lock) = hfs(spark, lockPath)
     fs.mkdirs(lock.getParent)
+    val token = java.util.UUID.randomUUID().toString
+    val content = s"""{"pid":${ProcessHandle.current().pid()},""" +
+      s""""epochMs":${System.currentTimeMillis()},"token":"$token"}"""
     def tryAcquire(): Boolean = {
-      val content = s"""{"pid":${ProcessHandle.current().pid()},""" +
-        s""""epochMs":${System.currentTimeMillis()}}"""
       if (fs.getScheme == "file") {
         // local FS: FileSystem.create(_, false) is check-then-create
         // (not atomic); File.createNewFile IS atomic on POSIX
@@ -177,20 +193,44 @@ private[graft] object StagedSwap {
         // delete is best-effort cleanup of a neutralized tombstone
         try { if (fs.rename(lock, grave)) fs.delete(grave, false) }
         catch { case _: java.io.IOException => () }
+        acquired = tryAcquire()
+      } else if (heldSinceMs.isEmpty) {
+        // the holder released between our failed tryAcquire and the
+        // status probe — one immediate retry before any deadline throw,
+        // or a release in that window reads as a spurious timeout
+        // (r13 ADVICE #3)
+        acquired = tryAcquire()
+        if (!acquired && System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"could not acquire writer lock $lockPath within ${timeoutMs}ms " +
+              "— lost the acquire race repeatedly under contention")
+        if (!acquired) Thread.sleep(25 + scala.util.Random.nextInt(50))
       } else if (System.currentTimeMillis() > deadline) {
         throw new IllegalStateException(
           s"could not acquire writer lock $lockPath within ${timeoutMs}ms " +
             s"— another writer holds it (held ${heldSinceMs.getOrElse(0L)}ms; " +
             s"breaks as stale after ${staleMs}ms if its holder crashed)")
-      } else Thread.sleep(25 + scala.util.Random.nextInt(50))
-      acquired = tryAcquire()
+      } else {
+        Thread.sleep(25 + scala.util.Random.nextInt(50))
+        acquired = tryAcquire()
+      }
     }
     try body
     finally {
       // must not throw (would mask the body's exception) but must not
-      // be silent: a false return stalls writers until the stale-break
+      // be silent: a false return stalls writers until the stale-break.
+      // Ownership check first — if the lock content no longer carries
+      // OUR token, a breaker re-acquired it and the delete would free
+      // the NEW holder's lock for a third writer.
       try {
-        if (!fs.delete(lock, false) && fs.exists(lock))
+        val stillOurs = readSmallFile(spark, lockPath)
+          .forall(_.contains(s""""token":"$token""""))
+        if (!stillOurs)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"writer lock $lockPath was stale-broken while held — " +
+              "leaving the current holder's lock in place (raise staleMs " +
+              "above the slowest expected commit)")
+        else if (!fs.delete(lock, false) && fs.exists(lock))
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"could not release writer lock $lockPath — writers stall " +
               s"until the ${staleMs}ms stale-break")
