@@ -258,6 +258,15 @@ object SignatureIndex {
     * the signing scan plus two bucket-count-bounded write shuffles —
     * corpus-linear, never corpus².
     *
+    * `nBuckets` defaults to AUTO (`nBuckets <= 0`): one corpus count —
+    * noise beside the signing scan — feeds [[bucketsFor]], so the
+    * 10⁹-doc base the bucketsFor scaladoc warns about gets its 477
+    * bounded-rewrite buckets BY DEFAULT instead of only when the
+    * caller remembers (r13 verdict item 5). Pass an explicit positive
+    * count to override; `targetBandRowsPerBucket` tunes the auto
+    * sizing's rewrite-unit goal (and lets specs pin the wiring without
+    * a 10⁹-row corpus).
+    *
     * A build CLEARS any prior index state at `indexDir` first —
     * including a stale `append_next` stage from a crashed append of a
     * previous life, which must never roll forward over an index built
@@ -265,12 +274,17 @@ object SignatureIndex {
     */
   def build(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, shingle: Int = 3, numHashes: Int = 16,
-      bands: Int = 2, nBuckets: Int = DefaultBuckets): Unit = {
+      bands: Int = 2, nBuckets: Int = 0,
+      targetBandRowsPerBucket: Long = 4L << 20): Unit = {
     val spark = docs.sparkSession
     require(numHashes % bands == 0, s"numHashes $numHashes not divisible by $bands")
+    val nb =
+      if (nBuckets > 0) nBuckets
+      else bucketsFor(docs.count(), bandsPerDoc = bands,
+        targetBandRowsPerBucket = targetBandRowsPerBucket)
     StagedSwap.withFileLock(spark, lockPath(indexDir)) {
       buildLocked(docs, idCol, textCol, indexDir, shingle, numHashes,
-        bands, nBuckets)
+        bands, nb)
     }
   }
 

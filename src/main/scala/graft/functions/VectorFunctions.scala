@@ -526,10 +526,12 @@ object VectorFunctions {
         s"cosineNearDupPairsAuto(threshold=$threshold) on $n rows wants " +
           s"$want LSH tables (cap $tables): recall >= ${1 - missProb} is " +
           "NOT met and candidate volume has outgrown the LSH near-dup " +
-          "envelope — broad similarity at this scale belongs to the IVF " +
-          "family (ivfTopK / VectorIndex / semanticDedup cells; s10 is " +
-          "the sized policy row), or pass allowCapRegime = true to " +
-          "measure the capped baseline deliberately")
+          "envelope — use nearDupPairsRouted (s13), which routes this " +
+          "regime to the IVF cell-bounded pair join (nearDupRoutePolicy " +
+          "names the branch and its recall regime; the wider IVF family " +
+          "is ivfTopK / VectorIndex / semanticDedup cells, s10 the sized " +
+          "policy row), or pass allowCapRegime = true to measure the " +
+          "capped baseline deliberately")
     // hot-bucket cap at 20× the expected population: the policy holds
     // E[bucket] ≈ targetBucket, so only degenerate directions (which
     // would make the pair join quadratic) exceed it. The params here
@@ -538,6 +540,16 @@ object VectorFunctions {
       maxBucket = 20 * targetBucket, allowFixedAtScale = true)
   }
 
+  /** Measured recall floor of the routed IVF branch (symmetric nprobe=2
+    * multi-assignment, s13 fixture: 0.857 measured, floor pinned in
+    * LshAutoSpec) — the honest price of crossing the route boundary,
+    * surfaced to callers through [[NearDupRoute.recallFloor]] so a
+    * pipeline can GATE on the regime it is getting instead of silently
+    * trading LSH's ≥1−missProb for cell-coverage recall (r13 verdict
+    * item 3a). Raise only with a measured A/B (ROADMAP round-14 table).
+    */
+  val IvfRoutedRecallFloor = 0.80
+
   /** The routing decision behind [[nearDupPairsRouted]], as plain data
     * so callers (and oracle rows) can pin it: `wanted` is the UNCAPPED
     * lshTablesWanted count, and `route` is "lsh" iff that count fits
@@ -545,18 +557,28 @@ object VectorFunctions {
     * cap-regime fence makes, sharing lshTablesWanted so the fence, the
     * router, and any declared policy columns can never drift apart.
     * `kCells` is the IVF-branch sizing (ivfParamsFor), populated on
-    * both routes for observability.
+    * both routes for observability. `recallFloor`/`recallRegime` name
+    * the recall CONTRACT of the branch taken: "table-policy" guarantees
+    * ≥ 1−missProb by LSH table sizing; "cell-coverage" is bounded by
+    * shared-probed-cell coverage and floors at the MEASURED
+    * [[IvfRoutedRecallFloor]] — a pipeline that needs the stronger
+    * guarantee can gate on this instead of discovering the swap in a
+    * recall audit.
     */
   case class NearDupRoute(n: Long, wanted: Int, cap: Int, route: String,
-      kCells: Int)
+      kCells: Int, recallFloor: Double, recallRegime: String)
 
   def nearDupRoutePolicy(n: Long, threshold: Double, targetBucket: Int = 150,
       missProb: Double = 0.05, maxTables: Int = 64,
       cellTarget: Int = 256): NearDupRoute = {
     val wanted = lshTablesWanted(n, threshold, targetBucket, missProb)
     val kc = math.max(1, math.min(n, ivfParamsFor(n, cellTarget).toLong)).toInt
-    NearDupRoute(n, wanted, maxTables,
-      if (wanted <= maxTables) "lsh" else "ivf", kc)
+    if (wanted <= maxTables)
+      NearDupRoute(n, wanted, maxTables, "lsh", kc,
+        1 - missProb, "table-policy")
+    else
+      NearDupRoute(n, wanted, maxTables, "ivf", kc,
+        IvfRoutedRecallFloor, "cell-coverage")
   }
 
   /** Routed near-dup pairs — the entry point that turns the cap-regime

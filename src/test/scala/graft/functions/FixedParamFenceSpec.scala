@@ -35,7 +35,7 @@ class FixedParamFenceSpec extends SparkTestBase {
     assert(e.getMessage.contains("ivfParamsFor"))
   }
 
-  test("auto LSH refuses in the table-cap regime and names the IVF family") {
+  test("auto LSH refuses in the table-cap regime and names the routed entry") {
     // targetBucket=1 pushes planes to log2(n) at fixture n, so the
     // recall target wants >64 tables — the same regime θ=0.45 reaches
     // at the 100× corpus (wants 542 tables; the capped run ground
@@ -46,7 +46,11 @@ class FixedParamFenceSpec extends SparkTestBase {
       VectorFunctions.cosineNearDupPairsAuto(emb, "vec_id", "embedding",
         0.45, targetBucket = 1)
     }
-    assert(e.getMessage.contains("IVF") &&
+    // the refusal must hand the caller the WORKING path (r13 verdict
+    // item 8): the router and its board row, not just the IVF family
+    assert(e.getMessage.contains("nearDupPairsRouted") &&
+      e.getMessage.contains("s13") &&
+      e.getMessage.contains("IVF") &&
       e.getMessage.contains("allowCapRegime"))
     // the deliberate opt-in still runs
     assert(VectorFunctions.cosineNearDupPairsAuto(emb, "vec_id", "embedding",

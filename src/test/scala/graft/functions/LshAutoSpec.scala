@@ -103,6 +103,10 @@ class LshAutoSpec extends SparkTestBase {
     // exactly cosineNearDupPairsAuto's pair set
     val pol = VectorFunctions.nearDupRoutePolicy(500L, 0.45)
     assert(pol.route == "lsh" && pol.wanted <= pol.cap, pol.toString)
+    // the route carries its recall CONTRACT (r13 verdict item 3a):
+    // LSH branch promises >= 1 - missProb by the table policy
+    assert(pol.recallRegime == "table-policy" && pol.recallFloor == 0.95,
+      pol.toString)
     val routed = VectorFunctions.nearDupPairsRouted(
       emb, "vec_id", "embedding", threshold = 0.45)
     assert(routed.select($"route").distinct()
@@ -125,6 +129,10 @@ class LshAutoSpec extends SparkTestBase {
     val pol = VectorFunctions.nearDupRoutePolicy(500L, 0.45,
       targetBucket = 10, missProb = 0.005)
     assert(pol.route == "ivf" && pol.wanted > pol.cap, pol.toString)
+    // crossing the boundary is surfaced, not silent: the policy names
+    // the weaker cell-coverage regime and its measured floor
+    assert(pol.recallRegime == "cell-coverage" &&
+      pol.recallFloor == VectorFunctions.IvfRoutedRecallFloor, pol.toString)
     intercept[IllegalArgumentException] {
       VectorFunctions.cosineNearDupPairsAuto(emb, "vec_id", "embedding",
         threshold = 0.45, targetBucket = 10, missProb = 0.005)
@@ -158,7 +166,8 @@ class LshAutoSpec extends SparkTestBase {
     assert(truth.nonEmpty)
     val recall = routed.map(p => (p._1, p._2)).toSet
       .intersect(truth).size.toDouble / truth.size
-    assert(recall >= 0.80, s"routed recall $recall over ${truth.size} true pairs")
+    assert(recall >= VectorFunctions.IvfRoutedRecallFloor,
+      s"routed recall $recall over ${truth.size} true pairs")
     spark.catalog.clearCache()
   }
 

@@ -155,6 +155,33 @@ class SignatureIndexSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("build default auto-sizes nBuckets from the corpus through bucketsFor") {
+    // r13 verdict item 5: DefaultBuckets=64 was the unconditional build
+    // default, so the 1e9-doc base the bucketsFor scaladoc warns about
+    // rewrote ~the whole base per append unless the caller remembered.
+    // The default is now bucketsFor(count): at fixture scale it floors
+    // to DefaultBuckets...
+    val small = base.filter($"doc_id" % 8 === 0)
+    val dir1 = tmpDir("sigidxauto1") + "/idx"
+    SignatureIndex.build(small, "doc_id", "text", dir1)
+    def metaBuckets(dir: String): Int =
+      spark.read.parquet(s"$dir/meta").head().getInt(3)
+    assert(metaBuckets(dir1) == SignatureIndex.DefaultBuckets)
+    // ...and with a tiny rewrite-unit target the SAME default exceeds
+    // the floor — proving build feeds the real corpus count through
+    // bucketsFor rather than a constant (a 1e9-row corpus in a spec is
+    // not a thing; the target knob exercises the identical code path)
+    val n = small.count()
+    val dir2 = tmpDir("sigidxauto2") + "/idx"
+    SignatureIndex.build(small, "doc_id", "text", dir2,
+      targetBandRowsPerBucket = 1L)
+    val want = SignatureIndex.bucketsFor(n, bandsPerDoc = 2,
+      targetBandRowsPerBucket = 1L)
+    assert(want > SignatureIndex.DefaultBuckets)
+    assert(metaBuckets(dir2) == want)
+    spark.catalog.clearCache()
+  }
+
   test("bucketsFor: floor, monotonicity, and the documented 1e9 example") {
     assert(SignatureIndex.bucketsFor(1000L) == SignatureIndex.DefaultBuckets)
     assert(SignatureIndex.bucketsFor(1000000000L) == 477)
