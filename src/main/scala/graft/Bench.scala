@@ -39,6 +39,48 @@ object Bench {
     }
   }
 
+  /** Heavy index-LIFECYCLE rows (persisted-index build/append/serve and
+    * the stateful-machinery rows): benched in a SECOND phase after the
+    * common set finishes (r13 verdict item 2). Interleaving them with
+    * the light rows let their multi-second builds contend with
+    * alphabetical neighbors' samples — r13's artifact over-reported
+    * untouched rows by up to ~40% (t71 13.5 s in-suite vs 9.79 s
+    * isolated, q-family ±14% with zero code change). Two phases keep
+    * the common set's samples free of lifecycle contention while the
+    * heavy rows still price their declared cost.
+    */
+  private[graft] val HeavyRows = Set(
+    "e35_mg_heavy_hitters", "e36_incremental_groups",
+    "e37_bus_signature_index", "t71_signature_index",
+    "t71b_signature_serve")
+
+  /** Round-over-round drift fence (r13 verdict item 2): medians that
+    * moved more than this factor vs the committed reference
+    * (`tools/bench_reference.json`, refreshed each round) are
+    * RE-MEASURED in isolation after the suite and flagged `isolated`
+    * in the output — so a contention-inflated reading can never ship
+    * as a regression without the isolated counter-evidence riding the
+    * same artifact.
+    */
+  private[graft] val DriftFactor = 1.25
+  private val MaxIsolatedRemeasures = 12
+
+  private def loadReference(sfDir: String): Map[String, Double] = {
+    val p = java.nio.file.Paths.get("tools/bench_reference.json")
+    if (!java.nio.file.Files.exists(p)) return Map.empty
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(p))
+      // the reference is only comparable at ITS scale factor
+      if (node.get("sf").asText() != sfDir) return Map.empty
+      val m = node.get("medians")
+      val it = m.fieldNames()
+      val b = Map.newBuilder[String, Double]
+      while (it.hasNext) { val k = it.next(); b += k -> m.get(k).asDouble() }
+      b.result()
+    } catch { case _: Throwable => Map.empty }
+  }
+
   /** The probe memory contract (round-10 lesson: the 100× sweep under
     * the default 8 GB heap OOM'd at the heavy dedup tail and the dead
     * SparkContext took 10 subsequent queries with it — an environment
@@ -127,28 +169,65 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val times = scala.collection.mutable.Map
       .empty[String, Vector[Double]].withDefaultValue(Vector.empty)
-    for (pass <- 1 to runs) {
-      names.foreach { name =>
-        val t0 = System.nanoTime()
-        val ok = try { materialize(name, sfDir); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        // unpersist AFTER the clock stops: cache teardown is harness
-        // hygiene between runs, not part of the query's cost
-        spark.catalog.clearCache()
-        times(name) = times(name) :+ dt
-        // per-run times to stderr so a weird median is explainable
-        // from the round's log instead of needing a re-run
-        System.err.println(f"[bench] pass $pass $name: $dt%.3f")
+    def timeOnce(name: String, pass: String): Double = {
+      val t0 = System.nanoTime()
+      val ok = try { materialize(name, sfDir); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        false
       }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // unpersist AFTER the clock stops: cache teardown is harness
+      // hygiene between runs, not part of the query's cost
+      spark.catalog.clearCache()
+      // per-run times to stderr so a weird median is explainable
+      // from the round's log instead of needing a re-run
+      System.err.println(f"[bench] pass $pass $name: $dt%.3f")
+      dt
     }
-    val results = names.map { name =>
-      val ts = times(name)
-      // any failed pass fails the query; otherwise the median pass
-      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(runs / 2))
+    // PHASE 1: the common set, interleaved. PHASE 2: the heavy
+    // index-lifecycle rows, after the common samples are all taken —
+    // their multi-second builds no longer contend with light rows
+    // (r13 verdict item 2).
+    val (heavy, common) = names.partition(HeavyRows.contains)
+    for (pass <- 1 to runs; name <- common)
+      times(name) = times(name) :+ timeOnce(name, pass.toString)
+    for (pass <- 1 to runs; name <- heavy)
+      times(name) = times(name) :+ timeOnce(name, s"heavy-$pass")
+    def median(ts: Vector[Double]): Double =
+      if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2)
+    // Drift fence: any median > DriftFactor × the committed reference
+    // is re-measured ALONE (suite idle) and the isolated median ships
+    // instead, flagged — contention inflation self-corrects in the
+    // artifact rather than reading as a regression (r13: t71 13.5 s
+    // in-suite vs 9.79 s isolated, untouched q-rows ±14%).
+    val reference = loadReference(sfDir)
+    val drifted = names.filter { n =>
+      val m = median(times(n))
+      m >= 0 && reference.get(n).exists(r => r > 0 && m / r > DriftFactor)
+    }
+    val isolated = drifted.take(MaxIsolatedRemeasures)
+    if (drifted.size > isolated.size)
+      System.err.println(s"[bench] drift re-measure capped at " +
+        s"$MaxIsolatedRemeasures of ${drifted.size} drifted rows — " +
+        s"dropped: ${drifted.drop(MaxIsolatedRemeasures).mkString(",")}")
+    isolated.foreach { n =>
+      val before = median(times(n))
+      times(n) = (1 to runs).map(p => timeOnce(n, s"isolated-$p")).toVector
+      System.err.println(f"[bench] $n drifted ${before / reference(n)}%.2fx " +
+        f"vs reference ${reference(n)}%.3f — isolated median " +
+        f"${median(times(n))}%.3f replaces in-suite $before%.3f")
+    }
+    val results = names.map(name => name -> median(times(name)))
+    // SPARK_GRAFT_WRITE_REF=1 refreshes tools/bench_reference.json from
+    // THIS run's medians (done once per round, committed, so the next
+    // driver run has a same-box, same-code baseline to fence against)
+    if (sys.env.contains("SPARK_GRAFT_WRITE_REF")) {
+      val meds = results.filter(_._2 >= 0)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("tools/bench_reference.json"),
+        s"""{"sf":"$sfDir","medians":$meds}""" + "\n")
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -174,7 +253,8 @@ object Bench {
       if (ts.size < 2 || ts.min <= 0) None else Some(ts.max / ts.min)
     }
     val noisy = spreads.count(_ > 3.0) > math.max(1, names.size / 10)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min_queries":$minJson,"noisy":$noisy,"failed":$failed,"sf":"$sfDir"}""")
+    val isolatedJson = isolated.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min_queries":$minJson,"noisy":$noisy,"isolated":$isolatedJson,"failed":$failed,"sf":"$sfDir"}""")
     // FINAL compact line (r12 verdict item 3): the driver's BENCH_rN
     // artifact keeps only the last ~2,000 output chars, which the full
     // per-query map exceeds — so its `parsed` field was null every
@@ -193,7 +273,7 @@ object Bench {
       .mkString("{", ",", "}")
     val top10 = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + j(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","sf":"$sfDir","n_queries":${names.size},"families":$fams,"top10":$top10,"noisy":$noisy,"failed":$failed}""")
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","sf":"$sfDir","n_queries":${names.size},"families":$fams,"top10":$top10,"noisy":$noisy,"isolated":$isolatedJson,"failed":$failed}""")
     spark.stop()
   }
 }

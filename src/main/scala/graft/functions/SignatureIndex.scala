@@ -105,11 +105,8 @@ object SignatureIndex {
   private case class Params(shingle: Int, numHashes: Int, bands: Int,
       nBuckets: Int)
 
-  /** bucket → generation dir name (relative to indexDir), per table,
-    * plus the append id whose apply committed this manifest.
-    */
-  private case class Manifest(version: Int, appendId: String,
-      bands: Map[Int, String], sets: Map[Int, String])
+  private val What = "signature index"
+  private val GenPrefixes = Seq("bands_g", "sets_g")
 
   // ------------------------------------------------------- meta
 
@@ -127,106 +124,16 @@ object SignatureIndex {
   }
 
   // --------------------------------------------------- manifest
-
-  private def mapJson(m: Map[Int, String]): String =
-    m.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
-
-  private def writeManifest(spark: SparkSession, indexDir: String,
-      m: Manifest): Unit =
-    StagedSwap.writeAtomic(spark, s"$indexDir/_manifest_v${m.version}.json",
-      s"""{"version":${m.version},"append_id":"${m.appendId}",""" +
-        s""""bands":${mapJson(m.bands)},"sets":${mapJson(m.sets)}}""")
-
-  private def flipCurrent(spark: SparkSession, indexDir: String,
-      version: Int): Unit =
-    StagedSwap.writeAtomic(spark, s"$indexDir/_current", version.toString)
-
-  /** Versions of every `_manifest_v*.json` present at indexDir. */
-  private def manifestVersions(spark: SparkSession,
-      indexDir: String): Seq[Int] = {
-    val (fs, root) = hfs(spark, indexDir)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("_manifest_v") && n.endsWith(".json"))
-      .map(_.stripPrefix("_manifest_v").stripSuffix(".json").toInt)
-  }
+  // Generation/manifest/pointer machinery lives in [[GenIndex]] — the
+  // factored form of THIS index's r12 design, now shared with
+  // TextIndex and VectorIndex (r13 verdict item 1). Bands and sets are
+  // rewrite-style tables: every bucket maps to exactly ONE generation
+  // dir (an append rewrites its touched buckets into the new
+  // generation), so the Seq-valued refs stay singletons here.
 
   private def readManifest(spark: SparkSession,
-      indexDir: String): Manifest = {
-    // Missing-pointer fallback: StagedSwap.writeAtomic's non-atomic
-    // delete+rename path (filesystems without an AbstractFileSystem
-    // binding) can crash between deleting _current and recreating it,
-    // with every manifest intact — fall back READ-ONLY to the newest
-    // manifest (manifests are written before the flip, so newest IS
-    // the committed state); recover() re-materializes the pointer.
-    val v = StagedSwap.readSmallFile(spark, s"$indexDir/_current")
-      .map(_.trim.toInt)
-      .orElse(manifestVersions(spark, indexDir).maxOption)
-      .getOrElse(throw new IllegalStateException(
-        s"signature index at $indexDir has no _current pointer and no " +
-          "manifest — not built, or a build crashed before its first " +
-          "commit"))
-    readManifestVersion(spark, indexDir, v)
-  }
-
-  private def readManifestVersion(spark: SparkSession, indexDir: String,
-      v: Int): Manifest = {
-    val txt = StagedSwap
-      .readSmallFile(spark, s"$indexDir/_manifest_v$v.json")
-      .getOrElse(throw new IllegalStateException(
-        s"signature index at $indexDir: _current names manifest v$v " +
-          "but the manifest file is missing"))
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
-    def refs(field: String): Map[Int, String] = {
-      val n = node.get(field)
-      val it = n.fieldNames()
-      val b = Map.newBuilder[Int, String]
-      while (it.hasNext) {
-        val k = it.next(); b += k.toInt -> n.get(k).asText()
-      }
-      b.result()
-    }
-    Manifest(v, node.get("append_id").asText(), refs("bands"), refs("sets"))
-  }
-
-  /** Which bucket subdirs a just-written generation dir actually holds
-    * (empty buckets write no dir).
-    */
-  private def bucketsIn(spark: SparkSession, genDir: String,
-      part: String): Seq[Int] = {
-    val (fs, hp) = hfs(spark, genDir)
-    if (!fs.exists(hp)) Seq.empty
-    else fs.listStatus(hp).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$part="))
-      .map(_.getPath.getName.stripPrefix(s"$part=").toInt)
-  }
-
-  /** Read the given buckets through the manifest's immutable paths.
-    * `withBucketCol` re-attaches the bucket id as a partition column
-    * (basePath read, needed when the frame will be re-written
-    * partitionBy) — the serve path skips it, so untouched buckets are
-    * never even listed.
-    */
-  private def readBuckets(spark: SparkSession, indexDir: String,
-      refs: Map[Int, String], part: String, buckets: Seq[Int],
-      withBucketCol: Boolean, schemaDDL: String): DataFrame = {
-    val present = buckets.distinct.flatMap(k => refs.get(k).map(k -> _))
-    if (present.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          if (withBucketCol) s"$schemaDDL, $part int" else schemaDDL))
-    if (!withBucketCol) {
-      val paths = present.map { case (k, g) => s"$indexDir/$g/$part=$k" }
-      spark.read.parquet(paths: _*)
-    } else {
-      present.groupBy(_._2).map { case (g, ks) =>
-        spark.read.option("basePath", s"$indexDir/$g")
-          .parquet(ks.map { case (k, _) => s"$indexDir/$g/$part=$k" }: _*)
-      }.reduce(_ unionByName _)
-    }
-  }
+      indexDir: String): GenIndex.Manifest =
+    GenIndex.readManifest(spark, indexDir, What)
 
   // ------------------------------------------------------ signing
 
@@ -296,12 +203,8 @@ object SignatureIndex {
     // from a crashed append of a previous life, which must never roll
     // forward over an index built under new parameters (r12 ADVICE
     // item 1) — but NOT the lock file this writer is holding
-    val (fs, root) = hfs(spark, indexDir)
-    if (fs.exists(root)) fs.listStatus(root).foreach { s =>
-      if (s.getPath.getName != LockName)
-        StagedSwap.deleteChecked(spark, s.getPath.toString,
-          "prior signature index state (stale stages must not survive a rebuild)")
-    }
+    GenIndex.clearIndexState(spark, indexDir, LockName,
+      "prior signature index state (stale stages must not survive a rebuild)")
     val p = Params(shingle, numHashes, bands, nBuckets)
     writeMeta(spark, indexDir, p)
     bandRows(docs, idCol, textCol, p)
@@ -310,13 +213,13 @@ object SignatureIndex {
     setRows(docs, idCol, textCol, p)
       .write.mode("overwrite").partitionBy("__db")
       .parquet(s"$indexDir/sets_g0")
-    val m = Manifest(0, "build",
-      bucketsIn(spark, s"$indexDir/bands_g0", "__kb")
-        .map(_ -> "bands_g0").toMap,
-      bucketsIn(spark, s"$indexDir/sets_g0", "__db")
-        .map(_ -> "sets_g0").toMap)
-    writeManifest(spark, indexDir, m)
-    flipCurrent(spark, indexDir, 0)
+    val m = GenIndex.Manifest(0, "build", Map(
+      "bands" -> GenIndex.bucketsIn(spark, s"$indexDir/bands_g0", "__kb")
+        .map(_ -> Seq("bands_g0")).toMap,
+      "sets" -> GenIndex.bucketsIn(spark, s"$indexDir/sets_g0", "__db")
+        .map(_ -> Seq("sets_g0")).toMap), Map.empty)
+    GenIndex.writeManifest(spark, indexDir, m)
+    GenIndex.flipCurrent(spark, indexDir, 0)
   }
 
   /** Incremental append: sign ONLY the new batch, stage it, then write
@@ -368,7 +271,7 @@ object SignatureIndex {
       .getOrElse(throw new IllegalStateException(
         s"marked append stage at $st has no _APPEND_ID token"))
     val cur = readManifest(spark, indexDir)
-    if (cur.appendId == appendId) { // already applied, crash was post-flip
+    if (cur.commitId == appendId) { // already applied, crash was post-flip
       StagedSwap.deleteChecked(spark, st, "already-applied append stage")
       return
     }
@@ -379,25 +282,27 @@ object SignatureIndex {
     // touched buckets: bounded ≤ nBuckets control reads
     val kbs = stagedBands.select(col("__kb")).distinct().as[Int].collect().toSeq
     val dbs = stagedSets.select(col("__db")).distinct().as[Int].collect().toSeq
-    readBuckets(spark, indexDir, cur.bands, "__kb", kbs,
+    GenIndex.readBuckets(spark, indexDir, cur.refs("bands"), "__kb", kbs,
         withBucketCol = true, "doc_id bigint, band int, key string")
       .join(batchIds, Seq("doc_id"), "left_anti")
       .unionByName(stagedBands)
       .write.mode("overwrite").partitionBy("__kb")
       .parquet(s"$indexDir/bands_g$gen")
-    readBuckets(spark, indexDir, cur.sets, "__db", dbs,
+    GenIndex.readBuckets(spark, indexDir, cur.refs("sets"), "__db", dbs,
         withBucketCol = true, "doc_id bigint, hhd array<bigint>")
       .join(batchIds, Seq("doc_id"), "left_anti")
       .unionByName(stagedSets)
       .write.mode("overwrite").partitionBy("__db")
       .parquet(s"$indexDir/sets_g$gen")
-    val m = Manifest(gen, appendId,
-      cur.bands ++ bucketsIn(spark, s"$indexDir/bands_g$gen", "__kb")
-        .map(_ -> s"bands_g$gen"),
-      cur.sets ++ bucketsIn(spark, s"$indexDir/sets_g$gen", "__db")
-        .map(_ -> s"sets_g$gen"))
-    writeManifest(spark, indexDir, m)
-    flipCurrent(spark, indexDir, gen)
+    val m = GenIndex.Manifest(gen, appendId, Map(
+      "bands" -> (cur.refs("bands") ++
+        GenIndex.bucketsIn(spark, s"$indexDir/bands_g$gen", "__kb")
+          .map(_ -> Seq(s"bands_g$gen"))),
+      "sets" -> (cur.refs("sets") ++
+        GenIndex.bucketsIn(spark, s"$indexDir/sets_g$gen", "__db")
+          .map(_ -> Seq(s"sets_g$gen")))), Map.empty)
+    GenIndex.writeManifest(spark, indexDir, m)
+    GenIndex.flipCurrent(spark, indexDir, gen)
     StagedSwap.deleteChecked(spark, st, "applied append stage")
   }
 
@@ -434,7 +339,8 @@ object SignatureIndex {
       .persist()
     // touched key buckets: bounded ≤ nBuckets control read
     val kbs = inBands.select(col("__kb")).distinct().as[Int].collect().toSeq
-    val baseBands = readBuckets(spark, indexDir, m.bands, "__kb", kbs,
+    val baseBands = GenIndex.readBuckets(spark, indexDir, m.refs("bands"),
+        "__kb", kbs,
         withBucketCol = false, "doc_id bigint, band int, key string")
       .select(col("doc_id").as("id_base"), col("band"), col("key"))
     val cand = baseBands
@@ -448,7 +354,8 @@ object SignatureIndex {
     val dbs = cand
       .select(pmod(hash(col("id_base")), lit(p.nBuckets)).as("__db"))
       .distinct().as[Int].collect().toSeq
-    val baseSets = readBuckets(spark, indexDir, m.sets, "__db", dbs,
+    val baseSets = GenIndex.readBuckets(spark, indexDir, m.refs("sets"),
+        "__db", dbs,
         withBucketCol = false, "doc_id bigint, hhd array<bigint>")
       .select(col("doc_id").as("id_base"), col("hhd").as("__hb"))
     val inSets = Dedup.hashedShingleFrame(incoming, idCol, textCol, p.shingle)
@@ -483,24 +390,25 @@ object SignatureIndex {
     rollForwardAppend(spark, indexDir)
     val cur = readManifest(spark, indexDir)
     val gen = cur.version + 1
-    readBuckets(spark, indexDir, cur.bands, "__kb",
-        cur.bands.keys.toSeq, withBucketCol = true,
+    GenIndex.readBuckets(spark, indexDir, cur.refs("bands"), "__kb",
+        cur.refs("bands").keys.toSeq, withBucketCol = true,
         "doc_id bigint, band int, key string")
       .repartition(col("__kb"))
       .write.mode("overwrite").partitionBy("__kb")
       .parquet(s"$indexDir/bands_g$gen")
-    readBuckets(spark, indexDir, cur.sets, "__db",
-        cur.sets.keys.toSeq, withBucketCol = true,
+    GenIndex.readBuckets(spark, indexDir, cur.refs("sets"), "__db",
+        cur.refs("sets").keys.toSeq, withBucketCol = true,
         "doc_id bigint, hhd array<bigint>")
       .repartition(col("__db"))
       .write.mode("overwrite").partitionBy("__db")
       .parquet(s"$indexDir/sets_g$gen")
-    writeManifest(spark, indexDir, Manifest(gen, s"compact_g$gen",
-      bucketsIn(spark, s"$indexDir/bands_g$gen", "__kb")
-        .map(_ -> s"bands_g$gen").toMap,
-      bucketsIn(spark, s"$indexDir/sets_g$gen", "__db")
-        .map(_ -> s"sets_g$gen").toMap))
-    flipCurrent(spark, indexDir, gen)
+    GenIndex.writeManifest(spark, indexDir,
+      GenIndex.Manifest(gen, s"compact_g$gen", Map(
+        "bands" -> GenIndex.bucketsIn(spark, s"$indexDir/bands_g$gen", "__kb")
+          .map(_ -> Seq(s"bands_g$gen")).toMap,
+        "sets" -> GenIndex.bucketsIn(spark, s"$indexDir/sets_g$gen", "__db")
+          .map(_ -> Seq(s"sets_g$gen")).toMap), Map.empty))
+    GenIndex.flipCurrent(spark, indexDir, gen)
     vacuumLocked(spark, indexDir, graceVersions = 1)
   }
 
@@ -520,26 +428,8 @@ object SignatureIndex {
     }
 
   private def vacuumLocked(spark: SparkSession, indexDir: String,
-      graceVersions: Int): Unit = {
-    val cur = readManifest(spark, indexDir)
-    val floor = cur.version - math.max(0, graceVersions)
-    // every generation any in-grace manifest references stays servable
-    val live = manifestVersions(spark, indexDir)
-      .filter(v => v >= floor && v <= cur.version)
-      .map(v => readManifestVersion(spark, indexDir, v))
-      .flatMap(m => m.bands.values ++ m.sets.values)
-      .toSet
-    val (fs, root) = hfs(spark, indexDir)
-    fs.listStatus(root).foreach { s =>
-      val name = s.getPath.getName
-      val isGen = name.startsWith("bands_g") || name.startsWith("sets_g")
-      val isOldManifest = name.startsWith("_manifest_v") &&
-        name.stripPrefix("_manifest_v").stripSuffix(".json").toInt < floor
-      if ((isGen && !live.contains(name)) || isOldManifest)
-        StagedSwap.deleteChecked(spark, s.getPath.toString,
-          "out-of-grace signature index generation")
-    }
-  }
+      graceVersions: Int): Unit =
+    GenIndex.vacuum(spark, indexDir, GenPrefixes, graceVersions, What)
 
   /** Repair any torn maintenance: re-materialize a lost `_current`
     * pointer (the torn-flip window of StagedSwap.writeAtomic's
@@ -550,9 +440,7 @@ object SignatureIndex {
     */
   def recover(spark: SparkSession, indexDir: String): Unit =
     StagedSwap.withFileLock(spark, lockPath(indexDir)) {
-      if (StagedSwap.readSmallFile(spark, s"$indexDir/_current").isEmpty)
-        manifestVersions(spark, indexDir).maxOption
-          .foreach(flipCurrent(spark, indexDir, _))
+      GenIndex.restoreCurrentIfMissing(spark, indexDir)
       rollForwardAppend(spark, indexDir)
       vacuumLocked(spark, indexDir, graceVersions = 1)
     }
@@ -567,9 +455,4 @@ object SignatureIndex {
       "incomplete append stage (no _STAGE_DONE marker)")
   }
 
-  private def hfs(spark: SparkSession, p: String
-      ): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
-    val hp = new org.apache.hadoop.fs.Path(p)
-    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
-  }
 }

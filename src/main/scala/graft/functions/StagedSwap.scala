@@ -3,18 +3,19 @@ package graft.functions
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
-/** Shared staged-swap machinery for persisted on-disk indexes
-  * (TextIndex postings, VectorIndex inverted lists — any layout that
-  * compacts by "write a complete staged copy → marker → delete live →
-  * rename stage over live"). One copy of the subtle crash-recovery
-  * protocol instead of two drifting ones (r11 ADVICE).
+/** Shared filesystem commit primitives for the persisted on-disk
+  * indexes and their [[GenIndex]] generation layout: checked deletes,
+  * marker files, the atomic small-file pointer flip, and the
+  * cross-process writer lock. One copy of the subtle crash-recovery
+  * plumbing instead of three drifting ones (r11 ADVICE; the staged
+  * in-place swap protocol that used to live here was retired when
+  * every index moved to immutable generations — r13 verdict item 1).
   *
   * Hadoop `FileSystem.delete`/`rename` report most failures by
-  * RETURNING FALSE rather than throwing; the swap checks every return
-  * and fails loudly naming the staged dir — a silent false on the
-  * rename after the live dir was deleted would otherwise leave the
-  * index with no live dir and no error until an unrelated
-  * path-not-found at read time.
+  * RETURNING FALSE rather than throwing; every helper here checks the
+  * return and fails loudly naming the path — a silent false would
+  * otherwise surface only as an unrelated path-not-found (or silently
+  * resurrected state) much later.
   */
 private[graft] object StagedSwap {
 
@@ -32,45 +33,6 @@ private[graft] object StagedSwap {
     val (fs, hp) = hfs(spark, p)
     fs.create(hp, true).close()
   }
-
-  /** Finish (marker present inside `stageDir`) or discard (no marker)
-    * a staged swap left by a crash. Safe in every window: before the
-    * marker the live dir is untouched and the stage is garbage; after
-    * the marker the stage is a complete copy, so deleting the live dir
-    * and renaming forward loses nothing even if THIS pass crashes too
-    * (the swap is re-runnable — the marker rides inside the staged dir
-    * and Spark readers ignore underscore files).
-    */
-  def rollForward(spark: SparkSession, liveDir: String, stageDir: String,
-      marker: String): Unit = {
-    val (fs, stageP) = hfs(spark, stageDir)
-    if (!fs.exists(stageP)) return
-    if (fs.exists(new Path(s"$stageDir/$marker"))) {
-      val liveP = new Path(liveDir)
-      if (fs.exists(liveP) && !fs.delete(liveP, true))
-        throw new IllegalStateException(
-          s"staged swap: could not delete live dir $liveDir " +
-            s"(staged copy at $stageDir is intact — retry the swap)")
-      if (!fs.rename(stageP, liveP))
-        throw new IllegalStateException(
-          s"staged swap: rename $stageDir -> $liveDir failed; the live " +
-            "dir was already removed and the staged dir holds the only " +
-            "complete copy — retry the swap, do NOT delete the stage")
-    } else if (!fs.delete(stageP, true))
-      throw new IllegalStateException(
-        s"staged swap: could not discard incomplete stage $stageDir")
-  }
-
-  /** Read-path guard: while a staged swap is pending the live dir may
-    * already be deleted (the post-delete pre-rename crash window), so a
-    * direct read would fail with a bare path-not-found. Refuse with an
-    * actionable error instead.
-    */
-  def pendingStageGuard(spark: SparkSession, stageDir: String,
-      hint: String): Unit =
-    if (exists(spark, stageDir))
-      throw new IllegalStateException(
-        s"pending staged swap at $stageDir — $hint")
 
   /** Recursive delete that FAILS LOUDLY on the boolean-false path —
     * the shared checked form for every site that clears live index /

@@ -6,29 +6,59 @@ import org.apache.spark.sql.functions._
 
 /** Persistent inverted text index: the sparse-retrieval counterpart of
   * VectorIndex. `build` tokenizes the corpus once and writes postings
-  * (term, doc_id, tf, dl, df) PARTITIONED BY a term hash bucket — one
-  * directory per bucket — plus a one-row corpus-stats table (N docs,
+  * (term, doc_id, tf, dl, df, positions) PARTITIONED BY a term hash
+  * bucket — one directory per bucket — plus corpus stats (N docs,
   * total tokens). `postingsFor` then reads ONLY the buckets the query
-  * terms hash to: the `__tb IN (...)` filter is a partition filter, so
-  * serving cost is proportional to the queried terms' postings, not
-  * the corpus — a 100 TB corpus serves a 4-term query from 4 of
-  * `nBuckets` directories and the rest is never opened.
+  * terms hash to, so serving cost is proportional to the queried
+  * terms' postings, not the corpus — a 100 TB corpus serves a 4-term
+  * query from 4 of `nBuckets` directories and the rest is never
+  * opened (spec-asserted on the scan's input files).
+  *
+  * Storage is the shared [[GenIndex]] generation layout (r13 verdict
+  * item 1 — the SignatureIndex treatment): postings buckets live in
+  * IMMUTABLE `postings_g{G}/__tb={k}/` dirs mapped by
+  * `_manifest_v{N}.json`, committed by an atomic `_current` flip.
+  * The old layout dynamic-overwrote live buckets in place, so a
+  * CONCURRENT reader mid-append could see rewritten buckets with
+  * mixed df values; now a reader that resolved its paths keeps
+  * serving its snapshot bit-exactly while appends land, and a crash
+  * anywhere before the flip leaves the committed snapshot untouched
+  * (orphan generations are [[vacuum]]ed). Corpus stats ride the
+  * manifest's extras, committed ATOMICALLY with the postings refs —
+  * which dissolves the old torn-append window between the postings
+  * rewrite and the separate stats table (and its staged-stats repair
+  * protocol) entirely.
   *
   * df is denormalized onto every posting row (it repeats per posting
   * but dictionary-encodes to nothing in parquet) so scoring needs NO
-  * join at serve time; corpus-wide constants come from the 1-row stats
-  * table. The BM25 a consumer computes from this index is pinned equal
-  * to the full-scan t57 query by sharing its oracle.
+  * join at serve time; corpus-wide constants come from the manifest.
+  * The BM25 a consumer computes from this index is pinned equal to
+  * the full-scan t57 query by sharing its oracle.
+  *
+  * Writers (build/append/compact/recover/vacuum) serialize through
+  * `_commit.lock` (StagedSwap.withFileLock) around their whole
+  * read→write→flip span; reads stay lock-free.
   */
 object TextIndex {
 
   val DefaultBuckets = 64
 
+  private val What = "text index"
+  private val LockName = "_commit.lock"
+  private def lockPath(indexDir: String) = s"$indexDir/$LockName"
+  private val GenPrefixes = Seq("postings_g")
+  private val PostingsDDL =
+    "term string, doc_id bigint, dl bigint, tf bigint, df bigint, pss array<int>"
+
+  private def readManifest(spark: SparkSession,
+      indexDir: String): GenIndex.Manifest =
+    GenIndex.readManifest(spark, indexDir, What)
+
   /** One corpus pass: tokenize → (doc, term) tf with per-doc length
     * carried through the explode → per-term df joined back (one
-    * vocab-cardinality shuffle), bucketed and written. Build cost is
-    * two shuffles at (doc,term) / term cardinality — the offline cost
-    * every retrieval system pays once per corpus snapshot.
+    * vocab-cardinality shuffle), bucketed and written as generation 0.
+    * Build cost is two shuffles at (doc,term) / term cardinality — the
+    * offline cost every retrieval system pays once per corpus snapshot.
     *
     * Postings are POSITIONAL (`pss` = sorted 0-based token positions
     * per posting): positions ride the same explode the tf aggregation
@@ -36,176 +66,230 @@ object TextIndex {
     * they are what turns the index from BM25-only into a phrase-
     * capable one ([[phraseMatches]]) — the standard positional-index
     * trade every production text index makes.
+    *
+    * `nBuckets` is recorded in the manifest and every later call reads
+    * the RECORDED value — a caller passing a different count to a
+    * serve/append entry point can no longer silently probe the wrong
+    * buckets.
     */
   def build(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, nBuckets: Int = DefaultBuckets): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    StagedSwap.withFileLock(spark, s"$indexDir/_commit.lock") {
-    val tokens = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.terms(col(textCol)).as("ts"))
-    val tf = tokens
-      .select($"doc_id", size($"ts").cast("long").as("dl"),
-        posexplode($"ts").as(Seq("pos", "term")))
-      .groupBy($"doc_id", $"term", $"dl")
-      .agg(count(lit(1)).as("tf"),
-        sort_array(collect_list($"pos")).as("pss"))
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val stats = tokens.agg(
-      count(lit(1)).as("n_docs"),
-      sum(size($"ts").cast("long")).as("total_tokens"))
-    stats.coalesce(1).write.mode("overwrite")
-      .parquet(s"$indexDir/corpus_stats")
-    tf.join(df, "term")
-      .withColumn("__tb", pmod(hash($"term"), lit(nBuckets)))
-      .write.mode("overwrite").partitionBy("__tb")
-      .parquet(s"$indexDir/postings")
+    StagedSwap.withFileLock(spark, lockPath(indexDir)) {
+      GenIndex.clearIndexState(spark, indexDir, LockName,
+        "prior text index state (old generations must not survive a rebuild)")
+      val tokens = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.terms(col(textCol)).as("ts"))
+      val tf = tokens
+        .select($"doc_id", size($"ts").cast("long").as("dl"),
+          posexplode($"ts").as(Seq("pos", "term")))
+        .groupBy($"doc_id", $"term", $"dl")
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list($"pos")).as("pss"))
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val st = tokens.agg(count(lit(1)).as("n"),
+        sum(size($"ts").cast("long")).as("t")).head()
+      tf.join(df, "term")
+        .withColumn("__tb", pmod(hash($"term"), lit(nBuckets)))
+        .write.mode("overwrite").partitionBy("__tb")
+        .parquet(s"$indexDir/postings_g0")
+      GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(0, "build",
+        Map("postings" ->
+          GenIndex.bucketsIn(spark, s"$indexDir/postings_g0", "__tb")
+            .map(_ -> Seq("postings_g0")).toMap),
+        Map("n_docs" -> st.getLong(0).toString,
+          "total_tokens" -> (if (st.isNullAt(1)) 0L else st.getLong(1)).toString,
+          "n_buckets" -> nBuckets.toString)))
+      GenIndex.flipCurrent(spark, indexDir, 0)
     }
   }
 
-  /** Incremental append — the VectorIndex.append twin for the text
-    * index: tokenize ONLY the new documents, then rewrite ONLY the
-    * postings buckets their terms hash to (dynamic partition
-    * overwrite; untouched buckets are never read or written). The
-    * denormalized df is what makes this subtle: a term's df changes
-    * for its OLD postings too, so touched buckets are re-derived from
-    * their combined (old + new) posting rows — df is recomputable
-    * from the rows themselves, and terms in a touched bucket with no
-    * new postings get back the df they already had. Corpus stats
-    * accumulate. Append cost ∝ new-batch terms' buckets, independent
-    * of corpus size; serving from an appended index is BIT-IDENTICAL
-    * to a full rebuild (TextIndexSpec pins it).
+  /** Incremental append: tokenize ONLY the new documents, then rewrite
+    * ONLY the postings buckets their terms hash to — into a FRESH
+    * generation dir, committed with the accumulated corpus stats by
+    * one manifest flip (untouched buckets keep their existing
+    * generation refs and are never read or written). The denormalized
+    * df is what makes this subtle: a term's df changes for its OLD
+    * postings too, so touched buckets are re-derived from their
+    * combined (old + new) posting rows — df is recomputable from the
+    * rows themselves, and terms in a touched bucket with no new
+    * postings get back the df they already had. Append cost ∝
+    * new-batch terms' buckets ([[build]]'s `nBuckets` bounds the
+    * rewrite unit), independent of corpus size; serving from an
+    * appended index is BIT-IDENTICAL to a full rebuild (TextIndexSpec
+    * pins it). A crash anywhere before the flip leaves the committed
+    * snapshot untouched; the orphan generation is vacuumed later.
+    *
+    * `nBuckets` is accepted for source compatibility but the
+    * manifest's recorded bucket count is authoritative.
     */
   def append(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, nBuckets: Int = DefaultBuckets): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // an empty micro-batch (a legitimate foreachBatch delivery) must be
-    // a no-op: sum(size) over 0 rows is NULL and the touched-bucket
-    // rewrite would pointlessly rewrite nothing
+    // an empty micro-batch (a legitimate foreachBatch delivery) must
+    // be a no-op — no new generation, no manifest churn
     if (docs.isEmpty) return
-    StagedSwap.withFileLock(spark, s"$indexDir/_commit.lock") {
-    // BEFORE any staging: refusing mid-append would itself leave a
-    // torn-append state (staged stats with no postings-done marker)
-    StagedSwap.pendingStageGuard(spark, s"$indexDir/postings_compact_next",
-      s"run TextIndex.recover(spark, \"$indexDir\") before appending")
-    val tokens = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.terms(col(textCol)).as("ts"))
-    val newTf = tokens
-      .select($"doc_id", size($"ts").cast("long").as("dl"),
-        posexplode($"ts").as(Seq("pos", "term")))
-      .groupBy($"doc_id", $"term", $"dl")
-      .agg(count(lit(1)).as("tf"),
-        sort_array(collect_list($"pos")).as("pss"))
-      .withColumn("__tb", pmod(hash($"term"), lit(nBuckets)))
-    // touched buckets: bounded ≤ nBuckets control read
-    val touched = newTf.select($"__tb").distinct()
-      .as[Int].collect().toSeq
-    // Torn-append protection: postings and corpus_stats are two
-    // separate writes; a crash between them would leave idf/avgdl
-    // silently inconsistent with the postings. The post-append stats
-    // are therefore STAGED FIRST under corpus_stats_next/ — its
-    // presence marks an append in flight, corpusStats refuses to serve
-    // past it, and recover() rolls the commit forward once the
-    // postings-done marker proves the rewrite completed.
-    val (n0, t0) = corpusStats(spark, indexDir)
-    val st = tokens.agg(count(lit(1)).as("n"),
-      sum(size($"ts").cast("long")).as("t")).head()
-    val nextDir = s"$indexDir/corpus_stats_next"
-    Seq((n0 + st.getLong(0), t0 + st.getLong(1)))
-      .toDF("n_docs", "total_tokens")
-      .coalesce(1).write.mode("overwrite").parquet(nextDir)
-    val old = spark.read.parquet(s"$indexDir/postings")
-      .filter($"__tb".isin(touched: _*))
-      .select($"doc_id", $"term", $"dl", $"tf", $"pss", $"__tb")
-    val combined = old.unionByName(
-      newTf.select($"doc_id", $"term", $"dl", $"tf", $"pss", $"__tb"))
-    val df = combined.groupBy($"term").agg(count(lit(1)).as("df"))
-    val rewritten = combined.join(df, "term")
-      .select($"term", $"doc_id", $"dl", $"tf", $"df", $"pss", $"__tb")
-      // self-referential overwrite: the plan reads the same partitions
-      // it replaces, so materialize before the write truncates them
-      .localCheckpoint(true)
-    rewritten.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__tb")
-      .parquet(s"$indexDir/postings")
-    touchMarker(spark, s"$nextDir/_POSTINGS_DONE")
-    promoteStats(spark, indexDir)
+    StagedSwap.withFileLock(spark, lockPath(indexDir)) {
+      val cur = readManifest(spark, indexDir)
+      val nb = cur.extra("n_buckets", What).toInt
+      val tokens = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.terms(col(textCol)).as("ts"))
+      val newTf = tokens
+        .select($"doc_id", size($"ts").cast("long").as("dl"),
+          posexplode($"ts").as(Seq("pos", "term")))
+        .groupBy($"doc_id", $"term", $"dl")
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list($"pos")).as("pss"))
+        .withColumn("__tb", pmod(hash($"term"), lit(nb)))
+      // touched buckets: bounded ≤ nBuckets control read
+      val touched = newTf.select($"__tb").distinct().as[Int].collect().toSeq
+      val st = tokens.agg(count(lit(1)).as("n"),
+        sum(size($"ts").cast("long")).as("t")).head()
+      val old = GenIndex.readBuckets(spark, indexDir, cur.refs("postings"),
+          "__tb", touched, withBucketCol = true, PostingsDDL)
+        .select($"doc_id", $"term", $"dl", $"tf", $"pss", $"__tb")
+      val combined = old.unionByName(
+        newTf.select($"doc_id", $"term", $"dl", $"tf", $"pss", $"__tb"))
+      val df = combined.groupBy($"term").agg(count(lit(1)).as("df"))
+      val gen = cur.version + 1
+      combined.join(df, "term")
+        .select($"term", $"doc_id", $"dl", $"tf", $"df", $"pss", $"__tb")
+        .write.mode("overwrite").partitionBy("__tb")
+        .parquet(s"$indexDir/postings_g$gen")
+      val n0 = cur.extra("n_docs", What).toLong
+      val t0 = cur.extra("total_tokens", What).toLong
+      GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(gen,
+        java.util.UUID.randomUUID().toString,
+        Map("postings" -> (cur.refs("postings") ++
+          GenIndex.bucketsIn(spark, s"$indexDir/postings_g$gen", "__tb")
+            .map(_ -> Seq(s"postings_g$gen")))),
+        Map("n_docs" -> (n0 + st.getLong(0)).toString,
+          "total_tokens" ->
+            (t0 + (if (st.isNullAt(1)) 0L else st.getLong(1))).toString,
+          "n_buckets" -> nb.toString)))
+      GenIndex.flipCurrent(spark, indexDir, gen)
     }
   }
 
-  /** Hadoop FileSystem for a path — NOT java.io.File: the index dir
-    * may be hdfs://, s3a://, or any scheme Spark writes to, and the
-    * crash-safety machinery (markers, staged dirs) must live on the
-    * SAME filesystem as the data or it is silently dead off-box.
-    */
-  private def hfs(spark: SparkSession,
-      p: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
-    val hp = new org.apache.hadoop.fs.Path(p)
-    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
-  }
-
-  private def pathExists(spark: SparkSession, p: String): Boolean =
-    StagedSwap.exists(spark, p)
-
-  private def touchMarker(spark: SparkSession, p: String): Unit =
-    StagedSwap.touchMarker(spark, p)
-
-  /** Roll a staged append commit forward: copy corpus_stats_next into
-    * corpus_stats and clear the staging dir. Only legal once the
-    * postings rewrite is proven complete (the _POSTINGS_DONE marker).
-    */
-  private def promoteStats(spark: SparkSession, indexDir: String): Unit = {
-    val nextDir = s"$indexDir/corpus_stats_next"
-    spark.read.parquet(nextDir)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$indexDir/corpus_stats")
-    // checked: a silent false would leave the stage pending and make
-    // every later serve refuse with a stale recover() hint
-    StagedSwap.deleteChecked(spark, nextDir, "promoted stats stage")
-  }
-
-  /** Repair a torn append or compact. If the staged stats carry the
-    * postings-done marker the crash hit AFTER the postings rewrite —
-    * the commit rolls forward (promote staged stats). Without the
-    * marker the postings rewrite itself may be partial and no
-    * automatic repair is sound — fail loudly so the operator rebuilds
-    * or replays the batch. A staged compact (content-identical by
-    * construction) always either rolls forward or is discarded.
+  /** Repair torn maintenance: re-materialize a lost `_current` pointer
+    * (the torn-flip window of StagedSwap.writeAtomic's non-atomic
+    * fallback — manifests are flip-ordered, so newest wins) and vacuum
+    * orphan generations a crashed append/compact left behind. There is
+    * no torn-APPEND state anymore: an append commits atomically at the
+    * pointer flip or not at all.
     */
   def recover(spark: SparkSession, indexDir: String): Unit =
-    StagedSwap.withFileLock(spark, s"$indexDir/_commit.lock") {
-    rollForwardCompact(spark, indexDir)
-    val nextDir = s"$indexDir/corpus_stats_next"
-    if (!pathExists(spark, nextDir)) return
-    if (pathExists(spark, s"$nextDir/_POSTINGS_DONE")) {
-      promoteStats(spark, indexDir)
-    } else {
-      throw new IllegalStateException(
-        s"torn TextIndex append at $indexDir: staged stats exist but the " +
-          "postings rewrite is not proven complete — rebuild the index " +
-          "or replay the source batch after clearing corpus_stats_next")
-    }
+    StagedSwap.withFileLock(spark, lockPath(indexDir)) {
+      GenIndex.restoreCurrentIfMissing(spark, indexDir)
+      GenIndex.vacuum(spark, indexDir, GenPrefixes, graceVersions = 1, What)
     }
 
-  /** Finish (marker present) or discard (no marker) a staged compact
-    * left by a crash — the shared [[StagedSwap]] protocol with this
-    * index's dir/marker names. delete/rename return-false failures
-    * throw naming the staged dir (r11 ADVICE — Hadoop reports most
-    * failures by returning false, not throwing).
+  /** Delete generations referenced by NO manifest inside the grace
+    * window (default 1 keeps the immediately-previous snapshot
+    * servable for readers that resolved paths just before a commit;
+    * 0 is maintenance-window-only full reclaim).
     */
-  private def rollForwardCompact(spark: SparkSession, indexDir: String): Unit =
-    StagedSwap.rollForward(spark, s"$indexDir/postings",
-      s"$indexDir/postings_compact_next", "_COMPACT_DONE")
+  def vacuum(spark: SparkSession, indexDir: String,
+      graceVersions: Int = 1): Unit =
+    StagedSwap.withFileLock(spark, lockPath(indexDir)) {
+      GenIndex.vacuum(spark, indexDir, GenPrefixes, graceVersions, What)
+    }
+
+  /** Maintenance twin of append — the Catalog.compact story for the
+    * inverted index: buckets repeatedly touched by small batches
+    * accumulate task-parallel files; compaction rewrites each bucket
+    * to ONE file in a fresh generation with NO content change — df is
+    * already denormalized and correct, so this is a pure layout
+    * rewrite; serving is bit-identical before/after (spec-pinned) and
+    * the read-side benefit is fewer file opens per probed bucket.
+    * Hash-repartitioning on the bucket column sends each bucket to
+    * exactly one task (1 file each) while buckets compact in parallel.
+    * Commits like an append (fresh generation + pointer flip), then
+    * vacuums at the default grace window. Run in maintenance windows,
+    * like Catalog.compact.
+    */
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    StagedSwap.withFileLock(spark, lockPath(indexDir)) {
+      val cur = readManifest(spark, indexDir)
+      val gen = cur.version + 1
+      GenIndex.readBuckets(spark, indexDir, cur.refs("postings"), "__tb",
+          cur.refs("postings").keys.toSeq, withBucketCol = true, PostingsDDL)
+        .repartition(col("__tb"))
+        .write.mode("overwrite").partitionBy("__tb")
+        .parquet(s"$indexDir/postings_g$gen")
+      GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(gen,
+        s"compact_g$gen",
+        Map("postings" ->
+          GenIndex.bucketsIn(spark, s"$indexDir/postings_g$gen", "__tb")
+            .map(_ -> Seq(s"postings_g$gen")).toMap),
+        cur.extras))
+      GenIndex.flipCurrent(spark, indexDir, gen)
+      GenIndex.vacuum(spark, indexDir, GenPrefixes, graceVersions = 1, What)
+    }
+
+  /** Postings for a set of query terms, read through the manifest's
+    * immutable generation paths: only the buckets the terms hash to
+    * are opened (untouched buckets are never even listed) and the
+    * term IN-filter prunes row groups via parquet min/max inside
+    * them. The returned frame keeps serving ITS snapshot even while
+    * appends commit — the resolved paths are generation dirs no
+    * append ever rewrites ([[vacuum]]'s grace window protects the
+    * previous snapshot; only a reader ≥2 commits stale can race a
+    * full-reclaim vacuum).
+    */
+  def postingsFor(spark: SparkSession, indexDir: String,
+      terms: Seq[String], nBuckets: Int = DefaultBuckets): DataFrame = {
+    import spark.implicits._
+    val m = readManifest(spark, indexDir)
+    val nb = m.extra("n_buckets", What).toInt
+    // bucket ids re-derived with the same codegen'd hash the writer
+    // used; one bounded local job for the whole (tiny) term list
+    val buckets = terms.toDF("term")
+      .select(pmod(hash($"term"), lit(nb)))
+      .collect().map(_.getInt(0)).toSeq
+    GenIndex.readBuckets(spark, indexDir, m.refs("postings"), "__tb",
+        buckets.distinct, withBucketCol = false, PostingsDDL)
+      .filter($"term".isin(terms: _*))
+  }
+
+  /** The CURRENT snapshot's full postings relation (every bucket, with
+    * the bucket id attached) — the audit/maintenance read; serving
+    * paths use the pruned [[postingsFor]].
+    */
+  private[graft] def currentPostings(spark: SparkSession,
+      indexDir: String): DataFrame = {
+    val m = readManifest(spark, indexDir)
+    GenIndex.readBuckets(spark, indexDir, m.refs("postings"), "__tb",
+      m.refs("postings").keys.toSeq, withBucketCol = true, PostingsDDL)
+  }
+
+  /** The current snapshot's bucket → generation-dir refs — exposed for
+    * specs that pin layout properties (one generation per bucket after
+    * compact, fragment accumulation, vacuum bounds).
+    */
+  private[graft] def currentRefs(spark: SparkSession,
+      indexDir: String): Map[Int, Seq[String]] =
+    readManifest(spark, indexDir).refs("postings")
+
+  /** The (n_docs, total_tokens) pair, from the manifest — committed
+    * atomically with the postings refs, so stats and postings can
+    * never disagree (the old separate stats table could tear between
+    * the two writes and needed a staged repair protocol).
+    */
+  def corpusStats(spark: SparkSession, indexDir: String): (Long, Long) = {
+    val m = readManifest(spark, indexDir)
+    (m.extra("n_docs", What).toLong, m.extra("total_tokens", What).toLong)
+  }
 
   /** Index-served PHRASE search: documents containing the exact
     * consecutive token sequence `phrase`, with occurrence counts.
-    * Serve cost is the phrase terms' postings only (bucket partition
-    * pruning via postingsFor — a 100 TB corpus answers a 2-word phrase
-    * from 2 of `nBuckets` directories): per term a (doc, positions)
-    * frame, inner-joined on doc (every phrase term must appear), then
-    * the match set folds left-to-right IN-ROW —
+    * Serve cost is the phrase terms' postings only (bucket pruning via
+    * postingsFor — a 100 TB corpus answers a 2-word phrase from 2 of
+    * `nBuckets` directories): per term a (doc, positions) frame,
+    * inner-joined on doc (every phrase term must appear), then the
+    * match set folds left-to-right IN-ROW —
     * start ∩ (positions(next) − 1) via transform+array_intersect — so
     * the per-doc cost is the posting-list arithmetic every positional
     * index pays, with no explode and no per-position shuffle. Output:
@@ -267,73 +351,6 @@ object TextIndex {
           transform(col("__pb"), pb => abs(pa - pb)))), d => d > 0))
           .cast("long").as("min_gap"))
       .filter(col("n_near") > 0)
-  }
-
-  /** Maintenance twin of append — the Catalog.compact story for the
-    * inverted index: every append rewrites its TOUCHED buckets to
-    * fresh files, but buckets repeatedly touched by small batches
-    * accumulate files (dynamic partition overwrite replaces whole
-    * partitions, so fragmentation here comes from the batch pattern's
-    * task parallelism). Compaction rewrites each bucket to ONE file
-    * with NO content change — df is already denormalized and correct,
-    * so this is a pure layout rewrite; serving is bit-identical
-    * before/after (spec-pinned) and the read-side benefit is fewer
-    * file opens per probed bucket. Hash-repartitioning on the bucket
-    * column sends each bucket to exactly one task (1 file each) while
-    * buckets compact in parallel across tasks. Run in maintenance
-    * windows, like Catalog.compact.
-    */
-  def compact(spark: SparkSession, indexDir: String): Unit =
-    StagedSwap.withFileLock(spark, s"$indexDir/_commit.lock") {
-    // staged, never in place: an in-place overwrite DELETES the live
-    // postings before the job commits, so a mid-compact crash destroys
-    // the only copy. Stage → marker → swap instead; every crash window
-    // either keeps the old dir intact or leaves a marked complete copy
-    // that recover()/the next compact rolls forward.
-    rollForwardCompact(spark, indexDir)
-    val next = s"$indexDir/postings_compact_next"
-    spark.read.parquet(s"$indexDir/postings")
-      .repartition(col("__tb"))
-      .write.mode("overwrite").partitionBy("__tb").parquet(next)
-    touchMarker(spark, s"$next/_COMPACT_DONE")
-    rollForwardCompact(spark, indexDir)
-    }
-
-  /** Postings for a set of query terms. The bucket IN-list prunes
-    * partition directories at planning time; the term filter prunes
-    * row groups via parquet min/max inside the matching buckets.
-    * Refuses to serve while a staged compact is pending — in the
-    * post-delete pre-rename crash window the live postings dir is
-    * already gone, and a direct read would fail with an unactionable
-    * path-not-found instead of "run recover".
-    */
-  def postingsFor(spark: SparkSession, indexDir: String,
-      terms: Seq[String], nBuckets: Int = DefaultBuckets): DataFrame = {
-    import spark.implicits._
-    StagedSwap.pendingStageGuard(spark, s"$indexDir/postings_compact_next",
-      s"run TextIndex.recover(spark, \"$indexDir\") first")
-    // bucket ids re-derived with the same codegen'd hash the writer
-    // used; one bounded local job for the whole (tiny) term list
-    val buckets = terms.toDF("term")
-      .select(pmod(hash($"term"), lit(nBuckets)))
-      .collect().map(_.getInt(0)).toSeq
-    spark.read.parquet(s"$indexDir/postings")
-      .filter($"__tb".isin(buckets.distinct: _*) && $"term".isin(terms: _*))
-  }
-
-  /** The (n_docs, total_tokens) row written at build time. Refuses to
-    * serve while a staged append commit is pending (corpus_stats_next
-    * present) — stats and postings may disagree until recover() rolls
-    * the commit forward or the operator rebuilds.
-    */
-  def corpusStats(spark: SparkSession, indexDir: String): (Long, Long) = {
-    val nextDir = s"$indexDir/corpus_stats_next"
-    if (pathExists(spark, nextDir))
-      throw new IllegalStateException(
-        s"TextIndex at $indexDir has a pending append commit " +
-          "(corpus_stats_next present) — run TextIndex.recover first")
-    val r = spark.read.parquet(s"$indexDir/corpus_stats").head()
-    (r.getLong(0), r.getLong(1))
   }
 
   /** One BM25 term contribution from exact integer inputs — the single

@@ -620,7 +620,8 @@ object VectorFunctions {
         .withColumn("route", lit("lsh"))
     else {
       val (out, assigned) =
-        ivfCellPairsFrame(df, idCol, vecCol, threshold, pol.kCells)
+        ivfCellPairsFrame(df, idCol, vecCol, threshold, pol.kCells,
+          blockTarget = 4 * cellTarget)
       // materialize out of the private assignment cache before
       // releasing it (knnGraph's pattern)
       val released = out.localCheckpoint(true)
@@ -654,20 +655,48 @@ object VectorFunctions {
     * sharing ≥2 probed cells) re-verifies its cosine per cell —
     * bit-identical arithmetic, so the final result-sized distinct
     * collapses it exactly.
+    *
+    * HOT-CELL BOUND (r13 verdict item 4): ivfParamsFor caps the
+    * AVERAGE cell population, so a genuinely skewed non-duplicate hot
+    * cell (one topic direction, many distinct sub-θ vectors) used to
+    * do population² cosine work in ONE task — the straggler that
+    * serializes the whole stage. Each member now carries its cell
+    * population (a window count inside the cached assignment — one
+    * 2n-row exchange, paid once) and cells beyond `blockTarget`
+    * members split into ⌈pop/blockTarget⌉ salted blocks: the b-side
+    * hashes into a block, the a-side replicates across the cell's
+    * blocks (Generate, not a join), and the join key becomes
+    * (cid, block) — every within-cell pair still meets EXACTLY once,
+    * so the result is bit-identical to the unblocked join
+    * (spec-pinned), while the largest single task falls from pop² to
+    * pop·blockTarget cosines and the hot cell's quadratic (which is
+    * real work — the pairs must be verified) spreads across
+    * ⌈pop/blockTarget⌉ tasks. Normal cells have 1 block and exactly
+    * the old plan's key cardinality.
     */
   private[graft] def ivfCellPairsFrame(df: DataFrame, idCol: String,
-      vecCol: String, threshold: Double, kc: Int): (DataFrame, DataFrame) = {
+      vecCol: String, threshold: Double, kc: Int,
+      blockTarget: Int = 1024): (DataFrame, DataFrame) = {
     val cents = ivfTrainCentroids(df, idCol, vecCol, kc,
       sampleSize = math.max(256, 2 * kc))
     val assigned = (if (kc >= VectorIndex.TwoLevelMinCentroids)
         ivfAssignTwoLevelTopK(df, idCol, vecCol, cents, coarseProbe = 2,
           nAssign = 2)
-      else ivfAssign(df, idCol, vecCol, cents, nprobe = 2)).persist()
+      else ivfAssign(df, idCol, vecCol, cents, nprobe = 2))
+      .withColumn("__blocks",
+        greatest(lit(1L), ceil(
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__cid"))) / lit(blockTarget))).cast("int"))
+      .persist()
     val a = assigned.select(col("__cid").as("cid"), col("__aid").as("id_a"),
-      col("__avec").as("__va"))
+        col("__avec").as("__va"), col("__blocks"))
+      .withColumn("__jb", explode(sequence(lit(0), col("__blocks") - 1)))
+      .drop("__blocks")
     val b = assigned.select(col("__cid").as("cid"), col("__aid").as("id_b"),
-      col("__avec").as("__vb"))
-    val out = a.join(b, "cid").filter(col("id_a") < col("id_b"))
+      col("__avec").as("__vb"),
+      pmod(hash(col("__aid")), col("__blocks")).as("__jb"))
+    val out = a.join(b, Seq("cid", "__jb"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("cos", cosine(col("__va"), col("__vb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))

@@ -10,13 +10,65 @@ import org.apache.spark.sql.functions._
   * VectorFunctions.trainKMeansDeterministic), assigns the corpus in one
   * broadcast map-side pass, and writes the inverted lists PARTITIONED
   * BY list id — one directory per centroid. `topK` then reads ONLY the
-  * `nprobe` lists each query probes: the `__cid IN (...)` filter
-  * becomes a partition filter, so serving cost is proportional to the
-  * probed lists, not the corpus — at 100 TB a query touches
+  * `nprobe` lists each query probes, so serving cost is proportional
+  * to the probed lists, not the corpus — at 100 TB a query touches
   * nprobe/numCentroids of the data and the rest is never opened
   * (asserted by a spec on the scan's input files).
+  *
+  * Storage is the shared [[GenIndex]] generation layout (r13 verdict
+  * item 1 — the SignatureIndex treatment): inverted lists live in
+  * IMMUTABLE `lists_g{G}/__cid={c}/` dirs mapped by
+  * `_manifest_v{N}.json`, committed by an atomic `_current` flip.
+  * Lists are the FRAGMENT-style table: an append writes ONLY its
+  * batch's rows as a new generation and the manifest accumulates
+  * per-list fragment refs — append stays O(batch), never O(touched
+  * lists' rows) — while [[compact]] folds each list back to one file.
+  * The old layout appended files into live list dirs, so a concurrent
+  * serve could observe a TORN batch (some lists already holding new
+  * rows, others not); now a reader that resolved its paths keeps
+  * serving its snapshot bit-exactly while appends land, and a crash
+  * before the flip leaves the committed snapshot untouched (orphan
+  * generations are [[vacuum]]ed). Centroids are written once at build
+  * and never mutated — the frozen assignment function is what lets
+  * appends commute with serving.
+  *
+  * Writers (build/buildPq/append/compact/recover/vacuum) serialize
+  * through `_commit.lock`; reads stay lock-free.
   */
 object VectorIndex {
+
+  private val What = "vector index"
+  private val LockName = "_commit.lock"
+  private def lockPath(indexDir: String) = s"$indexDir/$LockName"
+  private val GenPrefixes = Seq("lists_g")
+
+  private def readManifest(spark: SparkSession,
+      indexDir: String): GenIndex.Manifest =
+    GenIndex.readManifest(spark, indexDir, What)
+
+  /** Commit a fresh generation holding ONLY `rows` (partitioned by
+    * __cid) and flip: `replace = true` makes the new generation the
+    * whole table (build/compact); `replace = false` appends its lists
+    * as FRAGMENTS onto the existing refs (append).
+    */
+  private def commitGeneration(spark: SparkSession, indexDir: String,
+      rows: DataFrame, cur: Option[GenIndex.Manifest], commitId: String,
+      replace: Boolean): Unit = {
+    val gen = cur.map(_.version + 1).getOrElse(0)
+    rows.write.mode("overwrite").partitionBy("__cid")
+      .parquet(s"$indexDir/lists_g$gen")
+    val written = GenIndex
+      .bucketsIn(spark, s"$indexDir/lists_g$gen", "__cid")
+    val prior: Map[Int, Seq[String]] =
+      if (replace) Map.empty else cur.map(_.refs("lists")).getOrElse(Map.empty)
+    val refs =
+      if (replace) written.map(_ -> Seq(s"lists_g$gen")).toMap
+      else prior ++ written.map(c =>
+        c -> (prior.getOrElse(c, Seq.empty) :+ s"lists_g$gen"))
+    GenIndex.writeManifest(spark, indexDir,
+      GenIndex.Manifest(gen, commitId, Map("lists" -> refs), Map.empty))
+    GenIndex.flipCurrent(spark, indexDir, gen)
+  }
 
   /** Auto-scale defaults (the production path; round-8 probes proved
     * the fixed configs are quadratic cliffs):
@@ -41,59 +93,65 @@ object VectorIndex {
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       indexDir: String, numCentroids: Int = 0, sampleSize: Int = 256,
       iters: Int = 2, metaCols: Seq[String] = Nil,
-      coarseProbe: Option[Int] = None, cellTarget: Int = 256): Unit =
-   StagedSwap.withFileLock(corpus.sparkSession,
-       s"$indexDir/_commit.lock") {
-    val k =
-      if (numCentroids > 0) numCentroids
-      else {
-        // one cheap count sizes the index; clamp so tiny corpora never
-        // ask the trainer for more centroids than vectors
-        val n = corpus.count()
-        math.min(n, VectorFunctions.ivfParamsFor(n, cellTarget).toLong).toInt
-      }
-    // the deterministic trainer needs sample ≥ k; auto-sized k can
-    // outgrow the default sample, so scale it (training cost is
-    // ~sample·k per Lloyd step — still bounded, never corpus-sized)
-    val effSample = math.max(sampleSize, 2 * k)
-    val cents = VectorFunctions.ivfTrainCentroids(
-      corpus, idCol, vecCol, k, effSample, iters)
-    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    val meta = corpus.select(
-      (col(idCol).as("neighbor_id") +: metaCols.map(col)): _*)
-    val assigned = assignWith(corpus, idCol, vecCol, cents, coarseProbe, k)
-      .select(col("__cid"), col("__aid").as("neighbor_id"), col("__avec").as("__cv"))
-    val lists =
-      if (metaCols.isEmpty) assigned
-      else assigned.join(meta, "neighbor_id")
-        .repartition(col("__cid"))
-        .sortWithinPartitions(metaCols.map(col): _*)
-    lists.write.mode("overwrite").partitionBy("__cid")
-      .parquet(s"$indexDir/lists")
-   }
+      coarseProbe: Option[Int] = None, cellTarget: Int = 256): Unit = {
+    val spark = corpus.sparkSession
+    StagedSwap.withFileLock(spark, lockPath(indexDir)) {
+      GenIndex.clearIndexState(spark, indexDir, LockName,
+        "prior vector index state (old generations must not survive a rebuild)")
+      val k =
+        if (numCentroids > 0) numCentroids
+        else {
+          // one cheap count sizes the index; clamp so tiny corpora never
+          // ask the trainer for more centroids than vectors
+          val n = corpus.count()
+          math.min(n, VectorFunctions.ivfParamsFor(n, cellTarget).toLong).toInt
+        }
+      // the deterministic trainer needs sample ≥ k; auto-sized k can
+      // outgrow the default sample, so scale it (training cost is
+      // ~sample·k per Lloyd step — still bounded, never corpus-sized)
+      val effSample = math.max(sampleSize, 2 * k)
+      val cents = VectorFunctions.ivfTrainCentroids(
+        corpus, idCol, vecCol, k, effSample, iters)
+      cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+      val meta = corpus.select(
+        (col(idCol).as("neighbor_id") +: metaCols.map(col)): _*)
+      val assigned = assignWith(corpus, idCol, vecCol, cents, coarseProbe, k)
+        .select(col("__cid"), col("__aid").as("neighbor_id"),
+          col("__avec").as("__cv"))
+      val lists =
+        if (metaCols.isEmpty) assigned
+        else assigned.join(meta, "neighbor_id")
+          .repartition(col("__cid"))
+          .sortWithinPartitions(metaCols.map(col): _*)
+      commitGeneration(spark, indexDir, lists, None, "build", replace = true)
+    }
+  }
 
   /** Incremental maintenance: assign a batch of NEW vectors against the
-    * frozen centroids and append them into the matching list
-    * partitions — no rebuild, no rewrite of existing files, O(batch).
-    * Centroids intentionally stay fixed (rebuild to retrain): a stable
-    * assignment function is what lets the append commute with serving.
-    * Many small appends fragment the list files; rebuild when
-    * maintenance windows allow, as with Catalog.compact.
+    * frozen centroids and commit them as a FRAGMENT generation — no
+    * rebuild, no rewrite of existing rows, O(batch); the manifest flip
+    * makes the batch visible atomically (a concurrent serve sees all
+    * of it or none of it — the torn-batch window of the old live-dir
+    * append is gone). Centroids intentionally stay fixed (rebuild to
+    * retrain): a stable assignment function is what lets the append
+    * commute with serving. Many small appends fragment the list refs;
+    * [[compact]] folds them in maintenance windows, as with
+    * Catalog.compact.
     */
   def append(corpus: DataFrame, idCol: String, vecCol: String,
       indexDir: String, coarseProbe: Option[Int] = None): Unit = {
     val spark = corpus.sparkSession
-    StagedSwap.withFileLock(spark, s"$indexDir/_commit.lock") {
-    // in the compact crash window the live lists dir may be gone — an
-    // unguarded append would silently recreate it holding ONLY this batch
-    pendingCompactGuard(spark, indexDir)
-    val cents = spark.read.parquet(s"$indexDir/centroids")
-    // same auto rule as build: the frozen centroid count decides the path
-    assignWith(corpus, idCol, vecCol, broadcast(cents), coarseProbe,
-        cents.count().toInt)
-      .select(col("__cid"), col("__aid").as("neighbor_id"), col("__avec").as("__cv"))
-      .write.mode("append").partitionBy("__cid")
-      .parquet(s"$indexDir/lists")
+    if (corpus.isEmpty) return
+    StagedSwap.withFileLock(spark, lockPath(indexDir)) {
+      val cur = readManifest(spark, indexDir)
+      val cents = spark.read.parquet(s"$indexDir/centroids")
+      // same auto rule as build: the frozen centroid count decides the path
+      val rows = assignWith(corpus, idCol, vecCol, broadcast(cents),
+          coarseProbe, cents.count().toInt)
+        .select(col("__cid"), col("__aid").as("neighbor_id"),
+          col("__avec").as("__cv"))
+      commitGeneration(spark, indexDir, rows, Some(cur),
+        java.util.UUID.randomUUID().toString, replace = false)
     }
   }
 
@@ -114,28 +172,30 @@ object VectorIndex {
       m: Int = 16, codes: Int = 16, sampleSize: Int = 256,
       iters: Int = 2): Unit = {
     require(dims % m == 0, s"dims $dims not divisible into $m subspaces")
-    StagedSwap.withFileLock(corpus.sparkSession,
-        s"$indexDir/_commit.lock") {
-    val cents = VectorFunctions.ivfTrainCentroids(
-      corpus, idCol, vecCol, numCentroids, sampleSize, iters)
-    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    val cb = VectorFunctions.pqCodebooks(
-      corpus, idCol, vecCol, m, codes, sampleSize, iters)
-    cb.write.mode("overwrite").parquet(s"$indexDir/pq_codebooks")
-    val enc = VectorFunctions.pqEncode(
-      corpus, idCol, vecCol, cb, m, dims / m)
-    VectorFunctions.ivfAssign(corpus, idCol, vecCol, broadcast(cents))
-      .select(col("__cid"), col("__aid").as("neighbor_id"))
-      .join(enc.withColumnRenamed("__eid", "neighbor_id"), "neighbor_id")
-      .write.mode("overwrite").partitionBy("__cid")
-      .parquet(s"$indexDir/lists")
+    val spark = corpus.sparkSession
+    StagedSwap.withFileLock(spark, lockPath(indexDir)) {
+      GenIndex.clearIndexState(spark, indexDir, LockName,
+        "prior vector index state (old generations must not survive a rebuild)")
+      val cents = VectorFunctions.ivfTrainCentroids(
+        corpus, idCol, vecCol, numCentroids, sampleSize, iters)
+      cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+      val cb = VectorFunctions.pqCodebooks(
+        corpus, idCol, vecCol, m, codes, sampleSize, iters)
+      cb.write.mode("overwrite").parquet(s"$indexDir/pq_codebooks")
+      val enc = VectorFunctions.pqEncode(
+        corpus, idCol, vecCol, cb, m, dims / m)
+      val rows = VectorFunctions
+        .ivfAssign(corpus, idCol, vecCol, broadcast(cents))
+        .select(col("__cid"), col("__aid").as("neighbor_id"))
+        .join(enc.withColumnRenamed("__eid", "neighbor_id"), "neighbor_id")
+      commitGeneration(spark, indexDir, rows, None, "build", replace = true)
     }
   }
 
   /** Serve top-k from a [[buildPq]] index: probe nprobe lists
-    * (partition-pruned scan over CODE rows), score candidates by
-    * asymmetric distance against a per-query broadcast LUT
-    * (dot(q,x) ≈ Σₘ dot(qₘ, c[m,codeₘ]); no raw vector touched), then
+    * (only the probed lists' fragment dirs are opened — CODE rows, no
+    * raw vectors), score candidates by asymmetric distance against a
+    * per-query broadcast LUT (dot(q,x) ≈ Σₘ dot(qₘ, c[m,codeₘ])), then
     * exact-rerank only the `shortlist` ADC-best via a pointed id join
     * into `rerank` (the corpus table). Identical result to the
     * in-memory ivfPqTopK with the same parameters.
@@ -145,7 +205,6 @@ object VectorIndex {
       nprobe: Int = 4, shortlist: Int = 64, dims: Int = 64,
       m: Int = 16): DataFrame = {
     import spark.implicits._
-    pendingCompactGuard(spark, indexDir)
     val subDim = dims / m
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val cb = spark.read.parquet(s"$indexDir/pq_codebooks")
@@ -154,8 +213,7 @@ object VectorIndex {
       .select(col("__aid").as("query_id"), col("__cid"))
     // list ids to open: bounded by numCentroids — control-plane collect
     val needed = probes.select("__cid").distinct().as[Long].collect()
-    val lists = spark.read.parquet(s"$indexDir/lists")
-      .filter(col("__cid").isin(needed.map(x => x: Any): _*))
+    val lists = readLists(spark, indexDir, needed)
     val lut = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .select(col("query_id"), VectorFunctions.norm(col("__qv")).as("__qn"),
         posexplode(array((0 until m).map(i =>
@@ -191,57 +249,94 @@ object VectorIndex {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
-  /** Maintenance twin of append — the fragmentation answer the append
-    * scaladoc defers to maintenance windows: every append lands one
-    * new file per touched list, so a high-frequency ingest leaves each
-    * list directory with many small files and serving pays an open per
-    * file. Compaction rewrites each inverted list to ONE file with no
+  /** Maintenance twin of append — the fragmentation answer: every
+    * append lands a fragment generation per touched list, so a
+    * high-frequency ingest leaves each list with many small files
+    * across generations and serving pays an open per file. Compaction
+    * folds every list to ONE file in a fresh generation with no
     * content change (centroids untouched — assignment stays frozen);
     * serving is bit-identical before/after (spec-pinned).
     * Hash-repartitioning on the list id compacts lists in parallel,
-    * one task per list.
+    * one task per list. Commits like any generation (manifest +
+    * pointer flip), then vacuums at the default grace window — a
+    * crash mid-compact leaves only an orphan generation.
     */
   def compact(spark: SparkSession, indexDir: String): Unit =
-    StagedSwap.withFileLock(spark, s"$indexDir/_commit.lock") {
-    // staged, never in place (same protocol as TextIndex.compact): an
-    // in-place overwrite deletes the live lists before the job commits,
-    // so a mid-compact crash destroys the only copy. Stage → marker →
-    // swap; every crash window either keeps the old dir intact or
-    // leaves a marked complete copy the next call rolls forward.
-    rollForwardCompact(spark, indexDir)
-    val next = s"$indexDir/lists_compact_next"
-    spark.read.parquet(s"$indexDir/lists")
-      .repartition(col("__cid"))
-      .write.mode("overwrite").partitionBy("__cid").parquet(next)
-    StagedSwap.touchMarker(spark, s"$next/_COMPACT_DONE")
-    rollForwardCompact(spark, indexDir)
+    StagedSwap.withFileLock(spark, lockPath(indexDir)) {
+      val cur = readManifest(spark, indexDir)
+      val all = GenIndex.readBuckets(spark, indexDir, cur.refs("lists"),
+        "__cid", cur.refs("lists").keys.toSeq, withBucketCol = true,
+        listsDDL(spark, indexDir, cur))
+      commitGeneration(spark, indexDir, all.repartition(col("__cid")),
+        Some(cur), s"compact_g${cur.version + 1}", replace = true)
+      GenIndex.vacuum(spark, indexDir, GenPrefixes, graceVersions = 1, What)
     }
 
-  /** Repair a torn compact: finish a marked staged swap or discard an
-    * unmarked one (the TextIndex.recover twin — a compact stage is
-    * content-identical by construction, so both directions are safe).
+  /** Repair torn maintenance: re-materialize a lost `_current` pointer
+    * and vacuum orphan generations a crashed build/append/compact left
+    * behind. There is no torn-append or torn-compact state anymore —
+    * every mutation commits atomically at the pointer flip or not at
+    * all.
     */
   def recover(spark: SparkSession, indexDir: String): Unit =
-    StagedSwap.withFileLock(spark, s"$indexDir/_commit.lock") {
-      rollForwardCompact(spark, indexDir)
+    StagedSwap.withFileLock(spark, lockPath(indexDir)) {
+      GenIndex.restoreCurrentIfMissing(spark, indexDir)
+      GenIndex.vacuum(spark, indexDir, GenPrefixes, graceVersions = 1, What)
     }
 
-  /** Finish (marker present) or discard (no marker) a staged compact
-    * left by a crash — the shared [[StagedSwap]] protocol with this
-    * index's dir/marker names; delete/rename return-false failures
-    * throw naming the staged dir (r11 ADVICE).
+  /** Delete generations referenced by NO manifest inside the grace
+    * window (default 1 keeps the previous snapshot servable; 0 is
+    * maintenance-window-only full reclaim).
     */
-  private def rollForwardCompact(spark: SparkSession, indexDir: String): Unit =
-    StagedSwap.rollForward(spark, s"$indexDir/lists",
-      s"$indexDir/lists_compact_next", "_COMPACT_DONE")
+  def vacuum(spark: SparkSession, indexDir: String,
+      graceVersions: Int = 1): Unit =
+    StagedSwap.withFileLock(spark, lockPath(indexDir)) {
+      GenIndex.vacuum(spark, indexDir, GenPrefixes, graceVersions, What)
+    }
 
-  /** Serve-path guard: in the post-delete pre-rename compact crash
-    * window the live lists dir is gone — refuse with "run recover"
-    * instead of a bare path-not-found (r11 ADVICE).
+  /** The lists' data schema varies by flavor (raw __cv vs PQ codes,
+    * optional metaCols), so derive the empty-read DDL from an actual
+    * fragment — bounded: one file's footer.
     */
-  private def pendingCompactGuard(spark: SparkSession, indexDir: String): Unit =
-    StagedSwap.pendingStageGuard(spark, s"$indexDir/lists_compact_next",
-      s"run VectorIndex.recover(spark, \"$indexDir\") first")
+  private def listsDDL(spark: SparkSession, indexDir: String,
+      m: GenIndex.Manifest): String = {
+    val refs = m.refs("lists")
+    refs.headOption.map { case (k, gs) =>
+      spark.read.parquet(s"$indexDir/${gs.head}/__cid=$k").schema.toDDL
+    }.getOrElse("neighbor_id bigint, __cv array<float>")
+  }
+
+  /** Probed lists read through the manifest's immutable fragment
+    * paths, with the list id re-attached (basePath) — only the probed
+    * lists' dirs are opened, and a frame returned here keeps serving
+    * ITS snapshot while appends/compacts commit.
+    */
+  private[graft] def readLists(spark: SparkSession, indexDir: String,
+      needed: Seq[Long]): DataFrame = {
+    val m = readManifest(spark, indexDir)
+    GenIndex.readBuckets(spark, indexDir, m.refs("lists"), "__cid",
+      needed.map(_.toInt), withBucketCol = true, listsDDL(spark, indexDir, m))
+  }
+
+  /** The CURRENT snapshot's full lists relation (every list, fragment
+    * refs resolved, list id attached) — the audit/maintenance read;
+    * serving uses the probed subset.
+    */
+  private[graft] def currentLists(spark: SparkSession,
+      indexDir: String): DataFrame = {
+    val m = readManifest(spark, indexDir)
+    GenIndex.readBuckets(spark, indexDir, m.refs("lists"), "__cid",
+      m.refs("lists").keys.toSeq, withBucketCol = true,
+      listsDDL(spark, indexDir, m))
+  }
+
+  /** The current snapshot's list → generation-dir refs — exposed for
+    * specs that pin layout properties (fragment accumulation per
+    * append, single-generation refs after compact, vacuum bounds).
+    */
+  private[graft] def currentRefs(spark: SparkSession,
+      indexDir: String): Map[Int, Seq[String]] =
+    readManifest(spark, indexDir).refs("lists")
 
   def topK(spark: SparkSession, indexDir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame =
@@ -249,10 +344,10 @@ object VectorIndex {
 
   /** Filtered vector search: serve top-k among only the corpus vectors
     * satisfying `predicate` (over the index's metaCols). The predicate
-    * lands on the list scan itself — after partition pruning by probed
-    * list, metadata clustering skips non-matching row groups — so the
-    * candidate set shrinks BEFORE any distance math, instead of
-    * post-filtering a k that may then starve. Equals
+    * lands on the list scan itself — after structural pruning to the
+    * probed lists' dirs, metadata clustering skips non-matching row
+    * groups — so the candidate set shrinks BEFORE any distance math,
+    * instead of post-filtering a k that may then starve. Equals
     * filter-then-search exactly (assignment is deterministic and
     * per-row, so it commutes with the filter) — pinned by s07.
     */
@@ -266,15 +361,13 @@ object VectorIndex {
       nprobe: Int,
       predicate: Option[org.apache.spark.sql.Column]): DataFrame = {
     import spark.implicits._
-    pendingCompactGuard(spark, indexDir)
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val probes = VectorFunctions.ivfAssign(queries, idCol, vecCol,
         broadcastableCentroids(cents), nprobe)
       .select(col("__aid").as("query_id"), col("__avec").as("__qv"), col("__cid"))
     // list ids to open: bounded by numCentroids — control-plane collect
     val needed = probes.select("__cid").distinct().as[Long].collect()
-    val lists0 = spark.read.parquet(s"$indexDir/lists")
-      .filter(col("__cid").isin(needed.map(x => x: Any): _*))
+    val lists0 = readLists(spark, indexDir, needed)
     val lists = predicate.map(lists0.filter).getOrElse(lists0)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))

@@ -1980,6 +1980,17 @@ object EventOps {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // retention rides the production path (r13 verdict item 6): the
+      // drained log is dead disk weight at 100 TB — vacuum to the
+      // consumed watermark (AvailableNow terminated ⇒ every published
+      // seq is committed) bounds it at zero live segments; vacuumed
+      // seqs are hwm-pinned so they are never reallocated, and a
+      // replayed range fails by omission, never misattribution
+      import graft.sources.bus.BusLog
+      BusLog.vacuum(root, BusLog.latestSeqs(root))
+      val leftover = BusLog.segmentCounts(root).values.sum
+      require(leftover == 0L,
+        s"bus log not bounded after post-drain vacuum: $leftover segments remain")
       graft.functions.SignatureIndex.servePairs(
           s, idx, docs.filter($"doc_id" % 2 === 1), "doc_id", "text", 0.8)
         .orderBy($"id_new", $"id_base")

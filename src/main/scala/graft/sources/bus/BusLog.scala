@@ -74,6 +74,17 @@ object BusLog {
       p -> max
     }.toMap
 
+  /** Live (unvacuumed) segment files per partition — the retention
+    * observability read: a bounded log under a vacuum cadence shows
+    * counts ≈ the unconsumed tail, an unbounded one grows with every
+    * publish forever (the 100 TB failure mode r13 verdict item 6 names).
+    */
+  def segmentCounts(root: String): Map[Int, Long] =
+    partitions(root).map { p =>
+      p -> Files.list(partDir(root, p)).iterator().asScala
+        .count(f => SegmentRe.matches(f.getFileName.toString)).toLong
+    }.toMap
+
   private def readHwm(dir: Path): Long = {
     val f = dir.resolve("_hwm")
     if (Files.exists(f))

@@ -200,6 +200,28 @@ class LshAutoSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("hot-cell salted blocking is bit-identical to the unblocked cell join") {
+    // r13 verdict item 4: the blocking only changes WHERE within-cell
+    // pairs are verified (⌈pop/blockTarget⌉ salted tasks instead of
+    // one), never WHICH pairs exist — each pair meets exactly once per
+    // shared cell in the b-side member's block. Forcing a tiny
+    // blockTarget on the fixture drives every cell through the
+    // multi-block path; the pair set must not move.
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    def pairs(blockTarget: Int) = {
+      val (out, assigned) = VectorFunctions.ivfCellPairsFrame(
+        emb, "vec_id", "embedding", 0.45, kc = 4, blockTarget = blockTarget)
+      val got = out.select($"id_a", $"id_b", $"cos")
+        .as[(Long, Long, Double)].collect().toSet
+      assigned.unpersist()
+      got
+    }
+    val unblocked = pairs(blockTarget = 1 << 20) // pop << target: 1 block
+    val blocked = pairs(blockTarget = 32)        // ~250/cell: 8 blocks
+    assert(blocked == unblocked && blocked.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("two-level top-k assignment at full probe equals flat multi-probe assignment") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val kc = 16

@@ -1,87 +1,29 @@
 package graft.functions
 
-import org.apache.spark.sql.functions._
-
 import graft.SparkTestBase
 
-/** The shared staged-swap protocol (r11 ADVICE): read paths refuse to
-  * serve with an actionable "run recover" while a compact stage is
-  * pending (the post-delete pre-rename crash window would otherwise
-  * surface as a bare path-not-found — or worse, an append would
-  * silently recreate the live dir holding only its batch), and
-  * delete/rename return-false failures throw instead of silently
-  * leaving the index with no live dir.
+/** The shared commit primitives under [[StagedSwap]]: checked deletes
+  * fail loudly on Hadoop's return-false path (r11 ADVICE — a silent
+  * false leaves stale state a later recover would roll forward over),
+  * and the cross-process writer lock holds its r13 ADVICE contract —
+  * a live holder is never stale-broken under the defaults, release
+  * verifies ownership before deleting, and contended writers hand off
+  * without spurious timeouts.
   */
 class StagedSwapSpec extends SparkTestBase {
-  import spark.implicits._
 
-  private lazy val docs =
-    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .filter($"doc_id" < 100)
-
-  test("TextIndex serve + append refuse while a compact stage is pending") {
-    val dir = tmpDir("ssw_text")
-    TextIndex.build(docs, "doc_id", "text", dir)
-    val next = s"$dir/postings_compact_next"
-    spark.range(1).toDF("junk").write.parquet(next)
+  test("deleteChecked throws when the filesystem reports failure by returning false") {
+    // Hadoop FileSystem.delete reports most failures by returning
+    // FALSE, not throwing — a silent false here would leave a stale
+    // generation that a later vacuum/rebuild trips over with no trail.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faildel.impl", classOf[FailDeleteFileSystem].getName)
+    val root = tmpDir("ssw_faildel")
+    new java.io.File(s"$root/doomed").mkdirs()
     val e = intercept[IllegalStateException](
-      TextIndex.bm25TopK(spark, dir, Seq("the"), 5).collect())
-    assert(e.getMessage.contains("TextIndex.recover"))
-    val e2 = intercept[IllegalStateException](
-      TextIndex.append(docs.limit(5), "doc_id", "text", dir))
-    assert(e2.getMessage.contains("TextIndex.recover"))
-    // recover discards the unmarked stage; serving resumes
-    TextIndex.recover(spark, dir)
-    assert(TextIndex.bm25TopK(spark, dir, Seq("the"), 5).count() > 0)
-  }
-
-  test("VectorIndex serve + append refuse while a compact stage is pending") {
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-      .filter($"vec_id" < 200)
-    val dir = tmpDir("ssw_vec")
-    VectorIndex.build(emb, "vec_id", "embedding", dir, numCentroids = 4)
-    val queries = emb.filter($"vec_id" < 5)
-    val next = s"$dir/lists_compact_next"
-    spark.range(1).toDF("junk").write.parquet(next)
-    val e = intercept[IllegalStateException](
-      VectorIndex.topK(spark, dir, queries, "vec_id", "embedding", 3)
-        .collect())
-    assert(e.getMessage.contains("VectorIndex.recover"))
-    val e2 = intercept[IllegalStateException](
-      VectorIndex.append(queries, "vec_id", "embedding", dir))
-    assert(e2.getMessage.contains("VectorIndex.recover"))
-    VectorIndex.recover(spark, dir)
-    assert(VectorIndex.topK(spark, dir, queries, "vec_id", "embedding", 3)
-      .count() > 0)
-  }
-
-  test("VectorIndex recover rolls a marked stage forward in every window") {
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-      .filter($"vec_id" < 200)
-    val dir = tmpDir("ssw_vecroll")
-    VectorIndex.build(emb, "vec_id", "embedding", dir, numCentroids = 4)
-    val queries = emb.filter($"vec_id" < 5)
-    def serve() = VectorIndex
-      .topK(spark, dir, queries, "vec_id", "embedding", 3)
-      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
-    val want = serve()
-    val next = s"$dir/lists_compact_next"
-    // marked stage + live dir still present
-    spark.read.parquet(s"$dir/lists").repartition(col("__cid"))
-      .write.partitionBy("__cid").parquet(next)
-    new java.io.File(next, "_COMPACT_DONE").createNewFile()
-    VectorIndex.recover(spark, dir)
-    assert(serve() == want && !new java.io.File(next).exists())
-    // post-delete pre-rename window: live dir already gone
-    spark.read.parquet(s"$dir/lists").repartition(col("__cid"))
-      .write.partitionBy("__cid").parquet(next)
-    new java.io.File(next, "_COMPACT_DONE").createNewFile()
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-    }
-    rm(new java.io.File(s"$dir/lists"))
-    VectorIndex.recover(spark, dir)
-    assert(serve() == want && !new java.io.File(next).exists())
+      StagedSwap.deleteChecked(spark, s"faildel://$root/doomed", "test state"))
+    assert(e.getMessage.contains("test state"))
+    assert(new java.io.File(s"$root/doomed").exists())
   }
 
   test("withFileLock: a live lock held longer than the body-sized old default is NOT stale-broken") {
@@ -144,33 +86,14 @@ class StagedSwapSpec extends SparkTestBase {
     t.join()
     assert(order == Vector("first-in", "first-out", "second-in"))
   }
-
-  test("rollForward throws when rename fails instead of losing the live dir") {
-    // Hadoop FileSystem.rename reports most failures by returning
-    // FALSE, not throwing — simulate with a scheme whose rename always
-    // fails. Before the return-value check this silently left the
-    // index with no live dir and no error.
-    spark.sparkContext.hadoopConfiguration
-      .set("fs.failren.impl", classOf[FailRenameFileSystem].getName)
-    val root = tmpDir("ssw_fail")
-    val stage = s"$root/stage"
-    new java.io.File(stage).mkdirs()
-    new java.io.File(stage, "_DONE").createNewFile()
-    val e = intercept[IllegalStateException](
-      StagedSwap.rollForward(spark, s"failren://$root/live",
-        s"failren://$stage", "_DONE"))
-    assert(e.getMessage.contains("rename"))
-    assert(new java.io.File(stage).exists(),
-      "the staged copy must survive a failed rename")
-  }
 }
 
-/** RawLocalFileSystem whose rename always reports failure the Hadoop
-  * way (returning false) — drives the StagedSwap return-value check.
+/** RawLocalFileSystem whose delete always reports failure the Hadoop
+  * way (returning false) — drives the deleteChecked return-value check.
   */
-class FailRenameFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
-  override def getScheme: String = "failren"
-  override def getUri: java.net.URI = java.net.URI.create("failren:///")
-  override def rename(src: org.apache.hadoop.fs.Path,
-      dst: org.apache.hadoop.fs.Path): Boolean = false
+class FailDeleteFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "faildel"
+  override def getUri: java.net.URI = java.net.URI.create("faildel:///")
+  override def delete(p: org.apache.hadoop.fs.Path,
+      recursive: Boolean): Boolean = false
 }

@@ -21,7 +21,7 @@ class TextIndexSpec extends SparkTestBase {
     assert(served == scan && served.size == 20)
   }
 
-  test("serving scans only the query terms' postings buckets (partition pruning)") {
+  test("serving scans only the query terms' postings buckets (structural pruning)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val dir = tmpDir("textidx")
     TextIndex.build(docs, "doc_id", "text", dir)
@@ -29,15 +29,19 @@ class TextIndexSpec extends SparkTestBase {
       .select(pmod(hash($"term"), lit(TextIndex.DefaultBuckets)))
       .as[Int].collect().toSet
     val posts = TextIndex.postingsFor(spark, dir, terms)
-    // the bucket IN-list must land in PartitionFilters, and the files
-    // actually read must come only from the wanted __tb directories
-    val plan = posts.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("__tb"),
-      s"no partition pruning in:\n$plan")
+    // the read resolves ONLY the wanted buckets' generation dirs
+    // through the manifest (untouched buckets are never even listed),
+    // so every file the scan touches must sit under a wanted __tb dir
     val scanned = posts.select(input_file_name()).distinct().as[String]
       .collect().map(f => f.split("__tb=")(1).split("/")(0).toInt).toSet
     assert(scanned.nonEmpty && scanned.subsetOf(wanted),
       s"scanned $scanned, wanted $wanted")
+    // the PLANNED input set is already pruned — not filter-at-runtime:
+    // every input file of the relation lives in a wanted bucket dir
+    val planned = posts.inputFiles
+      .map(f => f.split("__tb=")(1).split("/")(0).toInt).toSet
+    assert(planned.nonEmpty && planned.subsetOf(wanted),
+      s"planned $planned, wanted $wanted")
     // and only rows for the query terms survive
     assert(posts.select($"term").distinct().as[String].collect().toSet
       .subsetOf(terms.toSet))
@@ -59,7 +63,7 @@ class TextIndexSpec extends SparkTestBase {
     // POSITION lists (df re-derived for touched buckets must equal the
     // rebuilt global df; appended docs' positions must equal a fresh
     // tokenization's)
-    def rows(d: String) = spark.read.parquet(s"$d/postings")
+    def rows(d: String) = TextIndex.currentPostings(spark, d)
       .select($"term", $"doc_id", $"dl", $"tf", $"df", $"pss", $"__tb")
       .collect().map(_.toString).toSet
     assert(rows(incDir) == rows(fullDir) && rows(incDir).nonEmpty)
@@ -133,22 +137,52 @@ class TextIndexSpec extends SparkTestBase {
     TextIndex.append(docs.filter($"doc_id" >= 350), "doc_id", "text", dir)
     def serve() = TextIndex.bm25TopK(spark, dir, terms, 20)
       .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
-    def bucketFiles() = new java.io.File(
-        new java.net.URI(s"file://$dir/postings").getPath)
-      .listFiles().filter(_.getName.startsWith("__tb=")).map(d =>
-        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
-      .toMap
+    // files per bucket, resolved through the CURRENT manifest refs
+    def bucketFiles() = TextIndex.currentRefs(spark, dir).map {
+      case (k, gs) => k -> gs.map(g => new java.io.File(
+          new java.net.URI(s"file://$dir/$g/__tb=$k").getPath)
+        .listFiles().count(_.getName.endsWith(".parquet"))).sum
+    }
     val before = serve()
     val statsBefore = TextIndex.corpusStats(spark, dir)
     assert(bucketFiles().values.exists(_ > 1),
       "fixture too small: appends left no fragmented bucket")
     TextIndex.compact(spark, dir)
     assert(bucketFiles().values.forall(_ == 1), s"${bucketFiles()}")
+    // post-compact every bucket maps to the single fresh generation
+    assert(TextIndex.currentRefs(spark, dir).values.toSet.size == 1)
     assert(serve() == before)
     assert(TextIndex.corpusStats(spark, dir) == statsBefore)
   }
 
-  test("compact crash windows: unmarked stage discarded, marked stage rolls forward") {
+  test("a reader opened mid-append serves the pre-append snapshot bit-exactly") {
+    // THE r13 verdict item-1 property: the old layout dynamic-overwrote
+    // live buckets, so a reader crossing an append saw mixed df values.
+    // Generations: a frame that resolved its manifest paths keeps
+    // reading its immutable snapshot while any number of commits land.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = tmpDir("textidxsnap")
+    TextIndex.build(docs.filter($"doc_id" < 300), "doc_id", "text", dir)
+    val snap = TextIndex.postingsFor(spark, dir, terms)
+      .select($"term", $"doc_id", $"dl", $"tf", $"df", $"pss")
+    val want = snap.collect().map(_.toString).sorted.toSeq
+    val statsBefore = TextIndex.corpusStats(spark, dir)
+    // two commits land while the reader's frame is live — touching the
+    // SAME buckets (same query terms appear in the appended docs)
+    TextIndex.append(docs.filter($"doc_id" >= 300 && $"doc_id" < 450),
+      "doc_id", "text", dir)
+    TextIndex.append(docs.filter($"doc_id" >= 450), "doc_id", "text", dir)
+    assert(snap.collect().map(_.toString).sorted.toSeq == want,
+      "mid-append reader must keep its pre-append snapshot")
+    // while a FRESH read serves the post-append state
+    val fresh = TextIndex.postingsFor(spark, dir, terms)
+      .select($"term", $"doc_id", $"dl", $"tf", $"df", $"pss")
+      .collect().map(_.toString).sorted.toSeq
+    assert(fresh != want && fresh.size > want.size)
+    assert(TextIndex.corpusStats(spark, dir) != statsBefore)
+  }
+
+  test("crash windows: orphan generations are vacuumed, a lost pointer is restored") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter($"doc_id" < 200)
     val dir = tmpDir("textidxcrash")
@@ -156,34 +190,25 @@ class TextIndexSpec extends SparkTestBase {
     def serve() = TextIndex.bm25TopK(spark, dir, terms, 10)
       .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
     val want = serve()
-    val next = s"$dir/postings_compact_next"
-
-    // crash BEFORE the marker: the stage is garbage, live dir intact
-    spark.range(1).toDF("junk").write.parquet(next)
-    TextIndex.compact(spark, dir)
-    assert(!new java.io.File(next).exists())
+    // a crash mid-append/mid-compact leaves an ORPHAN generation no
+    // manifest references — the committed snapshot is untouched
+    // (pointer-flip design); recover() reclaims the orphan
+    spark.range(3).toDF("junk").write
+      .parquet(s"$dir/postings_g99/__tb=0")
     assert(serve() == want)
-
-    // crash AFTER the marker but BEFORE the swap: stage is a complete
-    // copy; a crash may even have deleted the live dir already —
-    // recover() must restore serving bit-identically in both windows
-    spark.read.parquet(s"$dir/postings").repartition(col("__tb"))
-      .write.partitionBy("__tb").parquet(next)
-    new java.io.File(next, "_COMPACT_DONE").createNewFile()
-    TextIndex.recover(spark, dir) // live dir still present
-    assert(serve() == want && !new java.io.File(next).exists())
-
-    spark.read.parquet(s"$dir/postings").repartition(col("__tb"))
-      .write.partitionBy("__tb").parquet(next)
-    new java.io.File(next, "_COMPACT_DONE").createNewFile()
-    // the post-delete pre-rename window: live dir gone
-    val live = new java.io.File(s"$dir/postings")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-    }
-    rm(live)
     TextIndex.recover(spark, dir)
-    assert(serve() == want && !new java.io.File(next).exists())
+    assert(!new java.io.File(s"$dir/postings_g99").exists())
+    assert(serve() == want)
+    // the torn-flip window of writeAtomic's non-atomic fallback: the
+    // pointer file is lost with every manifest intact — reads fall
+    // back to the newest manifest; recover re-materializes the pointer
+    val cur = java.nio.file.Paths.get(dir, "_current")
+    val v = java.nio.file.Files.readString(cur).trim
+    java.nio.file.Files.delete(cur)
+    assert(serve() == want)
+    TextIndex.recover(spark, dir)
+    assert(java.nio.file.Files.readString(cur).trim == v)
+    assert(serve() == want)
   }
 
   test("append of an empty batch is a no-op (empty foreachBatch delivery)") {
@@ -201,28 +226,27 @@ class TextIndexSpec extends SparkTestBase {
     assert(after == before)
   }
 
-  test("torn append is detected; recover rolls a proven commit forward") {
+  test("stats and postings commit atomically: no observable torn-append state") {
+    // the old layout wrote stats and postings separately and needed a
+    // staged repair protocol for the window between them; stats now
+    // ride the manifest's extras, committed by the SAME pointer flip
+    // as the postings refs — at every point around an append the pair
+    // (stats, postings) is one of exactly two consistent snapshots
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .filter($"doc_id" < 100)
-    val dir = tmpDir("textidxtorn")
-    TextIndex.build(docs, "doc_id", "text", dir)
-    val (n0, t0) = TextIndex.corpusStats(spark, dir)
-    // crash BETWEEN staged stats and postings completion: next exists,
-    // no done marker -> serving refuses, recover refuses (postings may
-    // be partial — no sound automatic repair)
-    Seq((n0 + 7L, t0 + 99L)).toDF("n_docs", "total_tokens")
-      .coalesce(1).write.parquet(s"$dir/corpus_stats_next")
-    intercept[IllegalStateException](TextIndex.corpusStats(spark, dir))
-    intercept[IllegalStateException](TextIndex.recover(spark, dir))
-    // crash AFTER the postings rewrite: the done marker proves the
-    // commit — recover promotes the staged stats and clears staging
-    new java.io.File(new java.net.URI(s"file://$dir/corpus_stats_next")
-      .getPath, "_POSTINGS_DONE").createNewFile()
-    TextIndex.recover(spark, dir)
-    assert(TextIndex.corpusStats(spark, dir) == (n0 + 7L, t0 + 99L))
-    // idempotent once clean
-    TextIndex.recover(spark, dir)
-    assert(TextIndex.corpusStats(spark, dir) == (n0 + 7L, t0 + 99L))
+    val dir = tmpDir("textidxatomic")
+    TextIndex.build(docs.filter($"doc_id" < 100), "doc_id", "text", dir)
+    val before = TextIndex.corpusStats(spark, dir)
+    val delta = docs.filter($"doc_id" >= 100 && $"doc_id" < 200)
+    TextIndex.append(delta, "doc_id", "text", dir)
+    val after = TextIndex.corpusStats(spark, dir)
+    val (dn, dt) = (delta.count(),
+      delta.select(sum(size(TextFunctions.terms($"text")))).as[Long].head())
+    assert(after == (before._1 + dn, before._2 + dt))
+    // consistency invariant: df/doc counts derivable from the CURRENT
+    // postings always agree with the manifest stats they shipped with
+    val nDocs = TextIndex.currentPostings(spark, dir)
+      .select($"doc_id").distinct().count()
+    assert(nDocs == after._1)
   }
 
   test("zero integer idf (df within n/10^4 of n): fallback restores full-scan order") {

@@ -29,7 +29,7 @@ class VectorIndexPqSpec extends SparkTestBase {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = tmpDir("pqidxlayout")
     VectorIndex.buildPq(emb, "vec_id", "embedding", dir, numCentroids = 16)
-    val lists = spark.read.parquet(s"$dir/lists")
+    val lists = VectorIndex.currentLists(spark, dir)
     // the memory-bounded contract: code bytes + one norm, no float array
     assert(lists.columns.toSet ==
       Set("neighbor_id", "__codes", "__rnorm2", "__cid"))
@@ -38,10 +38,12 @@ class VectorIndexPqSpec extends SparkTestBase {
     // m=16 codes per vector
     assert(lists.select(size($"__codes")).distinct().as[Int].collect()
       .toSeq == Seq(16))
-    // probed-list pruning: the __cid filter lands in PartitionFilters
-    val pruned = lists.filter($"__cid".isin(0, 1))
-    val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("__cid"),
-      s"no partition pruning in:\n$plan")
+    // probed-list pruning is STRUCTURAL: the serve read resolves only
+    // the probed lists' generation dirs through the manifest
+    val pruned = VectorIndex.readLists(spark, dir, Seq(0L, 1L))
+    val planned = pruned.inputFiles
+      .map(f => f.split("__cid=")(1).split("/")(0).toLong).toSet
+    assert(planned.nonEmpty && planned.subsetOf(Set(0L, 1L)),
+      s"planned $planned not within probed lists")
   }
 }

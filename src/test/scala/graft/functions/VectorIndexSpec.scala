@@ -58,18 +58,25 @@ class VectorIndexSpec extends SparkTestBase {
       VectorIndex.topK(spark, dir, queries, "vec_id", "embedding", 3)
         .select($"query_id", $"neighbor_id", $"rank", $"cos")
         .as[(Long, Long, Long, Double)].collect().toSet
-    def listFiles() = new java.io.File(
-        new java.net.URI(s"file://$dir/lists").getPath)
-      .listFiles().filter(_.getName.startsWith("__cid=")).map(d =>
-        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
-      .toMap
+    // files per list, resolved through the CURRENT manifest's
+    // fragment refs (appends accumulate one fragment generation each)
+    def listFiles() = VectorIndex.currentRefs(spark, dir).map {
+      case (c, gs) => c -> gs.map(g => new java.io.File(
+          new java.net.URI(s"file://$dir/$g/__cid=$c").getPath)
+        .listFiles().count(_.getName.endsWith(".parquet"))).sum
+    }
     val before = serve()
     val centsBefore = spark.read.parquet(s"$dir/centroids")
       .collect().map(_.toString).sorted.toSeq
-    assert(listFiles().values.exists(_ > 1),
+    // the two appends left multi-fragment refs — the O(batch) append
+    // contract (a fragment generation per append, no rewrite)
+    assert(VectorIndex.currentRefs(spark, dir).values.exists(_.size > 1),
       "fixture too small: appends left no fragmented list")
+    assert(listFiles().values.exists(_ > 1))
     VectorIndex.compact(spark, dir)
     assert(listFiles().values.forall(_ == 1), s"${listFiles()}")
+    // post-compact every list maps to ONE generation ref
+    assert(VectorIndex.currentRefs(spark, dir).values.forall(_.size == 1))
     assert(serve() == before)
     // centroids (the frozen assignment function) untouched
     assert(spark.read.parquet(s"$dir/centroids")
@@ -101,7 +108,7 @@ class VectorIndexSpec extends SparkTestBase {
     VectorIndex.build(emb, "vec_id", "embedding", autoDir, numCentroids = 64)
     VectorIndex.build(emb, "vec_id", "embedding", pinDir, numCentroids = 64,
       coarseProbe = Some(2))
-    def lists(d: String) = spark.read.parquet(s"$d/lists")
+    def lists(d: String) = VectorIndex.currentLists(spark, d)
       .select($"__cid".cast("long"), $"neighbor_id")
       .as[(Long, Long)].collect().toSet
     assert(lists(autoDir) == lists(pinDir) && lists(autoDir).nonEmpty)
@@ -125,12 +132,12 @@ class VectorIndexSpec extends SparkTestBase {
       .collect().toSet
     assert(got == want && got.nonEmpty)
     // the metadata predicate lands in the parquet scan's PushedFilters
-    val lists = spark.read.parquet(s"$dir/lists").filter($"label" === 1)
+    val lists = VectorIndex.currentLists(spark, dir).filter($"label" === 1)
     val plan = lists.queryExecution.executedPlan.toString
     assert(plan.contains("EqualTo(label,1)"), s"predicate not pushed:\n$plan")
   }
 
-  test("serving scans only the probed list partitions (partition pruning)") {
+  test("serving scans only the probed list partitions (structural pruning)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = tmpDir("ivfprune")
     // explicit k=16 here: with auto's 4 lists the pruning assertion
@@ -143,19 +150,72 @@ class VectorIndexSpec extends SparkTestBase {
         broadcast(cents), nprobe = 2)
       .select("__cid").distinct().as[Long].collect().toSet
     assert(probed.size <= 4)
-    val pruned = spark.read.parquet(s"$dir/lists")
-      .filter($"__cid".isin(probed.toSeq.map(x => x: Any): _*))
-    // inputFiles ignores filters — assert pruning on the physical scan:
-    // the __cid filter must land in PartitionFilters, and the scan's
-    // selected partitions must be exactly the probed list directories
-    val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("__cid"),
-      s"no partition pruning in:\n$plan")
+    // the serve-path read resolves ONLY the probed lists' generation
+    // dirs through the manifest — unprobed lists are never even listed,
+    // so the relation's PLANNED input files all sit under probed dirs
+    val pruned = VectorIndex.readLists(spark, dir, probed.toSeq)
+    val planned = pruned.inputFiles
+      .map(f => f.split("__cid=")(1).split("/")(0).toLong).toSet
+    assert(planned.nonEmpty && planned.subsetOf(probed),
+      s"planned $planned, probed $probed")
     val scannedCids = pruned.select(input_file_name()).distinct().as[String]
       .collect().map(f => f.split("__cid=")(1).split("/")(0).toLong).toSet
     assert(scannedCids == probed || scannedCids.subsetOf(probed),
       s"scanned $scannedCids, probed $probed")
-    assert(pruned.count() ==
-      spark.read.parquet(s"$dir/lists").filter($"__cid".isin(probed.toSeq.map(x => x: Any): _*)).count())
+    // and the pruned read returns exactly the probed lists' rows
+    assert(pruned.count() == VectorIndex.currentLists(spark, dir)
+      .filter($"__cid".isin(probed.toSeq.map(x => x: Any): _*)).count())
+  }
+
+  test("a reader opened mid-append serves the pre-append snapshot bit-exactly") {
+    // THE r13 verdict item-1 property for the vector index: the old
+    // layout appended files into LIVE list dirs, so a concurrent serve
+    // could observe a torn batch (some lists updated, others not).
+    // Generations: a frame that resolved its manifest paths keeps its
+    // immutable snapshot while commits land; the manifest flip makes
+    // each batch visible all-or-nothing.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = tmpDir("ivfsnap")
+    VectorIndex.build(emb.filter($"vec_id" < 300), "vec_id", "embedding", dir)
+    val queries = emb.filter($"vec_id" < 8)
+    val snap = VectorIndex.topK(spark, dir, queries, "vec_id", "embedding", 5)
+    val want = snap.collect().map(_.toString).sorted.toSeq
+    VectorIndex.append(emb.filter($"vec_id" >= 300 && $"vec_id" < 400),
+      "vec_id", "embedding", dir)
+    VectorIndex.append(emb.filter($"vec_id" >= 400), "vec_id", "embedding", dir)
+    assert(snap.collect().map(_.toString).sorted.toSeq == want,
+      "mid-append reader must keep its pre-append snapshot")
+    // a FRESH serve sees the appended vectors (all-or-nothing)
+    val fresh = VectorIndex
+      .topK(spark, dir, queries, "vec_id", "embedding", 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fresh != want)
+  }
+
+  test("crash windows: orphan generations are vacuumed, a lost pointer is restored") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = tmpDir("ivfcrash")
+    VectorIndex.build(emb.filter($"vec_id" < 200), "vec_id", "embedding", dir)
+    val queries = emb.filter($"vec_id" < 5)
+    def serve() = VectorIndex
+      .topK(spark, dir, queries, "vec_id", "embedding", 3)
+      .collect().map(_.toString).sorted.toSeq
+    val want = serve()
+    // a crash before the flip leaves an orphan generation; the
+    // committed snapshot is untouched and recover reclaims the orphan
+    spark.range(3).toDF("junk").write.parquet(s"$dir/lists_g99/__cid=0")
+    assert(serve() == want)
+    VectorIndex.recover(spark, dir)
+    assert(!new java.io.File(s"$dir/lists_g99").exists())
+    assert(serve() == want)
+    // torn pointer flip: reads fall back to the newest manifest;
+    // recover re-materializes the pointer
+    val cur = java.nio.file.Paths.get(dir, "_current")
+    val v = java.nio.file.Files.readString(cur).trim
+    java.nio.file.Files.delete(cur)
+    assert(serve() == want)
+    VectorIndex.recover(spark, dir)
+    assert(java.nio.file.Files.readString(cur).trim == v)
+    assert(serve() == want)
   }
 }

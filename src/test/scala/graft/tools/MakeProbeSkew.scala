@@ -69,7 +69,31 @@ object MakeProbeSkew {
       (hotIdBase + i, baseArr.map(x => x * (1.0f + i / 10000.0f)),
         baseVec.getInt(1))
     }.toDF("vec_id", "embedding", "label")
-    emb.unionByName(cell).localCheckpoint(true)
+
+    // hot NON-DUPLICATE cell (r13 verdict item 4's missing overlay):
+    // the copies above measure OUTPUT growth — their pairs are real
+    // cos=1.0 results any correct enumerator must emit. This cluster
+    // measures pure verification SKEW: `hot` distinct vectors sharing
+    // one topic direction u with per-vector noise sized so pairwise
+    // cosine ≈ w²/(w²+s²) = 0.30 < θ=0.45 (near-zero output), yet
+    // every vector's dominant centroid is u's cell (cos to it ≈ 0.55
+    // vs ~|N(0,1)|/√dims ≈ 0.1 to random others) — one cell with a
+    // quadratic interior and nothing to show for it, the exact
+    // one-task straggler ivfCellPairsFrame's salted blocking bounds.
+    val hotIdBase2 = hotIdBase + 10000000L
+    val dims = baseArr.length
+    val uNorm = math.sqrt(baseArr.map(x => x.toDouble * x).sum)
+    val noiseScale = 1.53 // s/w for cos ≈ 1/(1+s²) ≈ 0.30
+    val topic = (0 until hot).map { i =>
+      val rnd = new java.util.Random(7919L * (i + 1)) // deterministic
+      val g = Array.fill(dims)(rnd.nextGaussian())
+      val gNorm = math.sqrt(g.map(x => x * x).sum)
+      val v = baseArr.indices.map(d =>
+        (baseArr(d) / uNorm + noiseScale * g(d) / gNorm).toFloat)
+      (hotIdBase2 + i, v, baseVec.getInt(1))
+    }.toDF("vec_id", "embedding", "label")
+
+    emb.unionByName(cell).unionByName(topic).localCheckpoint(true)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     spark.stop()
