@@ -540,15 +540,23 @@ object VectorFunctions {
       maxBucket = 20 * targetBucket, allowFixedAtScale = true)
   }
 
-  /** Measured recall floor of the routed IVF branch (symmetric nprobe=2
-    * multi-assignment, s13 fixture: 0.857 measured, floor pinned in
-    * LshAutoSpec) — the honest price of crossing the route boundary,
-    * surfaced to callers through [[NearDupRoute.recallFloor]] so a
-    * pipeline can GATE on the regime it is getting instead of silently
-    * trading LSH's ≥1−missProb for cell-coverage recall (r13 verdict
-    * item 3a). Raise only with a measured A/B (ROADMAP round-14 table).
+  /** Measured recall floor of the routed IVF branch on the s13 FIXTURE
+    * (symmetric nAssign=3 multi-assignment: 14/14 = 1.000 measured at
+    * kc=4 — up from 0.857 at the r13 nAssign=2 default; floor pinned
+    * with headroom in LshAutoSpec so a regression in training/
+    * assignment/pairing trips it). This is a REGRESSION PIN, not a
+    * scale guarantee: cell-coverage recall falls as kc grows, because
+    * θ≈0.45 pairs are ~63° apart and genuinely straddle cells — the
+    * round-14 RouteProbe table (ROADMAP) measured 0.420 at 10×
+    * (kc=79) and nAssign=4 still only 0.543; ≥0.9 at corpus scale is
+    * NOT affordable in this family, which is the honest price of a
+    * broad-similarity ask the LSH policy refused (it wanted >64
+    * tables). Surfaced to callers through
+    * [[NearDupRoute.recallFloor]]/`recallRegime` so a pipeline can
+    * GATE on the regime it is getting (r13 verdict item 3a) instead of
+    * discovering the swap in a recall audit.
     */
-  val IvfRoutedRecallFloor = 0.80
+  val IvfRoutedRecallFloor = 0.95
 
   /** The routing decision behind [[nearDupPairsRouted]], as plain data
     * so callers (and oracle rows) can pin it: `wanted` is the UNCAPPED
@@ -635,12 +643,14 @@ object VectorFunctions {
     * join behind the checkpoint's LogicalRDD, the knnGraphFrame
     * precedent). Callers own `assigned.unpersist()`.
     *
-    * SYMMETRIC nprobe=2 multi-assignment: single-assignment misses
-    * every θ-pair straddling a cell boundary (measured 0.50 recall at
-    * the s13 fixture); assigning BOTH sides to their top-2 cells
-    * recovers a boundary pair whenever any of the 2×2 cells is shared
-    * (0.857 measured, LshAutoSpec pins the floor). Candidate volume
-    * stays bounded — ≈4·n·cellTarget pre-verification — against LSH's
+    * SYMMETRIC nAssign=3 multi-assignment (raised from 2 on the
+    * round-14 A/B): single-assignment misses every θ-pair straddling a
+    * cell boundary (measured 0.50 recall at the s13 fixture); top-2
+    * recovered 0.857; top-3 recovers 14/14 = 1.000 at the fixture and
+    * +59% recall at the 10× probe (0.264 → 0.420 at kc=79) for a
+    * measured ≤1.3× cost at 100× (55.5 → 73.4 s, within box noise —
+    * nAssign=4 measured 55.0 s in the same sweep). Candidate volume
+    * stays bounded — ≈9·n·cellTarget pre-verification — against LSH's
     * tables·n·targetBucket/2 with tables > 64 in the routed regime.
     *
     * Vectors ride the cell join (2n skinny rows per side — the
@@ -676,13 +686,13 @@ object VectorFunctions {
     */
   private[graft] def ivfCellPairsFrame(df: DataFrame, idCol: String,
       vecCol: String, threshold: Double, kc: Int,
-      blockTarget: Int = 1024): (DataFrame, DataFrame) = {
+      blockTarget: Int = 1024, nAssign: Int = 3): (DataFrame, DataFrame) = {
     val cents = ivfTrainCentroids(df, idCol, vecCol, kc,
       sampleSize = math.max(256, 2 * kc))
     val assigned = (if (kc >= VectorIndex.TwoLevelMinCentroids)
         ivfAssignTwoLevelTopK(df, idCol, vecCol, cents, coarseProbe = 2,
-          nAssign = 2)
-      else ivfAssign(df, idCol, vecCol, cents, nprobe = 2))
+          nAssign = nAssign)
+      else ivfAssign(df, idCol, vecCol, cents, nprobe = nAssign))
       .withColumn("__blocks",
         greatest(lit(1L), ceil(
           count(lit(1)).over(org.apache.spark.sql.expressions.Window

@@ -2843,8 +2843,9 @@ object LlmOps {
     * the route comparison against the cap, the ivfParamsFor cell
     * sizing, the deterministic k-means centroids at the derived
     * fixture k (ivfCentroidSql — farthest-first init + integer-exact
-    * Lloyd steps), the SYMMETRIC top-2 multi-assignment (rn ≤ 2 —
-    * the boundary-loss fix that took measured recall 0.50 → 0.857),
+    * Lloyd steps), the SYMMETRIC top-3 multi-assignment (rn ≤ 3 —
+    * the boundary-loss fix that took measured fixture recall
+    * 0.50 → 0.857 at top-2 and to 14/14 at top-3, the round-14 A/B),
     * and the deduped within-cell exact-cosine pair rule — a drift
     * anywhere in router, policy, or kernel fails the hash compare.
     * (The centroid CTE unrolls at the fixture k = ⌈500/256⌉→4, the
@@ -2877,7 +2878,7 @@ object LlmOps {
                  row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
           FROM embeddings e CROSS JOIN cent c)
-        WHERE rn <= 2),
+        WHERE rn <= 3),
       g AS (SELECT count(*) AS n FROM embeddings),
       pp AS (SELECT n,
                greatest(4, CAST(ceil(log2(greatest(1.0, n / 10.0)) - 1e-9) AS BIGINT)) AS n_planes

@@ -152,10 +152,12 @@ class LshAutoSpec extends SparkTestBase {
     assert(routed.map(p => (p._1, p._2)).toSet == again)
     // recall floor vs brute-force truth: IVF-branch recall is
     // cell-coverage-bounded by design (a true pair is missed only if
-    // NONE of either side's top-2 cells is shared; single assignment
-    // measured 0.50 here, symmetric nprobe=2 measured 0.857 = 12/14)
-    // — the floor pins the MEASURED constant so a regression in
-    // training/assignment/pairing shows up, and documents the honest
+    // NONE of either side's top-nAssign cells is shared; single
+    // assignment measured 0.50 here, top-2 0.857, top-3 — the round-14
+    // default — 14/14 = 1.000) — the floor pins the MEASURED constant
+    // so a regression in training/assignment/pairing shows up. It is a
+    // FIXTURE pin, not a scale guarantee: RouteProbe measured 0.420 at
+    // the 10× probe's kc=79 (ROADMAP round-14 table) — the honest
     // price of the routed regime next to LSH's 1−missProb
     val v = emb.select($"vec_id".as("id_a"), $"embedding".as("__va"))
     val w = emb.select($"vec_id".as("id_b"), $"embedding".as("__vb"))

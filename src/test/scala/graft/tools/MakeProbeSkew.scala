@@ -32,6 +32,11 @@ object MakeProbeSkew {
     val out = args.lift(1).getOrElse("/tmp/probeskew")
     val n = args.lift(2).map(_.toInt).getOrElse(10)
     val hot = args.lift(3).map(_.toInt).getOrElse(500)
+    // the non-duplicate topic cell sizes separately: measuring ITS
+    // skew needs a population past the blocking threshold (≥ several
+    // × blockTarget) without inflating the copy-cluster overlays'
+    // real quadratic OUTPUT alongside
+    val hotTopic = args.lift(4).map(_.toInt).getOrElse(hot)
     val spark = MakeProbe.probeSession()
     import spark.implicits._
     MakeProbe.build(spark, src, out, n)
@@ -84,7 +89,7 @@ object MakeProbeSkew {
     val dims = baseArr.length
     val uNorm = math.sqrt(baseArr.map(x => x.toDouble * x).sum)
     val noiseScale = 1.53 // s/w for cos ≈ 1/(1+s²) ≈ 0.30
-    val topic = (0 until hot).map { i =>
+    val topic = (0 until hotTopic).map { i =>
       val rnd = new java.util.Random(7919L * (i + 1)) // deterministic
       val g = Array.fill(dims)(rnd.nextGaussian())
       val gNorm = math.sqrt(g.map(x => x * x).sum)
