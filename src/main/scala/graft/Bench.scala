@@ -65,8 +65,9 @@ object Bench {
   private[graft] val DriftFactor = 1.25
   private val MaxIsolatedRemeasures = 12
 
-  private def loadReference(sfDir: String): Map[String, Double] = {
-    val p = java.nio.file.Paths.get("tools/bench_reference.json")
+  private[graft] def loadReference(sfDir: String,
+      path: String = "tools/bench_reference.json"): Map[String, Double] = {
+    val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) return Map.empty
     try {
       val node = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -27,4 +27,29 @@ class BenchContractSpec extends AnyFunSuite {
     assert(Bench.requiredGiB(30) == 15L)
     assert(Bench.requiredGiB(100) == 50L) // the 64g that cleared r10's tail
   }
+
+  test("heavy-phase rows are real declared queries (a rename can't silently demote one)") {
+    assert(Bench.HeavyRows.subsetOf(graft.SparkEntry.queries.keySet),
+      s"unknown heavy rows: ${Bench.HeavyRows -- graft.SparkEntry.queries.keySet}")
+  }
+
+  test("drift reference loads only at its own scale factor; garbage reads as absent") {
+    val dir = java.nio.file.Files.createTempDirectory("benchref")
+    val p = dir.resolve("ref.json").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      """{"sf":"/root/testdata/sf0.1","medians":{"q01_agg":1.5,"t71_signature_index":9.79}}""")
+    val atSf = Bench.loadReference("/root/testdata/sf0.1", p)
+    assert(atSf == Map("q01_agg" -> 1.5, "t71_signature_index" -> 9.79))
+    // a reference from another scale must NOT fence this run — the
+    // 10x/100x probe sweeps would otherwise re-measure every row
+    assert(Bench.loadReference("/tmp/probe10x", p).isEmpty)
+    // unreadable reference degrades to no fence, never a crash
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p), "{not json")
+    assert(Bench.loadReference("/root/testdata/sf0.1", p).isEmpty)
+    assert(Bench.loadReference("/root/testdata/sf0.1",
+      dir.resolve("absent.json").toString).isEmpty)
+    // the drift factor itself: the r13 incident read 1.38x (13.5/9.79)
+    // in-suite — the fence must catch that class
+    assert(13.5 / 9.79 > Bench.DriftFactor)
+  }
 }
