@@ -214,10 +214,18 @@ object Bench {
         s"dropped: ${drifted.drop(MaxIsolatedRemeasures).mkString(",")}")
     isolated.foreach { n =>
       val before = median(times(n))
-      times(n) = (1 to runs).map(p => timeOnce(n, s"isolated-$p")).toVector
-      System.err.println(f"[bench] $n drifted ${before / reference(n)}%.2fx " +
-        f"vs reference ${reference(n)}%.3f — isolated median " +
-        f"${median(times(n))}%.3f replaces in-suite $before%.3f")
+      val iso = (1 to runs).map(p => timeOnce(n, s"isolated-$p")).toVector
+      // a failed isolated pass must not overwrite three valid in-suite
+      // samples with a -1 "failure" — keep the suite median instead
+      if (iso.exists(_ < 0))
+        System.err.println(s"[bench] $n isolated re-measure failed a pass " +
+          s"— keeping the in-suite median $before")
+      else {
+        times(n) = iso
+        System.err.println(f"[bench] $n drifted ${before / reference(n)}%.2fx " +
+          f"vs reference ${reference(n)}%.3f — isolated median " +
+          f"${median(iso)}%.3f replaces in-suite $before%.3f")
+      }
     }
     val results = names.map(name => name -> median(times(name)))
     // SPARK_GRAFT_WRITE_REF=1 refreshes tools/bench_reference.json from

@@ -124,6 +124,15 @@ private[graft] object GenIndex {
         s"$what at $indexDir: _current names manifest v$v but the " +
           "manifest file is missing"))
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    // fail actionably on a pre-GenIndex manifest (the r13 SignatureIndex
+    // format had append_id/bands/sets at top level) instead of NPEing
+    // deep in the field walk
+    if (node.get("tables") == null || node.get("extras") == null ||
+        node.get("commit_id") == null)
+      throw new IllegalStateException(
+        s"$what at $indexDir: manifest v$v predates the shared generation " +
+          "format (no tables/extras/commit_id fields) — rebuild the index " +
+          "with the current version")
     def fields[T](n: com.fasterxml.jackson.databind.JsonNode)(
         f: (String, com.fasterxml.jackson.databind.JsonNode) => T): Seq[T] = {
       val it = n.fieldNames()
@@ -158,10 +167,14 @@ private[graft] object GenIndex {
     * `withBucketCol` re-attaches the bucket id as a partition column
     * via a per-generation basePath read (needed whenever the consumer
     * joins or groups on the bucket id, or re-writes partitionBy).
+    * `schemaDDL` is BY-NAME: it is only evaluated for the empty-bucket
+    * frame, so callers that derive it from a parquet footer pay that
+    * driver-side read only on the (rare) all-buckets-absent path, not
+    * per serve.
     */
   def readBuckets(spark: SparkSession, indexDir: String,
       refs: Map[Int, Seq[String]], part: String, buckets: Seq[Int],
-      withBucketCol: Boolean, schemaDDL: String): DataFrame = {
+      withBucketCol: Boolean, schemaDDL: => String): DataFrame = {
     val present: Seq[(Int, String)] = buckets.distinct
       .flatMap(k => refs.getOrElse(k, Seq.empty).map(k -> _))
     if (present.isEmpty)

@@ -181,21 +181,43 @@ private[graft] object StagedSwap {
     finally {
       // must not throw (would mask the body's exception) but must not
       // be silent: a false return stalls writers until the stale-break.
-      // Ownership check first — if the lock content no longer carries
-      // OUR token, a breaker re-acquired it and the delete would free
-      // the NEW holder's lock for a third writer.
+      // Ownership is verified RENAME-FIRST, not read-then-delete: the
+      // rename to a private grave is atomic with exactly one winner, so
+      // a stale-break landing between a content read and the delete can
+      // no longer hand us the NEW holder's lock to destroy (the r13
+      // ADVICE #2 race, fully closed). If the graved file turns out to
+      // carry someone else's token we took THEIR live lock — put it
+      // back; a failed put-back (a third writer already created a fresh
+      // lock) is warned loudly, never silently absorbed.
       try {
-        val stillOurs = readSmallFile(spark, lockPath)
-          .forall(_.contains(s""""token":"$token""""))
-        if (!stillOurs)
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"writer lock $lockPath was stale-broken while held — " +
-              "leaving the current holder's lock in place (raise staleMs " +
-              "above the slowest expected commit)")
-        else if (!fs.delete(lock, false) && fs.exists(lock))
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"could not release writer lock $lockPath — writers stall " +
-              s"until the ${staleMs}ms stale-break")
+        val grave = new Path(lock.getParent,
+          s".${lock.getName}.rel.${java.util.UUID.randomUUID().toString.take(8)}")
+        if (!fs.rename(lock, grave)) {
+          if (fs.exists(lock))
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"could not release writer lock $lockPath — writers stall " +
+                s"until the ${staleMs}ms stale-break")
+          // else: already stale-broken and its breaker released — done
+        } else {
+          val ours = readSmallFile(spark, grave.toString)
+            .forall(_.contains(s""""token":"$token""""))
+          if (ours) fs.delete(grave, false)
+          else {
+            // we graved a lock a breaker had re-acquired — restore it
+            if (!fs.rename(grave, lock)) {
+              fs.delete(grave, false)
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"writer lock $lockPath was stale-broken while held AND a " +
+                  "third writer re-locked during release — could not " +
+                  "restore the broken holder's lock (raise staleMs above " +
+                  "the slowest expected commit)")
+            } else
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"writer lock $lockPath was stale-broken while held — " +
+                  "left the current holder's lock in place (raise staleMs " +
+                  "above the slowest expected commit)")
+          }
+        }
       } catch { case _: java.io.IOException => () }
     }
   }

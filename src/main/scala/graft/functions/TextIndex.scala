@@ -47,8 +47,20 @@ object TextIndex {
   private val LockName = "_commit.lock"
   private def lockPath(indexDir: String) = s"$indexDir/$LockName"
   private val GenPrefixes = Seq("postings_g")
-  private val PostingsDDL =
-    "term string, doc_id bigint, dl bigint, tf bigint, df bigint, pss array<int>"
+
+  /** Schema for the empty-bucket frame when NO queried bucket exists in
+    * the manifest — derived from a real generation's footer when one
+    * exists (build accepts any id type, so a hardcoded doc_id would
+    * silently widen a string-id index's union), falling back to the
+    * long-id shape for a genuinely empty index. Evaluated lazily by
+    * readBuckets (by-name), so serves never pay the footer read.
+    */
+  private def postingsDDL(spark: SparkSession, indexDir: String,
+      m: GenIndex.Manifest): String =
+    m.refs("postings").headOption.map { case (k, gs) =>
+      spark.read.parquet(s"$indexDir/${gs.head}/__tb=$k").schema.toDDL
+    }.getOrElse(
+      "term string, doc_id bigint, dl bigint, tf bigint, df bigint, pss array<int>")
 
   private def readManifest(spark: SparkSession,
       indexDir: String): GenIndex.Manifest =
@@ -148,7 +160,7 @@ object TextIndex {
       val st = tokens.agg(count(lit(1)).as("n"),
         sum(size($"ts").cast("long")).as("t")).head()
       val old = GenIndex.readBuckets(spark, indexDir, cur.refs("postings"),
-          "__tb", touched, withBucketCol = true, PostingsDDL)
+          "__tb", touched, withBucketCol = true, postingsDDL(spark, indexDir, cur))
         .select($"doc_id", $"term", $"dl", $"tf", $"pss", $"__tb")
       val combined = old.unionByName(
         newTf.select($"doc_id", $"term", $"dl", $"tf", $"pss", $"__tb"))
@@ -215,7 +227,8 @@ object TextIndex {
       val cur = readManifest(spark, indexDir)
       val gen = cur.version + 1
       GenIndex.readBuckets(spark, indexDir, cur.refs("postings"), "__tb",
-          cur.refs("postings").keys.toSeq, withBucketCol = true, PostingsDDL)
+          cur.refs("postings").keys.toSeq, withBucketCol = true,
+          postingsDDL(spark, indexDir, cur))
         .repartition(col("__tb"))
         .write.mode("overwrite").partitionBy("__tb")
         .parquet(s"$indexDir/postings_g$gen")
@@ -238,6 +251,12 @@ object TextIndex {
     * append ever rewrites ([[vacuum]]'s grace window protects the
     * previous snapshot; only a reader ≥2 commits stale can race a
     * full-reclaim vacuum).
+    *
+    * `nBuckets` is accepted for source compatibility but IGNORED: the
+    * manifest's recorded bucket count is authoritative, so a caller
+    * holding a stale count can no longer probe the wrong buckets
+    * (same note on [[append]]; [[phraseMatches]]/[[proximityMatches]]/
+    * [[bm25TopK]] forward it here and inherit the rule).
     */
   def postingsFor(spark: SparkSession, indexDir: String,
       terms: Seq[String], nBuckets: Int = DefaultBuckets): DataFrame = {
@@ -250,7 +269,7 @@ object TextIndex {
       .select(pmod(hash($"term"), lit(nb)))
       .collect().map(_.getInt(0)).toSeq
     GenIndex.readBuckets(spark, indexDir, m.refs("postings"), "__tb",
-        buckets.distinct, withBucketCol = false, PostingsDDL)
+        buckets.distinct, withBucketCol = false, postingsDDL(spark, indexDir, m))
       .filter($"term".isin(terms: _*))
   }
 
@@ -262,7 +281,8 @@ object TextIndex {
       indexDir: String): DataFrame = {
     val m = readManifest(spark, indexDir)
     GenIndex.readBuckets(spark, indexDir, m.refs("postings"), "__tb",
-      m.refs("postings").keys.toSeq, withBucketCol = true, PostingsDDL)
+      m.refs("postings").keys.toSeq, withBucketCol = true,
+      postingsDDL(spark, indexDir, m))
   }
 
   /** The current snapshot's bucket → generation-dir refs — exposed for

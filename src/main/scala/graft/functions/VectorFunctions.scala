@@ -551,10 +551,10 @@ object VectorFunctions {
     * (kc=79) and nAssign=4 still only 0.543; ≥0.9 at corpus scale is
     * NOT affordable in this family, which is the honest price of a
     * broad-similarity ask the LSH policy refused (it wanted >64
-    * tables). Surfaced to callers through
-    * [[NearDupRoute.recallFloor]]/`recallRegime` so a pipeline can
-    * GATE on the regime it is getting (r13 verdict item 3a) instead of
-    * discovering the swap in a recall audit.
+    * tables). Because the pin is NOT a scale bound,
+    * [[NearDupRoute.recallFloor]] deliberately reports 0.0 for the
+    * cell-coverage regime — callers gate on `recallRegime` (r13
+    * verdict item 3a) and this constant stays a spec-only fence.
     */
   val IvfRoutedRecallFloor = 0.95
 
@@ -566,12 +566,15 @@ object VectorFunctions {
     * router, and any declared policy columns can never drift apart.
     * `kCells` is the IVF-branch sizing (ivfParamsFor), populated on
     * both routes for observability. `recallFloor`/`recallRegime` name
-    * the recall CONTRACT of the branch taken: "table-policy" guarantees
-    * ≥ 1−missProb by LSH table sizing; "cell-coverage" is bounded by
-    * shared-probed-cell coverage and floors at the MEASURED
-    * [[IvfRoutedRecallFloor]] — a pipeline that needs the stronger
-    * guarantee can gate on this instead of discovering the swap in a
-    * recall audit.
+    * the recall CONTRACT of the branch taken: "table-policy" GUARANTEES
+    * ≥ 1−missProb by LSH table sizing; "cell-coverage" carries NO
+    * guaranteed lower bound — recallFloor is 0.0 there, deliberately,
+    * so a pipeline gating `recallFloor >= x` FAILS onto the stronger
+    * family instead of proceeding on a fixture constant (measured
+    * cell-coverage recall is scale-dependent: 1.000 at the fixture's
+    * kc=4, 0.420 at the 10× probe's kc=79 — ROADMAP round-14 table;
+    * the fixture regression pin lives in [[IvfRoutedRecallFloor]],
+    * which is a SPEC constant, not a production bound).
     */
   case class NearDupRoute(n: Long, wanted: Int, cap: Int, route: String,
       kCells: Int, recallFloor: Double, recallRegime: String)
@@ -586,7 +589,7 @@ object VectorFunctions {
         1 - missProb, "table-policy")
     else
       NearDupRoute(n, wanted, maxTables, "ivf", kc,
-        IvfRoutedRecallFloor, "cell-coverage")
+        0.0, "cell-coverage")
   }
 
   /** Routed near-dup pairs — the entry point that turns the cap-regime

@@ -53,7 +53,7 @@ object VectorIndex {
     */
   private def commitGeneration(spark: SparkSession, indexDir: String,
       rows: DataFrame, cur: Option[GenIndex.Manifest], commitId: String,
-      replace: Boolean): Unit = {
+      replace: Boolean, extras: Map[String, String] = Map.empty): Unit = {
     val gen = cur.map(_.version + 1).getOrElse(0)
     rows.write.mode("overwrite").partitionBy("__cid")
       .parquet(s"$indexDir/lists_g$gen")
@@ -65,8 +65,11 @@ object VectorIndex {
       if (replace) written.map(_ -> Seq(s"lists_g$gen")).toMap
       else prior ++ written.map(c =>
         c -> (prior.getOrElse(c, Seq.empty) :+ s"lists_g$gen"))
+    // a fragment commit carries the build's extras forward unchanged
+    val eff = if (extras.nonEmpty) extras
+      else cur.map(_.extras).getOrElse(Map.empty)
     GenIndex.writeManifest(spark, indexDir,
-      GenIndex.Manifest(gen, commitId, Map("lists" -> refs), Map.empty))
+      GenIndex.Manifest(gen, commitId, Map("lists" -> refs), eff))
     GenIndex.flipCurrent(spark, indexDir, gen)
   }
 
@@ -113,18 +116,31 @@ object VectorIndex {
       val cents = VectorFunctions.ivfTrainCentroids(
         corpus, idCol, vecCol, k, effSample, iters)
       cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
-      val meta = corpus.select(
-        (col(idCol).as("neighbor_id") +: metaCols.map(col)): _*)
-      val assigned = assignWith(corpus, idCol, vecCol, cents, coarseProbe, k)
-        .select(col("__cid"), col("__aid").as("neighbor_id"),
-          col("__avec").as("__cv"))
-      val lists =
-        if (metaCols.isEmpty) assigned
-        else assigned.join(meta, "neighbor_id")
-          .repartition(col("__cid"))
-          .sortWithinPartitions(metaCols.map(col): _*)
-      commitGeneration(spark, indexDir, lists, None, "build", replace = true)
+      val lists = assignedLists(corpus, idCol, vecCol, cents, coarseProbe,
+        k, metaCols)
+      commitGeneration(spark, indexDir, lists, None, "build", replace = true,
+        extras = Map("flavor" -> "raw", "meta_cols" -> metaCols.mkString(",")))
     }
+  }
+
+  /** The (list id, neighbor, vector, metaCols…) rows of one assignment
+    * pass — shared by build and append so a fragment generation always
+    * carries the SAME columns as the built generations (an append that
+    * dropped the metaCols would make the cross-generation read of a
+    * filtered index unresolvable).
+    */
+  private def assignedLists(corpus: DataFrame, idCol: String,
+      vecCol: String, cents: DataFrame, coarseProbe: Option[Int], k: Int,
+      metaCols: Seq[String]): DataFrame = {
+    val assigned = assignWith(corpus, idCol, vecCol, cents, coarseProbe, k)
+      .select(col("__cid"), col("__aid").as("neighbor_id"),
+        col("__avec").as("__cv"))
+    if (metaCols.isEmpty) assigned
+    else assigned.join(corpus.select(
+        (col(idCol).as("neighbor_id") +: metaCols.map(col)): _*),
+        "neighbor_id")
+      .repartition(col("__cid"))
+      .sortWithinPartitions(metaCols.map(col): _*)
   }
 
   /** Incremental maintenance: assign a batch of NEW vectors against the
@@ -144,12 +160,23 @@ object VectorIndex {
     if (corpus.isEmpty) return
     StagedSwap.withFileLock(spark, lockPath(indexDir)) {
       val cur = readManifest(spark, indexDir)
+      // a raw-vector append into a PQ index would commit fragments the
+      // code-row serving path cannot read — refuse with the real fix
+      if (cur.extras.getOrElse("flavor", "raw") == "pq")
+        throw new IllegalStateException(
+          s"vector index at $indexDir stores PQ codes — append raw " +
+            "vectors by rebuilding with buildPq (codebooks are frozen " +
+            "per build; incremental PQ appends would encode against " +
+            "stale codebooks)")
+      // a fragment must carry the SAME columns as the built
+      // generations — including the build's metaCols (recorded in the
+      // manifest), or the cross-generation read becomes unresolvable
+      val metaCols = cur.extras.getOrElse("meta_cols", "")
+        .split(",").filter(_.nonEmpty).toSeq
       val cents = spark.read.parquet(s"$indexDir/centroids")
       // same auto rule as build: the frozen centroid count decides the path
-      val rows = assignWith(corpus, idCol, vecCol, broadcast(cents),
-          coarseProbe, cents.count().toInt)
-        .select(col("__cid"), col("__aid").as("neighbor_id"),
-          col("__avec").as("__cv"))
+      val rows = assignedLists(corpus, idCol, vecCol, broadcast(cents),
+        coarseProbe, cents.count().toInt, metaCols)
       commitGeneration(spark, indexDir, rows, Some(cur),
         java.util.UUID.randomUUID().toString, replace = false)
     }
@@ -188,7 +215,8 @@ object VectorIndex {
         .ivfAssign(corpus, idCol, vecCol, broadcast(cents))
         .select(col("__cid"), col("__aid").as("neighbor_id"))
         .join(enc.withColumnRenamed("__eid", "neighbor_id"), "neighbor_id")
-      commitGeneration(spark, indexDir, rows, None, "build", replace = true)
+      commitGeneration(spark, indexDir, rows, None, "build", replace = true,
+        extras = Map("flavor" -> "pq", "meta_cols" -> ""))
     }
   }
 

@@ -43,6 +43,17 @@ object BusLog {
   private def partDir(root: String, p: Int): Path =
     Paths.get(root, f"p$p%05d")
 
+  /** Directory listing that CLOSES the underlying DirectoryStream —
+    * `Files.list` holds an open fd until closed, and the monitoring/
+    * retention entry points run once per trigger on long-lived
+    * drivers, where leaked fds accumulate into "too many open files".
+    */
+  private def listNames(d: Path): Seq[String] = {
+    val st = Files.list(d)
+    try st.iterator().asScala.map(_.getFileName.toString).toSeq
+    finally st.close()
+  }
+
   private val SegmentRe = raw"(\d{20})\.log".r
 
   def create(root: String, numPartitions: Int): Unit = {
@@ -53,10 +64,9 @@ object BusLog {
   def partitions(root: String): Seq[Int] = {
     val d = Paths.get(root)
     if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
+    else listNames(d)
       .collect { case s if s.matches("p\\d{5}") => s.drop(1).toInt }
-      .toSeq.sorted
+      .sorted
   }
 
   /** Highest committed seq per partition (0 = nothing published).
@@ -67,8 +77,7 @@ object BusLog {
   def latestSeqs(root: String): Map[Int, Long] =
     partitions(root).map { p =>
       val d = partDir(root, p)
-      val max = Files.list(d).iterator().asScala
-        .map(_.getFileName.toString)
+      val max = listNames(d)
         .collect { case SegmentRe(s) => s.toLong }
         .foldLeft(readHwm(d))(math.max)
       p -> max
@@ -81,8 +90,8 @@ object BusLog {
     */
   def segmentCounts(root: String): Map[Int, Long] =
     partitions(root).map { p =>
-      p -> Files.list(partDir(root, p)).iterator().asScala
-        .count(f => SegmentRe.matches(f.getFileName.toString)).toLong
+      p -> listNames(partDir(root, p))
+        .count(SegmentRe.matches).toLong
     }.toMap
 
   private def readHwm(dir: Path): Long = {
@@ -106,14 +115,12 @@ object BusLog {
       if (upto > 0) {
         val dir = partDir(root, p)
         withPartitionLock(dir, staleLockMs, s"vacuum partition $p") {
-          Files.list(dir).iterator().asScala
-            .filter { f =>
-              f.getFileName.toString match {
-                case SegmentRe(s) => s.toLong <= upto
-                case _ => false
-              }
+          listNames(dir)
+            .filter {
+              case SegmentRe(s) => s.toLong <= upto
+              case _ => false
             }
-            .toSeq.foreach(Files.delete)
+            .foreach(n => Files.delete(dir.resolve(n)))
           if (upto > readHwm(dir)) {
             val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
             Files.write(tmp, upto.toString.getBytes(StandardCharsets.UTF_8))
@@ -207,11 +214,10 @@ object BusLog {
   def readRange(root: String, partition: Int, fromExclusive: Long,
       toInclusive: Long): Iterator[(Long, Int, Long, Array[Byte])] = {
     val dir = partDir(root, partition)
-    val seqs = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
+    val seqs = listNames(dir)
       .collect { case SegmentRe(s) => s.toLong }
       .filter(s => s > fromExclusive && s <= toInclusive)
-      .toSeq.sorted
+      .sorted
     seqs.iterator.flatMap { seq =>
       val lines = Files.readAllLines(
         dir.resolve(f"$seq%020d.log"), StandardCharsets.UTF_8).asScala

@@ -130,9 +130,12 @@ class LshAutoSpec extends SparkTestBase {
       targetBucket = 10, missProb = 0.005)
     assert(pol.route == "ivf" && pol.wanted > pol.cap, pol.toString)
     // crossing the boundary is surfaced, not silent: the policy names
-    // the weaker cell-coverage regime and its measured floor
-    assert(pol.recallRegime == "cell-coverage" &&
-      pol.recallFloor == VectorFunctions.IvfRoutedRecallFloor, pol.toString)
+    // the weaker cell-coverage regime, and recallFloor is 0.0 — NO
+    // guaranteed bound (measured recall is scale-dependent: 1.000 at
+    // fixture kc=4, 0.420 at 10x kc=79) — so a `recallFloor >= x` gate
+    // fails onto the stronger family instead of passing on a fixture pin
+    assert(pol.recallRegime == "cell-coverage" && pol.recallFloor == 0.0,
+      pol.toString)
     intercept[IllegalArgumentException] {
       VectorFunctions.cosineNearDupPairsAuto(emb, "vec_id", "embedding",
         threshold = 0.45, targetBucket = 10, missProb = 0.005)

@@ -167,6 +167,43 @@ class VectorIndexSpec extends SparkTestBase {
       .filter($"__cid".isin(probed.toSeq.map(x => x: Any): _*)).count())
   }
 
+  test("append to a metaCols index carries the metadata; filtered serve == rebuilt index") {
+    // round-14 review finding: an append fragment that dropped the
+    // build's metaCols made the cross-generation read of a filtered
+    // index unresolvable (strict unionByName). The manifest now records
+    // meta_cols and append attaches them, so a filtered serve after an
+    // append equals a full rebuild.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val incDir = tmpDir("ivffiltinc")
+    VectorIndex.build(emb.filter($"vec_id" < 300), "vec_id", "embedding",
+      incDir, metaCols = Seq("label"))
+    VectorIndex.append(emb.filter($"vec_id" >= 300), "vec_id", "embedding",
+      incDir)
+    val fullDir = tmpDir("ivffiltfull")
+    VectorIndex.build(emb, "vec_id", "embedding", fullDir,
+      metaCols = Seq("label"))
+    val queries = emb.filter($"vec_id" < 8)
+    def serve(d: String) = VectorIndex.topKFiltered(spark, d, queries,
+        "vec_id", "embedding", 3, $"label" === 1)
+      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Long)]
+      .collect().toSet
+    // NOTE: both indexes train on the same id-ordered sample, so the
+    // frozen assignment function matches and the serves must be equal
+    assert(serve(incDir) == serve(fullDir) && serve(incDir).nonEmpty)
+  }
+
+  test("raw append into a PQ index refuses with the rebuild hint") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 200)
+    val dir = tmpDir("ivfpqguard")
+    VectorIndex.buildPq(emb, "vec_id", "embedding", dir, numCentroids = 4)
+    // appending raw (neighbor_id, __cv) fragments into code-row lists
+    // would silently corrupt serving — the flavor guard refuses
+    val e = intercept[IllegalStateException](
+      VectorIndex.append(emb.limit(5), "vec_id", "embedding", dir))
+    assert(e.getMessage.contains("PQ") && e.getMessage.contains("buildPq"))
+  }
+
   test("a reader opened mid-append serves the pre-append snapshot bit-exactly") {
     // THE r13 verdict item-1 property for the vector index: the old
     // layout appended files into LIVE list dirs, so a concurrent serve
