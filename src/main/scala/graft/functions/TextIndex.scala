@@ -43,6 +43,23 @@ object TextIndex {
 
   val DefaultBuckets = 64
 
+  /** Bucket-count sizing from the corpus token volume — the
+    * SignatureIndex.bucketsFor twin (r14; same argument): append cost
+    * is ∝ the TOUCHED buckets' posting rows, and a realistic batch's
+    * terms hash into ~every bucket, so the rewrite/read-amplification
+    * unit is total_postings / nBuckets. Token count upper-bounds the
+    * posting-row count (one posting per DISTINCT (doc, term); repeats
+    * collapse) and is already aggregated before the build writes, so
+    * sizing costs nothing extra. Default target ~4M rows ≈ 100 MB
+    * parquet per touched bucket; floor DefaultBuckets where per-bucket
+    * task overhead dominates. (Spec-pinned: floor, monotonicity,
+    * end-to-end wiring via the target knob.)
+    */
+  def bucketsFor(totalTokens: Long,
+      targetRowsPerBucket: Long = 4L << 20): Int =
+    math.max(DefaultBuckets,
+      math.ceil(totalTokens.toDouble / targetRowsPerBucket - 1e-9).toInt)
+
   private val What = "text index"
   private val LockName = "_commit.lock"
   private def lockPath(indexDir: String) = s"$indexDir/$LockName"
@@ -79,13 +96,19 @@ object TextIndex {
     * capable one ([[phraseMatches]]) — the standard positional-index
     * trade every production text index makes.
     *
-    * `nBuckets` is recorded in the manifest and every later call reads
-    * the RECORDED value — a caller passing a different count to a
-    * serve/append entry point can no longer silently probe the wrong
-    * buckets.
+    * `nBuckets` defaults to AUTO (`nBuckets <= 0`): the corpus stats
+    * row the build aggregates anyway feeds [[bucketsFor]], so a
+    * warehouse-scale corpus gets bounded-rewrite buckets BY DEFAULT —
+    * the SignatureIndex r14 treatment; pass an explicit positive count
+    * to override, `targetRowsPerBucket` to tune the auto goal (and to
+    * let specs pin the wiring at fixture scale). The chosen count is
+    * recorded in the manifest and every later call reads the RECORDED
+    * value — a caller passing a different count to a serve/append
+    * entry point can no longer silently probe the wrong buckets.
     */
   def build(docs: DataFrame, idCol: String, textCol: String,
-      indexDir: String, nBuckets: Int = DefaultBuckets): Unit = {
+      indexDir: String, nBuckets: Int = 0,
+      targetRowsPerBucket: Long = 4L << 20): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     StagedSwap.withFileLock(spark, lockPath(indexDir)) {
@@ -102,8 +125,11 @@ object TextIndex {
       val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val st = tokens.agg(count(lit(1)).as("n"),
         sum(size($"ts").cast("long")).as("t")).head()
+      val totalTokens = if (st.isNullAt(1)) 0L else st.getLong(1)
+      val nb = if (nBuckets > 0) nBuckets
+        else bucketsFor(totalTokens, targetRowsPerBucket)
       tf.join(df, "term")
-        .withColumn("__tb", pmod(hash($"term"), lit(nBuckets)))
+        .withColumn("__tb", pmod(hash($"term"), lit(nb)))
         .write.mode("overwrite").partitionBy("__tb")
         .parquet(s"$indexDir/postings_g0")
       GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(0, "build",
@@ -111,8 +137,8 @@ object TextIndex {
           GenIndex.bucketsIn(spark, s"$indexDir/postings_g0", "__tb")
             .map(_ -> Seq("postings_g0")).toMap),
         Map("n_docs" -> st.getLong(0).toString,
-          "total_tokens" -> (if (st.isNullAt(1)) 0L else st.getLong(1)).toString,
-          "n_buckets" -> nBuckets.toString)))
+          "total_tokens" -> totalTokens.toString,
+          "n_buckets" -> nb.toString)))
       GenIndex.flipCurrent(spark, indexDir, 0)
     }
   }

@@ -47,6 +47,40 @@ class TextIndexSpec extends SparkTestBase {
       .subsetOf(terms.toSet))
   }
 
+  test("build default auto-sizes nBuckets from the corpus token volume") {
+    // the SignatureIndex r14 treatment: at fixture scale the auto
+    // default floors to DefaultBuckets...
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" < 150)
+    val dir1 = tmpDir("textidxauto1")
+    TextIndex.build(docs, "doc_id", "text", dir1)
+    def metaBuckets(d: String): Int = {
+      // recorded count drives the serve hashing; read it back the way
+      // postingsFor does (via the manifest)
+      val posts = TextIndex.currentPostings(spark, d)
+      posts.select(max($"__tb")).as[Int].head() + 1 // dense at fixture vocab
+    }
+    assert(metaBuckets(dir1) <= TextIndex.DefaultBuckets)
+    // ...and a tiny rewrite-unit target pushes the SAME default past the
+    // floor, proving the token count flows through bucketsFor end-to-end
+    val tokens = docs
+      .select(sum(size(TextFunctions.terms($"text")))).as[Long].head()
+    val want = TextIndex.bucketsFor(tokens, targetRowsPerBucket = 50L)
+    assert(want > TextIndex.DefaultBuckets)
+    val dir2 = tmpDir("textidxauto2")
+    TextIndex.build(docs, "doc_id", "text", dir2, targetRowsPerBucket = 50L)
+    // serving still works against the wider bucket map and matches the
+    // floored index bit-exactly (bucketing is layout, not content)
+    def serve(d: String) = TextIndex.bm25TopK(spark, d, terms, 10)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(serve(dir2) == serve(dir1))
+    // bucketsFor: floor and monotonicity
+    assert(TextIndex.bucketsFor(1000L) == TextIndex.DefaultBuckets)
+    val ks = Seq(1L << 20, 1L << 28, 1L << 34, 1L << 38)
+      .map(TextIndex.bucketsFor(_))
+    assert(ks == ks.sorted && ks.last > TextIndex.DefaultBuckets)
+  }
+
   test("incremental append serves bit-identically to a full rebuild") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val first = docs.filter($"doc_id" < 400)
