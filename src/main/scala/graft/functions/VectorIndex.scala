@@ -241,7 +241,7 @@ object VectorIndex {
       .select(col("__aid").as("query_id"), col("__cid"))
     // list ids to open: bounded by numCentroids — control-plane collect
     val needed = probes.select("__cid").distinct().as[Long].collect()
-    val lists = readLists(spark, indexDir, needed)
+    val lists = readLists(spark, indexDir, needed.toSeq)
     val lut = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .select(col("query_id"), VectorFunctions.norm(col("__qv")).as("__qn"),
         posexplode(array((0 until m).map(i =>
@@ -395,7 +395,7 @@ object VectorIndex {
       .select(col("__aid").as("query_id"), col("__avec").as("__qv"), col("__cid"))
     // list ids to open: bounded by numCentroids — control-plane collect
     val needed = probes.select("__cid").distinct().as[Long].collect()
-    val lists0 = readLists(spark, indexDir, needed)
+    val lists0 = readLists(spark, indexDir, needed.toSeq)
     val lists = predicate.map(lists0.filter).getOrElse(lists0)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
