@@ -217,36 +217,42 @@ object Bench {
       val m = median(times(n))
       m >= 0 && reference.get(n).exists(r => r > 0 && m / r > DriftFactor)
     }
-    // cheapest-first within a wall-clock budget (each re-measure costs
-    // ~runs × its reference time), count-capped as a backstop
-    val byCost = drifted.sortBy(reference(_))
-    val isolated = {
+    // cheapest-first within a wall-clock budget, count-capped as a
+    // backstop. Cost estimate uses the OBSERVED in-suite median, not
+    // the clean reference: a genuinely regressed row re-runs at its
+    // regressed speed, and estimating with the reference would blow the
+    // budget severalfold on exactly the runs the fence targets.
+    val byCost = drifted.sortBy(n => median(times(n)))
+    val selected = {
       var budget = IsolatedBudgetSec
       byCost.takeWhile { n =>
-        val est = runs * reference(n)
+        val est = runs * median(times(n))
         val fits = est <= budget
         if (fits) budget -= est
         fits
       }.take(MaxIsolatedRemeasures)
     }
-    if (drifted.size > isolated.size)
+    if (drifted.size > selected.size)
       System.err.println(s"[bench] drift re-measure budget " +
         s"(${IsolatedBudgetSec}s / max $MaxIsolatedRemeasures) covered " +
-        s"${isolated.size} of ${drifted.size} drifted rows — dropped: " +
-        s"${(drifted.toSet -- isolated.toSet).toSeq.sorted.mkString(",")}")
-    isolated.foreach { n =>
+        s"${selected.size} of ${drifted.size} drifted rows — dropped: " +
+        s"${(drifted.toSet -- selected.toSet).toSeq.sorted.mkString(",")}")
+    // only rows whose re-measure actually REPLACED the suite median are
+    // reported `isolated` — a failed re-run keeps the in-suite value
+    // and must not be mislabeled as isolated counter-evidence
+    val isolated = selected.filter { n =>
       val before = median(times(n))
       val iso = (1 to runs).map(p => timeOnce(n, s"isolated-$p")).toVector
-      // a failed isolated pass must not overwrite three valid in-suite
-      // samples with a -1 "failure" — keep the suite median instead
-      if (iso.exists(_ < 0))
+      if (iso.exists(_ < 0)) {
         System.err.println(s"[bench] $n isolated re-measure failed a pass " +
           s"— keeping the in-suite median $before")
-      else {
+        false
+      } else {
         times(n) = iso
         System.err.println(f"[bench] $n drifted ${before / reference(n)}%.2fx " +
           f"vs reference ${reference(n)}%.3f — isolated median " +
           f"${median(iso)}%.3f replaces in-suite $before%.3f")
+        true
       }
     }
     val results = names.map(name => name -> median(times(name)))

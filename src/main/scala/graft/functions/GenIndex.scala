@@ -193,6 +193,23 @@ private[graft] object GenIndex {
     }
   }
 
+  /** The table's data schema derived from ONE committed fragment's
+    * parquet footer (a leaf-dir read, so the partition column is
+    * excluded), falling back to `fallbackDDL` only for a table with no
+    * committed bucket at all. This is [[readBuckets]]' empty-frame
+    * schema companion — feed it through the BY-NAME parameter so the
+    * footer is only opened on the all-buckets-absent path, never per
+    * serve. Shared here because both TextIndex and VectorIndex derive
+    * it from the same generation layout (second-review finding: two
+    * verbatim copies would drift).
+    */
+  def footerDDL(spark: SparkSession, indexDir: String,
+      refs: Map[Int, Seq[String]], part: String,
+      fallbackDDL: String): String =
+    refs.headOption.map { case (k, gs) =>
+      spark.read.parquet(s"$indexDir/${gs.head}/$part=$k").schema.toDDL
+    }.getOrElse(fallbackDDL)
+
   /** Delete generation dirs referenced by NO manifest inside the grace
     * window, and manifest files older than that window. The default
     * grace of 1 keeps the immediately-previous snapshot fully

@@ -181,41 +181,63 @@ private[graft] object StagedSwap {
     finally {
       // must not throw (would mask the body's exception) but must not
       // be silent: a false return stalls writers until the stale-break.
-      // Ownership is verified RENAME-FIRST, not read-then-delete: the
-      // rename to a private grave is atomic with exactly one winner, so
-      // a stale-break landing between a content read and the delete can
-      // no longer hand us the NEW holder's lock to destroy (the r13
-      // ADVICE #2 race, fully closed). If the graved file turns out to
-      // carry someone else's token we took THEIR live lock — put it
-      // back; a failed put-back (a third writer already created a fresh
-      // lock) is warned loudly, never silently absorbed.
+      //
+      // Release protocol: READ ownership first — a lock that already
+      // carries someone else's token (our hold was stale-broken long
+      // ago) is never touched at all. Only a lock still carrying OUR
+      // token is renamed to a private grave (atomic, exactly one
+      // winner) and the GRAVE re-verified before the delete — so the
+      // read-then-delete TOCTOU (r13 ADVICE #2) cannot destroy a lock
+      // that was re-acquired between the read and the removal; the
+      // rename loses that race instead, and the foreign graved lock is
+      // restored. POSIX gives no compare-and-delete, so one residual
+      // window remains: if a stale-break lands INSIDE the
+      // read→rename microseconds AND a third writer acquires before
+      // the restore, the restore is skipped (restoring would overwrite
+      // the third writer's lock — local-FS rename replaces silently)
+      // and the broken holder's loss is warned loudly. Reaching it
+      // needs a stale-break timed within the release itself — with
+      // staleMs defaulted to 30 min against multi-second commits, that
+      // means a misconfigured staleMs, which the warning names.
       try {
-        val grave = new Path(lock.getParent,
-          s".${lock.getName}.rel.${java.util.UUID.randomUUID().toString.take(8)}")
-        if (!fs.rename(lock, grave)) {
-          if (fs.exists(lock))
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"could not release writer lock $lockPath — writers stall " +
-                s"until the ${staleMs}ms stale-break")
-          // else: already stale-broken and its breaker released — done
-        } else {
-          val ours = readSmallFile(spark, grave.toString)
-            .forall(_.contains(s""""token":"$token""""))
-          if (ours) fs.delete(grave, false)
-          else {
-            // we graved a lock a breaker had re-acquired — restore it
-            if (!fs.rename(grave, lock)) {
+        val ours0 = readSmallFile(spark, lockPath)
+          .forall(_.contains(s""""token":"$token""""))
+        if (!ours0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"writer lock $lockPath was stale-broken while held — " +
+              "leaving the current holder's lock in place (raise staleMs " +
+              "above the slowest expected commit)")
+        else {
+          val grave = new Path(lock.getParent,
+            s".${lock.getName}.rel.${java.util.UUID.randomUUID().toString.take(8)}")
+          if (!fs.rename(lock, grave)) {
+            if (fs.exists(lock))
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"could not release writer lock $lockPath — writers stall " +
+                  s"until the ${staleMs}ms stale-break")
+            // else: broken+released within the read→rename window — done
+          } else {
+            val ours = readSmallFile(spark, grave.toString)
+              .forall(_.contains(s""""token":"$token""""))
+            if (ours) fs.delete(grave, false)
+            else if (!fs.exists(lock) && fs.rename(grave, lock))
+              // breaker raced the rename; no third writer yet — restored
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"writer lock $lockPath was stale-broken during release — " +
+                  "restored the breaker's lock (raise staleMs above the " +
+                  "slowest expected commit)")
+            else {
+              // a third writer already holds a fresh lock — restoring
+              // would silently REPLACE it (POSIX rename semantics), so
+              // the breaker's lock is dropped with a loud trail instead
               fs.delete(grave, false)
               org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                s"writer lock $lockPath was stale-broken while held AND a " +
-                  "third writer re-locked during release — could not " +
-                  "restore the broken holder's lock (raise staleMs above " +
-                  "the slowest expected commit)")
-            } else
-              org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                s"writer lock $lockPath was stale-broken while held — " +
-                  "left the current holder's lock in place (raise staleMs " +
-                  "above the slowest expected commit)")
+                s"writer lock $lockPath was stale-broken during release " +
+                  "AND re-acquired by a third writer — the intermediate " +
+                  "holder's lock could not be restored; its release will " +
+                  "warn in turn (staleMs is far below the commit span — " +
+                  "raise it)")
+            }
           }
         }
       } catch { case _: java.io.IOException => () }

@@ -74,9 +74,7 @@ object TextIndex {
     */
   private def postingsDDL(spark: SparkSession, indexDir: String,
       m: GenIndex.Manifest): String =
-    m.refs("postings").headOption.map { case (k, gs) =>
-      spark.read.parquet(s"$indexDir/${gs.head}/__tb=$k").schema.toDDL
-    }.getOrElse(
+    GenIndex.footerDDL(spark, indexDir, m.refs("postings"), "__tb",
       "term string, doc_id bigint, dl bigint, tf bigint, df bigint, pss array<int>")
 
   private def readManifest(spark: SparkSession,

@@ -160,9 +160,15 @@ object VectorIndex {
     if (corpus.isEmpty) return
     StagedSwap.withFileLock(spark, lockPath(indexDir)) {
       val cur = readManifest(spark, indexDir)
+      // REQUIRED extras, never defaulted: an index built before the
+      // flavor/meta_cols manifest fields (extras = {}) must refuse
+      // actionably here — defaulting to "raw"/"" would bypass both
+      // guards and commit incompatible fragments into a pre-upgrade PQ
+      // or metaCols index (round-14 second-review finding #1)
+      val flavor = cur.extra("flavor", What)
       // a raw-vector append into a PQ index would commit fragments the
       // code-row serving path cannot read — refuse with the real fix
-      if (cur.extras.getOrElse("flavor", "raw") == "pq")
+      if (flavor == "pq")
         throw new IllegalStateException(
           s"vector index at $indexDir stores PQ codes — append raw " +
             "vectors by rebuilding with buildPq (codebooks are frozen " +
@@ -171,7 +177,7 @@ object VectorIndex {
       // a fragment must carry the SAME columns as the built
       // generations — including the build's metaCols (recorded in the
       // manifest), or the cross-generation read becomes unresolvable
-      val metaCols = cur.extras.getOrElse("meta_cols", "")
+      val metaCols = cur.extra("meta_cols", What)
         .split(",").filter(_.nonEmpty).toSeq
       val cents = spark.read.parquet(s"$indexDir/centroids")
       // same auto rule as build: the frozen centroid count decides the path
@@ -324,15 +330,13 @@ object VectorIndex {
 
   /** The lists' data schema varies by flavor (raw __cv vs PQ codes,
     * optional metaCols), so derive the empty-read DDL from an actual
-    * fragment — bounded: one file's footer.
+    * fragment's footer (shared GenIndex helper; evaluated lazily by
+    * readBuckets's by-name parameter — never per serve).
     */
   private def listsDDL(spark: SparkSession, indexDir: String,
-      m: GenIndex.Manifest): String = {
-    val refs = m.refs("lists")
-    refs.headOption.map { case (k, gs) =>
-      spark.read.parquet(s"$indexDir/${gs.head}/__cid=$k").schema.toDDL
-    }.getOrElse("neighbor_id bigint, __cv array<float>")
-  }
+      m: GenIndex.Manifest): String =
+    GenIndex.footerDDL(spark, indexDir, m.refs("lists"), "__cid",
+      "neighbor_id bigint, __cv array<float>")
 
   /** Probed lists read through the manifest's immutable fragment
     * paths, with the list id re-attached (basePath) — only the probed
