@@ -636,6 +636,44 @@ object LlmOps {
     },
     Some(ivfOracleSql))
 
+  /** The INCREMENTAL maintenance face of s04, driver-visible (r14): the
+    * index is built on vec_id < 300 and the rest arrives as a fragment
+    * APPEND — a fresh immutable generation committed by one manifest
+    * flip, the crawl-ingest shape a 100 TB vector store actually runs
+    * (never a rebuild per batch). Serving the appended index must be
+    * BIT-IDENTICAL to s03's in-memory full-corpus path: the trainer's
+    * id-ordered 256-vector sample is wholly inside the build half, so
+    * the frozen centroids — and therefore every assignment — match the
+    * full build exactly, and the oracle (shared with s03/s04, which
+    * re-derives the centroids and probed top-k in SQL with no index at
+    * all) hashes the append protocol, the fragment refs, the
+    * metaCols-carrying append schema (the round-14 fix: a fragment
+    * missing the build's metaCols is unresolvable cross-generation),
+    * and the probed-lists serve behind one driver check.
+    */
+  private val ivfAppendIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val s14IvfAppendTopK = Q(
+    "s14_ivf_append_topk",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = Tables.cachedTempRoot(ivfAppendIndexCache, dir,
+          "graft_ivf_appidx") { p =>
+        graft.functions.VectorIndex.build(
+          emb.filter($"vec_id" < 300), "vec_id", "embedding", p.toString,
+          numCentroids = 16, metaCols = Seq("label"))
+        graft.functions.VectorIndex.append(
+          emb.filter($"vec_id" >= 300), "vec_id", "embedding", p.toString)
+        p.toString
+      }
+      graft.functions.VectorIndex.topK(s, idx,
+        emb.filter($"vec_id" < 8), "vec_id", "embedding", k = 3, nprobe = 4)
+        .orderBy($"query_id", $"rank")
+    },
+    Some(ivfOracleSql))
+
   /** TF-IDF top terms per document: explode→(doc,term) count→term
     * document frequency→join→per-doc top-k window. Linear idf (N/df,
     * no log) so the score is exact integer arithmetic followed by one
@@ -4866,7 +4904,7 @@ object LlmOps {
     t51DupKeeper, t52ZipfTable, t53SourceHealth, t54LeakageSplit,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
     s06IvfPqTopK, s07FilteredAnn, s08KnnGraph, s09AutoNearDup, s10AutoKnn,
-    s11PqIndexTopK, s13RoutedNearDup,
+    s11PqIndexTopK, s13RoutedNearDup, s14IvfAppendTopK,
     t55TextRank, t56SsJoinPrefix, t57Bm25TopK, t58Bm25Index,
     t59AutoTextNearDup, t60BpeTrain, t61HybridRrf, t62HybridIndexed,
     t63MmrRerank, t64TripletMining, t65PhraseSearch, t66ProximitySearch,
