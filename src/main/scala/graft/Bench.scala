@@ -51,8 +51,8 @@ object Bench {
     */
   private[graft] val HeavyRows = Set(
     "e35_mg_heavy_hitters", "e36_incremental_groups",
-    "e37_bus_signature_index", "t71_signature_index",
-    "t71b_signature_serve")
+    "e37_bus_signature_index", "e38_bus_vector_index",
+    "t71_signature_index", "t71b_signature_serve")
 
   /** Round-over-round drift fence (r13 verdict item 2): medians that
     * moved more than this factor vs the committed reference
@@ -222,15 +222,20 @@ object Bench {
     // the clean reference: a genuinely regressed row re-runs at its
     // regressed speed, and estimating with the reference would blow the
     // budget severalfold on exactly the runs the fence targets.
+    // the count cap applies INSIDE the selection loop: a row rejected
+    // by the cap must not have debited the time budget first (r14
+    // ADVICE item 4 — takeWhile-then-take under-selected cheap drifted
+    // rows and made the 'dropped' log wrong)
     val byCost = drifted.sortBy(n => median(times(n)))
     val selected = {
       var budget = IsolatedBudgetSec
+      var accepted = 0
       byCost.takeWhile { n =>
         val est = runs * median(times(n))
-        val fits = est <= budget
-        if (fits) budget -= est
+        val fits = accepted < MaxIsolatedRemeasures && est <= budget
+        if (fits) { budget -= est; accepted += 1 }
         fits
-      }.take(MaxIsolatedRemeasures)
+      }
     }
     if (drifted.size > selected.size)
       System.err.println(s"[bench] drift re-measure budget " +

@@ -68,20 +68,30 @@ private[graft] object GenIndex {
   def manifestPath(indexDir: String, v: Int): String =
     s"$indexDir/_manifest_v$v.json"
 
+  /** Serialized with Jackson, NOT hand-built strings (r14 ADVICE
+    * item 2): extras carry user-influenced values (metaCols, commit
+    * ids), and a quote or backslash in one would corrupt a
+    * concatenated manifest silently — the writer must escape exactly
+    * what the reader (already Jackson) unescapes.
+    */
   def writeManifest(spark: SparkSession, indexDir: String,
       m: Manifest): Unit = {
-    val tablesJson = m.tables.toSeq.sortBy(_._1).map { case (t, refs) =>
-      val rj = refs.toSeq.sortBy(_._1).map { case (k, gs) =>
-        s""""$k":[${gs.map(g => s""""$g"""").mkString(",")}]"""
-      }.mkString("{", ",", "}")
-      s""""$t":$rj"""
-    }.mkString("{", ",", "}")
-    val extrasJson = m.extras.toSeq.sorted.map { case (k, v) =>
-      s""""$k":"$v""""
-    }.mkString("{", ",", "}")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("version", m.version)
+    root.put("commit_id", m.commitId)
+    val ex = root.putObject("extras")
+    m.extras.toSeq.sorted.foreach { case (k, v) => ex.put(k, v) }
+    val ts = root.putObject("tables")
+    m.tables.toSeq.sortBy(_._1).foreach { case (t, refs) =>
+      val tn = ts.putObject(t)
+      refs.toSeq.sortBy(_._1).foreach { case (k, gs) =>
+        val arr = tn.putArray(k.toString)
+        gs.foreach(arr.add)
+      }
+    }
     StagedSwap.writeAtomic(spark, manifestPath(indexDir, m.version),
-      s"""{"version":${m.version},"commit_id":"${m.commitId}",""" +
-        s""""extras":$extrasJson,"tables":$tablesJson}""")
+      om.writeValueAsString(root))
   }
 
   /** The single commit point: flip `_current` to the new manifest. */
@@ -102,15 +112,17 @@ private[graft] object GenIndex {
     * non-atomic delete+rename path (filesystems without an
     * AbstractFileSystem binding) can crash between deleting `_current`
     * and recreating it with every manifest intact — fall back
-    * READ-ONLY to the newest manifest (manifests are written before
-    * the flip, so newest IS the committed state); a recover() call
-    * re-materializes the pointer via [[restoreCurrentIfMissing]].
+    * READ-ONLY to the newest INTACT manifest (manifests are written
+    * before the flip, so the newest one whose generation dirs all
+    * still exist is the committed state — see
+    * [[newestIntactVersion]] for why "intact" matters); a recover()
+    * call re-materializes the pointer via [[restoreCurrentIfMissing]].
     */
   def readManifest(spark: SparkSession, indexDir: String,
       what: String): Manifest = {
     val v = StagedSwap.readSmallFile(spark, s"$indexDir/_current")
       .map(_.trim.toInt)
-      .orElse(manifestVersions(spark, indexDir).maxOption)
+      .orElse(newestIntactVersion(spark, indexDir, what))
       .getOrElse(throw new IllegalStateException(
         s"$what at $indexDir has no _current pointer and no manifest — " +
           "not built, or a build crashed before its first commit"))
@@ -210,6 +222,28 @@ private[graft] object GenIndex {
       spark.read.parquet(s"$indexDir/${gs.head}/$part=$k").schema.toDDL
     }.getOrElse(fallbackDDL)
 
+  /** Newest manifest whose referenced generation dirs ALL still
+    * exist — the fallback selector for a lost `_current` pointer
+    * (r14 ADVICE item 1). A manifest left by a crashed commit (crash
+    * after writeManifest, before flipCurrent) is newer than the
+    * committed one, and once a vacuum has reclaimed its orphan
+    * generation dirs it DANGLES: blindly selecting the newest
+    * manifest would pin the index to a snapshot whose data is gone.
+    * An intact uncommitted manifest (no vacuum ran yet) is still
+    * selected — that is a harmless roll-forward of a fully-written
+    * commit that only missed its pointer flip.
+    */
+  private def newestIntactVersion(spark: SparkSession, indexDir: String,
+      what: String): Option[Int] = {
+    val (fs, _) = hfs(spark, indexDir)
+    manifestVersions(spark, indexDir).sorted.reverse.find { v =>
+      readManifestVersion(spark, indexDir, v, what)
+        .tables.values.flatMap(_.values.flatten).toSet
+        .forall(g => fs.exists(
+          new org.apache.hadoop.fs.Path(s"$indexDir/$g")))
+    }
+  }
+
   /** Delete generation dirs referenced by NO manifest inside the grace
     * window, and manifest files older than that window. The default
     * grace of 1 keeps the immediately-previous snapshot fully
@@ -233,21 +267,35 @@ private[graft] object GenIndex {
     fs.listStatus(root).foreach { s =>
       val name = s.getPath.getName
       val isGen = genPrefixes.exists(name.startsWith)
-      val isOldManifest = name.startsWith("_manifest_v") &&
-        name.stripPrefix("_manifest_v").stripSuffix(".json").toInt < floor
-      if ((isGen && !live.contains(name)) || isOldManifest)
+      // manifests NEWER than the committed version are uncommitted
+      // leftovers of a crashed commit (the writer lock is held here,
+      // so no live writer can be mid-flip): their generation dirs are
+      // being reclaimed as orphans by this very pass, and leaving the
+      // manifest file behind would leave a DANGLING newest manifest
+      // for the lost-pointer fallback to mis-select (r14 ADVICE
+      // item 1 — the vacuumed-dirs half of the fix; the read side is
+      // [[newestIntactVersion]])
+      val mv = if (!name.startsWith("_manifest_v")) None
+        else Some(name.stripPrefix("_manifest_v").stripSuffix(".json").toInt)
+      val isOldManifest = mv.exists(_ < floor)
+      val isUncommittedManifest = mv.exists(_ > cur.version)
+      if ((isGen && !live.contains(name)) || isOldManifest ||
+          isUncommittedManifest)
         StagedSwap.deleteChecked(spark, s.getPath.toString,
           s"out-of-grace $what generation")
     }
   }
 
-  /** Re-materialize a lost `_current` pointer from the newest manifest
-    * (the torn-flip window of writeAtomic's non-atomic fallback;
-    * manifests are flip-ordered, so newest wins).
+  /** Re-materialize a lost `_current` pointer from the newest INTACT
+    * manifest (the torn-flip window of writeAtomic's non-atomic
+    * fallback; manifests are flip-ordered, so the newest whose
+    * generation dirs survive wins — a dangling crashed-commit
+    * manifest must not be restored-to, see [[newestIntactVersion]]).
     */
-  def restoreCurrentIfMissing(spark: SparkSession, indexDir: String): Unit =
+  def restoreCurrentIfMissing(spark: SparkSession, indexDir: String,
+      what: String = "index"): Unit =
     if (StagedSwap.readSmallFile(spark, s"$indexDir/_current").isEmpty)
-      manifestVersions(spark, indexDir).maxOption
+      newestIntactVersion(spark, indexDir, what)
         .foreach(flipCurrent(spark, indexDir, _))
 
   /** Clear every prior index artifact at indexDir EXCEPT the writer

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** Persistent inverted text index: the sparse-retrieval counterpart of
   * VectorIndex. `build` tokenizes the corpus once and writes postings
-  * (term, doc_id, tf, dl, df, positions) PARTITIONED BY a term hash
+  * (term, doc_id, tf, dl, positions) PARTITIONED BY a term hash
   * bucket — one directory per bucket — plus corpus stats (N docs,
   * total tokens). `postingsFor` then reads ONLY the buckets the query
   * terms hash to, so serving cost is proportional to the queried
@@ -18,20 +18,35 @@ import org.apache.spark.sql.functions._
   * item 1 — the SignatureIndex treatment): postings buckets live in
   * IMMUTABLE `postings_g{G}/__tb={k}/` dirs mapped by
   * `_manifest_v{N}.json`, committed by an atomic `_current` flip.
-  * The old layout dynamic-overwrote live buckets in place, so a
-  * CONCURRENT reader mid-append could see rewritten buckets with
-  * mixed df values; now a reader that resolved its paths keeps
-  * serving its snapshot bit-exactly while appends land, and a crash
-  * anywhere before the flip leaves the committed snapshot untouched
-  * (orphan generations are [[vacuum]]ed). Corpus stats ride the
-  * manifest's extras, committed ATOMICALLY with the postings refs —
-  * which dissolves the old torn-append window between the postings
-  * rewrite and the separate stats table (and its staged-stats repair
-  * protocol) entirely.
+  * A reader that resolved its paths keeps serving its snapshot
+  * bit-exactly while appends land, and a crash anywhere before the
+  * flip leaves the committed snapshot untouched (orphan generations
+  * are [[vacuum]]ed). Corpus stats ride the manifest's extras,
+  * committed ATOMICALLY with the postings refs.
   *
-  * df is denormalized onto every posting row (it repeats per posting
-  * but dictionary-encodes to nothing in parquet) so scoring needs NO
-  * join at serve time; corpus-wide constants come from the manifest.
+  * Buckets are FRAGMENT tables (r14 verdict item 1 — the VectorIndex
+  * treatment): an append writes ONLY its batch's postings as a new
+  * generation and the manifest accumulates per-bucket fragment refs,
+  * so append cost is O(batch) — NOT O(touched buckets' rows), which
+  * the r14 100× probe measured growing with the BASE (31.7 s for a
+  * 500-doc append against a 4M-doc corpus) under the old
+  * rewrite-style append, because a diverse batch's terms hash into
+  * every bucket. The price of fragment appends is that df can no
+  * longer ride denormalized on the rows (a new posting changes its
+  * term's df on OLD rows too, and immutable generations cannot be
+  * retouched): df is instead re-derived AT SERVE TIME by counting the
+  * term's postings across its bucket's fragments — rows the serve
+  * already reads, so scoring still needs no extra scan and no join
+  * (one ≤|terms|-row aggregate replaces the old ≤|terms|-row first()
+  * read). [[compact]] folds each bucket's fragments back to one file
+  * AND REBUCKETS to the current corpus volume (bucketsFor over the
+  * accumulated token count), so per-bucket rewrite/read units stay
+  * bounded as the corpus outgrows the build-time sizing — the r14
+  * verdict's frozen-64-bucket amplification is gone; appends past the
+  * [[AutoCompactFragments]] fragment threshold trigger the fold
+  * inline (the LSM discipline), so serve cost cannot creep unbounded
+  * under a high-frequency ingest that never schedules maintenance.
+  *
   * The BM25 a consumer computes from this index is pinned equal to
   * the full-scan t57 query by sharing its oracle.
   *
@@ -60,6 +75,16 @@ object TextIndex {
     math.max(DefaultBuckets,
       math.ceil(totalTokens.toDouble / targetRowsPerBucket - 1e-9).toInt)
 
+  /** Appends past this many fragments in ANY bucket trigger an inline
+    * [[compact]] under the already-held writer lock — the LSM
+    * write-amplification/read-amplification trade: each append is
+    * O(batch), and every ~AutoCompactFragments appends one of them
+    * pays a corpus-sized fold so serve never opens more than this
+    * many files per probed bucket per generation family. 0 disables
+    * (probes that measure pure fragment accumulation).
+    */
+  val AutoCompactFragments = 8
+
   private val What = "text index"
   private val LockName = "_commit.lock"
   private def lockPath(indexDir: String) = s"$indexDir/$LockName"
@@ -75,17 +100,19 @@ object TextIndex {
   private def postingsDDL(spark: SparkSession, indexDir: String,
       m: GenIndex.Manifest): String =
     GenIndex.footerDDL(spark, indexDir, m.refs("postings"), "__tb",
-      "term string, doc_id bigint, dl bigint, tf bigint, df bigint, pss array<int>")
+      "term string, doc_id bigint, dl bigint, tf bigint, pss array<int>")
 
   private def readManifest(spark: SparkSession,
       indexDir: String): GenIndex.Manifest =
     GenIndex.readManifest(spark, indexDir, What)
 
   /** One corpus pass: tokenize → (doc, term) tf with per-doc length
-    * carried through the explode → per-term df joined back (one
-    * vocab-cardinality shuffle), bucketed and written as generation 0.
-    * Build cost is two shuffles at (doc,term) / term cardinality — the
-    * offline cost every retrieval system pays once per corpus snapshot.
+    * carried through the explode, bucketed and written as
+    * generation 0. Build cost is one shuffle at (doc,term)
+    * cardinality — the offline cost every retrieval system pays once
+    * per corpus snapshot (fragment-era postings carry no df column,
+    * so the old vocab-cardinality df join is gone from the build
+    * too — see the object scaladoc).
     *
     * Postings are POSITIONAL (`pss` = sorted 0-based token positions
     * per posting): positions ride the same explode the tf aggregation
@@ -120,48 +147,61 @@ object TextIndex {
         .groupBy($"doc_id", $"term", $"dl")
         .agg(count(lit(1)).as("tf"),
           sort_array(collect_list($"pos")).as("pss"))
-      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val st = tokens.agg(count(lit(1)).as("n"),
         sum(size($"ts").cast("long")).as("t")).head()
       val totalTokens = if (st.isNullAt(1)) 0L else st.getLong(1)
       val nb = if (nBuckets > 0) nBuckets
         else bucketsFor(totalTokens, targetRowsPerBucket)
-      tf.join(df, "term")
-        .withColumn("__tb", pmod(hash($"term"), lit(nb)))
+      tf.withColumn("__tb", pmod(hash($"term"), lit(nb)))
         .write.mode("overwrite").partitionBy("__tb")
         .parquet(s"$indexDir/postings_g0")
+      // target_rows_per_bucket rides the manifest so compact() can
+      // REBUCKET to the accumulated corpus volume with the same goal
+      // the build sized against (r14 verdict item 1)
       GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(0, "build",
         Map("postings" ->
           GenIndex.bucketsIn(spark, s"$indexDir/postings_g0", "__tb")
             .map(_ -> Seq("postings_g0")).toMap),
         Map("n_docs" -> st.getLong(0).toString,
           "total_tokens" -> totalTokens.toString,
-          "n_buckets" -> nb.toString)))
+          "n_buckets" -> nb.toString,
+          "target_rows_per_bucket" -> targetRowsPerBucket.toString)))
       GenIndex.flipCurrent(spark, indexDir, 0)
     }
   }
 
-  /** Incremental append: tokenize ONLY the new documents, then rewrite
-    * ONLY the postings buckets their terms hash to — into a FRESH
-    * generation dir, committed with the accumulated corpus stats by
-    * one manifest flip (untouched buckets keep their existing
-    * generation refs and are never read or written). The denormalized
-    * df is what makes this subtle: a term's df changes for its OLD
-    * postings too, so touched buckets are re-derived from their
-    * combined (old + new) posting rows — df is recomputable from the
-    * rows themselves, and terms in a touched bucket with no new
-    * postings get back the df they already had. Append cost ∝
-    * new-batch terms' buckets ([[build]]'s `nBuckets` bounds the
-    * rewrite unit), independent of corpus size; serving from an
-    * appended index is BIT-IDENTICAL to a full rebuild (TextIndexSpec
-    * pins it). A crash anywhere before the flip leaves the committed
-    * snapshot untouched; the orphan generation is vacuumed later.
+  /** Incremental append: tokenize ONLY the new documents and commit
+    * their postings as a FRAGMENT generation — existing rows are never
+    * read or rewritten, so append cost is O(batch) regardless of
+    * corpus size (the r14 verdict's measured failure of the old
+    * rewrite-style append: a diverse batch touches every bucket, so
+    * "rewrite touched buckets" degenerated to "rewrite the corpus" —
+    * 31.7 s for 500 docs at the 100× probe; fragments make the same
+    * append corpus-independent). The manifest accumulates per-bucket
+    * fragment refs and the accumulated corpus stats in ONE pointer
+    * flip; serving from an appended index is BIT-IDENTICAL to a full
+    * rebuild (TextIndexSpec pins it — df is re-derived at serve time
+    * from exactly the rows the fragments jointly hold). A crash
+    * anywhere before the flip leaves the committed snapshot
+    * untouched; the orphan generation is vacuumed later.
+    *
+    * `commitId` is the redelivery idempotency token (r14 ADVICE
+    * item 3 — SignatureIndex's `_APPEND_ID` discipline): an
+    * at-least-once ingest (foreachBatch) passes its batchId-derived
+    * id, and a redelivered batch whose id already committed is a
+    * no-op instead of a silent double-count of n_docs/df/tf.
+    *
+    * When any bucket's fragment count reaches
+    * [[AutoCompactFragments]], the append folds the index inline
+    * before releasing the lock (`autoCompactFragments = 0` disables).
     *
     * `nBuckets` is accepted for source compatibility but the
     * manifest's recorded bucket count is authoritative.
     */
   def append(docs: DataFrame, idCol: String, textCol: String,
-      indexDir: String, nBuckets: Int = DefaultBuckets): Unit = {
+      indexDir: String, nBuckets: Int = DefaultBuckets,
+      commitId: Option[String] = None,
+      autoCompactFragments: Int = AutoCompactFragments): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     // an empty micro-batch (a legitimate foreachBatch delivery) must
@@ -169,43 +209,42 @@ object TextIndex {
     if (docs.isEmpty) return
     StagedSwap.withFileLock(spark, lockPath(indexDir)) {
       val cur = readManifest(spark, indexDir)
-      val nb = cur.extra("n_buckets", What).toInt
-      val tokens = docs.select(col(idCol).as("doc_id"),
-        TextFunctions.terms(col(textCol)).as("ts"))
-      val newTf = tokens
-        .select($"doc_id", size($"ts").cast("long").as("dl"),
-          posexplode($"ts").as(Seq("pos", "term")))
-        .groupBy($"doc_id", $"term", $"dl")
-        .agg(count(lit(1)).as("tf"),
-          sort_array(collect_list($"pos")).as("pss"))
-        .withColumn("__tb", pmod(hash($"term"), lit(nb)))
-      // touched buckets: bounded ≤ nBuckets control read
-      val touched = newTf.select($"__tb").distinct().as[Int].collect().toSeq
-      val st = tokens.agg(count(lit(1)).as("n"),
-        sum(size($"ts").cast("long")).as("t")).head()
-      val old = GenIndex.readBuckets(spark, indexDir, cur.refs("postings"),
-          "__tb", touched, withBucketCol = true, postingsDDL(spark, indexDir, cur))
-        .select($"doc_id", $"term", $"dl", $"tf", $"pss", $"__tb")
-      val combined = old.unionByName(
-        newTf.select($"doc_id", $"term", $"dl", $"tf", $"pss", $"__tb"))
-      val df = combined.groupBy($"term").agg(count(lit(1)).as("df"))
-      val gen = cur.version + 1
-      combined.join(df, "term")
-        .select($"term", $"doc_id", $"dl", $"tf", $"df", $"pss", $"__tb")
-        .write.mode("overwrite").partitionBy("__tb")
-        .parquet(s"$indexDir/postings_g$gen")
-      val n0 = cur.extra("n_docs", What).toLong
-      val t0 = cur.extra("total_tokens", What).toLong
-      GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(gen,
-        java.util.UUID.randomUUID().toString,
-        Map("postings" -> (cur.refs("postings") ++
-          GenIndex.bucketsIn(spark, s"$indexDir/postings_g$gen", "__tb")
-            .map(_ -> Seq(s"postings_g$gen")))),
-        Map("n_docs" -> (n0 + st.getLong(0)).toString,
-          "total_tokens" ->
-            (t0 + (if (st.isNullAt(1)) 0L else st.getLong(1))).toString,
-          "n_buckets" -> nb.toString)))
-      GenIndex.flipCurrent(spark, indexDir, gen)
+      if (commitId.contains(cur.commitId)) {
+        // redelivered batch: its commit already flipped — no-op
+      } else {
+        val nb = cur.extra("n_buckets", What).toInt
+        val tokens = docs.select(col(idCol).as("doc_id"),
+          TextFunctions.terms(col(textCol)).as("ts"))
+        val newTf = tokens
+          .select($"doc_id", size($"ts").cast("long").as("dl"),
+            posexplode($"ts").as(Seq("pos", "term")))
+          .groupBy($"doc_id", $"term", $"dl")
+          .agg(count(lit(1)).as("tf"),
+            sort_array(collect_list($"pos")).as("pss"))
+          .withColumn("__tb", pmod(hash($"term"), lit(nb)))
+        val st = tokens.agg(count(lit(1)).as("n"),
+          sum(size($"ts").cast("long")).as("t")).head()
+        val gen = cur.version + 1
+        newTf.write.mode("overwrite").partitionBy("__tb")
+          .parquet(s"$indexDir/postings_g$gen")
+        val prior = cur.refs("postings")
+        val refs = prior ++ GenIndex
+          .bucketsIn(spark, s"$indexDir/postings_g$gen", "__tb")
+          .map(k => k -> (prior.getOrElse(k, Seq.empty) :+ s"postings_g$gen"))
+        val n0 = cur.extra("n_docs", What).toLong
+        val t0 = cur.extra("total_tokens", What).toLong
+        GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(gen,
+          commitId.getOrElse(java.util.UUID.randomUUID().toString),
+          Map("postings" -> refs),
+          cur.extras ++ Map(
+            "n_docs" -> (n0 + st.getLong(0)).toString,
+            "total_tokens" ->
+              (t0 + (if (st.isNullAt(1)) 0L else st.getLong(1))).toString)))
+        GenIndex.flipCurrent(spark, indexDir, gen)
+        if (autoCompactFragments > 0 &&
+            refs.values.exists(_.size >= autoCompactFragments))
+          compactLocked(spark, indexDir)
+      }
     }
   }
 
@@ -218,7 +257,7 @@ object TextIndex {
     */
   def recover(spark: SparkSession, indexDir: String): Unit =
     StagedSwap.withFileLock(spark, lockPath(indexDir)) {
-      GenIndex.restoreCurrentIfMissing(spark, indexDir)
+      GenIndex.restoreCurrentIfMissing(spark, indexDir, What)
       GenIndex.vacuum(spark, indexDir, GenPrefixes, graceVersions = 1, What)
     }
 
@@ -234,37 +273,54 @@ object TextIndex {
     }
 
   /** Maintenance twin of append — the Catalog.compact story for the
-    * inverted index: buckets repeatedly touched by small batches
-    * accumulate task-parallel files; compaction rewrites each bucket
-    * to ONE file in a fresh generation with NO content change — df is
-    * already denormalized and correct, so this is a pure layout
-    * rewrite; serving is bit-identical before/after (spec-pinned) and
-    * the read-side benefit is fewer file opens per probed bucket.
-    * Hash-repartitioning on the bucket column sends each bucket to
-    * exactly one task (1 file each) while buckets compact in parallel.
-    * Commits like an append (fresh generation + pointer flip), then
-    * vacuums at the default grace window. Run in maintenance windows,
-    * like Catalog.compact.
+    * inverted index: fragment generations accumulated by appends are
+    * folded so each bucket holds ONE file in a fresh generation with
+    * NO content change; serving is bit-identical before/after
+    * (spec-pinned) and the read-side benefit is fewer file opens per
+    * probed bucket. Compaction also REBUCKETS (r14 verdict item 1):
+    * the bucket count is re-derived from the ACCUMULATED token count
+    * via [[bucketsFor]] at the build's recorded target, so a corpus
+    * that outgrew its build-time sizing gets its per-bucket
+    * rewrite/read unit re-bounded instead of swelling forever at a
+    * frozen count — the manifest's recorded n_buckets moves with the
+    * commit, and every serve/append reads the recorded value, so the
+    * re-hash is invisible to callers. Hash-repartitioning on the new
+    * bucket column sends each bucket to exactly one task (1 file
+    * each) while buckets compact in parallel. Commits like an append
+    * (fresh generation + pointer flip), then vacuums at the default
+    * grace window. Runs in maintenance windows like Catalog.compact,
+    * or inline when an append crosses [[AutoCompactFragments]].
     */
   def compact(spark: SparkSession, indexDir: String): Unit =
     StagedSwap.withFileLock(spark, lockPath(indexDir)) {
-      val cur = readManifest(spark, indexDir)
-      val gen = cur.version + 1
-      GenIndex.readBuckets(spark, indexDir, cur.refs("postings"), "__tb",
-          cur.refs("postings").keys.toSeq, withBucketCol = true,
-          postingsDDL(spark, indexDir, cur))
-        .repartition(col("__tb"))
-        .write.mode("overwrite").partitionBy("__tb")
-        .parquet(s"$indexDir/postings_g$gen")
-      GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(gen,
-        s"compact_g$gen",
-        Map("postings" ->
-          GenIndex.bucketsIn(spark, s"$indexDir/postings_g$gen", "__tb")
-            .map(_ -> Seq(s"postings_g$gen")).toMap),
-        cur.extras))
-      GenIndex.flipCurrent(spark, indexDir, gen)
-      GenIndex.vacuum(spark, indexDir, GenPrefixes, graceVersions = 1, What)
+      compactLocked(spark, indexDir)
     }
+
+  /** [[compact]]'s body, for callers already holding the writer lock
+    * (append's auto-compact trigger — withFileLock is not reentrant).
+    */
+  private def compactLocked(spark: SparkSession, indexDir: String): Unit = {
+    val cur = readManifest(spark, indexDir)
+    val target = cur.extras.getOrElse("target_rows_per_bucket",
+      (4L << 20).toString).toLong
+    val nb = bucketsFor(cur.extra("total_tokens", What).toLong, target)
+    val gen = cur.version + 1
+    GenIndex.readBuckets(spark, indexDir, cur.refs("postings"), "__tb",
+        cur.refs("postings").keys.toSeq, withBucketCol = false,
+        postingsDDL(spark, indexDir, cur))
+      .withColumn("__tb", pmod(hash(col("term")), lit(nb)))
+      .repartition(col("__tb"))
+      .write.mode("overwrite").partitionBy("__tb")
+      .parquet(s"$indexDir/postings_g$gen")
+    GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(gen,
+      s"compact_g$gen",
+      Map("postings" ->
+        GenIndex.bucketsIn(spark, s"$indexDir/postings_g$gen", "__tb")
+          .map(_ -> Seq(s"postings_g$gen")).toMap),
+      cur.extras + ("n_buckets" -> nb.toString)))
+    GenIndex.flipCurrent(spark, indexDir, gen)
+    GenIndex.vacuum(spark, indexDir, GenPrefixes, graceVersions = 1, What)
+  }
 
   /** Postings for a set of query terms, read through the manifest's
     * immutable generation paths: only the buckets the terms hash to
@@ -420,10 +476,11 @@ object TextIndex {
 
   /** Index-served BM25 top-k: candidates come from `postingsFor` (only
     * the query terms' buckets are opened — serve cost ∝ queried terms'
-    * postings, never the corpus), per-term df rides denormalized on the
-    * postings rows (a ≤|terms|-row bounded control read), and scoring
-    * is ONE (doc, dl) aggregate over the candidate postings — no join,
-    * no corpus scan. Output relation matches the full-scan query
+    * postings, never the corpus), per-term df is re-derived by
+    * counting the candidate postings themselves (a ≤|terms|-row
+    * bounded control read over rows this serve reads anyway), and
+    * scoring is ONE (doc, dl) aggregate over the candidate postings —
+    * no join, no corpus scan. Output relation matches the full-scan query
     * exactly: (rank, doc_id, dl, tf_<term>…, score) ordered by score
     * desc then doc_id.
     *
@@ -442,9 +499,14 @@ object TextIndex {
     import spark.implicits._
     val (n, tot) = corpusStats(spark, indexDir)
     val posts = postingsFor(spark, indexDir, terms, nBuckets)
-    // df per matched term: denormalized onto every posting, so this is
-    // a bounded ≤|terms|-row control read (the t12/t22 pattern)
-    val dfs = posts.groupBy($"term").agg(first($"df").as("df"))
+    // df per matched term: one posting row per (doc, term) means df is
+    // EXACTLY the term's posting count across its bucket's fragments —
+    // rows this serve reads anyway, aggregated to a bounded
+    // ≤|terms|-row control read (the t12/t22 pattern). Re-deriving df
+    // here is what frees appends to be O(batch) fragments: a
+    // denormalized df would go stale on old rows the moment a new doc
+    // used the term.
+    val dfs = posts.groupBy($"term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val tfAggs = terms.map(t =>
       sum(when($"term" === t, $"tf").otherwise(0L)).as(s"tf_$t"))

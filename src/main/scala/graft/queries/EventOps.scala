@@ -1997,6 +1997,88 @@ object EventOps {
     },
     graft.queries.LlmOps.t49SnapshotDedup.oracle)
 
+  /** e37's shape for VECTORS (r14 verdict item 2) — the production
+    * embedding-crawl ingest end-to-end: the build half (vec_id < 300,
+    * the split whose id-ordered trainer sample makes the frozen
+    * centroids equal a full build's — s14's construction) publishes to
+    * an 8-partition bus as ONE segment wave through the two-phase DSv2
+    * sink, the rest as a second wave; the micro-batch drain folds
+    * batch 0 into `VectorIndex.build` and batch 1 into a FRAGMENT
+    * `append` carrying a batchId-derived idempotency token (a
+    * redelivered foreachBatch batch would no-op instead of
+    * double-inserting — the r14 ADVICE redelivery gap, here on the
+    * production path). Vectors ride the bus as strings
+    * (Float.toString is round-trip exact by Java spec, so
+    * decode∘encode is the identity bit-for-bit); the label column
+    * rides too, proving the metaCols append schema through the bus.
+    * Post-drain the log vacuums to the consumed watermark (zero live
+    * segments — drained segments are dead disk weight at 100 TB), and
+    * the stream-final index serves top-k that must hash-match s03's
+    * index-free SQL oracle: bus offsets, segment decode, the fragment
+    * protocol's generation flips, the idempotency token and the
+    * probed-list serve all behind one driver check.
+    */
+  val e38BusVectorIndex = Q(
+    "e38_bus_vector_index",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val busParts = 8
+      val root = java.nio.file.Files.createTempDirectory("bus_e38").toString
+      graft.sources.bus.BusLog.create(root, busParts)
+      // two publish waves, each repartitioned to the bus partition
+      // count so a wave lands as exactly ONE segment per partition
+      // (a staged file = a segment = a drained micro-batch under
+      // maxSegmentsPerTrigger=1) — the e37 discipline; without it the
+      // drain degrades to ~tasks micro-batches each paying an append
+      for (g <- Seq(0, 1)) {
+        (if (g == 0) emb.filter($"vec_id" < 300)
+         else emb.filter($"vec_id" >= 300))
+          .select(pmod(hash($"vec_id"), lit(busParts)).as("partition"),
+            lit(0L).as("seq"), lit(0).as("idx"),
+            lit(new java.sql.Timestamp(0L)).as("ts"),
+            concat_ws("", $"vec_id", $"label",
+              concat_ws(",", transform($"embedding", x => x.cast("string"))))
+              .as("value"))
+          .repartition(busParts, $"partition")
+          .write.format("graftbus").option("path", root)
+          .mode("append").save()
+      }
+      val idx = s"$root/idx"
+      var built = false
+      val parts = split($"value", "", 3)
+      val q = s.readStream.format("graftbus").option("path", root)
+        .option("maxSegmentsPerTrigger", "1").load()
+        .select(parts.getItem(0).cast("long").as("vec_id"),
+          parts.getItem(1).cast("int").as("label"),
+          transform(split(parts.getItem(2), ","), x => x.cast("float"))
+            .as("embedding"))
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            if (!built) {
+              graft.functions.VectorIndex.build(batch, "vec_id", "embedding",
+                idx, numCentroids = 16, metaCols = Seq("label"))
+              built = true
+            } else
+              graft.functions.VectorIndex.append(batch, "vec_id", "embedding",
+                idx, commitId = Some(s"bus_batch_$batchId"))
+            ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import graft.sources.bus.BusLog
+      BusLog.vacuum(root, BusLog.latestSeqs(root))
+      val leftover = BusLog.segmentCounts(root).values.sum
+      require(leftover == 0L,
+        s"bus log not bounded after post-drain vacuum: $leftover segments remain")
+      graft.functions.VectorIndex.topK(s, idx,
+        emb.filter($"vec_id" < 8), "vec_id", "embedding", k = 3, nprobe = 4)
+        .orderBy($"query_id", $"rank")
+    },
+    graft.queries.LlmOps.s14IvfAppendTopK.oracle)
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
     e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin,
     e09Unpivot, e10DynamicSession, e11BusRoundtrip, e12Funnel,
@@ -2006,5 +2088,5 @@ object EventOps {
     e25LateProfile, e26Stickiness, e27SessionPaths, e28ChurnFlows,
     e29BoundedFunnel, e30Attribution, e31SessionLift, e32Scd2History,
     e33Scd2Lookup, e34Twap, e35MgHeavyHitters, e36IncrementalGroups,
-    e37BusSignatureIndex)
+    e37BusSignatureIndex, e38BusVectorIndex)
 }

@@ -2433,7 +2433,7 @@ object LlmOps {
       val q = emb.filter($"vec_id" < 8)
       val idx = pqIndexFor(s, dir)
       val exact = VF.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3)
-      val cents = s.read.parquet(s"$idx/centroids")
+      val cents = graft.functions.VectorIndex.centroids(s, idx)
       val probedExact = VF.ivfTopK(emb, q, "vec_id", "embedding",
         k = 3, nprobe = 4, centroids = Some(cents))
       val pq = graft.functions.VectorIndex.topKPq(s, idx, q,
@@ -2473,7 +2473,7 @@ object LlmOps {
       val idx = ivfIndexFor(s, dir)
       val filtered = graft.functions.VectorIndex.topKFiltered(
         s, idx, q, "vec_id", "embedding", k = 3, $"label" === 1, nprobe = 4)
-      val cents = s.read.parquet(s"$idx/centroids")
+      val cents = graft.functions.VectorIndex.centroids(s, idx)
       val reference = VF.ivfTopK(emb.filter($"label" === 1), q,
         "vec_id", "embedding", k = 3, nprobe = 4, centroids = Some(cents))
       val mismatches = filtered.select($"query_id", $"neighbor_id", $"rank")

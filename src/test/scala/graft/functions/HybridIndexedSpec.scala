@@ -34,7 +34,7 @@ class HybridIndexedSpec extends SparkTestBase {
     val dir = tmpDir("hybrididx")
     VectorIndex.build(emb, "vec_id", "embedding", dir,
       numCentroids = 16, metaCols = Seq("label"))
-    val cents = spark.read.parquet(s"$dir/centroids")
+    val cents = VectorIndex.centroids(spark, dir)
     val denseRanks = VectorFunctions.ivfTopK(
         emb.filter($"label" === 1), emb.filter($"vec_id" === 0),
         "vec_id", "embedding", k = 20, nprobe = 4, centroids = Some(cents))

@@ -94,11 +94,10 @@ class TextIndexSpec extends SparkTestBase {
     assert(TextIndex.corpusStats(spark, incDir) ==
       TextIndex.corpusStats(spark, fullDir))
     // the postings RELATION matches row-for-row — including the
-    // POSITION lists (df re-derived for touched buckets must equal the
-    // rebuilt global df; appended docs' positions must equal a fresh
-    // tokenization's)
+    // POSITION lists (appended docs' positions must equal a fresh
+    // tokenization's; fragments jointly hold exactly the rebuilt rows)
     def rows(d: String) = TextIndex.currentPostings(spark, d)
-      .select($"term", $"doc_id", $"dl", $"tf", $"df", $"pss", $"__tb")
+      .select($"term", $"doc_id", $"dl", $"tf", $"pss", $"__tb")
       .collect().map(_.toString).toSet
     assert(rows(incDir) == rows(fullDir) && rows(incDir).nonEmpty)
     // and the served BM25 is bit-identical
@@ -198,7 +197,7 @@ class TextIndexSpec extends SparkTestBase {
     val dir = tmpDir("textidxsnap")
     TextIndex.build(docs.filter($"doc_id" < 300), "doc_id", "text", dir)
     val snap = TextIndex.postingsFor(spark, dir, terms)
-      .select($"term", $"doc_id", $"dl", $"tf", $"df", $"pss")
+      .select($"term", $"doc_id", $"dl", $"tf", $"pss")
     val want = snap.collect().map(_.toString).sorted.toSeq
     val statsBefore = TextIndex.corpusStats(spark, dir)
     // two commits land while the reader's frame is live — touching the
@@ -210,7 +209,7 @@ class TextIndexSpec extends SparkTestBase {
       "mid-append reader must keep its pre-append snapshot")
     // while a FRESH read serves the post-append state
     val fresh = TextIndex.postingsFor(spark, dir, terms)
-      .select($"term", $"doc_id", $"dl", $"tf", $"df", $"pss")
+      .select($"term", $"doc_id", $"dl", $"tf", $"pss")
       .collect().map(_.toString).sorted.toSeq
     assert(fresh != want && fresh.size > want.size)
     assert(TextIndex.corpusStats(spark, dir) != statsBefore)
@@ -281,6 +280,117 @@ class TextIndexSpec extends SparkTestBase {
     val nDocs = TextIndex.currentPostings(spark, dir)
       .select($"doc_id").distinct().count()
     assert(nDocs == after._1)
+  }
+
+  test("compact rebuckets to the accumulated corpus volume; rebucketed == rebuilt") {
+    // r14 verdict item 1: the bucket count used to be frozen at build,
+    // so a corpus that outgrew its build-time sizing swelled per-bucket
+    // units forever. compact() now re-derives nBuckets from the
+    // ACCUMULATED token count at the build's recorded target.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def nb(d: String): Int =
+      GenIndex.readManifest(spark, d, "t").extra("n_buckets", "t").toInt
+    val dir = tmpDir("textidxrebkt")
+    // tiny rewrite-unit target so fixture-scale token counts clear the
+    // floor and the growth is visible
+    TextIndex.build(docs.filter($"doc_id" < 300), "doc_id", "text", dir,
+      targetRowsPerBucket = 20L)
+    val nbBefore = nb(dir)
+    assert(nbBefore > TextIndex.DefaultBuckets)
+    TextIndex.append(docs.filter($"doc_id" >= 300), "doc_id", "text", dir)
+    TextIndex.compact(spark, dir)
+    val nbAfter = nb(dir)
+    assert(nbAfter > nbBefore,
+      s"compact must rebucket to the grown corpus: $nbBefore -> $nbAfter")
+    // the rebucketed count equals what a fresh build over the full
+    // corpus would choose at the same target...
+    val fullDir = tmpDir("textidxrebktfull")
+    TextIndex.build(docs, "doc_id", "text", fullDir,
+      targetRowsPerBucket = 20L)
+    assert(nb(fullDir) == nbAfter)
+    // ...and serving is bit-identical to that rebuild (bucketing is
+    // layout, not content; postingsFor hashes with the RECORDED count)
+    def serve(d: String) = TextIndex.bm25TopK(spark, d, terms, 20)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(serve(dir) == serve(fullDir) && serve(dir).nonEmpty)
+  }
+
+  test("append with a commitId no-ops on redelivery (at-least-once ingest)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = tmpDir("textidxidem")
+    TextIndex.build(docs.filter($"doc_id" < 200), "doc_id", "text", dir)
+    val batch = docs.filter($"doc_id" >= 200 && $"doc_id" < 300)
+    TextIndex.append(batch, "doc_id", "text", dir,
+      commitId = Some("batch-1"))
+    val stats = TextIndex.corpusStats(spark, dir)
+    val rows = TextIndex.currentPostings(spark, dir).count()
+    def serve() = TextIndex.bm25TopK(spark, dir, terms, 10)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val want = serve()
+    // the SAME batch redelivered under the SAME commit id: no-op — no
+    // double-counted n_docs, no duplicated postings, no df inflation
+    TextIndex.append(batch, "doc_id", "text", dir,
+      commitId = Some("batch-1"))
+    assert(TextIndex.corpusStats(spark, dir) == stats)
+    assert(TextIndex.currentPostings(spark, dir).count() == rows)
+    assert(serve() == want)
+    // a NEW commit id commits normally
+    TextIndex.append(docs.filter($"doc_id" >= 300 && $"doc_id" < 400),
+      "doc_id", "text", dir, commitId = Some("batch-2"))
+    assert(TextIndex.corpusStats(spark, dir) != stats)
+  }
+
+  test("appends past the fragment threshold auto-compact inline (LSM fold)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = tmpDir("textidxautocompact")
+    TextIndex.build(docs.filter($"doc_id" < 200), "doc_id", "text", dir)
+    // threshold 3: append2 crosses it (build ref + 2 fragments) and
+    // folds; append4 crosses again — final refs must all be singletons
+    for (lo <- Seq(200, 275, 350, 425))
+      TextIndex.append(
+        docs.filter($"doc_id" >= lo && $"doc_id" < lo + 75),
+        "doc_id", "text", dir, autoCompactFragments = 3)
+    assert(TextIndex.currentRefs(spark, dir).values.forall(_.size == 1),
+      s"${TextIndex.currentRefs(spark, dir).values.map(_.size).toSeq.sorted}")
+    // content unharmed by the inline folds: serve == full rebuild
+    val fullDir = tmpDir("textidxautofull")
+    TextIndex.build(docs, "doc_id", "text", fullDir)
+    def serve(d: String) = TextIndex.bm25TopK(spark, d, terms, 20)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(serve(dir) == serve(fullDir) && serve(dir).nonEmpty)
+  }
+
+  test("a dangling crashed-commit manifest is never selected nor restored-to") {
+    // r14 ADVICE item 1: a crash between writeManifest(v+1) and the
+    // pointer flip leaves an uncommitted manifest; once its generation
+    // dirs are gone (vacuumed as orphans, or never fully written) the
+    // lost-pointer fallback must NOT select it — pre-fix, maxOption
+    // pinned the index to a snapshot with no data.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" < 200)
+    val dir = tmpDir("textidxdangle")
+    TextIndex.build(docs, "doc_id", "text", dir)
+    val cur = GenIndex.readManifest(spark, dir, "t")
+    def serve() = TextIndex.bm25TopK(spark, dir, terms, 10)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val want = serve()
+    // the crashed commit: a newer manifest referencing a generation
+    // that does not exist
+    GenIndex.writeManifest(spark, dir, GenIndex.Manifest(cur.version + 1,
+      "crashed", Map("postings" -> Map(0 -> Seq("postings_g99"))),
+      cur.extras))
+    // lost pointer: reads must fall back PAST the dangling manifest to
+    // the newest intact one
+    val curPath = java.nio.file.Paths.get(dir, "_current")
+    java.nio.file.Files.delete(curPath)
+    assert(serve() == want)
+    // recover restores the pointer to the INTACT version and its
+    // vacuum reclaims the uncommitted manifest file
+    TextIndex.recover(spark, dir)
+    assert(java.nio.file.Files.readString(curPath).trim.toInt == cur.version)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir,
+      s"_manifest_v${cur.version + 1}.json")))
+    assert(serve() == want)
   }
 
   test("zero integer idf (df within n/10^4 of n): fallback restores full-scan order") {

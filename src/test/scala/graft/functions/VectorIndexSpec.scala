@@ -12,7 +12,7 @@ class VectorIndexSpec extends SparkTestBase {
     val dir = tmpDir("ivfidx")
     // default build = the auto policy: ivfParamsFor(500) = 4 centroids
     VectorIndex.build(emb, "vec_id", "embedding", dir)
-    val cents = spark.read.parquet(s"$dir/centroids")
+    val cents = VectorIndex.centroids(spark, dir)
     assert(cents.count() == VectorFunctions.ivfParamsFor(500))
     val queries = emb.filter($"vec_id" < 8)
     val served = VectorIndex.topK(spark, dir, queries, "vec_id", "embedding", 3)
@@ -66,7 +66,7 @@ class VectorIndexSpec extends SparkTestBase {
         .listFiles().count(_.getName.endsWith(".parquet"))).sum
     }
     val before = serve()
-    val centsBefore = spark.read.parquet(s"$dir/centroids")
+    val centsBefore = VectorIndex.centroids(spark, dir)
       .collect().map(_.toString).sorted.toSeq
     // the two appends left multi-fragment refs — the O(batch) append
     // contract (a fragment generation per append, no rewrite)
@@ -79,7 +79,7 @@ class VectorIndexSpec extends SparkTestBase {
     assert(VectorIndex.currentRefs(spark, dir).values.forall(_.size == 1))
     assert(serve() == before)
     // centroids (the frozen assignment function) untouched
-    assert(spark.read.parquet(s"$dir/centroids")
+    assert(VectorIndex.centroids(spark, dir)
       .collect().map(_.toString).sorted.toSeq == centsBefore)
   }
 
@@ -125,7 +125,7 @@ class VectorIndexSpec extends SparkTestBase {
       .collect().toSet
     // deterministic assignment commutes with the filter, so serving
     // inside the index must EQUAL filtering the corpus then searching
-    val cents = spark.read.parquet(s"$dir/centroids")
+    val cents = VectorIndex.centroids(spark, dir)
     val want = VectorFunctions.ivfTopK(emb.filter($"label" === 1), queries,
         "vec_id", "embedding", 3, centroids = Some(cents))
       .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Long)]
@@ -143,7 +143,7 @@ class VectorIndexSpec extends SparkTestBase {
     // explicit k=16 here: with auto's 4 lists the pruning assertion
     // would be vacuous (2 queries at nprobe=2 can probe all 4)
     VectorIndex.build(emb, "vec_id", "embedding", dir, numCentroids = 16)
-    val cents = spark.read.parquet(s"$dir/centroids")
+    val cents = VectorIndex.centroids(spark, dir)
     // two queries at nprobe=2 probe at most 4 of the 16 lists
     val queries = emb.filter($"vec_id" < 2)
     val probed = VectorFunctions.ivfAssign(queries, "vec_id", "embedding",
@@ -189,6 +189,127 @@ class VectorIndexSpec extends SparkTestBase {
       .collect().toSet
     // NOTE: both indexes train on the same id-ordered sample, so the
     // frozen assignment function matches and the serves must be equal
+    assert(serve(incDir) == serve(fullDir) && serve(incDir).nonEmpty)
+  }
+
+  test("append with a commitId no-ops on redelivery (at-least-once ingest)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = tmpDir("ivfidem")
+    VectorIndex.build(emb.filter($"vec_id" < 300), "vec_id", "embedding", dir)
+    val batch = emb.filter($"vec_id" >= 300 && $"vec_id" < 400)
+    VectorIndex.append(batch, "vec_id", "embedding", dir,
+      commitId = Some("b1"))
+    val rows = VectorIndex.currentLists(spark, dir).count()
+    val queries = emb.filter($"vec_id" < 8)
+    def serve() = VectorIndex
+      .topK(spark, dir, queries, "vec_id", "embedding", 3)
+      .collect().map(_.toString).sorted.toSeq
+    val want = serve()
+    // the SAME batch redelivered under the SAME commit id: no-op — no
+    // duplicate list rows, no inflated drift bookkeeping
+    val driftBefore = VectorIndex.driftReport(spark, dir)
+    VectorIndex.append(batch, "vec_id", "embedding", dir,
+      commitId = Some("b1"))
+    assert(VectorIndex.currentLists(spark, dir).count() == rows)
+    assert(VectorIndex.driftReport(spark, dir) == driftBefore)
+    assert(serve() == want)
+    // a NEW commit id commits normally
+    VectorIndex.append(emb.filter($"vec_id" >= 400), "vec_id", "embedding",
+      dir, commitId = Some("b2"))
+    assert(VectorIndex.currentLists(spark, dir).count() > rows)
+  }
+
+  test("appends past the fragment threshold auto-compact inline (LSM fold)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = tmpDir("ivfautocompact")
+    VectorIndex.build(emb.filter($"vec_id" < 300), "vec_id", "embedding", dir)
+    // threshold 3: append2 crosses it (build ref + 2 fragments) and
+    // folds; append4 crosses again — final refs must all be singletons
+    for (lo <- Seq(300, 350, 400, 450))
+      VectorIndex.append(
+        emb.filter($"vec_id" >= lo && $"vec_id" < lo + 50),
+        "vec_id", "embedding", dir, autoCompactFragments = 3)
+    assert(VectorIndex.currentRefs(spark, dir).values.forall(_.size == 1),
+      s"${VectorIndex.currentRefs(spark, dir).values.map(_.size).toSeq.sorted}")
+    // content unharmed by the inline folds: serve == full rebuild
+    // (trainer sample vec_id < 256 sits wholly inside the build half,
+    // so the frozen assignment matches the rebuild's)
+    val fullDir = tmpDir("ivfautofull")
+    VectorIndex.build(emb, "vec_id", "embedding", fullDir)
+    val queries = emb.filter($"vec_id" < 8)
+    def serve(d: String) = VectorIndex
+      .topK(spark, d, queries, "vec_id", "embedding", 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(serve(dir) == serve(fullDir) && serve(dir).nonEmpty)
+  }
+
+  test("drift stats: same-distribution appends ~1.0, a shifted append recommends retrain") {
+    def mk(ids: Range, cx: Float, cy: Float) = ids.map { i =>
+      val j1 = (((i * 31) % 10) - 5) / 50.0f
+      val j2 = (((i * 17) % 10) - 5) / 50.0f
+      (i.toLong, Array(cx + j1, cy + j2, 1.0f, 0.5f))
+    }.toDF("vec_id", "embedding")
+    val dir = tmpDir("ivfdrift")
+    VectorIndex.build(mk(0 until 200, 1f, 0f), "vec_id", "embedding", dir,
+      numCentroids = 2)
+    val r0 = VectorIndex.driftReport(spark, dir)
+    assert(r0.nBuild == 200 && r0.nAppended == 0 && r0.driftRatio == 1.0 &&
+      !r0.retrainRecommended)
+    // a same-distribution append assigns as tightly as the build did:
+    // ratio ≈ 1, well under the retrain threshold
+    VectorIndex.append(mk(200 until 260, 1f, 0f), "vec_id", "embedding", dir)
+    val r1 = VectorIndex.driftReport(spark, dir)
+    assert(r1.nAppended == 60 && !r1.retrainRecommended &&
+      r1.driftRatio < VectorIndex.DriftRetrainRatio,
+      s"same-distribution drift ratio ${r1.driftRatio} should be ~1")
+    // a genuinely shifted distribution sits far from every frozen
+    // centroid — both the last-batch and cumulative ratios blow
+    // through the threshold and the report recommends a retrain
+    VectorIndex.append(mk(300 until 400, -1f, 4f), "vec_id", "embedding", dir)
+    val r2 = VectorIndex.driftReport(spark, dir)
+    assert(r2.nAppended == 160 &&
+      r2.lastDriftRatio > VectorIndex.DriftRetrainRatio &&
+      r2.driftRatio > VectorIndex.DriftRetrainRatio && r2.retrainRecommended,
+      s"shifted append must trip the drift fence: $r2")
+    // retrain re-derives centroids over the grown corpus as ONE new
+    // generation and resets the baseline
+    VectorIndex.retrain(spark, dir)
+    val r3 = VectorIndex.driftReport(spark, dir)
+    assert(r3.nBuild == 360 && r3.nAppended == 0 && !r3.retrainRecommended)
+    // the retrained assignment describes the bimodal data better than
+    // the frozen one did: its baseline mean-cos beats the pre-retrain
+    // blended mean
+    val blended = (r2.nBuild * r2.buildMeanCos +
+      r2.nAppended * r2.appendedMeanCos) / (r2.nBuild + r2.nAppended)
+    assert(r3.buildMeanCos > blended)
+    assert(VectorIndex.topK(spark, dir, mk(0 until 3, 1f, 0f),
+      "vec_id", "embedding", 3).count() > 0)
+  }
+
+  test("retrain equals a fresh build over the accumulated corpus") {
+    // retrain re-trains from the index's OWN rows: same ids, same
+    // vectors, same recorded policy as a from-scratch build over the
+    // union corpus — so the deterministic trainer and the assignment
+    // must reproduce that build bit-for-bit
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val incDir = tmpDir("ivfretraininc")
+    VectorIndex.build(emb.filter($"vec_id" < 300), "vec_id", "embedding",
+      incDir, metaCols = Seq("label"))
+    VectorIndex.append(emb.filter($"vec_id" >= 300), "vec_id", "embedding",
+      incDir)
+    VectorIndex.retrain(spark, incDir)
+    val fullDir = tmpDir("ivfretrainfull")
+    VectorIndex.build(emb, "vec_id", "embedding", fullDir,
+      metaCols = Seq("label"))
+    assert(VectorIndex.centroids(spark, incDir)
+      .collect().map(_.toString).sorted.toSeq ==
+      VectorIndex.centroids(spark, fullDir)
+        .collect().map(_.toString).sorted.toSeq)
+    val queries = emb.filter($"vec_id" < 8)
+    def serve(d: String) = VectorIndex
+      .topKFiltered(spark, d, queries, "vec_id", "embedding", 3,
+        $"label" === 1)
+      .collect().map(_.toString).sorted.toSeq
     assert(serve(incDir) == serve(fullDir) && serve(incDir).nonEmpty)
   }
 

@@ -80,7 +80,7 @@ class VectorIndexStreamSpec extends SparkTestBase {
   }
 
   private def readCents(dir: String): Set[(Long, Seq[Float])] =
-    spark.read.parquet(s"$dir/centroids")
+    VectorIndex.centroids(spark, dir)
       .select(col("__cid").cast("long"), col("__cvec"))
       .collect()
       .map(r => (r.getLong(0),
