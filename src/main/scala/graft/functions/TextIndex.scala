@@ -152,7 +152,14 @@ object TextIndex {
       val totalTokens = if (st.isNullAt(1)) 0L else st.getLong(1)
       val nb = if (nBuckets > 0) nBuckets
         else bucketsFor(totalTokens, targetRowsPerBucket)
+      // sort by (__tb, term) WITHIN each task: files come out
+      // term-clustered, so the serve-side `term IN (…)` filter prunes
+      // parquet pages via the column index — a 4-term serve reads the
+      // terms' pages, not the probed buckets' full rows (leading __tb
+      // satisfies the dynamic-partition writer's required ordering, so
+      // no second, order-destroying sort is inserted)
       tf.withColumn("__tb", pmod(hash($"term"), lit(nb)))
+        .sortWithinPartitions($"__tb", $"term")
         .write.mode("overwrite").partitionBy("__tb")
         .parquet(s"$indexDir/postings_g0")
       // target_rows_per_bucket rides the manifest so compact() can
@@ -225,7 +232,9 @@ object TextIndex {
         val st = tokens.agg(count(lit(1)).as("n"),
           sum(size($"ts").cast("long")).as("t")).head()
         val gen = cur.version + 1
-        newTf.write.mode("overwrite").partitionBy("__tb")
+        // same term-clustered layout as build (page-index pruning)
+        newTf.sortWithinPartitions($"__tb", $"term")
+          .write.mode("overwrite").partitionBy("__tb")
           .parquet(s"$indexDir/postings_g$gen")
         val prior = cur.refs("postings")
         val refs = prior ++ GenIndex
@@ -305,11 +314,16 @@ object TextIndex {
       (4L << 20).toString).toLong
     val nb = bucketsFor(cur.extra("total_tokens", What).toLong, target)
     val gen = cur.version + 1
+    // one task per bucket (1 file each), rows term-sorted inside it so
+    // the serve-side IN filter prunes parquet pages — post-compact a
+    // serve's read unit is the queried terms' pages, independent of how
+    // large the bucket grew at the count floor
     GenIndex.readBuckets(spark, indexDir, cur.refs("postings"), "__tb",
         cur.refs("postings").keys.toSeq, withBucketCol = false,
         postingsDDL(spark, indexDir, cur))
       .withColumn("__tb", pmod(hash(col("term")), lit(nb)))
       .repartition(col("__tb"))
+      .sortWithinPartitions(col("__tb"), col("term"), col("doc_id"))
       .write.mode("overwrite").partitionBy("__tb")
       .parquet(s"$indexDir/postings_g$gen")
     GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(gen,

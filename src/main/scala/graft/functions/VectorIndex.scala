@@ -65,23 +65,42 @@ object VectorIndex {
     * (1 − mean assigned-cos at build). 1.0 = appends assign exactly
     * as tightly as the build corpus did; 1.5 = appended vectors sit
     * 50% farther (in cosine distance) from their nearest frozen
-    * centroid than the build's did — list populations are skewing and
-    * probed-list recall is decaying, so the centroids no longer
-    * describe the data. Same-distribution appends measure ≈1.0±noise
-    * (spec-pinned); a genuinely shifted distribution clears 1.5
-    * immediately (DriftProbe measures the gap).
+    * centroid than the build's did. Same-distribution appends measure
+    * ≈1.0±noise (spec-pinned). MEASURED honesty note (r15 probe): for
+    * weakly-clustered high-dimensional data (the fixture's random-ish
+    * 782-dim embeddings assign at mean cos ≈0.2) this ratio is
+    * INSENSITIVE — a drastically shifted append moved it only to
+    * 1.03, because 1−cos was already ~0.8 at build. The failure such
+    * a shift actually causes is LIST SKEW (every shifted vector piles
+    * into the one nearest list), which the companion
+    * [[SkewRetrainRatio]] trigger catches; either firing recommends
+    * the retrain.
     */
   val DriftRetrainRatio = 1.5
+
+  /** Skew ratio above which [[driftReport]] recommends a retrain:
+    * (the last batch's max single-list share) / (the build's max
+    * single-list share). A same-distribution append lands ≈1.0; a
+    * batch whose vectors pile into one frozen list — the hot-list
+    * failure mode that degrades probed-serve cost and recall even
+    * when individual distances stay tight — lands at ~k× and clears
+    * 4 immediately (spec-pinned with a tight hot batch whose DISTANCE
+    * ratio stays quiet, proving the two triggers catch different
+    * failures).
+    */
+  val SkewRetrainRatio = 4.0
 
   /** The drift bookkeeping, decoded from the manifest extras.
     * `driftRatio` compares ALL appended rows' mean assigned-cosine to
     * the build baseline; `lastDriftRatio` is the most recent batch
-    * alone (a fast-moving shift shows there first).
+    * alone (a fast-moving shift shows there first); `lastSkewRatio`
+    * is the most recent batch's hot-list share vs the build's.
     */
   case class DriftReport(nBuild: Long, buildMeanCos: Double,
       nAppended: Long, appendedMeanCos: Double, lastAppendMeanCos: Double,
       lastDriftRatio: Double, driftRatio: Double,
-      retrainRecommended: Boolean)
+      buildMaxShare: Double, lastAppendMaxShare: Double,
+      lastSkewRatio: Double, retrainRecommended: Boolean)
 
   private val What = "vector index"
   private val LockName = "_commit.lock"
@@ -151,20 +170,25 @@ object VectorIndex {
     refs
   }
 
-  /** (row count, mean assigned-cosine) of written list rows against
-    * their centroids — the drift metric's ingredient: one broadcast
-    * join + one aggregate, O(rows), over a generation dir the caller
+  /** (row count, mean assigned-cosine, max single-list share) of
+    * written list rows against their centroids — the drift metrics'
+    * ingredients: one broadcast join + one per-list aggregate folded
+    * to a 1-row summary, O(rows), over a generation dir the caller
     * just wrote (a read-back costs less than re-evaluating the
     * assignment plan a second time).
     */
   private def assignStats(rows: DataFrame,
-      cents: DataFrame): (Long, Double) = {
+      cents: DataFrame): (Long, Double, Double) = {
     val r = rows.join(broadcast(cents.select(col("__cid"), col("__cvec"))),
         "__cid")
-      .agg(count(lit(1)),
-        avg(VectorFunctions.cosine(col("__cv"), col("__cvec"))))
+      .groupBy(col("__cid"))
+      .agg(count(lit(1)).as("__n"),
+        sum(VectorFunctions.cosine(col("__cv"), col("__cvec"))).as("__s"))
+      .agg(sum(col("__n")), sum(col("__s")), max(col("__n")))
       .head()
-    (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+    if (r.isNullAt(0) || r.getLong(0) == 0L) (0L, 0.0, 0.0)
+    else (r.getLong(0), r.getDouble(1) / r.getLong(0),
+      r.getLong(2).toDouble / r.getLong(0))
   }
 
   /** Auto-scale defaults (the production path; round-8 probes proved
@@ -221,7 +245,7 @@ object VectorIndex {
       val lists = assignedLists(corpus, idCol, vecCol, cents, coarseProbe,
         k, metaCols)
       val written = writeLists(spark, indexDir, lists, 0)
-      val (n, meanCos) =
+      val (n, meanCos, maxShare) =
         assignStats(spark.read.parquet(s"$indexDir/lists_g0"), cents)
       commitManifest(spark, indexDir, 0, written, None, "build",
         replace = true, Some("centroids_g0"),
@@ -229,7 +253,8 @@ object VectorIndex {
           "num_centroids" -> numCentroids.toString,
           "sample_size" -> sampleSize.toString,
           "iters" -> iters.toString, "cell_target" -> cellTarget.toString,
-          "assign_n" -> n.toString, "assign_cos_mean" -> meanCos.toString))
+          "assign_n" -> n.toString, "assign_cos_mean" -> meanCos.toString,
+          "assign_max_share" -> maxShare.toString))
     }
   }
 
@@ -315,17 +340,21 @@ object VectorIndex {
         val gen = cur.version + 1
         val written = writeLists(spark, indexDir, rows, gen)
         // batch drift stats vs the build baseline — O(batch)
-        val (bn, bMean) =
+        val (bn, bMean, bShare) =
           assignStats(spark.read.parquet(s"$indexDir/lists_g$gen"), cents)
         val buildMean = cur.extras.get("assign_cos_mean").map(_.toDouble)
+        val buildShare = cur.extras.get("assign_max_share").map(_.toDouble)
         val an0 = cur.extras.getOrElse("appended_n", "0").toLong
         val as0 = cur.extras.getOrElse("appended_cos_sum", "0.0").toDouble
         val extras = cur.extras ++ Map(
           "appended_n" -> (an0 + bn).toString,
           "appended_cos_sum" -> (as0 + bn * bMean).toString,
-          "last_append_cos_mean" -> bMean.toString) ++
+          "last_append_cos_mean" -> bMean.toString,
+          "last_append_max_share" -> bShare.toString) ++
           buildMean.map(bm => "last_drift_ratio" ->
-            ((1.0 - bMean) / math.max(1e-12, 1.0 - bm)).toString)
+            ((1.0 - bMean) / math.max(1e-12, 1.0 - bm)).toString) ++
+          buildShare.map(bs => "last_skew_ratio" ->
+            (bShare / math.max(1e-12, bs)).toString)
         val refs = commitManifest(spark, indexDir, gen, written, Some(cur),
           commitId.getOrElse(java.util.UUID.randomUUID().toString),
           replace = false, None, extras)
@@ -351,15 +380,22 @@ object VectorIndex {
   private def driftOf(m: GenIndex.Manifest, threshold: Double): DriftReport = {
     val nB = m.extras.getOrElse("assign_n", "0").toLong
     val bMean = m.extras.getOrElse("assign_cos_mean", "1.0").toDouble
+    val bShare = m.extras.getOrElse("assign_max_share", "1.0").toDouble
     val nA = m.extras.getOrElse("appended_n", "0").toLong
     val aMean = if (nA > 0)
       m.extras.getOrElse("appended_cos_sum", "0.0").toDouble / nA else bMean
     val ratio =
       if (nA > 0) (1.0 - aMean) / math.max(1e-12, 1.0 - bMean) else 1.0
+    val lastSkew =
+      m.extras.get("last_skew_ratio").map(_.toDouble).getOrElse(1.0)
     DriftReport(nB, bMean, nA, aMean,
       m.extras.get("last_append_cos_mean").map(_.toDouble).getOrElse(bMean),
       m.extras.get("last_drift_ratio").map(_.toDouble).getOrElse(1.0),
-      ratio, retrainRecommended = nA > 0 && ratio > threshold)
+      ratio, bShare,
+      m.extras.get("last_append_max_share").map(_.toDouble).getOrElse(bShare),
+      lastSkew,
+      retrainRecommended =
+        nA > 0 && (ratio > threshold || lastSkew > SkewRetrainRatio))
   }
 
   /** Re-train the centroids from the index's OWN current rows and
@@ -406,14 +442,15 @@ object VectorIndex {
     val rows = assignedLists(all, "neighbor_id", "__cv", broadcast(cents),
       None, k, metaCols)
     val written = writeLists(spark, indexDir, rows, gen)
-    val (nw, meanCos) =
+    val (nw, meanCos, maxShare) =
       assignStats(spark.read.parquet(s"$indexDir/lists_g$gen"), cents)
     commitManifest(spark, indexDir, gen, written, Some(cur),
       s"retrain_g$gen", replace = true, Some(s"centroids_g$gen"),
       extras = cur.extras --
         Seq("appended_n", "appended_cos_sum", "last_append_cos_mean",
-          "last_drift_ratio") ++
-        Map("assign_n" -> nw.toString, "assign_cos_mean" -> meanCos.toString))
+          "last_drift_ratio", "last_append_max_share", "last_skew_ratio") ++
+        Map("assign_n" -> nw.toString, "assign_cos_mean" -> meanCos.toString,
+          "assign_max_share" -> maxShare.toString))
     GenIndex.vacuum(spark, indexDir, GenPrefixes, graceVersions = 1, What)
   }
 

@@ -3911,8 +3911,9 @@ object LlmOps {
   /** Index-served BM25 — the same 4-term query as t57 answered from
     * the persisted inverted index instead of a corpus scan, sharing
     * t57's oracle SQL: the serving path (bucket-pruned postings read,
-    * denormalized df, one candidate aggregate) must reproduce the
-    * scan-served relation BIT-EXACTLY. This is the retrieval shape
+    * df re-derived from the candidate postings themselves — the r15
+    * fragment-append design, see TextIndex's scaladoc — one candidate
+    * aggregate) must reproduce the scan-served relation BIT-EXACTLY. This is the retrieval shape
     * that holds at 100 TB: the scan path t57 pays two corpus scans per
     * query; this one opens 4 of 64 postings directories and touches
     * only the query terms' posting rows (TextIndexSpec pins the

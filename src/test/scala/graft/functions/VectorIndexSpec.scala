@@ -286,6 +286,37 @@ class VectorIndexSpec extends SparkTestBase {
       "vec_id", "embedding", 3).count() > 0)
   }
 
+  test("skew bookkeeping: a hot-list append recommends retrain while distances stay quiet") {
+    // 8 tight clusters on 8 axes, cluster by id % 8 so the trainer's
+    // id-ordered sample covers all of them: build max share ≈ 1/8
+    def mkv(ids: Range, dimOf: Int => Int) = ids.map { i =>
+      val d = dimOf(i)
+      val v = Array.tabulate(8)(j =>
+        0.01f * (((i * 13 + j) % 7) - 3))
+      v(d) = v(d) + 1.0f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val dir = tmpDir("ivfskew")
+    VectorIndex.build(mkv(0 until 400, _ % 8), "vec_id", "embedding", dir,
+      numCentroids = 8)
+    val r0 = VectorIndex.driftReport(spark, dir)
+    assert(r0.buildMaxShare < 0.3,
+      s"balanced build expected, got max share ${r0.buildMaxShare}")
+    // the hot batch: every vector TIGHT inside cluster 0's region —
+    // its assigned distances match the build's (distance ratio quiet),
+    // but all 100 rows pile into ONE frozen list (the failure the
+    // distance metric structurally cannot see)
+    VectorIndex.append(mkv(1000 until 1100, _ => 0), "vec_id", "embedding",
+      dir)
+    val r = VectorIndex.driftReport(spark, dir)
+    assert(r.lastAppendMaxShare == 1.0, s"hot batch must land one list: $r")
+    assert(r.driftRatio < VectorIndex.DriftRetrainRatio,
+      s"distance trigger should stay quiet on a tight batch: $r")
+    assert(r.lastSkewRatio > VectorIndex.SkewRetrainRatio &&
+      r.retrainRecommended,
+      s"skew trigger must catch the hot-list append: $r")
+  }
+
   test("retrain equals a fresh build over the accumulated corpus") {
     // retrain re-trains from the index's OWN rows: same ids, same
     // vectors, same recorded policy as a from-scratch build over the
