@@ -152,13 +152,19 @@ object TextIndex {
       val totalTokens = if (st.isNullAt(1)) 0L else st.getLong(1)
       val nb = if (nBuckets > 0) nBuckets
         else bucketsFor(totalTokens, targetRowsPerBucket)
-      // sort by (__tb, term) WITHIN each task: files come out
+      // repartition on the bucket (ONE file per bucket instead of one
+      // per task per bucket — the 100× probe measured 20.45 s vs
+      // 2.05 s for a 4-term serve purely from per-file open/footer
+      // overhead) and sort by (__tb, term) within it: files come out
       // term-clustered, so the serve-side `term IN (…)` filter prunes
       // parquet pages via the column index — a 4-term serve reads the
       // terms' pages, not the probed buckets' full rows (leading __tb
       // satisfies the dynamic-partition writer's required ordering, so
-      // no second, order-destroying sort is inserted)
+      // no second, order-destroying sort is inserted). One extra
+      // postings-sized exchange on the offline build; serves start at
+      // compact-quality layout instead of waiting for the first fold.
       tf.withColumn("__tb", pmod(hash($"term"), lit(nb)))
+        .repartition(col("__tb"))
         .sortWithinPartitions($"__tb", $"term")
         .write.mode("overwrite").partitionBy("__tb")
         .parquet(s"$indexDir/postings_g0")

@@ -270,7 +270,12 @@ object VectorIndex {
     val assigned = assignWith(corpus, idCol, vecCol, cents, coarseProbe, k)
       .select(col("__cid"), col("__aid").as("neighbor_id"),
         col("__avec").as("__cv"))
-    if (metaCols.isEmpty) assigned
+    // repartition on the list id on BOTH paths: one file per list
+    // instead of one per task per list (the r15 TextIndex lesson — a
+    // raw 100× build measured ~26k files across 780 lists, and probed
+    // serves paid an open+footer per file). One corpus-sized exchange
+    // on the offline build; appends exchange only their batch.
+    if (metaCols.isEmpty) assigned.repartition(col("__cid"))
     else assigned.join(corpus.select(
         (col(idCol).as("neighbor_id") +: metaCols.map(col)): _*),
         "neighbor_id")

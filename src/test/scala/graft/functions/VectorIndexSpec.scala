@@ -317,6 +317,31 @@ class VectorIndexSpec extends SparkTestBase {
       s"skew trigger must catch the hot-list append: $r")
   }
 
+  test("autoRetrainRatio: a drifted append re-trains inline under the same lock") {
+    def mk(ids: Range, cx: Float, cy: Float) = ids.map { i =>
+      val j1 = (((i * 31) % 10) - 5) / 50.0f
+      val j2 = (((i * 17) % 10) - 5) / 50.0f
+      (i.toLong, Array(cx + j1, cy + j2, 1.0f, 0.5f))
+    }.toDF("vec_id", "embedding")
+    val dir = tmpDir("ivfautoretrain")
+    VectorIndex.build(mk(0 until 200, 1f, 0f), "vec_id", "embedding", dir,
+      numCentroids = 2)
+    // the shifted batch would normally only RECORD drift; with the
+    // opt-in threshold the append itself pays the retrain before
+    // releasing the writer lock
+    VectorIndex.append(mk(300 until 400, -1f, 4f), "vec_id", "embedding",
+      dir, autoRetrainRatio = Some(VectorIndex.DriftRetrainRatio))
+    val r = VectorIndex.driftReport(spark, dir)
+    assert(r.nBuild == 300 && r.nAppended == 0 && !r.retrainRecommended,
+      s"inline retrain must fold the append into a fresh baseline: $r")
+    // the retrained centroids describe BOTH modes now: a query in the
+    // appended region finds appended neighbors
+    val got = VectorIndex.topK(spark, dir,
+        mk(9000 until 9001, -1f, 4f), "vec_id", "embedding", 3)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(got.nonEmpty && got.forall(id => id >= 300 && id < 400), s"$got")
+  }
+
   test("retrain equals a fresh build over the accumulated corpus") {
     // retrain re-trains from the index's OWN rows: same ids, same
     // vectors, same recorded policy as a from-scratch build over the
