@@ -207,10 +207,18 @@ object SignatureIndex {
       "prior signature index state (stale stages must not survive a rebuild)")
     val p = Params(shingle, numHashes, bands, nBuckets)
     writeMeta(spark, indexDir, p)
+    // one file per bucket (repartition on the partition column): the
+    // r15 file-count lesson — task-parallel writes leave
+    // tasks×buckets tiny files and every later read (append's
+    // touched-bucket rewrite, the serve's bucket-pruned scan) pays an
+    // open+footer per file; one exchange on the offline build buys
+    // compact-quality layout from generation 0
     bandRows(docs, idCol, textCol, p)
+      .repartition(col("__kb"))
       .write.mode("overwrite").partitionBy("__kb")
       .parquet(s"$indexDir/bands_g0")
     setRows(docs, idCol, textCol, p)
+      .repartition(col("__db"))
       .write.mode("overwrite").partitionBy("__db")
       .parquet(s"$indexDir/sets_g0")
     val m = GenIndex.Manifest(0, "build", Map(
@@ -282,16 +290,22 @@ object SignatureIndex {
     // touched buckets: bounded ≤ nBuckets control reads
     val kbs = stagedBands.select(col("__kb")).distinct().as[Int].collect().toSeq
     val dbs = stagedSets.select(col("__db")).distinct().as[Int].collect().toSeq
+    // same one-file-per-bucket discipline as the build (r15): the
+    // rewritten touched buckets come out of a doc_id-partitioned
+    // anti join — without the repartition each bucket dir collects
+    // one file per join task
     GenIndex.readBuckets(spark, indexDir, cur.refs("bands"), "__kb", kbs,
         withBucketCol = true, "doc_id bigint, band int, key string")
       .join(batchIds, Seq("doc_id"), "left_anti")
       .unionByName(stagedBands)
+      .repartition(col("__kb"))
       .write.mode("overwrite").partitionBy("__kb")
       .parquet(s"$indexDir/bands_g$gen")
     GenIndex.readBuckets(spark, indexDir, cur.refs("sets"), "__db", dbs,
         withBucketCol = true, "doc_id bigint, hhd array<bigint>")
       .join(batchIds, Seq("doc_id"), "left_anti")
       .unionByName(stagedSets)
+      .repartition(col("__db"))
       .write.mode("overwrite").partitionBy("__db")
       .parquet(s"$indexDir/sets_g$gen")
     val m = GenIndex.Manifest(gen, appendId, Map(
