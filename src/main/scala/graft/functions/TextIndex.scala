@@ -222,7 +222,18 @@ object TextIndex {
     if (docs.isEmpty) return
     StagedSwap.withFileLock(spark, lockPath(indexDir)) {
       val cur = readManifest(spark, indexDir)
-      if (commitId.contains(cur.commitId)) {
+      // redelivery test runs against the PERSISTED last_append_id extra,
+      // not cur.commitId alone (r15 ADVICE item 1): an append that
+      // crosses AutoCompactFragments immediately commits compact_g{N}
+      // in the same call — and any maintenance compact between append
+      // and redelivery reopens the same window — so the manifest's own
+      // commitId no longer names the append. The extra rides every
+      // later commit (compactLocked carries cur.extras forward), so
+      // the guarantee survives folds. cur.commitId stays checked too
+      // for indexes whose last commit IS the append (and pre-extra
+      // manifests).
+      if (commitId.exists(id => cur.commitId == id ||
+          cur.extras.get("last_append_id").contains(id))) {
         // redelivered batch: its commit already flipped — no-op
       } else {
         val nb = cur.extra("n_buckets", What).toInt
@@ -248,10 +259,11 @@ object TextIndex {
           .map(k => k -> (prior.getOrElse(k, Seq.empty) :+ s"postings_g$gen"))
         val n0 = cur.extra("n_docs", What).toLong
         val t0 = cur.extra("total_tokens", What).toLong
+        val cid = commitId.getOrElse(java.util.UUID.randomUUID().toString)
         GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(gen,
-          commitId.getOrElse(java.util.UUID.randomUUID().toString),
-          Map("postings" -> refs),
+          cid, Map("postings" -> refs),
           cur.extras ++ Map(
+            "last_append_id" -> cid,
             "n_docs" -> (n0 + st.getLong(0)).toString,
             "total_tokens" ->
               (t0 + (if (st.isNullAt(1)) 0L else st.getLong(1))).toString)))

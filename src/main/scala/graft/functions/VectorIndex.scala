@@ -95,6 +95,17 @@ object VectorIndex {
     * the build baseline; `lastDriftRatio` is the most recent batch
     * alone (a fast-moving shift shows there first); `lastSkewRatio`
     * is the most recent batch's hot-list share vs the build's.
+    *
+    * OPERATIVE GATE: `lastSkewRatio`. The distance ratios are
+    * INFORMATIONAL — do not alert on them alone: on weakly-clustered
+    * high-dimensional data (the realistic regime; build mean cos
+    * ≈0.2–0.3) a drastic 100× distribution shift moved the distance
+    * ratio only to 1.005–1.03 in the r15 probe, while the SAME shift
+    * moved the skew ratio 34.7–135× — the damage such a shift does
+    * (one-list pile-up degrading probed-serve cost and recall) shows
+    * up in skew long before it shows up in mean assigned distance.
+    * `retrainRecommended` already folds both triggers in; a caller
+    * building its own alerting should key on skew.
     */
   case class DriftReport(nBuild: Long, buildMeanCos: Double,
       nAppended: Long, appendedMeanCos: Double, lastAppendMeanCos: Double,
@@ -280,7 +291,13 @@ object VectorIndex {
         (col(idCol).as("neighbor_id") +: metaCols.map(col)): _*),
         "neighbor_id")
       .repartition(col("__cid"))
-      .sortWithinPartitions(metaCols.map(col): _*)
+      // LEADING __cid (r15 ADVICE item 3): the dynamic-partition writer
+      // requires rows ordered by the partition column and INSERTS its
+      // own sort when they are not — destroying the metaCols row-group
+      // clustering topKFiltered's metadata pruning depends on. With
+      // __cid first the writer's requirement is already satisfied and
+      // no second sort lands.
+      .sortWithinPartitions((col("__cid") +: metaCols.map(col)): _*)
   }
 
   /** Incremental maintenance: assign a batch of NEW vectors against the
@@ -316,7 +333,16 @@ object VectorIndex {
     if (corpus.isEmpty) return
     StagedSwap.withFileLock(spark, lockPath(indexDir)) {
       val cur = readManifest(spark, indexDir)
-      if (commitId.contains(cur.commitId)) {
+      // redelivery test runs against the PERSISTED last_append_id extra,
+      // not cur.commitId alone (r15 ADVICE item 2): an inline
+      // auto-compact or autoRetrainRatio-triggered retrain replaces the
+      // just-committed append id with compact_g{N}/retrain_g{N} in the
+      // same call, so a redelivered batch would double-insert every row
+      // (and skew the drift accumulators). The extra rides every later
+      // commit — compactLocked forwards cur.extras, retrainLocked's
+      // extras rewrite preserves it — so the guarantee survives both.
+      if (commitId.exists(id => cur.commitId == id ||
+          cur.extras.get("last_append_id").contains(id))) {
         // redelivered batch: its commit already flipped — no-op
       } else {
         // REQUIRED extras, never defaulted: an index built before the
@@ -351,7 +377,9 @@ object VectorIndex {
         val buildShare = cur.extras.get("assign_max_share").map(_.toDouble)
         val an0 = cur.extras.getOrElse("appended_n", "0").toLong
         val as0 = cur.extras.getOrElse("appended_cos_sum", "0.0").toDouble
+        val cid = commitId.getOrElse(java.util.UUID.randomUUID().toString)
         val extras = cur.extras ++ Map(
+          "last_append_id" -> cid,
           "appended_n" -> (an0 + bn).toString,
           "appended_cos_sum" -> (as0 + bn * bMean).toString,
           "last_append_cos_mean" -> bMean.toString,
@@ -361,8 +389,7 @@ object VectorIndex {
           buildShare.map(bs => "last_skew_ratio" ->
             (bShare / math.max(1e-12, bs)).toString)
         val refs = commitManifest(spark, indexDir, gen, written, Some(cur),
-          commitId.getOrElse(java.util.UUID.randomUUID().toString),
-          replace = false, None, extras)
+          cid, replace = false, None, extras)
         if (autoCompactFragments > 0 &&
             refs.values.exists(_.size >= autoCompactFragments))
           compactLocked(spark, indexDir)

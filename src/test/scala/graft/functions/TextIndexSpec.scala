@@ -411,4 +411,38 @@ class TextIndexSpec extends SparkTestBase {
       s"expected doc 0 to enter via the zero-score tiebreak, got $got")
     assert(got.forall(_._5 == 0.0))
   }
+
+  test("redelivery no-ops even when the append itself triggered an inline fold") {
+    // r15 ADVICE item 1: an append crossing AutoCompactFragments
+    // commits compact_g{N} in the same call, so a commitId check
+    // against the manifest's own commitId alone would re-append the
+    // redelivered batch (~1-in-AutoCompactFragments appends under
+    // at-least-once delivery) — duplicate postings, double-counted
+    // n_docs/total_tokens/df. The persisted last_append_id extra —
+    // carried forward by every compact — closes the window.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = tmpDir("textidxidemfold")
+    TextIndex.build(docs.filter($"doc_id" < 200), "doc_id", "text", dir)
+    val batch = docs.filter($"doc_id" >= 200 && $"doc_id" < 300)
+    // threshold 2: this append folds inline (build ref + 1 fragment)
+    TextIndex.append(batch, "doc_id", "text", dir, commitId = Some("b1"),
+      autoCompactFragments = 2)
+    assert(TextIndex.currentRefs(spark, dir).values.forall(_.size == 1),
+      "precondition: the append must actually have folded")
+    val stats = TextIndex.corpusStats(spark, dir)
+    val rows = TextIndex.currentPostings(spark, dir).count()
+    // the redelivered batch (crash before the checkpoint write): no-op
+    TextIndex.append(batch, "doc_id", "text", dir, commitId = Some("b1"),
+      autoCompactFragments = 2)
+    assert(TextIndex.corpusStats(spark, dir) == stats)
+    assert(TextIndex.currentPostings(spark, dir).count() == rows)
+    // a MAINTENANCE compact between append and redelivery reopens the
+    // same window — still a no-op
+    val b2 = docs.filter($"doc_id" >= 300 && $"doc_id" < 350)
+    TextIndex.append(b2, "doc_id", "text", dir, commitId = Some("b2"))
+    TextIndex.compact(spark, dir)
+    val stats2 = TextIndex.corpusStats(spark, dir)
+    TextIndex.append(b2, "doc_id", "text", dir, commitId = Some("b2"))
+    assert(TextIndex.corpusStats(spark, dir) == stats2)
+  }
 }

@@ -432,4 +432,57 @@ class VectorIndexSpec extends SparkTestBase {
     assert(java.nio.file.Files.readString(cur).trim == v)
     assert(serve() == want)
   }
+
+  test("redelivery no-ops across an inline fold and across a retrain") {
+    // r15 ADVICE item 2: an append that crosses autoCompactFragments
+    // (or trips autoRetrainRatio) immediately commits compact_g{N}/
+    // retrain_g{N} in the same call, so a commitId check against the
+    // manifest's own commitId alone would re-insert the redelivered
+    // batch (~1-in-AutoCompactFragments appends under at-least-once
+    // delivery). The persisted last_append_id extra — carried through
+    // compact AND retrain — closes the window.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = tmpDir("ivfidemfold")
+    VectorIndex.build(emb.filter($"vec_id" < 300), "vec_id", "embedding", dir)
+    val batch = emb.filter($"vec_id" >= 300 && $"vec_id" < 400)
+    // threshold 2: this append folds inline, replacing its own commitId
+    VectorIndex.append(batch, "vec_id", "embedding", dir,
+      commitId = Some("b1"), autoCompactFragments = 2)
+    assert(VectorIndex.currentRefs(spark, dir).values.forall(_.size == 1),
+      "precondition: the append must actually have folded")
+    val rows = VectorIndex.currentLists(spark, dir).count()
+    val drift = VectorIndex.driftReport(spark, dir)
+    // the redelivered batch (crash before the checkpoint write): no-op
+    VectorIndex.append(batch, "vec_id", "embedding", dir,
+      commitId = Some("b1"), autoCompactFragments = 2)
+    assert(VectorIndex.currentLists(spark, dir).count() == rows)
+    assert(VectorIndex.driftReport(spark, dir) == drift)
+    // a retrain between append and redelivery reopens the same window —
+    // its extras rewrite must preserve last_append_id
+    VectorIndex.retrain(spark, dir)
+    VectorIndex.append(batch, "vec_id", "embedding", dir,
+      commitId = Some("b1"), autoCompactFragments = 2)
+    assert(VectorIndex.currentLists(spark, dir).count() == rows)
+  }
+
+  test("metaCols list files stay clustered on the metadata (no writer re-sort)") {
+    // r15 ADVICE item 3: sorting within partitions by metaCols alone
+    // left the dynamic-partition writer's required __cid ordering
+    // unsatisfied, so it inserted its own sort on __cid — which can
+    // destroy the metaCols row-group clustering topKFiltered's
+    // metadata pruning depends on. With LEADING __cid the writer adds
+    // nothing and every written file stays metadata-sorted.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = tmpDir("ivfmetasort")
+    VectorIndex.build(emb, "vec_id", "embedding", dir,
+      metaCols = Seq("label"))
+    val files = VectorIndex.currentLists(spark, dir).inputFiles
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val labels = spark.read.parquet(f).select($"label")
+        .as[Int].collect().toSeq
+      assert(labels == labels.sorted,
+        s"file $f not clustered on label: ${labels.take(20)}…")
+    }
+  }
 }
