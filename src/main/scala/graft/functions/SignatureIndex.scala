@@ -14,51 +14,62 @@ import org.apache.spark.sql.functions._
   * (r11 verdict item 4).
   *
   * Layout under `indexDir` — IMMUTABLE generation dirs + an atomic
-  * pointer, the Catalog bucket-manifest treatment (r12 verdict item
-  * 2; `Catalog.scala` bucket layout is the same design for tables):
+  * pointer, the shared [[GenIndex]] treatment:
   *
-  *  - `meta`  — one row: (shingle, num_hashes, bands, n_buckets),
-  *    validated on every serve/append — band keys built under
-  *    different parameters would silently collapse recall, so drift
-  *    fails fast (the IncrementalDedup contract);
-  *  - `bands_g{G}/__kb={k}/` — (doc_id, band, key) rows of key-hash
-  *    bucket k as written by generation G (G=0 is the build; each
-  *    append/compact is a new generation holding only the buckets it
-  *    rewrote). Generation dirs are NEVER modified after their
-  *    manifest commits — a reader that resolved its paths keeps
-  *    reading a consistent snapshot while appends land;
-  *  - `sets_g{G}/__db={k}/` — (doc_id, hhd) verification sets,
+  *  - `meta`  — one row: (shingle, num_hashes, bands, n_buckets at
+  *    build), validated on every serve/append — band keys built under
+  *    different SIGNING parameters would silently collapse recall, so
+  *    drift fails fast (the IncrementalDedup contract). The CURRENT
+  *    bucket count is the manifest's `n_buckets` extra ([[compact]]
+  *    rebuckets, so the live count moves with the commit — meta keeps
+  *    only the build-time value);
+  *  - `bands_g{G}/__kb={k}/` — (doc_id, band, key, __gen) rows of
+  *    key-hash bucket k as written by generation G;
+  *  - `sets_g{G}/__db={k}/` — (doc_id, hhd, __gen) verification sets,
   *    bucketed by hash(doc_id);
-  *  - `_manifest_v{N}.json` — bucket → generation-dir map for both
-  *    tables, plus the append id it committed (idempotency token);
-  *  - `_current` — the manifest version N, flipped atomically
-  *    (StagedSwap.writeAtomic) as the SINGLE commit point.
+  *  - `_manifest_v{N}.json` — bucket → generation-dir refs for both
+  *    tables plus atomic extras, `_current` — the committed version.
   *
-  * A serve batch touches only the bucket dirs its own keys hash to
-  * (structural pruning — the paths are resolved from the manifest, so
-  * no scan of untouched buckets even lists files), and exact-Jaccard
-  * verification reads only the bucket dirs holding candidate base
-  * docs.
+  * Both tables are FRAGMENT tables (r15 verdict item 1 — the
+  * TextIndex/VectorIndex treatment): an append writes ONLY its
+  * batch's rows as a new generation and the manifest accumulates
+  * per-bucket fragment refs, so append cost is O(batch) — NOT
+  * O(touched buckets' rows), which the old rewrite-style append paid:
+  * a realistically diverse batch's band keys hash into ~every bucket,
+  * so "rewrite touched buckets" degenerated to "rewrite the base"
+  * (the builder's own pricing put a 500-doc append against a 10⁹-doc
+  * base at essentially the whole 2×10⁹-row bands table).
+  *
+  * UPSERT semantics survive the move to immutable fragments via
+  * LAST-GENERATION-WINS: every row carries the `__gen` that wrote it,
+  * and a document's authoritative version is its highest generation
+  * in the SETS table (an append writes a doc's band AND set rows in
+  * ONE generation, and a doc's set rows all live in one `__db`
+  * bucket, so the pruned set read the serve already pays sees the
+  * doc's full generation history). The serve filters candidate pairs
+  * to band rows of the base doc's latest generation and verifies
+  * against the latest hhd — bit-identical to a rebuild over the
+  * upserted corpus (spec-pinned). [[compact]] garbage-collects
+  * superseded rows and folds every bucket to one file; appends past
+  * [[AutoCompactFragments]] fragments fold inline — the BOUNDED fold
+  * (all fragments above each over-threshold bucket's first ref,
+  * cost ∝ rows appended since the last compact, never base-sized —
+  * r15 verdict item 5's p99 discipline).
   *
   * Serving is BIT-IDENTICAL to the in-plan recompute
   * (Dedup.crossCorpusNearDupPairs with the same parameters) — pinned
   * by SignatureIndexSpec and the t71 oracle row, which shares t49's
   * SQL.
   *
-  * Crash safety: an append is STAGED first (`append_next/{bands,sets}`
-  * + an `_APPEND_ID` token + `_STAGE_DONE`), then applied by writing
-  * the touched buckets' new contents into a fresh generation dir and
-  * flipping `_current`. Every window is covered: before `_STAGE_DONE`
-  * the stage is garbage (recover discards it, live state untouched);
-  * after it, recover re-runs the apply — and if the crash happened
-  * AFTER the pointer flip, the manifest already records the stage's
-  * `_APPEND_ID`, so the re-apply is skipped and the stage simply
-  * cleared (exactly-once, not at-least-once). Readers never observe a
-  * half-applied state because nothing mutates in place; a reader that
-  * opened mid-append serves the pre-append snapshot bit-exactly
-  * (spec-pinned). Old generations accumulate until [[vacuum]], whose
-  * default grace window keeps the previous snapshot servable; full
-  * reclaim (`graceVersions = 0`) belongs in maintenance windows.
+  * Crash safety is the generation discipline: every mutation writes
+  * only fresh generation dirs + a fresh manifest, then flips the
+  * pointer — a crash anywhere before the flip leaves orphan dirs
+  * ([[vacuum]] reclaims them) and the committed snapshot untouched.
+  * There is NO staged append anymore (the pre-fragment `append_next`
+  * protocol existed because the old apply was a read-modify-write);
+  * redelivery idempotency is the `commitId` token, persisted as the
+  * `last_append_id` manifest extra so it survives an inline fold
+  * (the r15 ADVICE discipline shared with TextIndex/VectorIndex).
   *
   * Writers are mutually exclusive: build/append/compact/recover/vacuum
   * each hold `_commit.lock` (StagedSwap.withFileLock, the Catalog
@@ -70,18 +81,21 @@ object SignatureIndex {
 
   val DefaultBuckets = 64
 
-  /** Bucket-count sizing for a known base-corpus size: append/serve
-    * cost is ∝ the TOUCHED buckets' row counts, and a realistically
-    * diverse batch's band keys hash into ~all buckets — so the unit of
-    * rewrite/read amplification is base_band_rows / nBuckets. Size
-    * buckets so that unit stays a bounded chunk (default ~4M band
-    * rows ≈ 100 MB parquet): at 64 buckets a 10⁹-doc base puts ~31M
-    * rows in every touched bucket and an append rewrites essentially
-    * the whole base; at bucketsFor(1e9) = 477 buckets the same append
-    * rewrites only the buckets it actually touches at ~4M rows each.
-    * The default stays 64 for small corpora (fixture scale) where
-    * per-bucket task overhead dominates. (Spec-pinned: floor,
-    * monotonicity, and the 1e9 example.)
+  /** Bucket-count sizing for a known base-corpus size: serve cost is
+    * ∝ the MATCHED buckets' row counts (and compact/fold units are
+    * per-bucket), and a realistically diverse batch's band keys hash
+    * into ~all buckets — so the unit of read amplification is
+    * base_band_rows / nBuckets. Size buckets so that unit stays a
+    * bounded chunk (default ~4M band rows ≈ 100 MB parquet): at 64
+    * buckets a 10⁹-doc base puts ~31M rows in every matched bucket;
+    * at bucketsFor(1e9) = 477 buckets the same serve reads only the
+    * buckets it actually matches at ~4M rows each. The default stays
+    * 64 for small corpora (fixture scale) where per-bucket task
+    * overhead dominates. (Spec-pinned: floor, monotonicity, and the
+    * 1e9 example.) Appends are O(batch) regardless of the bucket
+    * count (fragment generations); [[compact]] re-derives the count
+    * from the accumulated doc count so a corpus that outgrows its
+    * build-time sizing gets its per-bucket unit re-bounded.
     */
   def bucketsFor(nBaseDocs: Long, bandsPerDoc: Int = 2,
       targetBandRowsPerBucket: Long = 4L << 20): Int =
@@ -89,16 +103,21 @@ object SignatureIndex {
       math.ceil(nBaseDocs.toDouble * bandsPerDoc /
         targetBandRowsPerBucket - 1e-9).toInt)
 
+  /** Appends past this many fragments in ANY bucket trigger an inline
+    * BOUNDED fold under the already-held writer lock: each
+    * over-threshold bucket's refs above its FIRST (largest) ref merge
+    * into one fragment, so fold cost is ∝ rows appended since the
+    * last full compact — never base-sized (the r15 verdict item-5
+    * p99 requirement: the old inline full compact cost a 4× latency
+    * cliff inside a streaming trigger). Superseded rows are NOT
+    * garbage-collected by the fold (last-generation-wins at serve
+    * time keeps them invisible); [[compact]] reclaims them. 0
+    * disables (probes that measure pure fragment accumulation).
+    */
+  val AutoCompactFragments = 8
+
   private def stageDir(indexDir: String) = s"$indexDir/append_next"
 
-  /** Writer lock: every public mutation (build/append/compact/recover/
-    * vacuum) runs its whole read→write→pointer-flip span under this
-    * cross-process lock (StagedSwap.withFileLock — the Catalog
-    * protocol). Without it two concurrent appends both compute
-    * generation N+1 and the loser's acknowledged batch silently
-    * vanishes from every later serve. READS take no lock: serves
-    * resolve immutable generation paths through the manifest.
-    */
   private val LockName = "_commit.lock"
   private def lockPath(indexDir: String) = s"$indexDir/$LockName"
 
@@ -107,6 +126,8 @@ object SignatureIndex {
 
   private val What = "signature index"
   private val GenPrefixes = Seq("bands_g", "sets_g")
+  private val BandsDDL = "doc_id bigint, band int, key string, __gen int"
+  private val SetsDDL = "doc_id bigint, hhd array<bigint>, __gen int"
 
   // ------------------------------------------------------- meta
 
@@ -118,18 +139,19 @@ object SignatureIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
   }
 
-  private def readMeta(spark: SparkSession, indexDir: String): Params = {
+  /** Signing params from meta + the LIVE bucket count from the
+    * manifest (compact rebuckets; serve/append must hash with the
+    * count the committed layout was written under, and the manifest
+    * carries it atomically with the refs).
+    */
+  private def currentParams(spark: SparkSession, indexDir: String,
+      m: GenIndex.Manifest): Params = {
     val r = spark.read.parquet(s"$indexDir/meta").head()
-    Params(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+    Params(r.getInt(0), r.getInt(1), r.getInt(2),
+      m.extra("n_buckets", What).toInt)
   }
 
   // --------------------------------------------------- manifest
-  // Generation/manifest/pointer machinery lives in [[GenIndex]] — the
-  // factored form of THIS index's r12 design, now shared with
-  // TextIndex and VectorIndex (r13 verdict item 1). Bands and sets are
-  // rewrite-style tables: every bucket maps to exactly ONE generation
-  // dir (an append rewrites its touched buckets into the new
-  // generation), so the Seq-valued refs stay singletons here.
 
   private def readManifest(spark: SparkSession,
       indexDir: String): GenIndex.Manifest =
@@ -137,9 +159,12 @@ object SignatureIndex {
 
   // ------------------------------------------------------ signing
 
-  /** (doc_id, band, key, __kb) band rows for a document frame. */
+  /** (doc_id, band, key, __gen, __kb) band rows for a document frame,
+    * stamped with the generation that writes them — the
+    * last-generation-wins version token (see the object scaladoc).
+    */
   private def bandRows(docs: DataFrame, idCol: String, textCol: String,
-      p: Params): DataFrame = {
+      p: Params, gen: Int): DataFrame = {
     val rows = p.numHashes / p.bands
     Dedup.hashedShingleFrame(docs, idCol, textCol, p.shingle)
       .withColumn("__sig",
@@ -147,15 +172,35 @@ object SignatureIndex {
       .select(col("__id").as("doc_id"),
         posexplode(Dedup.lshBandKeys(col("__sig"), p.bands, rows))
           .as(Seq("band", "key")))
+      .withColumn("__gen", lit(gen))
       .withColumn("__kb", pmod(hash(col("key")), lit(p.nBuckets)))
   }
 
-  /** (doc_id, hhd, __db) verification-set rows. */
+  /** (doc_id, hhd, __gen, __db) verification-set rows. */
   private def setRows(docs: DataFrame, idCol: String, textCol: String,
-      p: Params): DataFrame =
+      p: Params, gen: Int): DataFrame =
     Dedup.hashedShingleFrame(docs, idCol, textCol, p.shingle)
       .select(col("__id").as("doc_id"), col("__hhd").as("hhd"))
+      .withColumn("__gen", lit(gen))
       .withColumn("__db", pmod(hash(col("doc_id")), lit(p.nBuckets)))
+
+  /** Write one generation of both tables (one file per bucket — the
+    * r15 file-count lesson) and return their per-bucket refs.
+    */
+  private def writeGeneration(spark: SparkSession, indexDir: String,
+      bands: DataFrame, sets: DataFrame,
+      gen: Int): (Map[Int, Seq[String]], Map[Int, Seq[String]]) = {
+    bands.repartition(col("__kb"))
+      .write.mode("overwrite").partitionBy("__kb")
+      .parquet(s"$indexDir/bands_g$gen")
+    sets.repartition(col("__db"))
+      .write.mode("overwrite").partitionBy("__db")
+      .parquet(s"$indexDir/sets_g$gen")
+    (GenIndex.bucketsIn(spark, s"$indexDir/bands_g$gen", "__kb")
+        .map(_ -> Seq(s"bands_g$gen")).toMap,
+      GenIndex.bucketsIn(spark, s"$indexDir/sets_g$gen", "__db")
+        .map(_ -> Seq(s"sets_g$gen")).toMap)
+  }
 
   // ----------------------------------------------------- lifecycle
 
@@ -168,15 +213,15 @@ object SignatureIndex {
     * `nBuckets` defaults to AUTO (`nBuckets <= 0`): one corpus count —
     * noise beside the signing scan — feeds [[bucketsFor]], so the
     * 10⁹-doc base the bucketsFor scaladoc warns about gets its 477
-    * bounded-rewrite buckets BY DEFAULT instead of only when the
-    * caller remembers (r13 verdict item 5). Pass an explicit positive
-    * count to override; `targetBandRowsPerBucket` tunes the auto
-    * sizing's rewrite-unit goal (and lets specs pin the wiring without
-    * a 10⁹-row corpus).
+    * bounded-read buckets BY DEFAULT instead of only when the caller
+    * remembers (r13 verdict item 5). Pass an explicit positive count
+    * to override; `targetBandRowsPerBucket` tunes the auto sizing's
+    * read-unit goal (and lets specs pin the wiring without a 10⁹-row
+    * corpus).
     *
     * A build CLEARS any prior index state at `indexDir` first —
-    * including a stale `append_next` stage from a crashed append of a
-    * previous life, which must never roll forward over an index built
+    * including a stale `append_next` stage left by a pre-fragment-era
+    * crashed append, which must never survive into an index built
     * under new parameters (r12 ADVICE item 1).
     */
   def build(docs: DataFrame, idCol: String, textCol: String,
@@ -185,139 +230,136 @@ object SignatureIndex {
       targetBandRowsPerBucket: Long = 4L << 20): Unit = {
     val spark = docs.sparkSession
     require(numHashes % bands == 0, s"numHashes $numHashes not divisible by $bands")
+    val nDocs = docs.count()
     val nb =
       if (nBuckets > 0) nBuckets
-      else bucketsFor(docs.count(), bandsPerDoc = bands,
+      else bucketsFor(nDocs, bandsPerDoc = bands,
         targetBandRowsPerBucket = targetBandRowsPerBucket)
     StagedSwap.withFileLock(spark, lockPath(indexDir)) {
-      buildLocked(docs, idCol, textCol, indexDir, shingle, numHashes,
-        bands, nb)
+      GenIndex.clearIndexState(spark, indexDir, LockName,
+        "prior signature index state (stale stages must not survive a rebuild)")
+      val p = Params(shingle, numHashes, bands, nb)
+      writeMeta(spark, indexDir, p)
+      val (bandRefs, setRefs) = writeGeneration(spark, indexDir,
+        bandRows(docs, idCol, textCol, p, gen = 0),
+        setRows(docs, idCol, textCol, p, gen = 0), gen = 0)
+      GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(0, "build",
+        Map("bands" -> bandRefs, "sets" -> setRefs),
+        Map("n_buckets" -> nb.toString,
+          "n_docs" -> nDocs.toString,
+          "target_band_rows" -> targetBandRowsPerBucket.toString)))
+      GenIndex.flipCurrent(spark, indexDir, 0)
     }
   }
 
-  private def buildLocked(docs: DataFrame, idCol: String, textCol: String,
-      indexDir: String, shingle: Int, numHashes: Int,
-      bands: Int, nBuckets: Int): Unit = {
-    val spark = docs.sparkSession
-    // clear prior index state — including a stale append_next stage
-    // from a crashed append of a previous life, which must never roll
-    // forward over an index built under new parameters (r12 ADVICE
-    // item 1) — but NOT the lock file this writer is holding
-    GenIndex.clearIndexState(spark, indexDir, LockName,
-      "prior signature index state (stale stages must not survive a rebuild)")
-    val p = Params(shingle, numHashes, bands, nBuckets)
-    writeMeta(spark, indexDir, p)
-    // one file per bucket (repartition on the partition column): the
-    // r15 file-count lesson — task-parallel writes leave
-    // tasks×buckets tiny files and every later read (append's
-    // touched-bucket rewrite, the serve's bucket-pruned scan) pays an
-    // open+footer per file; one exchange on the offline build buys
-    // compact-quality layout from generation 0
-    bandRows(docs, idCol, textCol, p)
-      .repartition(col("__kb"))
-      .write.mode("overwrite").partitionBy("__kb")
-      .parquet(s"$indexDir/bands_g0")
-    setRows(docs, idCol, textCol, p)
-      .repartition(col("__db"))
-      .write.mode("overwrite").partitionBy("__db")
-      .parquet(s"$indexDir/sets_g0")
-    val m = GenIndex.Manifest(0, "build", Map(
-      "bands" -> GenIndex.bucketsIn(spark, s"$indexDir/bands_g0", "__kb")
-        .map(_ -> Seq("bands_g0")).toMap,
-      "sets" -> GenIndex.bucketsIn(spark, s"$indexDir/sets_g0", "__db")
-        .map(_ -> Seq("sets_g0")).toMap), Map.empty)
-    GenIndex.writeManifest(spark, indexDir, m)
-    GenIndex.flipCurrent(spark, indexDir, 0)
-  }
-
-  /** Incremental append: sign ONLY the new batch, stage it, then write
-    * the touched buckets' new contents into a fresh generation dir and
-    * flip the manifest pointer. Cost is O(batch + touched buckets'
-    * rows) — NOTE the qualifier: a realistically diverse batch's band
-    * keys hash into ~every bucket, so at the 64-bucket default the
-    * touched set IS ~the whole base and append cost scales with base
-    * size. Operators with an append cadence must size `nBuckets` at
-    * build time for their base corpus ([[bucketsFor]]) so each touched
-    * bucket is a bounded rewrite unit; serve cost prunes by the same
-    * buckets and gets the same bound. A pending marked stage from a
-    * crashed append rolls forward first (exactly-once via the staged
-    * `_APPEND_ID`); re-appended doc_ids upsert (their old rows in the
-    * touched buckets are replaced).
+  /** Incremental append: sign ONLY the new batch and commit its rows
+    * as a FRAGMENT generation — existing rows are never read or
+    * rewritten, so append cost is O(batch) regardless of base size
+    * (r15 verdict item 1: the old touched-bucket rewrite degenerated
+    * to "rewrite the base" for any diverse batch). Re-appended
+    * doc_ids UPSERT: their new rows carry a higher `__gen` and
+    * last-generation-wins at serve time makes the old rows invisible
+    * ([[compact]] reclaims them physically). The manifest accumulates
+    * per-bucket fragment refs and the doc count in ONE pointer flip;
+    * serving from an appended index is BIT-IDENTICAL to a full
+    * rebuild (spec-pinned). A crash anywhere before the flip leaves
+    * the committed snapshot untouched; the orphan generation is
+    * vacuumed later.
+    *
+    * `commitId` is the redelivery idempotency token (the TextIndex/
+    * VectorIndex discipline): an at-least-once ingest (foreachBatch)
+    * passes its batchId-derived id, and a redelivered batch whose id
+    * already committed is a no-op instead of a duplicate insert. The
+    * check runs against the persisted `last_append_id` extra, which
+    * every fold/compact carries forward — so the guarantee survives
+    * an append that immediately folds (r15 ADVICE item 1/2).
+    *
+    * When any bucket's fragment count reaches
+    * [[AutoCompactFragments]], the append folds the index inline
+    * before releasing the lock — the BOUNDED fold: cost ∝ rows
+    * appended since the last compact (`autoCompactFragments = 0`
+    * disables).
     */
   def append(docs: DataFrame, idCol: String, textCol: String,
-      indexDir: String): Unit = {
+      indexDir: String, commitId: Option[String] = None,
+      autoCompactFragments: Int = AutoCompactFragments): Unit = {
     val spark = docs.sparkSession
+    // an empty micro-batch (a legitimate foreachBatch delivery) must
+    // be a no-op — no new generation, no manifest churn
+    if (docs.isEmpty) return
     StagedSwap.withFileLock(spark, lockPath(indexDir)) {
-      rollForwardAppend(spark, indexDir)
-      if (!docs.isEmpty) {
-        val p = readMeta(spark, indexDir)
-        val st = stageDir(indexDir)
-        setRows(docs, idCol, textCol, p)
-          .write.mode("overwrite").parquet(s"$st/sets")
-        bandRows(docs, idCol, textCol, p)
-          .write.mode("overwrite").parquet(s"$st/bands")
-        StagedSwap.writeAtomic(spark, s"$st/_APPEND_ID",
-          java.util.UUID.randomUUID().toString)
-        StagedSwap.touchMarker(spark, s"$st/_STAGE_DONE")
-        applyStagedAppend(spark, indexDir)
+      val cur = readManifest(spark, indexDir)
+      if (commitId.exists(id => cur.commitId == id ||
+          cur.extras.get("last_append_id").contains(id))) {
+        // redelivered batch: its commit already flipped — no-op
+      } else {
+        val p = currentParams(spark, indexDir, cur)
+        val gen = cur.version + 1
+        val (bandW, setW) = writeGeneration(spark, indexDir,
+          bandRows(docs, idCol, textCol, p, gen),
+          setRows(docs, idCol, textCol, p, gen), gen)
+        def acc(prior: Map[Int, Seq[String]],
+            written: Map[Int, Seq[String]]): Map[Int, Seq[String]] =
+          prior ++ written.map { case (k, gs) =>
+            k -> (prior.getOrElse(k, Seq.empty) ++ gs) }
+        val bandRefs = acc(cur.refs("bands"), bandW)
+        val setRefs = acc(cur.refs("sets"), setW)
+        // batch doc count from the just-written footers (metadata-only
+        // read) — feeds compact's rebucket sizing; re-appended docs
+        // double-count here, which only over-sizes until the next
+        // compact recomputes the exact distinct count
+        val batchDocs = spark.read.parquet(s"$indexDir/sets_g$gen").count()
+        val cid = commitId.getOrElse(java.util.UUID.randomUUID().toString)
+        GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(gen, cid,
+          Map("bands" -> bandRefs, "sets" -> setRefs),
+          cur.extras ++ Map(
+            "last_append_id" -> cid,
+            "n_docs" -> (cur.extra("n_docs", What).toLong + batchDocs)
+              .toString)))
+        GenIndex.flipCurrent(spark, indexDir, gen)
+        if (autoCompactFragments > 0 &&
+            (bandRefs.values.exists(_.size >= autoCompactFragments) ||
+              setRefs.values.exists(_.size >= autoCompactFragments)))
+          foldLocked(spark, indexDir, autoCompactFragments)
       }
     }
   }
 
-  /** The apply: write (live touched-bucket rows minus the staged
-    * doc_ids, plus the staged rows) into generation dirs named by the
-    * NEXT manifest version, commit the manifest recording the stage's
-    * append id, flip the pointer, clear the stage. Exactly-once: a
-    * re-run after a post-flip crash sees its own append id in the
-    * current manifest and just clears the stage.
+  /** The bounded inline fold: for every bucket holding at least
+    * `threshold` fragments, merge all refs ABOVE its first (largest)
+    * ref into one fragment file — cost ∝ the merged fragments' rows
+    * (the appends since the last compact), never the base. Rows keep
+    * their original `__gen` stamps, so last-generation-wins is
+    * unaffected and serving is bit-identical before/after
+    * (spec-pinned); superseded rows are not reclaimed here — that is
+    * [[compact]]'s job. Commits as one generation + pointer flip,
+    * then vacuums at the default grace window.
     */
-  private def applyStagedAppend(spark: SparkSession,
-      indexDir: String): Unit = {
-    import spark.implicits._
-    val st = stageDir(indexDir)
-    val appendId = StagedSwap.readSmallFile(spark, s"$st/_APPEND_ID")
-      .getOrElse(throw new IllegalStateException(
-        s"marked append stage at $st has no _APPEND_ID token"))
+  private def foldLocked(spark: SparkSession, indexDir: String,
+      threshold: Int): Unit = {
     val cur = readManifest(spark, indexDir)
-    if (cur.commitId == appendId) { // already applied, crash was post-flip
-      StagedSwap.deleteChecked(spark, st, "already-applied append stage")
-      return
-    }
     val gen = cur.version + 1
-    val stagedBands = spark.read.parquet(s"$st/bands")
-    val stagedSets = spark.read.parquet(s"$st/sets")
-    val batchIds = stagedSets.select(col("doc_id")).distinct()
-    // touched buckets: bounded ≤ nBuckets control reads
-    val kbs = stagedBands.select(col("__kb")).distinct().as[Int].collect().toSeq
-    val dbs = stagedSets.select(col("__db")).distinct().as[Int].collect().toSeq
-    // same one-file-per-bucket discipline as the build (r15): the
-    // rewritten touched buckets come out of a doc_id-partitioned
-    // anti join — without the repartition each bucket dir collects
-    // one file per join task
-    GenIndex.readBuckets(spark, indexDir, cur.refs("bands"), "__kb", kbs,
-        withBucketCol = true, "doc_id bigint, band int, key string")
-      .join(batchIds, Seq("doc_id"), "left_anti")
-      .unionByName(stagedBands)
-      .repartition(col("__kb"))
-      .write.mode("overwrite").partitionBy("__kb")
-      .parquet(s"$indexDir/bands_g$gen")
-    GenIndex.readBuckets(spark, indexDir, cur.refs("sets"), "__db", dbs,
-        withBucketCol = true, "doc_id bigint, hhd array<bigint>")
-      .join(batchIds, Seq("doc_id"), "left_anti")
-      .unionByName(stagedSets)
-      .repartition(col("__db"))
-      .write.mode("overwrite").partitionBy("__db")
-      .parquet(s"$indexDir/sets_g$gen")
-    val m = GenIndex.Manifest(gen, appendId, Map(
-      "bands" -> (cur.refs("bands") ++
-        GenIndex.bucketsIn(spark, s"$indexDir/bands_g$gen", "__kb")
-          .map(_ -> Seq(s"bands_g$gen"))),
-      "sets" -> (cur.refs("sets") ++
-        GenIndex.bucketsIn(spark, s"$indexDir/sets_g$gen", "__db")
-          .map(_ -> Seq(s"sets_g$gen")))), Map.empty)
-    GenIndex.writeManifest(spark, indexDir, m)
+    def fold(table: String, part: String,
+        ddl: String): Map[Int, Seq[String]] = {
+      val refs = cur.refs(table)
+      val over = refs.filter(_._2.size >= threshold)
+      if (over.isEmpty) return refs
+      val fragRefs = over.map { case (k, gs) => k -> gs.tail }
+      GenIndex.readBuckets(spark, indexDir, fragRefs, part,
+          over.keys.toSeq, withBucketCol = true, ddl)
+        .repartition(col(part))
+        .write.mode("overwrite").partitionBy(part)
+        .parquet(s"$indexDir/${table}_g$gen")
+      refs ++ over.map { case (k, gs) =>
+        k -> Seq(gs.head, s"${table}_g$gen") }
+    }
+    val bandRefs = fold("bands", "__kb", BandsDDL)
+    val setRefs = fold("sets", "__db", SetsDDL)
+    GenIndex.writeManifest(spark, indexDir,
+      GenIndex.Manifest(gen, s"fold_g$gen",
+        Map("bands" -> bandRefs, "sets" -> setRefs), cur.extras))
     GenIndex.flipCurrent(spark, indexDir, gen)
-    StagedSwap.deleteChecked(spark, st, "applied append stage")
+    GenIndex.vacuum(spark, indexDir, GenPrefixes, graceVersions = 1, What)
   }
 
   /** Serve incoming-vs-base near-dup pairs from the index:
@@ -328,14 +370,24 @@ object SignatureIndex {
     * paths, PRUNED twice — the band read opens only the batch's key
     * buckets, the set read only the candidate docs' buckets — so
     * serve cost is ∝ batch + matched buckets, never base size (see
-    * the [[append]] note on sizing nBuckets so "matched buckets"
-    * stays a bounded fraction). The batch band frame broadcasts when
-    * small (maybeBroadcast), keeping the pruned base read
-    * shuffle-free. Because the resolved paths are generation dirs no
-    * append ever rewrites, a frame returned here keeps serving ITS
-    * snapshot even while appends commit; [[vacuum]]'s default grace
-    * window additionally protects the previous snapshot, so only a
-    * reader ≥2 commits stale can race a full-reclaim vacuum.
+    * [[bucketsFor]] for sizing "matched buckets" to a bounded
+    * fraction). The batch band frame broadcasts when small
+    * (maybeBroadcast), keeping the pruned base read shuffle-free.
+    *
+    * UPSERT resolution (fragments are immutable, so superseded rows
+    * remain on disk until a compact): the pruned set read sees every
+    * candidate doc's full generation history in its one `__db`
+    * bucket, so one aggregate over rows this serve reads anyway
+    * yields each candidate's latest generation + latest hhd;
+    * candidate pairs are kept only where the matching band row
+    * carries that latest generation, and verification uses the
+    * latest hhd — exactly the rebuild's semantics.
+    *
+    * Because the resolved paths are generation dirs no append ever
+    * rewrites, a frame returned here keeps serving ITS snapshot even
+    * while appends commit; [[vacuum]]'s default grace window
+    * additionally protects the previous snapshot, so only a reader
+    * ≥2 commits stale can race a full-reclaim vacuum.
     *
     * Cache contract (shared with the other Dedup entry points): the
     * batch band frame and the candidate frame are persisted for their
@@ -345,22 +397,22 @@ object SignatureIndex {
   def servePairs(spark: SparkSession, indexDir: String, incoming: DataFrame,
       idCol: String, textCol: String, threshold: Double): DataFrame = {
     import spark.implicits._
-    val p = readMeta(spark, indexDir)
     val m = readManifest(spark, indexDir)
-    val inBands = bandRows(incoming, idCol, textCol, p)
+    val p = currentParams(spark, indexDir, m)
+    val inBands = bandRows(incoming, idCol, textCol, p, gen = 0)
       .select(col("doc_id").as("id_new"), col("band"), col("key"),
         col("__kb"))
       .persist()
     // touched key buckets: bounded ≤ nBuckets control read
     val kbs = inBands.select(col("__kb")).distinct().as[Int].collect().toSeq
     val baseBands = GenIndex.readBuckets(spark, indexDir, m.refs("bands"),
-        "__kb", kbs,
-        withBucketCol = false, "doc_id bigint, band int, key string")
-      .select(col("doc_id").as("id_base"), col("band"), col("key"))
+        "__kb", kbs, withBucketCol = false, BandsDDL)
+      .select(col("doc_id").as("id_base"), col("band"), col("key"),
+        col("__gen").as("__gb"))
     val cand = baseBands
       .join(Dedup.maybeBroadcast(inBands.select(col("id_new"), col("band"),
         col("key"))), Seq("band", "key"))
-      .select(col("id_new"), col("id_base"))
+      .select(col("id_new"), col("id_base"), col("__gb"))
       // a cross-side pair colliding in several bands emits once per band
       .distinct()
       .persist()
@@ -368,30 +420,44 @@ object SignatureIndex {
     val dbs = cand
       .select(pmod(hash(col("id_base")), lit(p.nBuckets)).as("__db"))
       .distinct().as[Int].collect().toSeq
+    // one aggregate over the pruned set read resolves each candidate
+    // doc's LATEST generation and hhd (last-generation-wins — a doc's
+    // set rows across all its upserts share one __db bucket)
     val baseSets = GenIndex.readBuckets(spark, indexDir, m.refs("sets"),
-        "__db", dbs,
-        withBucketCol = false, "doc_id bigint, hhd array<bigint>")
-      .select(col("doc_id").as("id_base"), col("hhd").as("__hb"))
+        "__db", dbs, withBucketCol = false, SetsDDL)
+      .select(col("doc_id").as("id_base"), col("hhd"), col("__gen"))
+      .groupBy(col("id_base"))
+      .agg(max(col("__gen")).as("__gl"),
+        max_by(col("hhd"), col("__gen")).as("__hb"))
     val inSets = Dedup.hashedShingleFrame(incoming, idCol, textCol, p.shingle)
       .select(col("__id").as("id_new"), col("__hhd").as("__ha"))
     cand
-      .join(Dedup.maybeBroadcast(inSets), "id_new")
       .join(baseSets, "id_base")
+      // keep only pairs witnessed by the base doc's LATEST version's
+      // band rows — stale-generation collisions are invisible, exactly
+      // as they would be after a rebuild
+      .filter(col("__gb") === col("__gl"))
+      .join(Dedup.maybeBroadcast(inSets), "id_new")
       .withColumn("jaccard",
         Dedup.jaccardLongSets(col("__ha"), col("__hb"), assumeSorted = true))
       .filter(col("jaccard") >= threshold)
       .select(col("id_new"), col("id_base"), col("jaccard"))
   }
 
-  /** Maintenance: rewrite every bucket of both tables to one file —
-    * pure layout, serving bit-identical before/after (spec-pinned).
-    * Commits like an append (fresh generation + pointer flip), so a
-    * crash mid-compact leaves only orphan generation dirs the next
-    * [[vacuum]] clears. Runs [[vacuum]] afterwards at its default
-    * grace window, which keeps the immediately-previous manifest's
-    * generations — so a reader that resolved its snapshot just before
-    * the compact keeps serving it; only snapshots ≥2 versions old
-    * need the explicit `vacuum(graceVersions = 0)` maintenance window.
+  /** Maintenance compact: garbage-collect superseded generations
+    * (last-generation-wins resolved PHYSICALLY — each doc keeps only
+    * its latest rows), REBUCKET to the accumulated corpus size
+    * ([[bucketsFor]] over the exact distinct doc count at the build's
+    * recorded target — the TextIndex r14 treatment: a base that
+    * outgrew its build-time sizing gets its per-bucket read unit
+    * re-bounded; the manifest's n_buckets moves with the commit and
+    * every serve/append reads the recorded value), and fold every
+    * bucket of both tables to one file. Serving is bit-identical
+    * before/after (spec-pinned). Commits like an append (fresh
+    * generation + pointer flip), so a crash mid-compact leaves only
+    * orphan generation dirs the next [[vacuum]] clears; runs
+    * [[vacuum]] afterwards at the default grace window, keeping the
+    * immediately-previous snapshot servable.
     */
   def compact(spark: SparkSession, indexDir: String): Unit =
     StagedSwap.withFileLock(spark, lockPath(indexDir)) {
@@ -399,29 +465,38 @@ object SignatureIndex {
     }
 
   private def compactLocked(spark: SparkSession, indexDir: String): Unit = {
-    // complete any torn append first: compact must snapshot a state
-    // that includes every acknowledged-or-marked batch
-    rollForwardAppend(spark, indexDir)
     val cur = readManifest(spark, indexDir)
     val gen = cur.version + 1
-    GenIndex.readBuckets(spark, indexDir, cur.refs("bands"), "__kb",
-        cur.refs("bands").keys.toSeq, withBucketCol = true,
-        "doc_id bigint, band int, key string")
-      .repartition(col("__kb"))
-      .write.mode("overwrite").partitionBy("__kb")
-      .parquet(s"$indexDir/bands_g$gen")
-    GenIndex.readBuckets(spark, indexDir, cur.refs("sets"), "__db",
-        cur.refs("sets").keys.toSeq, withBucketCol = true,
-        "doc_id bigint, hhd array<bigint>")
-      .repartition(col("__db"))
-      .write.mode("overwrite").partitionBy("__db")
-      .parquet(s"$indexDir/sets_g$gen")
+    val setsAll = GenIndex.readBuckets(spark, indexDir, cur.refs("sets"),
+      "__db", cur.refs("sets").keys.toSeq, withBucketCol = false, SetsDDL)
+    // each doc's latest generation — the upsert GC frame (sets hold one
+    // row per doc per generation, so this is the small table)
+    val latest = setsAll.groupBy(col("doc_id"))
+      .agg(max(col("__gen")).as("__gl"))
+      .persist()
+    val nDocs = latest.count()
+    val target = cur.extras.getOrElse("target_band_rows",
+      (4L << 20).toString).toLong
+    val meta = spark.read.parquet(s"$indexDir/meta").head()
+    val nb = bucketsFor(nDocs, bandsPerDoc = meta.getInt(2),
+      targetBandRowsPerBucket = target)
+    val bandsLive = GenIndex.readBuckets(spark, indexDir, cur.refs("bands"),
+        "__kb", cur.refs("bands").keys.toSeq, withBucketCol = false, BandsDDL)
+      .join(latest, Seq("doc_id"))
+      .filter(col("__gen") === col("__gl")).drop("__gl")
+      .withColumn("__kb", pmod(hash(col("key")), lit(nb)))
+    val setsLive = setsAll
+      .join(latest, Seq("doc_id"))
+      .filter(col("__gen") === col("__gl")).drop("__gl")
+      .withColumn("__db", pmod(hash(col("doc_id")), lit(nb)))
+    val (bandRefs, setRefs) =
+      writeGeneration(spark, indexDir, bandsLive, setsLive, gen)
+    latest.unpersist()
     GenIndex.writeManifest(spark, indexDir,
-      GenIndex.Manifest(gen, s"compact_g$gen", Map(
-        "bands" -> GenIndex.bucketsIn(spark, s"$indexDir/bands_g$gen", "__kb")
-          .map(_ -> Seq(s"bands_g$gen")).toMap,
-        "sets" -> GenIndex.bucketsIn(spark, s"$indexDir/sets_g$gen", "__db")
-          .map(_ -> Seq(s"sets_g$gen")).toMap), Map.empty))
+      GenIndex.Manifest(gen, s"compact_g$gen",
+        Map("bands" -> bandRefs, "sets" -> setRefs),
+        cur.extras ++ Map("n_buckets" -> nb.toString,
+          "n_docs" -> nDocs.toString)))
     GenIndex.flipCurrent(spark, indexDir, gen)
     vacuumLocked(spark, indexDir, graceVersions = 1)
   }
@@ -447,26 +522,29 @@ object SignatureIndex {
 
   /** Repair any torn maintenance: re-materialize a lost `_current`
     * pointer (the torn-flip window of StagedSwap.writeAtomic's
-    * non-atomic fallback — manifests are flip-ordered, so newest wins),
-    * roll a marked staged append forward (exactly-once via its append
-    * id) or discard an unmarked one, then vacuum out-of-grace
-    * generations a crashed compact/apply left behind.
+    * non-atomic fallback — the newest INTACT manifest wins), discard
+    * any `append_next` stage left by a pre-fragment-era crashed
+    * append (the fragment append never stages; a crashed old-protocol
+    * append never returned, so its batch was never acknowledged and
+    * the at-least-once producer re-sends it under its commitId), then
+    * vacuum orphan generations a crashed append/fold/compact left
+    * behind.
     */
   def recover(spark: SparkSession, indexDir: String): Unit =
     StagedSwap.withFileLock(spark, lockPath(indexDir)) {
-      GenIndex.restoreCurrentIfMissing(spark, indexDir)
-      rollForwardAppend(spark, indexDir)
+      GenIndex.restoreCurrentIfMissing(spark, indexDir, What)
+      if (StagedSwap.exists(spark, stageDir(indexDir)))
+        StagedSwap.deleteChecked(spark, stageDir(indexDir),
+          "pre-fragment append stage (batch was never acknowledged)")
       vacuumLocked(spark, indexDir, graceVersions = 1)
     }
 
-  private def rollForwardAppend(spark: SparkSession,
-      indexDir: String): Unit = {
-    val st = stageDir(indexDir)
-    if (!StagedSwap.exists(spark, st)) return
-    if (StagedSwap.exists(spark, s"$st/_STAGE_DONE")) {
-      applyStagedAppend(spark, indexDir)
-    } else StagedSwap.deleteChecked(spark, st,
-      "incomplete append stage (no _STAGE_DONE marker)")
-  }
-
+  /** The current snapshot's bucket → generation-dir refs for `table`
+    * ("bands" | "sets") — exposed for specs that pin layout
+    * properties (fragment accumulation per append, bounded fold
+    * results, singleton refs after compact, vacuum bounds).
+    */
+  private[graft] def currentRefs(spark: SparkSession, indexDir: String,
+      table: String): Map[Int, Seq[String]] =
+    readManifest(spark, indexDir).refs(table)
 }

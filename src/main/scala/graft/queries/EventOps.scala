@@ -1917,7 +1917,8 @@ object EventOps {
     * waves (doc_id%4==0 then %4==2 — t71's exact split), the DSv2
     * micro-batch stream drains it one segment per partition per
     * trigger, and foreachBatch folds each micro-batch into the index:
-    * build on the first, staged idempotent append on the rest. The
+    * build on the first, O(batch) idempotent fragment appends on the
+    * rest (batchId commitId token — a redelivered batch no-ops). The
     * stream-final index then serves the odd-doc_id batch and must be
     * hash-identical to t49's SQL — a relation DuckDB derives with no
     * bus, no stream, and no index, so offsets, segment decode, the
@@ -1969,13 +1970,19 @@ object EventOps {
         .select(parts.getItem(0).cast("long").as("doc_id"),
           parts.getItem(1).as("text"))
         .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          if (!built) {
-            graft.functions.SignatureIndex.build(batch, "doc_id", "text", idx)
-            built = true
-          } else
-            graft.functions.SignatureIndex.append(batch, "doc_id", "text", idx)
-          ()
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            if (!built) {
+              graft.functions.SignatureIndex.build(batch, "doc_id", "text",
+                idx)
+              built = true
+            } else
+              // batchId-derived idempotency token (the e38 discipline):
+              // a redelivered foreachBatch batch no-ops instead of
+              // committing a duplicate fragment generation
+              graft.functions.SignatureIndex.append(batch, "doc_id", "text",
+                idx, commitId = Some(s"bus_batch_$batchId"))
+            ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()

