@@ -51,12 +51,15 @@ import org.apache.spark.sql.functions._
 object VectorIndex {
 
   /** Appends past this many fragments in ANY list trigger an inline
-    * [[compact]] under the already-held writer lock — the LSM
-    * write/read-amplification trade: each append is O(batch), and
-    * every ~AutoCompactFragments appends one of them pays a
-    * corpus-sized fold so serve never opens more than this many
-    * fragment files per probed list. 0 disables (probes that measure
-    * pure fragment accumulation).
+    * BOUNDED fold under the already-held writer lock: each
+    * over-threshold list's refs above its FIRST (largest) ref merge
+    * into one fragment, so fold cost is ∝ rows appended since the
+    * last full [[compact]] — never corpus-sized (r15 verdict item 5:
+    * the old inline full compact was a 4× p99 cliff inside a
+    * streaming trigger). Serve read amplification stays bounded at
+    * ≤2 files per probed list; the full fold lives in the explicit
+    * maintenance [[compact]]. 0 disables (probes that measure pure
+    * fragment accumulation).
     */
   val AutoCompactFragments = 8
 
@@ -392,7 +395,7 @@ object VectorIndex {
           cid, replace = false, None, extras)
         if (autoCompactFragments > 0 &&
             refs.values.exists(_.size >= autoCompactFragments))
-          compactLocked(spark, indexDir)
+          foldLocked(spark, indexDir, autoCompactFragments)
         autoRetrainRatio.foreach { thr =>
           if (driftOf(readManifest(spark, indexDir), thr).retrainRecommended)
             retrainLocked(spark, indexDir)
@@ -605,6 +608,46 @@ object VectorIndex {
     StagedSwap.withFileLock(spark, lockPath(indexDir)) {
       compactLocked(spark, indexDir)
     }
+
+  /** The bounded inline fold (r15 verdict item 5): for every list
+    * holding at least `threshold` fragments, merge all refs ABOVE its
+    * first (largest) ref into one fragment — cost ∝ the merged
+    * fragments' rows (the appends since the last [[compact]]), never
+    * the corpus, so the fold-paying append inside a streaming trigger
+    * stays within ~2× a steady append instead of the old full
+    * compact's 4× cliff. Pure layout: the list rows are unchanged, so
+    * serving is bit-identical before/after; centroids untouched.
+    * MetaCols clustering is preserved in the folded files (same sort
+    * discipline as the build).
+    */
+  private def foldLocked(spark: SparkSession, indexDir: String,
+      threshold: Int): Unit = {
+    val cur = readManifest(spark, indexDir)
+    val refs = cur.refs("lists")
+    val over = refs.filter(_._2.size >= threshold)
+    if (over.isEmpty) return
+    val gen = cur.version + 1
+    val metaCols = cur.extras.getOrElse("meta_cols", "")
+      .split(",").filter(_.nonEmpty).toSeq
+    val fragRefs = over.map { case (k, gs) => k -> gs.tail }
+    val merged = GenIndex.readBuckets(spark, indexDir, fragRefs, "__cid",
+        over.keys.toSeq, withBucketCol = true,
+        listsDDL(spark, indexDir, cur))
+      .repartition(col("__cid"))
+    val clustered = if (metaCols.isEmpty) merged
+      else merged.sortWithinPartitions(
+        (col("__cid") +: metaCols.map(col)): _*)
+    clustered.write.mode("overwrite").partitionBy("__cid")
+      .parquet(s"$indexDir/lists_g$gen")
+    GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(gen,
+      s"fold_g$gen",
+      Map("lists" -> (refs ++ over.map { case (k, gs) =>
+          k -> Seq(gs.head, s"lists_g$gen") }),
+        "centroids" -> Map(0 -> Seq(centroidsDir(cur)))),
+      cur.extras))
+    GenIndex.flipCurrent(spark, indexDir, gen)
+    GenIndex.vacuum(spark, indexDir, GenPrefixes, graceVersions = 1, What)
+  }
 
   /** [[compact]]'s body, for callers already holding the writer lock
     * (append's auto-compact trigger — withFileLock is not reentrant).

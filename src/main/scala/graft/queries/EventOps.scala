@@ -2086,6 +2086,82 @@ object EventOps {
     },
     graft.queries.LlmOps.s14IvfAppendTopK.oracle)
 
+  /** e37/e38's shape for the THIRD index family (r15 verdict item 3) —
+    * the production retrieval-ingest loop end-to-end: the even-doc_id
+    * half of the corpus publishes to an 8-partition bus as ONE segment
+    * wave through the two-phase DSv2 sink, the odd half as a second
+    * wave; the micro-batch drain folds batch 0 into `TextIndex.build`
+    * and batch 1 into an O(batch) FRAGMENT `append` carrying a
+    * batchId-derived idempotency token (a redelivered foreachBatch
+    * batch no-ops against the persisted last_append_id extra even if
+    * the append folded inline). Post-drain the log vacuums to the
+    * consumed watermark (zero live segments), and the stream-final
+    * index serves BM25 top-20 that must hash-match t57's index-free
+    * SQL oracle — bus offsets, segment decode, the fragment protocol's
+    * generation flips, serve-time df re-derivation across fragments,
+    * and the bucket-pruned postings read all behind one driver check.
+    * (t58 proves the hash is achievable from a batch-built index;
+    * TextIndexStreamSpec pins the file-stream face — this row makes
+    * the BUS-fed face driver-visible.)
+    */
+  val e39BusTextIndex = Q(
+    "e39_bus_text_index",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val busParts = 8
+      val root = java.nio.file.Files.createTempDirectory("bus_e39").toString
+      graft.sources.bus.BusLog.create(root, busParts)
+      // two publish waves, each repartitioned to the bus partition
+      // count so a wave lands as exactly ONE segment per partition
+      // (a staged file = a segment = a drained micro-batch under
+      // maxSegmentsPerTrigger=1) — the e37 discipline; without it the
+      // drain degrades to ~tasks micro-batches each paying an append
+      for (g <- Seq(0, 1)) {
+        docs.filter($"doc_id" % 2 === g)
+          .select(pmod(hash($"doc_id"), lit(busParts)).as("partition"),
+            lit(0L).as("seq"), lit(0).as("idx"),
+            lit(new java.sql.Timestamp(0L)).as("ts"),
+            concat_ws("", $"doc_id", $"text").as("value"))
+          .repartition(busParts, $"partition")
+          .write.format("graftbus").option("path", root)
+          .mode("append").save()
+      }
+      val idx = s"$root/idx"
+      var built = false
+      val parts = split($"value", "", 2)
+      val q = s.readStream.format("graftbus").option("path", root)
+        .option("maxSegmentsPerTrigger", "1").load()
+        .select(parts.getItem(0).cast("long").as("doc_id"),
+          parts.getItem(1).as("text"))
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            if (!built) {
+              graft.functions.TextIndex.build(batch, "doc_id", "text", idx)
+              built = true
+            } else
+              graft.functions.TextIndex.append(batch, "doc_id", "text", idx,
+                commitId = Some(s"bus_batch_$batchId"))
+            ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // retention rides the production path: drained segments are dead
+      // disk weight — vacuum to the consumed watermark and assert the
+      // log is bounded at zero live segments
+      import graft.sources.bus.BusLog
+      BusLog.vacuum(root, BusLog.latestSeqs(root))
+      val leftover = BusLog.segmentCounts(root).values.sum
+      require(leftover == 0L,
+        s"bus log not bounded after post-drain vacuum: $leftover segments remain")
+      graft.functions.TextIndex.bm25TopK(s, idx,
+        Seq("vector", "stream", "window", "hash"), 20,
+        fallback = Some((docs, "doc_id", "text")))
+    },
+    graft.queries.LlmOps.t57Bm25TopK.oracle)
+
   val all: Seq[Q] = Seq(e01TumblingWindows, e02Sessionize, e03ApprovalDecode,
     e04AsofJoin, e05Pivot, e06ApproxDistinct, e07SessionWindow, e08RangeJoin,
     e09Unpivot, e10DynamicSession, e11BusRoundtrip, e12Funnel,
@@ -2095,5 +2171,5 @@ object EventOps {
     e25LateProfile, e26Stickiness, e27SessionPaths, e28ChurnFlows,
     e29BoundedFunnel, e30Attribution, e31SessionLift, e32Scd2History,
     e33Scd2Lookup, e34Twap, e35MgHeavyHitters, e36IncrementalGroups,
-    e37BusSignatureIndex, e38BusVectorIndex)
+    e37BusSignatureIndex, e38BusVectorIndex, e39BusTextIndex)
 }

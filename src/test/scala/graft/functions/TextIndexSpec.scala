@@ -340,18 +340,27 @@ class TextIndexSpec extends SparkTestBase {
     assert(TextIndex.corpusStats(spark, dir) != stats)
   }
 
-  test("appends past the fragment threshold auto-compact inline (LSM fold)") {
+  test("appends past the fragment threshold auto-fold inline (bounded LSM fold)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val dir = tmpDir("textidxautocompact")
     TextIndex.build(docs.filter($"doc_id" < 200), "doc_id", "text", dir)
     // threshold 3: append2 crosses it (build ref + 2 fragments) and
-    // folds; append4 crosses again — final refs must all be singletons
+    // folds the FRAGMENTS — the BOUNDED fold (r15 verdict item 5):
+    // refs collapse to [first, folded], the build generation is never
+    // rewritten, and read amplification stays ≤ 2 files per bucket
     for (lo <- Seq(200, 275, 350, 425))
       TextIndex.append(
         docs.filter($"doc_id" >= lo && $"doc_id" < lo + 75),
         "doc_id", "text", dir, autoCompactFragments = 3)
-    assert(TextIndex.currentRefs(spark, dir).values.forall(_.size == 1),
-      s"${TextIndex.currentRefs(spark, dir).values.map(_.size).toSeq.sorted}")
+    val refs = TextIndex.currentRefs(spark, dir)
+    assert(refs.values.forall(_.size <= 2),
+      s"${refs.values.map(_.size).toSeq.sorted}")
+    // the build generation survives every fold as the first ref — the
+    // bounded-cost claim (folds never rewrite the base)
+    assert(refs.values.exists(_.size == 2))
+    assert(refs.values.filter(_.contains("postings_g0"))
+      .forall(_.head == "postings_g0"))
+    assert(new java.io.File(s"$dir/postings_g0").exists())
     // content unharmed by the inline folds: serve == full rebuild
     val fullDir = tmpDir("textidxautofull")
     TextIndex.build(docs, "doc_id", "text", fullDir)
@@ -424,10 +433,12 @@ class TextIndexSpec extends SparkTestBase {
     val dir = tmpDir("textidxidemfold")
     TextIndex.build(docs.filter($"doc_id" < 200), "doc_id", "text", dir)
     val batch = docs.filter($"doc_id" >= 200 && $"doc_id" < 300)
-    // threshold 2: this append folds inline (build ref + 1 fragment)
+    // threshold 2: this append folds inline (build ref + 1 fragment),
+    // replacing the manifest's own commitId with fold_g{N}
     TextIndex.append(batch, "doc_id", "text", dir, commitId = Some("b1"),
       autoCompactFragments = 2)
-    assert(TextIndex.currentRefs(spark, dir).values.forall(_.size == 1),
+    assert(GenIndex.readManifest(spark, dir, "t").commitId
+      .startsWith("fold_"),
       "precondition: the append must actually have folded")
     val stats = TextIndex.corpusStats(spark, dir)
     val rows = TextIndex.currentPostings(spark, dir).count()

@@ -219,18 +219,25 @@ class VectorIndexSpec extends SparkTestBase {
     assert(VectorIndex.currentLists(spark, dir).count() > rows)
   }
 
-  test("appends past the fragment threshold auto-compact inline (LSM fold)") {
+  test("appends past the fragment threshold auto-fold inline (bounded LSM fold)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = tmpDir("ivfautocompact")
     VectorIndex.build(emb.filter($"vec_id" < 300), "vec_id", "embedding", dir)
     // threshold 3: append2 crosses it (build ref + 2 fragments) and
-    // folds; append4 crosses again — final refs must all be singletons
+    // folds the FRAGMENTS — the BOUNDED fold (r15 verdict item 5):
+    // refs collapse to [first, folded], the build generation is never
+    // rewritten, read amplification stays ≤ 2 files per probed list
     for (lo <- Seq(300, 350, 400, 450))
       VectorIndex.append(
         emb.filter($"vec_id" >= lo && $"vec_id" < lo + 50),
         "vec_id", "embedding", dir, autoCompactFragments = 3)
-    assert(VectorIndex.currentRefs(spark, dir).values.forall(_.size == 1),
-      s"${VectorIndex.currentRefs(spark, dir).values.map(_.size).toSeq.sorted}")
+    val refs = VectorIndex.currentRefs(spark, dir)
+    assert(refs.values.forall(_.size <= 2),
+      s"${refs.values.map(_.size).toSeq.sorted}")
+    assert(refs.values.filter(_.contains("lists_g0"))
+      .forall(_.head == "lists_g0"),
+      "the build generation must survive every fold as the first ref")
+    assert(new java.io.File(s"$dir/lists_g0").exists())
     // content unharmed by the inline folds: serve == full rebuild
     // (trainer sample vec_id < 256 sits wholly inside the build half,
     // so the frozen assignment matches the rebuild's)
@@ -342,6 +349,53 @@ class VectorIndexSpec extends SparkTestBase {
     assert(got.nonEmpty && got.forall(id => id >= 300 && id < 400), s"$got")
   }
 
+  test("inline auto-retrain: pre-retrain readers keep their snapshot; redelivery no-ops") {
+    // r15 verdict item 4 — the auto-retrain trigger on the PRODUCTION
+    // ingest path: an at-least-once foreachBatch append that trips
+    // autoRetrainRatio must (a) leave a concurrently-resolved serve
+    // snapshot intact (the retrain commits centroids+lists as ONE new
+    // generation and its trailing vacuum keeps the previous snapshot
+    // inside the grace window), and (b) stay idempotent under
+    // redelivery even though the manifest's own commitId is now
+    // retrain_g{N} (the last_append_id extra survives the retrain's
+    // extras rewrite).
+    def mk(ids: Range, cx: Float, cy: Float) = ids.map { i =>
+      val j1 = (((i * 31) % 10) - 5) / 50.0f
+      val j2 = (((i * 17) % 10) - 5) / 50.0f
+      (i.toLong, Array(cx + j1, cy + j2, 1.0f, 0.5f))
+    }.toDF("vec_id", "embedding")
+    val dir = tmpDir("ivfautoretrainsnap")
+    VectorIndex.build(mk(0 until 200, 1f, 0f), "vec_id", "embedding", dir,
+      numCentroids = 2)
+    // a reader resolves its (centroids, lists) snapshot NOW — one
+    // manifest read pins a consistent pair
+    val preQ = mk(9000 until 9001, 1f, 0f)
+    val snap = VectorIndex.topK(spark, dir, preQ, "vec_id", "embedding", 3)
+    val want = snap.collect().map(_.toString).sorted.toSeq
+    // the shifted batch trips the skew trigger and retrains inline
+    val batch = mk(300 until 400, -1f, 4f)
+    VectorIndex.append(batch, "vec_id", "embedding", dir,
+      commitId = Some("w1"),
+      autoRetrainRatio = Some(VectorIndex.DriftRetrainRatio))
+    val m = GenIndex.readManifest(spark, dir, "t")
+    assert(m.commitId.startsWith("retrain_"),
+      s"precondition: the append must have retrained, got ${m.commitId}")
+    // (a) the pre-retrain frame still serves its snapshot bit-exactly
+    assert(snap.collect().map(_.toString).sorted.toSeq == want)
+    // (b) the redelivered batch is a no-op: same version, same rows
+    val rows = VectorIndex.currentLists(spark, dir).count()
+    VectorIndex.append(batch, "vec_id", "embedding", dir,
+      commitId = Some("w1"),
+      autoRetrainRatio = Some(VectorIndex.DriftRetrainRatio))
+    assert(GenIndex.readManifest(spark, dir, "t").version == m.version)
+    assert(VectorIndex.currentLists(spark, dir).count() == rows)
+    // and a FRESH read serves the retrained state (both modes indexed)
+    val got = VectorIndex.topK(spark, dir,
+        mk(9100 until 9101, -1f, 4f), "vec_id", "embedding", 3)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(got.nonEmpty && got.forall(id => id >= 300 && id < 400), s"$got")
+  }
+
   test("retrain equals a fresh build over the accumulated corpus") {
     // retrain re-trains from the index's OWN rows: same ids, same
     // vectors, same recorded policy as a from-scratch build over the
@@ -448,7 +502,8 @@ class VectorIndexSpec extends SparkTestBase {
     // threshold 2: this append folds inline, replacing its own commitId
     VectorIndex.append(batch, "vec_id", "embedding", dir,
       commitId = Some("b1"), autoCompactFragments = 2)
-    assert(VectorIndex.currentRefs(spark, dir).values.forall(_.size == 1),
+    assert(GenIndex.readManifest(spark, dir, "t").commitId
+      .startsWith("fold_"),
       "precondition: the append must actually have folded")
     val rows = VectorIndex.currentLists(spark, dir).count()
     val drift = VectorIndex.driftReport(spark, dir)

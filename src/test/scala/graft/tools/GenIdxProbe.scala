@@ -14,7 +14,7 @@ import graft.functions.{TextIndex, VectorIndex}
   * against the pre-refactor shape.
   *
   * Usage: sbt "Test/runMain graft.tools.GenIdxProbe <dir> [batch] [sections]"
-  *   sections ⊆ text,vector,vecfrag,drift
+  *   sections ⊆ text,vector,vecfrag,textfrag,drift,autoretrain
   *
   * r15 sections:
   *  - `vecfrag`: 20 small appends against a built index, serving after
@@ -144,6 +144,43 @@ object GenIdxProbe {
       }
     }
 
+    if (sections("textfrag")) {
+      // the vecfrag shape for TEXT: 20 small appends, serve every 5 —
+      // serve must stay flat (bounded fold keeps ≤2 files per probed
+      // bucket) and the fold-paying appends must stay within ~2× a
+      // steady append (r15 verdict item 5's done criterion; the old
+      // inline FULL compact cost 24.1 s at 100× vs ~6.1 s steady)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      val waves = 20
+      val probs = (0 to waves).map(w =>
+        1.0 - (waves - w).toDouble * batch / n).toArray
+      val cuts = docs.stat.approxQuantile("doc_id", probs, 1e-6)
+      val base = docs.filter($"doc_id" < cuts(0))
+      val idx = java.nio.file.Files.createTempDirectory("giprobe_tf")
+        .toString + "/idx"
+      println(s"[genidxprobe] textfrag: n=$n base=${base.count()} " +
+        s"waves=$waves batch=$batch")
+      time("textfrag build")(TextIndex.build(base, "doc_id", "text", idx))
+      val terms = Seq("vector", "stream", "window", "hash")
+      for (w <- 0 until waves) {
+        val delta = docs.filter(
+            $"doc_id" >= cuts(w) && $"doc_id" < cuts(w + 1))
+          .localCheckpoint(true)
+        time(s"textfrag append $w (${delta.count()} rows)")(
+          TextIndex.append(delta, "doc_id", "text", idx))
+        if ((w + 1) % 5 == 0) {
+          val maxFrags = TextIndex.currentRefs(spark, idx)
+            .values.map(_.size).maxOption.getOrElse(0)
+          val k = time(s"textfrag serve after ${w + 1} appends") {
+            TextIndex.bm25TopK(spark, idx, terms, 20).count()
+          }
+          println(s"[genidxprobe] textfrag after ${w + 1}: " +
+            s"max_fragments_per_bucket=$maxFrags serve_rows=$k")
+        }
+      }
+    }
+
     if (sections("drift")) {
       // build on the fixture distribution, append (a) more of the same
       // and (b) a SHIFTED distribution (scaled + offset vectors) — the
@@ -181,6 +218,50 @@ object GenIdxProbe {
           "vec_id", "embedding", 5).count()
       }
       println(s"[genidxprobe] drift serve rows=$k")
+    }
+
+    if (sections("autoretrain")) {
+      // r16 (r15 verdict item 4): price the APPEND-THAT-RETRAINED on
+      // the production ingest path — the shifted batch trips the skew
+      // trigger and the same append call pays the retrain inline
+      // before releasing the writer lock. The row to quote beside the
+      // steady O(batch) append cost: an operator arming
+      // autoRetrainRatio accepts this occasional corpus-sized trigger
+      // inside an ingest batch instead of scheduling retrains.
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val n = emb.count()
+      val Array(q50, q75) =
+        emb.stat.approxQuantile("vec_id", Array(0.5, 0.75), 0.001)
+      val base = emb.filter($"vec_id" < q50)
+      val same = emb.filter($"vec_id" >= q50 && $"vec_id" < q75)
+        .localCheckpoint(true)
+      val shifted = emb.filter($"vec_id" >= q75)
+        .select($"vec_id",
+          transform($"embedding", x => x * lit(0.05f) + lit(3.0f))
+            .as("embedding"))
+        .localCheckpoint(true)
+      val idx = java.nio.file.Files.createTempDirectory("giprobe_ar")
+        .toString + "/idx"
+      println(s"[genidxprobe] autoretrain: n=$n base=${base.count()} " +
+        s"same=${same.count()} shifted=${shifted.count()}")
+      time("autoretrain build")(
+        VectorIndex.build(base, "vec_id", "embedding", idx))
+      time("autoretrain append same (steady, armed)")(
+        VectorIndex.append(same, "vec_id", "embedding", idx,
+          commitId = Some("ar_same"),
+          autoRetrainRatio = Some(VectorIndex.DriftRetrainRatio)))
+      time("autoretrain append shifted (pays inline retrain)")(
+        VectorIndex.append(shifted, "vec_id", "embedding", idx,
+          commitId = Some("ar_shift"),
+          autoRetrainRatio = Some(VectorIndex.DriftRetrainRatio)))
+      val m = graft.functions.GenIndex.readManifest(spark, idx, "probe")
+      println(s"[genidxprobe] autoretrain manifest commit=${m.commitId} " +
+        s"(retrain_* proves the trigger fired)")
+      val k = time("autoretrain serve") {
+        VectorIndex.topK(spark, idx, emb.filter($"vec_id" < 8),
+          "vec_id", "embedding", 5).count()
+      }
+      println(s"[genidxprobe] autoretrain serve rows=$k")
     }
     spark.stop()
   }
