@@ -298,6 +298,84 @@ private[graft] object GenIndex {
       newestIntactVersion(spark, indexDir, what)
         .foreach(flipCurrent(spark, indexDir, _))
 
+  /** How many append commit ids the redelivery guard remembers (the
+    * `append_ids` manifest extra). One id is enough for foreachBatch's
+    * own guarantee (only the immediately-preceding batch is ever
+    * redelivered), but a checkpoint restored from backup can replay
+    * SEVERAL batches back, and under the fragment indexes'
+    * last-generation-wins upsert semantics an out-of-order re-append
+    * is worse than a double-count: the replayed old version lands at a
+    * HIGHER generation and silently reverts a newer upsert (r16 review
+    * finding). A bounded history closes that window for any replay
+    * within the last MaxAppendIds commits.
+    */
+  val MaxAppendIds = 64
+
+  /** The shared redelivery guard for fragment-index appends: true when
+    * `commitId` already committed — as the current manifest's own
+    * commitId, or anywhere in the bounded `append_ids` history that
+    * [[withAppendId]] maintains (which survives inline folds, compacts
+    * and retrains because every later commit carries extras forward).
+    */
+  def isRedelivered(cur: Manifest, commitId: Option[String]): Boolean =
+    commitId.exists { id =>
+      cur.commitId == id ||
+        cur.extras.get("last_append_id").contains(id) ||
+        cur.extras.getOrElse("append_ids", "")
+          .split(",").contains(id)
+    }
+
+  /** Extras for an append commit: record `cid` as `last_append_id`
+    * and push it onto the bounded comma-joined `append_ids` history
+    * (see [[MaxAppendIds]]). Commit ids must be comma-free — batchId
+    * tokens and UUIDs are; a hostile id would corrupt the history's
+    * membership test, so refuse actionably.
+    */
+  def withAppendId(extras: Map[String, String],
+      cid: String): Map[String, String] = {
+    require(!cid.contains(","),
+      s"append commitId must be comma-free (append_ids history): $cid")
+    val prior = extras.getOrElse("append_ids", "")
+      .split(",").filter(_.nonEmpty).toSeq
+    extras ++ Map(
+      "last_append_id" -> cid,
+      "append_ids" -> ((prior.takeRight(MaxAppendIds - 1) :+ cid)
+        .mkString(",")))
+  }
+
+  /** The bounded inline fold shared by the three fragment indexes
+    * (r16 review finding: three drifting copies of the same
+    * merge-tail logic is the failure this object was factored out to
+    * prevent). For every bucket of `table` holding at least
+    * `threshold` refs, merge all refs ABOVE its first (largest) ref
+    * into `<table>_g{gen}` — cost ∝ the merged fragments' rows
+    * (appended since the last full compact), never the base, because
+    * the first ref is never read or rewritten. Returns the updated
+    * refs, or None when no bucket crossed the threshold (the caller
+    * skips its commit for that table). `order` sorts rows within the
+    * written partitions — pass the partition column FIRST so the
+    * dynamic-partition writer's requirement is satisfied and no
+    * second, order-destroying sort is inserted.
+    */
+  def foldFragmentTable(spark: SparkSession, indexDir: String,
+      cur: Manifest, table: String, part: String, gen: Int,
+      threshold: Int, order: Seq[org.apache.spark.sql.Column],
+      ddl: => String): Option[Map[Int, Seq[String]]] = {
+    val refs = cur.refs(table)
+    val over = refs.filter(_._2.size >= threshold)
+    if (over.isEmpty) return None
+    val fragRefs = over.map { case (k, gs) => k -> gs.tail }
+    val merged = readBuckets(spark, indexDir, fragRefs, part,
+        over.keys.toSeq, withBucketCol = true, ddl)
+      .repartition(org.apache.spark.sql.functions.col(part))
+    val ordered = if (order.isEmpty) merged
+      else merged.sortWithinPartitions(order: _*)
+    ordered.write.mode("overwrite").partitionBy(part)
+      .parquet(s"$indexDir/${table}_g$gen")
+    Some(refs ++ over.map { case (k, gs) =>
+      k -> Seq(gs.head, s"${table}_g$gen") })
+  }
+
   /** Clear every prior index artifact at indexDir EXCEPT the writer
     * lock the caller is holding — the build()-time reset that keeps a
     * stale stage or old-parameter generation from ever surviving into

@@ -159,28 +159,38 @@ object SignatureIndex {
 
   // ------------------------------------------------------ signing
 
-  /** (doc_id, band, key, __gen, __kb) band rows for a document frame,
+  /** One signing pass: (doc_id, hhd) — the shared parent of band and
+    * set rows, so a caller that needs BOTH (build/append: two writes;
+    * serve: bands + verification sets of the incoming batch) can
+    * persist it and pay the shingle+hash scan once instead of once
+    * per derived frame (r16 review finding: the append path signed
+    * every streaming batch twice).
+    */
+  private def signedFrame(docs: DataFrame, idCol: String,
+      textCol: String, p: Params): DataFrame =
+    Dedup.hashedShingleFrame(docs, idCol, textCol, p.shingle)
+      .select(col("__id").as("doc_id"), col("__hhd").as("hhd"))
+
+  /** (doc_id, band, key, __gen, __kb) band rows from a [[signedFrame]],
     * stamped with the generation that writes them — the
     * last-generation-wins version token (see the object scaladoc).
     */
-  private def bandRows(docs: DataFrame, idCol: String, textCol: String,
-      p: Params, gen: Int): DataFrame = {
+  private def bandRows(signed: DataFrame, p: Params, gen: Int): DataFrame = {
     val rows = p.numHashes / p.bands
-    Dedup.hashedShingleFrame(docs, idCol, textCol, p.shingle)
+    signed
       .withColumn("__sig",
-        Dedup.minhashSignatureFromHashesFast(col("__hhd"), p.numHashes))
-      .select(col("__id").as("doc_id"),
+        Dedup.minhashSignatureFromHashesFast(col("hhd"), p.numHashes))
+      .select(col("doc_id"),
         posexplode(Dedup.lshBandKeys(col("__sig"), p.bands, rows))
           .as(Seq("band", "key")))
       .withColumn("__gen", lit(gen))
       .withColumn("__kb", pmod(hash(col("key")), lit(p.nBuckets)))
   }
 
-  /** (doc_id, hhd, __gen, __db) verification-set rows. */
-  private def setRows(docs: DataFrame, idCol: String, textCol: String,
-      p: Params, gen: Int): DataFrame =
-    Dedup.hashedShingleFrame(docs, idCol, textCol, p.shingle)
-      .select(col("__id").as("doc_id"), col("__hhd").as("hhd"))
+  /** (doc_id, hhd, __gen, __db) verification-set rows from a
+    * [[signedFrame]]. */
+  private def setRows(signed: DataFrame, p: Params, gen: Int): DataFrame =
+    signed
       .withColumn("__gen", lit(gen))
       .withColumn("__db", pmod(hash(col("doc_id")), lit(p.nBuckets)))
 
@@ -240,9 +250,13 @@ object SignatureIndex {
         "prior signature index state (stale stages must not survive a rebuild)")
       val p = Params(shingle, numHashes, bands, nb)
       writeMeta(spark, indexDir, p)
+      // build deliberately does NOT persist the signed frame: at
+      // corpus scale two streaming passes beat materializing the
+      // (doc, hhd) relation in memory; the per-batch append persists
+      val signed = signedFrame(docs, idCol, textCol, p)
       val (bandRefs, setRefs) = writeGeneration(spark, indexDir,
-        bandRows(docs, idCol, textCol, p, gen = 0),
-        setRows(docs, idCol, textCol, p, gen = 0), gen = 0)
+        bandRows(signed, p, gen = 0),
+        setRows(signed, p, gen = 0), gen = 0)
       GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(0, "build",
         Map("bands" -> bandRefs, "sets" -> setRefs),
         Map("n_buckets" -> nb.toString,
@@ -289,15 +303,24 @@ object SignatureIndex {
     if (docs.isEmpty) return
     StagedSwap.withFileLock(spark, lockPath(indexDir)) {
       val cur = readManifest(spark, indexDir)
-      if (commitId.exists(id => cur.commitId == id ||
-          cur.extras.get("last_append_id").contains(id))) {
+      // bounded-deep append-id history (GenIndex.MaxAppendIds): under
+      // last-generation-wins upserts an OUT-OF-ORDER redelivery is
+      // worse than a double-count — a replayed old batch would land at
+      // a higher generation and silently revert a newer upsert — so
+      // the guard remembers more than the newest id (r16 review)
+      if (GenIndex.isRedelivered(cur, commitId)) {
         // redelivered batch: its commit already flipped — no-op
       } else {
         val p = currentParams(spark, indexDir, cur)
         val gen = cur.version + 1
-        val (bandW, setW) = writeGeneration(spark, indexDir,
-          bandRows(docs, idCol, textCol, p, gen),
-          setRows(docs, idCol, textCol, p, gen), gen)
+        // ONE signing pass for the batch (persisted): bands and sets
+        // both derive from it, and the per-trigger ingest path should
+        // not pay the shingle+hash scan twice (r16 review finding)
+        val signed = signedFrame(docs, idCol, textCol, p).persist()
+        val (bandW, setW) = try {
+          writeGeneration(spark, indexDir,
+            bandRows(signed, p, gen), setRows(signed, p, gen), gen)
+        } finally signed.unpersist()
         def acc(prior: Map[Int, Seq[String]],
             written: Map[Int, Seq[String]]): Map[Int, Seq[String]] =
           prior ++ written.map { case (k, gs) =>
@@ -312,8 +335,7 @@ object SignatureIndex {
         val cid = commitId.getOrElse(java.util.UUID.randomUUID().toString)
         GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(gen, cid,
           Map("bands" -> bandRefs, "sets" -> setRefs),
-          cur.extras ++ Map(
-            "last_append_id" -> cid,
+          GenIndex.withAppendId(cur.extras, cid) ++ Map(
             "n_docs" -> (cur.extra("n_docs", What).toLong + batchDocs)
               .toString)))
         GenIndex.flipCurrent(spark, indexDir, gen)
@@ -339,25 +361,17 @@ object SignatureIndex {
       threshold: Int): Unit = {
     val cur = readManifest(spark, indexDir)
     val gen = cur.version + 1
-    def fold(table: String, part: String,
-        ddl: String): Map[Int, Seq[String]] = {
-      val refs = cur.refs(table)
-      val over = refs.filter(_._2.size >= threshold)
-      if (over.isEmpty) return refs
-      val fragRefs = over.map { case (k, gs) => k -> gs.tail }
-      GenIndex.readBuckets(spark, indexDir, fragRefs, part,
-          over.keys.toSeq, withBucketCol = true, ddl)
-        .repartition(col(part))
-        .write.mode("overwrite").partitionBy(part)
-        .parquet(s"$indexDir/${table}_g$gen")
-      refs ++ over.map { case (k, gs) =>
-        k -> Seq(gs.head, s"${table}_g$gen") }
-    }
-    val bandRefs = fold("bands", "__kb", BandsDDL)
-    val setRefs = fold("sets", "__db", SetsDDL)
+    // merge-tail logic is the shared GenIndex.foldFragmentTable; both
+    // tables fold into the SAME generation suffix and one manifest
+    val bandRefs = GenIndex.foldFragmentTable(spark, indexDir, cur,
+      "bands", "__kb", gen, threshold, order = Seq.empty, BandsDDL)
+    val setRefs = GenIndex.foldFragmentTable(spark, indexDir, cur,
+      "sets", "__db", gen, threshold, order = Seq.empty, SetsDDL)
+    if (bandRefs.isEmpty && setRefs.isEmpty) return
     GenIndex.writeManifest(spark, indexDir,
       GenIndex.Manifest(gen, s"fold_g$gen",
-        Map("bands" -> bandRefs, "sets" -> setRefs), cur.extras))
+        Map("bands" -> bandRefs.getOrElse(cur.refs("bands")),
+          "sets" -> setRefs.getOrElse(cur.refs("sets"))), cur.extras))
     GenIndex.flipCurrent(spark, indexDir, gen)
     GenIndex.vacuum(spark, indexDir, GenPrefixes, graceVersions = 1, What)
   }
@@ -399,7 +413,11 @@ object SignatureIndex {
     import spark.implicits._
     val m = readManifest(spark, indexDir)
     val p = currentParams(spark, indexDir, m)
-    val inBands = bandRows(incoming, idCol, textCol, p, gen = 0)
+    // ONE signing pass for the incoming batch: the band frame and the
+    // verification-set frame both derive from it (r16 review finding —
+    // the serve used to pay the batch's shingle+hash scan twice)
+    val inSigned = signedFrame(incoming, idCol, textCol, p).persist()
+    val inBands = bandRows(inSigned, p, gen = 0)
       .select(col("doc_id").as("id_new"), col("band"), col("key"),
         col("__kb"))
       .persist()
@@ -420,17 +438,23 @@ object SignatureIndex {
     val dbs = cand
       .select(pmod(hash(col("id_base")), lit(p.nBuckets)).as("__db"))
       .distinct().as[Int].collect().toSeq
-    // one aggregate over the pruned set read resolves each candidate
-    // doc's LATEST generation and hhd (last-generation-wins — a doc's
-    // set rows across all its upserts share one __db bucket)
+    // one aggregate resolves each CANDIDATE doc's latest generation
+    // and hhd (last-generation-wins — a doc's set rows across all its
+    // upserts share one __db bucket). The semi join prunes the probed
+    // buckets' rows to the candidate docs BEFORE the aggregate (r16
+    // review finding: aggregating whole buckets would shuffle one
+    // hhd-payload row for EVERY doc in the probed buckets through the
+    // groupBy exchange — bucket-sized, not candidate-sized)
     val baseSets = GenIndex.readBuckets(spark, indexDir, m.refs("sets"),
         "__db", dbs, withBucketCol = false, SetsDDL)
       .select(col("doc_id").as("id_base"), col("hhd"), col("__gen"))
+      .join(Dedup.maybeBroadcast(cand.select(col("id_base")).distinct()),
+        Seq("id_base"), "left_semi")
       .groupBy(col("id_base"))
       .agg(max(col("__gen")).as("__gl"),
         max_by(col("hhd"), col("__gen")).as("__hb"))
-    val inSets = Dedup.hashedShingleFrame(incoming, idCol, textCol, p.shingle)
-      .select(col("__id").as("id_new"), col("__hhd").as("__ha"))
+    val inSets = inSigned
+      .select(col("doc_id").as("id_new"), col("hhd").as("__ha"))
     cand
       .join(baseSets, "id_base")
       // keep only pairs witnessed by the base doc's LATEST version's

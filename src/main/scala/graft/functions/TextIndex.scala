@@ -83,10 +83,13 @@ object TextIndex {
     * verdict item 5: the old inline full compact cost 24.1 s at the
     * 100× probe vs ~6.1 s steady appends — a 4× p99 cliff inside a
     * streaming trigger; the bounded fold keeps the fold-paying append
-    * within ~2× steady). Serve read amplification stays bounded at
-    * ≤2 files per probed bucket; the corpus-sized rebucket lives in
-    * the explicit maintenance [[compact]] the stream schedules.
-    * 0 disables (probes that measure pure fragment accumulation).
+    * within ~2× steady). Serve read amplification is bounded at
+    * ≤ AutoCompactFragments files per probed bucket between folds
+    * (a bucket legitimately accumulates threshold−1 fragments before
+    * the next fold), collapsing to 2 at each fold; the corpus-sized
+    * rebucket lives in the explicit maintenance [[compact]] the
+    * stream schedules. 0 disables (probes that measure pure fragment
+    * accumulation).
     */
   val AutoCompactFragments = 8
 
@@ -229,18 +232,17 @@ object TextIndex {
     if (docs.isEmpty) return
     StagedSwap.withFileLock(spark, lockPath(indexDir)) {
       val cur = readManifest(spark, indexDir)
-      // redelivery test runs against the PERSISTED last_append_id extra,
+      // redelivery test runs against the PERSISTED append-id history,
       // not cur.commitId alone (r15 ADVICE item 1): an append that
-      // crosses AutoCompactFragments immediately commits compact_g{N}
+      // crosses AutoCompactFragments immediately commits fold_g{N}
       // in the same call — and any maintenance compact between append
       // and redelivery reopens the same window — so the manifest's own
-      // commitId no longer names the append. The extra rides every
+      // commitId no longer names the append. The history rides every
       // later commit (compactLocked carries cur.extras forward), so
-      // the guarantee survives folds. cur.commitId stays checked too
-      // for indexes whose last commit IS the append (and pre-extra
-      // manifests).
-      if (commitId.exists(id => cur.commitId == id ||
-          cur.extras.get("last_append_id").contains(id))) {
+      // the guarantee survives folds — and it is BOUNDED-DEEP
+      // (GenIndex.MaxAppendIds), so a checkpoint restored several
+      // batches back still no-ops instead of double-counting.
+      if (GenIndex.isRedelivered(cur, commitId)) {
         // redelivered batch: its commit already flipped — no-op
       } else {
         val nb = cur.extra("n_buckets", What).toInt
@@ -269,8 +271,7 @@ object TextIndex {
         val cid = commitId.getOrElse(java.util.UUID.randomUUID().toString)
         GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(gen,
           cid, Map("postings" -> refs),
-          cur.extras ++ Map(
-            "last_append_id" -> cid,
+          GenIndex.withAppendId(cur.extras, cid) ++ Map(
             "n_docs" -> (n0 + st.getLong(0)).toString,
             "total_tokens" ->
               (t0 + (if (st.isNullAt(1)) 0L else st.getLong(1))).toString)))
@@ -296,27 +297,21 @@ object TextIndex {
   private def foldLocked(spark: SparkSession, indexDir: String,
       threshold: Int): Unit = {
     val cur = readManifest(spark, indexDir)
-    val refs = cur.refs("postings")
-    val over = refs.filter(_._2.size >= threshold)
-    if (over.isEmpty) return
     val gen = cur.version + 1
-    val fragRefs = over.map { case (k, gs) => k -> gs.tail }
     // same one-file-per-bucket, term-sorted layout as build/compact so
-    // folded fragments page-prune identically
-    GenIndex.readBuckets(spark, indexDir, fragRefs, "__tb",
-        over.keys.toSeq, withBucketCol = true,
+    // folded fragments page-prune identically (shared fold machinery:
+    // GenIndex.foldFragmentTable — merge-tail logic lives ONCE)
+    GenIndex.foldFragmentTable(spark, indexDir, cur, "postings", "__tb",
+        gen, threshold,
+        order = Seq(col("__tb"), col("term"), col("doc_id")),
         postingsDDL(spark, indexDir, cur))
-      .repartition(col("__tb"))
-      .sortWithinPartitions(col("__tb"), col("term"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("__tb")
-      .parquet(s"$indexDir/postings_g$gen")
-    GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(gen,
-      s"fold_g$gen",
-      Map("postings" -> (refs ++ over.map { case (k, gs) =>
-        k -> Seq(gs.head, s"postings_g$gen") })),
-      cur.extras))
-    GenIndex.flipCurrent(spark, indexDir, gen)
-    GenIndex.vacuum(spark, indexDir, GenPrefixes, graceVersions = 1, What)
+      .foreach { refs =>
+        GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(gen,
+          s"fold_g$gen", Map("postings" -> refs), cur.extras))
+        GenIndex.flipCurrent(spark, indexDir, gen)
+        GenIndex.vacuum(spark, indexDir, GenPrefixes,
+          graceVersions = 1, What)
+      }
   }
 
   /** Repair torn maintenance: re-materialize a lost `_current` pointer

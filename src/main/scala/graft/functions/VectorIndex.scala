@@ -56,10 +56,12 @@ object VectorIndex {
     * into one fragment, so fold cost is ∝ rows appended since the
     * last full [[compact]] — never corpus-sized (r15 verdict item 5:
     * the old inline full compact was a 4× p99 cliff inside a
-    * streaming trigger). Serve read amplification stays bounded at
-    * ≤2 files per probed list; the full fold lives in the explicit
-    * maintenance [[compact]]. 0 disables (probes that measure pure
-    * fragment accumulation).
+    * streaming trigger). Serve read amplification is bounded at
+    * ≤ AutoCompactFragments files per probed list between folds (a
+    * list legitimately accumulates threshold−1 fragments before the
+    * next fold), collapsing to 2 at each fold; the full fold lives in
+    * the explicit maintenance [[compact]]. 0 disables (probes that
+    * measure pure fragment accumulation).
     */
   val AutoCompactFragments = 8
 
@@ -336,16 +338,16 @@ object VectorIndex {
     if (corpus.isEmpty) return
     StagedSwap.withFileLock(spark, lockPath(indexDir)) {
       val cur = readManifest(spark, indexDir)
-      // redelivery test runs against the PERSISTED last_append_id extra,
-      // not cur.commitId alone (r15 ADVICE item 2): an inline
-      // auto-compact or autoRetrainRatio-triggered retrain replaces the
-      // just-committed append id with compact_g{N}/retrain_g{N} in the
-      // same call, so a redelivered batch would double-insert every row
-      // (and skew the drift accumulators). The extra rides every later
-      // commit — compactLocked forwards cur.extras, retrainLocked's
-      // extras rewrite preserves it — so the guarantee survives both.
-      if (commitId.exists(id => cur.commitId == id ||
-          cur.extras.get("last_append_id").contains(id))) {
+      // redelivery test runs against the PERSISTED append-id history,
+      // not cur.commitId alone (r15 ADVICE item 2): an inline fold or
+      // autoRetrainRatio-triggered retrain replaces the just-committed
+      // append id with fold_g{N}/retrain_g{N} in the same call, so a
+      // redelivered batch would double-insert every row (and skew the
+      // drift accumulators). The history rides every later commit —
+      // compactLocked forwards cur.extras, retrainLocked's extras
+      // rewrite preserves it — and is bounded-deep
+      // (GenIndex.MaxAppendIds) against multi-batch checkpoint replays.
+      if (GenIndex.isRedelivered(cur, commitId)) {
         // redelivered batch: its commit already flipped — no-op
       } else {
         // REQUIRED extras, never defaulted: an index built before the
@@ -381,8 +383,7 @@ object VectorIndex {
         val an0 = cur.extras.getOrElse("appended_n", "0").toLong
         val as0 = cur.extras.getOrElse("appended_cos_sum", "0.0").toDouble
         val cid = commitId.getOrElse(java.util.UUID.randomUUID().toString)
-        val extras = cur.extras ++ Map(
-          "last_append_id" -> cid,
+        val extras = GenIndex.withAppendId(cur.extras, cid) ++ Map(
           "appended_n" -> (an0 + bn).toString,
           "appended_cos_sum" -> (as0 + bn * bMean).toString,
           "last_append_cos_mean" -> bMean.toString,
@@ -623,30 +624,27 @@ object VectorIndex {
   private def foldLocked(spark: SparkSession, indexDir: String,
       threshold: Int): Unit = {
     val cur = readManifest(spark, indexDir)
-    val refs = cur.refs("lists")
-    val over = refs.filter(_._2.size >= threshold)
-    if (over.isEmpty) return
     val gen = cur.version + 1
     val metaCols = cur.extras.getOrElse("meta_cols", "")
       .split(",").filter(_.nonEmpty).toSeq
-    val fragRefs = over.map { case (k, gs) => k -> gs.tail }
-    val merged = GenIndex.readBuckets(spark, indexDir, fragRefs, "__cid",
-        over.keys.toSeq, withBucketCol = true,
+    // metaCols clustering preserved in the folded files (leading
+    // __cid: the writer's required ordering — no second sort lands);
+    // merge-tail logic is the shared GenIndex.foldFragmentTable
+    GenIndex.foldFragmentTable(spark, indexDir, cur, "lists", "__cid",
+        gen, threshold,
+        order = if (metaCols.isEmpty) Seq.empty
+          else col("__cid") +: metaCols.map(col),
         listsDDL(spark, indexDir, cur))
-      .repartition(col("__cid"))
-    val clustered = if (metaCols.isEmpty) merged
-      else merged.sortWithinPartitions(
-        (col("__cid") +: metaCols.map(col)): _*)
-    clustered.write.mode("overwrite").partitionBy("__cid")
-      .parquet(s"$indexDir/lists_g$gen")
-    GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(gen,
-      s"fold_g$gen",
-      Map("lists" -> (refs ++ over.map { case (k, gs) =>
-          k -> Seq(gs.head, s"lists_g$gen") }),
-        "centroids" -> Map(0 -> Seq(centroidsDir(cur)))),
-      cur.extras))
-    GenIndex.flipCurrent(spark, indexDir, gen)
-    GenIndex.vacuum(spark, indexDir, GenPrefixes, graceVersions = 1, What)
+      .foreach { refs =>
+        GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(gen,
+          s"fold_g$gen",
+          Map("lists" -> refs,
+            "centroids" -> Map(0 -> Seq(centroidsDir(cur)))),
+          cur.extras))
+        GenIndex.flipCurrent(spark, indexDir, gen)
+        GenIndex.vacuum(spark, indexDir, GenPrefixes,
+          graceVersions = 1, What)
+      }
   }
 
   /** [[compact]]'s body, for callers already holding the writer lock

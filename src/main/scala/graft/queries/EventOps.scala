@@ -1910,6 +1910,46 @@ object EventOps {
     },
     graft.queries.LlmOps.t23DedupGroups.oracle)
 
+  /** Publish one wave to a graftbus as exactly ONE segment per bus
+    * partition through the two-phase DSv2 sink (a staged file = a
+    * segment = a drained micro-batch under maxSegmentsPerTrigger=1) —
+    * the publish discipline shared by every bus-fed index row
+    * (e37/e38/e39; one copy, r16 review finding). Without the
+    * repartition every Spark task stages its own segment and the
+    * drain degrades to ~tasks micro-batches, each paying an index
+    * append — measured 171 s at the 10× probe vs ~2 batches' cost.
+    * The two-phase sink (executors stage, the driver renames into
+    * live segments) is what a retried/speculative task needs to never
+    * publish a duplicate segment the way a raw executor-side
+    * BusLog.publish could.
+    */
+  private def busPublishWave(rows: org.apache.spark.sql.DataFrame,
+      partKey: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column,
+      root: String, busParts: Int): Unit =
+    rows.select(pmod(hash(partKey), lit(busParts)).as("partition"),
+        lit(0L).as("seq"), lit(0).as("idx"),
+        lit(new java.sql.Timestamp(0L)).as("ts"), value.as("value"))
+      .repartition(busParts, col("partition"))
+      .write.format("graftbus").option("path", root)
+      .mode("append").save()
+
+  /** Post-drain retention on the production path (r13 verdict item 6):
+    * the drained log is dead disk weight at 100 TB — vacuum to the
+    * consumed watermark (an AvailableNow drain terminated ⇒ every
+    * published seq is committed) and ASSERT the log is bounded at zero
+    * live segments. Vacuumed seqs are hwm-pinned so they are never
+    * reallocated; a replayed range fails by omission, never
+    * misattribution.
+    */
+  private def busVacuumAssertEmpty(root: String): Unit = {
+    import graft.sources.bus.BusLog
+    BusLog.vacuum(root, BusLog.latestSeqs(root))
+    val leftover = BusLog.segmentCounts(root).values.sum
+    require(leftover == 0L,
+      s"bus log not bounded after post-drain vacuum: $leftover segments remain")
+  }
+
   /** The production crawl-ingest shape end-to-end on the board (r12
     * verdict item 6): graftbus → foreachBatch → persisted signature
     * index → bucket-pruned serve. The BASE corpus (even doc_ids)
@@ -1940,28 +1980,12 @@ object EventOps {
       val busParts = 8
       val root = java.nio.file.Files.createTempDirectory("bus_e37").toString
       graft.sources.bus.BusLog.create(root, busParts)
-      // two publish waves through the DSv2 bus SINK (two-phase commit:
-      // executors stage, the driver renames into live segments — so a
-      // retried/speculative task can never publish a duplicate segment
-      // the way a raw executor-side BusLog.publish could), repartitioned
-      // to the BUS partition count so each wave lands as exactly ONE
-      // segment per bus partition (a staged file = a segment = a
-      // drained micro-batch under maxSegmentsPerTrigger=1): wave 0
-      // becomes micro-batch 0 (the build), wave 1 becomes batch 1 (the
-      // append). Without the repartition every Spark task stages its
-      // own segment and the drain degrades to ~tasks micro-batches,
-      // each paying an index append — measured 171 s at the 10× probe
-      // vs ~2 batches' cost.
-      for (g <- Seq(0, 2)) {
-        docs.filter($"doc_id" % 4 === g)
-          .select(pmod(hash($"doc_id"), lit(busParts)).as("partition"),
-            lit(0L).as("seq"), lit(0).as("idx"),
-            lit(new java.sql.Timestamp(0L)).as("ts"),
-            concat_ws("\u0001", $"doc_id", $"text").as("value"))
-          .repartition(busParts, $"partition")
-          .write.format("graftbus").option("path", root)
-          .mode("append").save()
-      }
+      // two publish waves (busPublishWave: one segment per bus
+      // partition per wave): wave 0 becomes micro-batch 0 (the build),
+      // wave 1 becomes batch 1 (the append)
+      for (g <- Seq(0, 2))
+        busPublishWave(docs.filter($"doc_id" % 4 === g), $"doc_id",
+          concat_ws("\u0001", $"doc_id", $"text"), root, busParts)
       val idx = s"$root/idx"
       var built = false
       val parts = split($"value", "\u0001", 2)
@@ -1987,17 +2011,7 @@ object EventOps {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      // retention rides the production path (r13 verdict item 6): the
-      // drained log is dead disk weight at 100 TB — vacuum to the
-      // consumed watermark (AvailableNow terminated ⇒ every published
-      // seq is committed) bounds it at zero live segments; vacuumed
-      // seqs are hwm-pinned so they are never reallocated, and a
-      // replayed range fails by omission, never misattribution
-      import graft.sources.bus.BusLog
-      BusLog.vacuum(root, BusLog.latestSeqs(root))
-      val leftover = BusLog.segmentCounts(root).values.sum
-      require(leftover == 0L,
-        s"bus log not bounded after post-drain vacuum: $leftover segments remain")
+      busVacuumAssertEmpty(root)
       graft.functions.SignatureIndex.servePairs(
           s, idx, docs.filter($"doc_id" % 2 === 1), "doc_id", "text", 0.8)
         .orderBy($"id_new", $"id_base")
@@ -2033,24 +2047,16 @@ object EventOps {
       val busParts = 8
       val root = java.nio.file.Files.createTempDirectory("bus_e38").toString
       graft.sources.bus.BusLog.create(root, busParts)
-      // two publish waves, each repartitioned to the bus partition
-      // count so a wave lands as exactly ONE segment per partition
-      // (a staged file = a segment = a drained micro-batch under
-      // maxSegmentsPerTrigger=1) — the e37 discipline; without it the
-      // drain degrades to ~tasks micro-batches each paying an append
-      for (g <- Seq(0, 1)) {
-        (if (g == 0) emb.filter($"vec_id" < 300)
-         else emb.filter($"vec_id" >= 300))
-          .select(pmod(hash($"vec_id"), lit(busParts)).as("partition"),
-            lit(0L).as("seq"), lit(0).as("idx"),
-            lit(new java.sql.Timestamp(0L)).as("ts"),
-            concat_ws("", $"vec_id", $"label",
-              concat_ws(",", transform($"embedding", x => x.cast("string"))))
-              .as("value"))
-          .repartition(busParts, $"partition")
-          .write.format("graftbus").option("path", root)
-          .mode("append").save()
-      }
+      // two publish waves (busPublishWave: one segment per bus
+      // partition per wave — the e37 discipline)
+      for (g <- Seq(0, 1))
+        busPublishWave(
+          if (g == 0) emb.filter($"vec_id" < 300)
+          else emb.filter($"vec_id" >= 300),
+          $"vec_id",
+          concat_ws("", $"vec_id", $"label",
+            concat_ws(",", transform($"embedding", x => x.cast("string")))),
+          root, busParts)
       val idx = s"$root/idx"
       var built = false
       val parts = split($"value", "", 3)
@@ -2075,11 +2081,7 @@ object EventOps {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      import graft.sources.bus.BusLog
-      BusLog.vacuum(root, BusLog.latestSeqs(root))
-      val leftover = BusLog.segmentCounts(root).values.sum
-      require(leftover == 0L,
-        s"bus log not bounded after post-drain vacuum: $leftover segments remain")
+      busVacuumAssertEmpty(root)
       graft.functions.VectorIndex.topK(s, idx,
         emb.filter($"vec_id" < 8), "vec_id", "embedding", k = 3, nprobe = 4)
         .orderBy($"query_id", $"rank")
@@ -2112,21 +2114,11 @@ object EventOps {
       val busParts = 8
       val root = java.nio.file.Files.createTempDirectory("bus_e39").toString
       graft.sources.bus.BusLog.create(root, busParts)
-      // two publish waves, each repartitioned to the bus partition
-      // count so a wave lands as exactly ONE segment per partition
-      // (a staged file = a segment = a drained micro-batch under
-      // maxSegmentsPerTrigger=1) — the e37 discipline; without it the
-      // drain degrades to ~tasks micro-batches each paying an append
-      for (g <- Seq(0, 1)) {
-        docs.filter($"doc_id" % 2 === g)
-          .select(pmod(hash($"doc_id"), lit(busParts)).as("partition"),
-            lit(0L).as("seq"), lit(0).as("idx"),
-            lit(new java.sql.Timestamp(0L)).as("ts"),
-            concat_ws("", $"doc_id", $"text").as("value"))
-          .repartition(busParts, $"partition")
-          .write.format("graftbus").option("path", root)
-          .mode("append").save()
-      }
+      // two publish waves (busPublishWave: one segment per bus
+      // partition per wave — the e37 discipline)
+      for (g <- Seq(0, 1))
+        busPublishWave(docs.filter($"doc_id" % 2 === g), $"doc_id",
+          concat_ws("", $"doc_id", $"text"), root, busParts)
       val idx = s"$root/idx"
       var built = false
       val parts = split($"value", "", 2)
@@ -2148,14 +2140,7 @@ object EventOps {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      // retention rides the production path: drained segments are dead
-      // disk weight — vacuum to the consumed watermark and assert the
-      // log is bounded at zero live segments
-      import graft.sources.bus.BusLog
-      BusLog.vacuum(root, BusLog.latestSeqs(root))
-      val leftover = BusLog.segmentCounts(root).values.sum
-      require(leftover == 0L,
-        s"bus log not bounded after post-drain vacuum: $leftover segments remain")
+      busVacuumAssertEmpty(root)
       graft.functions.TextIndex.bm25TopK(s, idx,
         Seq("vector", "stream", "window", "hash"), 20,
         fallback = Some((docs, "doc_id", "text")))

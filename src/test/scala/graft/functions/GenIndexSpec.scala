@@ -34,4 +34,33 @@ class GenIndexSpec extends SparkTestBase {
     assert(node.get("extras").get("quoted").asText() ==
       """he said "hi" and left""")
   }
+
+  test("append-id history: bounded depth, fold-surviving, comma-refusing") {
+    // the shared redelivery guard (r16): remembers the last
+    // MaxAppendIds commit ids so a checkpoint restored SEVERAL batches
+    // back still no-ops (one remembered id only covers the
+    // immediately-preceding batch), while staying a bounded extras
+    // string, not an unbounded log
+    var ex = Map.empty[String, String]
+    for (i <- 1 to GenIndex.MaxAppendIds + 10)
+      ex = GenIndex.withAppendId(ex, s"b$i")
+    // a fold/compact/retrain replaces the manifest commitId but
+    // carries extras forward — the guard must hit through the history
+    val m = GenIndex.Manifest(0, "fold_g9", Map.empty, ex)
+    assert(GenIndex.isRedelivered(m, Some(s"b${GenIndex.MaxAppendIds + 10}")))
+    assert(GenIndex.isRedelivered(m, Some("b11")),
+      "oldest remembered id must still hit")
+    assert(!GenIndex.isRedelivered(m, Some("b1")),
+      "ids beyond the bounded depth age out")
+    assert(!GenIndex.isRedelivered(m, None),
+      "an id-less append never matches")
+    assert(!GenIndex.isRedelivered(m, Some("never-seen")))
+    // the manifest's own commitId also matches (an append whose commit
+    // IS the current manifest)
+    assert(GenIndex.isRedelivered(m, Some("fold_g9")))
+    // comma would corrupt the joined history's membership test
+    intercept[IllegalArgumentException] {
+      GenIndex.withAppendId(ex, "a,b")
+    }
+  }
 }

@@ -326,6 +326,36 @@ class SignatureIndexSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("out-of-order redelivery: an OLD batch replayed after newer commits no-ops") {
+    // r16 review finding: under last-generation-wins an out-of-order
+    // re-append is worse than a double-count — the replayed old batch
+    // would land at a HIGHER generation and silently REVERT a newer
+    // upsert (and the next compact would garbage-collect the newer
+    // version). The bounded append-id history (GenIndex.MaxAppendIds)
+    // closes the window for any replay within the last 64 commits —
+    // one remembered id (the pre-r16 guard) would not.
+    val dir = tmpDir("sigidxooo") + "/idx"
+    SignatureIndex.build(base.filter($"doc_id" % 4 === 0), "doc_id", "text", dir)
+    // b1 appends a WRONG (reversed) version of the other half…
+    val wrong = base.filter($"doc_id" % 4 === 2)
+      .withColumn("text", reverse($"text"))
+    SignatureIndex.append(wrong, "doc_id", "text", dir,
+      commitId = Some("b1"), autoCompactFragments = 0)
+    // …b2 upserts the corrected half
+    SignatureIndex.append(base.filter($"doc_id" % 4 === 2), "doc_id",
+      "text", dir, commitId = Some("b2"), autoCompactFragments = 0)
+    assert(serve(dir) == recompute)
+    // replaying b1 AFTER b2 committed (a checkpoint restored from
+    // backup) must NOT revert the upsert
+    SignatureIndex.append(wrong, "doc_id", "text", dir,
+      commitId = Some("b1"), autoCompactFragments = 0)
+    assert(serve(dir) == recompute)
+    // and the state survives a compact (the GC keeps b2's version)
+    SignatureIndex.compact(spark, dir)
+    assert(serve(dir) == recompute)
+    spark.catalog.clearCache()
+  }
+
   test("compact rebuckets to the accumulated corpus; rebucketed == rebuilt") {
     // the TextIndex r14 treatment: the bucket count is re-derived from
     // the ACCUMULATED doc count at the build's recorded target, so a

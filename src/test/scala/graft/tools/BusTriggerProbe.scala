@@ -133,14 +133,20 @@ object BusTriggerProbe {
       .trigger(org.apache.spark.sql.streaming.Trigger
         .ProcessingTime("250 milliseconds"))
       .start()
+    // q.isActive in the loop: a failed append kills the query — report
+    // the real stream error immediately instead of spinning out the
+    // deadline and crashing on an empty summary
     val deadline = System.currentTimeMillis() + 60L * 60 * 1000
-    while (timings.size < waves && System.currentTimeMillis() < deadline)
+    while (timings.size < waves && q.isActive &&
+        System.currentTimeMillis() < deadline)
       Thread.sleep(500)
+    q.exception.foreach(e => throw e)
     q.stop()
     q.awaitTermination()
 
     val ts = timings.toArray(Array.empty[(Long, Double, String)])
       .sortBy(_._1)
+    require(ts.nonEmpty, "stream terminated before any trigger completed")
     val sorted = ts.map(_._2).sorted
     def pct(p: Double) =
       sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
