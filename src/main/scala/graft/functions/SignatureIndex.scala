@@ -159,12 +159,12 @@ object SignatureIndex {
 
   // ------------------------------------------------------ signing
 
-  /** One signing pass: (doc_id, hhd) — the shared parent of band and
-    * set rows, so a caller that needs BOTH (build/append: two writes;
-    * serve: bands + verification sets of the incoming batch) can
-    * persist it and pay the shingle+hash scan once instead of once
-    * per derived frame (r16 review finding: the append path signed
-    * every streaming batch twice).
+  /** The signed frame: (doc_id, hhd) — the shared parent of band and
+    * set rows. Shared LAZILY: every consumer re-derives it as its own
+    * pipelined shingle+hash scan. Do NOT persist it to "save" the
+    * second scan — the columnar cache encode of the fat hhd arrays
+    * was measured costlier than the scan it saves (e37 at the 100×
+    * probe: 43 s re-derived vs 77–83 s persisted).
     */
   private def signedFrame(docs: DataFrame, idCol: String,
       textCol: String, p: Params): DataFrame =
@@ -250,9 +250,9 @@ object SignatureIndex {
         "prior signature index state (stale stages must not survive a rebuild)")
       val p = Params(shingle, numHashes, bands, nb)
       writeMeta(spark, indexDir, p)
-      // build deliberately does NOT persist the signed frame: at
-      // corpus scale two streaming passes beat materializing the
-      // (doc, hhd) relation in memory; the per-batch append persists
+      // the signed frame is shared lazily (two streaming passes) —
+      // see the signedFrame scaladoc for why persisting it is a
+      // measured loss at every batch size tried
       val signed = signedFrame(docs, idCol, textCol, p)
       val (bandRefs, setRefs) = writeGeneration(spark, indexDir,
         bandRows(signed, p, gen = 0),
@@ -313,14 +313,14 @@ object SignatureIndex {
       } else {
         val p = currentParams(spark, indexDir, cur)
         val gen = cur.version + 1
-        // ONE signing pass for the batch (persisted): bands and sets
-        // both derive from it, and the per-trigger ingest path should
-        // not pay the shingle+hash scan twice (r16 review finding)
-        val signed = signedFrame(docs, idCol, textCol, p).persist()
-        val (bandW, setW) = try {
-          writeGeneration(spark, indexDir,
-            bandRows(signed, p, gen), setRows(signed, p, gen), gen)
-        } finally signed.unpersist()
+        // the signed frame is shared LAZILY — each write re-derives it
+        // (two pipelined shingle+hash scans). Persisting it to share
+        // one pass was measured SLOWER: the columnar cache encode of
+        // the fat hhd arrays cost more than the scan it saved (e37 at
+        // the 100× probe went 43 → 77–83 s with persist; reverted)
+        val signed = signedFrame(docs, idCol, textCol, p)
+        val (bandW, setW) = writeGeneration(spark, indexDir,
+          bandRows(signed, p, gen), setRows(signed, p, gen), gen)
         def acc(prior: Map[Int, Seq[String]],
             written: Map[Int, Seq[String]]): Map[Int, Seq[String]] =
           prior ++ written.map { case (k, gs) =>
@@ -413,10 +413,14 @@ object SignatureIndex {
     import spark.implicits._
     val m = readManifest(spark, indexDir)
     val p = currentParams(spark, indexDir, m)
-    // ONE signing pass for the incoming batch: the band frame and the
-    // verification-set frame both derive from it (r16 review finding —
-    // the serve used to pay the batch's shingle+hash scan twice)
-    val inSigned = signedFrame(incoming, idCol, textCol, p).persist()
+    // the incoming batch's signed frame is shared LAZILY between the
+    // band derivation and the verification sets — persisting it to
+    // share one signing pass was measured SLOWER (the columnar cache
+    // encode of the fat hhd arrays beat the re-derived scan; e37 at
+    // the 100× probe 43 → 77–83 s with persist, reverted): inBands
+    // below is the frame that pays to be persisted (narrow band keys,
+    // three consumers)
+    val inSigned = signedFrame(incoming, idCol, textCol, p)
     val inBands = bandRows(inSigned, p, gen = 0)
       .select(col("doc_id").as("id_new"), col("band"), col("key"),
         col("__kb"))

@@ -338,6 +338,18 @@ class TextIndexSpec extends SparkTestBase {
     TextIndex.append(docs.filter($"doc_id" >= 300 && $"doc_id" < 400),
       "doc_id", "text", dir, commitId = Some("batch-2"))
     assert(TextIndex.corpusStats(spark, dir) != stats)
+    // multi-batch-back replay (r16: a checkpoint restored from backup
+    // replays SEVERAL batches, not just the immediately-preceding
+    // one): batch-1 redelivered AFTER batch-2 committed must still
+    // no-op — the bounded append-id history remembers it where a
+    // single last_append_id (now batch-2) would not, and the replay
+    // would double-count n_docs/df and duplicate postings
+    val stats2 = TextIndex.corpusStats(spark, dir)
+    val rows2 = TextIndex.currentPostings(spark, dir).count()
+    TextIndex.append(batch, "doc_id", "text", dir,
+      commitId = Some("batch-1"))
+    assert(TextIndex.corpusStats(spark, dir) == stats2)
+    assert(TextIndex.currentPostings(spark, dir).count() == rows2)
   }
 
   test("appends past the fragment threshold auto-fold inline (bounded LSM fold)") {

@@ -216,7 +216,17 @@ class VectorIndexSpec extends SparkTestBase {
     // a NEW commit id commits normally
     VectorIndex.append(emb.filter($"vec_id" >= 400), "vec_id", "embedding",
       dir, commitId = Some("b2"))
-    assert(VectorIndex.currentLists(spark, dir).count() > rows)
+    val rows2 = VectorIndex.currentLists(spark, dir).count()
+    assert(rows2 > rows)
+    // multi-batch-back replay (r16): b1 redelivered AFTER b2 committed
+    // must still no-op — the bounded append-id history remembers it
+    // where a single last_append_id (now b2) would not, and the replay
+    // would double-insert every vector and skew the drift accumulators
+    val drift2 = VectorIndex.driftReport(spark, dir)
+    VectorIndex.append(batch, "vec_id", "embedding", dir,
+      commitId = Some("b1"))
+    assert(VectorIndex.currentLists(spark, dir).count() == rows2)
+    assert(VectorIndex.driftReport(spark, dir) == drift2)
   }
 
   test("appends past the fragment threshold auto-fold inline (bounded LSM fold)") {
