@@ -445,10 +445,15 @@ object SignatureIndex {
     // one aggregate resolves each CANDIDATE doc's latest generation
     // and hhd (last-generation-wins — a doc's set rows across all its
     // upserts share one __db bucket). The semi join prunes the probed
-    // buckets' rows to the candidate docs BEFORE the aggregate (r16
-    // review finding: aggregating whole buckets would shuffle one
-    // hhd-payload row for EVERY doc in the probed buckets through the
-    // groupBy exchange — bucket-sized, not candidate-sized)
+    // buckets' rows to the candidate docs BEFORE the aggregate, so
+    // the groupBy exchange carries one fat hhd row per CANDIDATE, not
+    // per bucket doc. Measured NEUTRAL at the 100× probe's e37 shape
+    // (quiet-box A/B 45.6 vs 46.0 s: incoming there is half the
+    // corpus, so candidates ≈ bucket docs and the scan dominates) —
+    // kept for the production shape it exists for: a small crawl
+    // batch against a base whose matched buckets hold ~4M rows each
+    // (bucketsFor's unit), where candidates are orders of magnitude
+    // fewer than bucket rows and the exchange is the cost.
     val baseSets = GenIndex.readBuckets(spark, indexDir, m.refs("sets"),
         "__db", dbs, withBucketCol = false, SetsDDL)
       .select(col("doc_id").as("id_base"), col("hhd"), col("__gen"))
