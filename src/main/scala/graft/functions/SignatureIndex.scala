@@ -40,8 +40,9 @@ import org.apache.spark.sql.functions._
   * (the builder's own pricing put a 500-doc append against a 10⁹-doc
   * base at essentially the whole 2×10⁹-row bands table).
   *
-  * UPSERT semantics survive the move to immutable fragments via
-  * LAST-GENERATION-WINS: every row carries the `__gen` that wrote it,
+  * UPSERT and DELETE semantics survive the move to immutable
+  * fragments via LAST-GENERATION-WINS: every row carries the `__gen`
+  * that wrote it,
   * and a document's authoritative version is its highest generation
   * in the SETS table (an append writes a doc's band AND set rows in
   * ONE generation, and a doc's set rows all live in one `__db`
@@ -67,11 +68,12 @@ import org.apache.spark.sql.functions._
   * ([[vacuum]] reclaims them) and the committed snapshot untouched.
   * There is NO staged append anymore (the pre-fragment `append_next`
   * protocol existed because the old apply was a read-modify-write);
-  * redelivery idempotency is the `commitId` token, persisted as the
-  * `last_append_id` manifest extra so it survives an inline fold
-  * (the r15 ADVICE discipline shared with TextIndex/VectorIndex).
+  * redelivery idempotency is the `commitId` token, persisted in the
+  * bounded append-id history (GenIndex.MaxAppendIds) so it survives
+  * inline folds AND multi-batch checkpoint replays (the r15 ADVICE
+  * discipline shared with TextIndex/VectorIndex, deepened in r16).
   *
-  * Writers are mutually exclusive: build/append/compact/recover/vacuum
+  * Writers are mutually exclusive: build/append/delete/compact/recover/vacuum
   * each hold `_commit.lock` (StagedSwap.withFileLock, the Catalog
   * protocol) for their whole read→write→flip span — without it two
   * concurrent appends both compute generation N+1 and the loser's
@@ -347,6 +349,103 @@ object SignatureIndex {
     }
   }
 
+  /** Tombstone-DELETE documents by id — the takedown / PII-purge
+    * primitive (the reference pipeline's delete semantics extended to
+    * the index layer: a corpus that purges documents must purge its
+    * derived indexes too, or the purged text keeps resurfacing as
+    * near-dup evidence). A tombstone is a SETS row with NULL hhd
+    * committed at a fresh generation, which makes the doc invisible
+    * to [[servePairs]] with NO serve-path change: the doc's latest
+    * generation becomes the tombstone's, the tombstone generation has
+    * no band rows, so every candidate pair the doc's OLD band rows
+    * produce fails the latest-generation witness filter — exactly a
+    * rebuild-without-the-doc (spec-pinned). Re-[[append]]ing the doc
+    * at a later generation REVIVES it naturally (its new band+set
+    * rows are then the latest), and [[compact]] garbage-collects a
+    * tombstoned doc's rows entirely.
+    *
+    * Cost is O(deleted), never corpus-sized: one bucket-pruned read
+    * of the delete ids' set buckets resolves liveness (already-
+    * tombstoned and never-indexed ids are SKIPPED — so the operation
+    * is idempotent by content, and `n_docs` decrements by exactly the
+    * docs this call killed), plus one O(deleted) fragment write.
+    * `commitId` is the same redelivery token as [[append]]'s — a
+    * bus-fed delete stream (the production takedown feed) gets the
+    * same at-least-once no-op guarantee through the bounded append-id
+    * history.
+    */
+  def delete(ids: DataFrame, idCol: String, indexDir: String,
+      commitId: Option[String] = None): Unit = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    if (ids.isEmpty) return
+    StagedSwap.withFileLock(spark, lockPath(indexDir)) {
+      val cur = readManifest(spark, indexDir)
+      if (GenIndex.isRedelivered(cur, commitId)) {
+        // redelivered delete batch: its commit already flipped — no-op
+      } else {
+        val p = currentParams(spark, indexDir, cur)
+        val gen = cur.version + 1
+        val del = ids.select(col(idCol).as("doc_id")).distinct()
+          .withColumn("__db", pmod(hash(col("doc_id")), lit(p.nBuckets)))
+          .persist()
+        try {
+          // touched set buckets: bounded ≤ nBuckets control read
+          val dbs = del.select($"__db").distinct().as[Int].collect().toSeq
+          // liveness: a doc is LIVE iff its LATEST set row has a real
+          // hhd (null = already tombstoned). max(struct(...)) rather
+          // than max_by so the null payload can never be silently
+          // skipped by aggregate null handling — the generation field
+          // leads, so ordering is by __gen exactly.
+          val live = GenIndex.readBuckets(spark, indexDir,
+              cur.refs("sets"), "__db", dbs, withBucketCol = false,
+              SetsDDL)
+            .join(del.select($"doc_id"), Seq("doc_id"), "left_semi")
+            .groupBy($"doc_id")
+            .agg(max(struct($"__gen", $"hhd")).as("__m"))
+            .filter($"__m".getField("hhd").isNotNull)
+            .select($"doc_id")
+          val tombs = live.join(del, "doc_id")
+            .select($"doc_id", lit(null).cast("array<bigint>").as("hhd"),
+              lit(gen).as("__gen"), $"__db")
+          tombs.repartition(col("__db"))
+            .write.mode("overwrite").partitionBy("__db")
+            .parquet(s"$indexDir/sets_g$gen")
+          // killed-doc count from the just-written footers (metadata-
+          // only read, the append discipline); an all-dead/never-
+          // indexed batch writes NO buckets and the bare dir cannot
+          // even infer a schema — bucketsIn decides first
+          val nDel = if (GenIndex.bucketsIn(spark,
+              s"$indexDir/sets_g$gen", "__db").isEmpty) 0L
+            else spark.read.parquet(s"$indexDir/sets_g$gen").count()
+          if (nDel == 0) {
+            // nothing live matched: no commit needed — a redelivery
+            // re-resolves liveness and is again a no-op by content
+            StagedSwap.deleteChecked(spark, s"$indexDir/sets_g$gen",
+              "empty tombstone generation (no live doc matched)")
+          } else {
+            val prior = cur.refs("sets")
+            val setRefs = prior ++ GenIndex
+              .bucketsIn(spark, s"$indexDir/sets_g$gen", "__db")
+              .map(k => k -> (prior.getOrElse(k, Seq.empty)
+                :+ s"sets_g$gen"))
+            val cid = commitId.getOrElse(
+              java.util.UUID.randomUUID().toString)
+            GenIndex.writeManifest(spark, indexDir,
+              GenIndex.Manifest(gen, cid,
+                Map("bands" -> cur.refs("bands"), "sets" -> setRefs),
+                GenIndex.withAppendId(cur.extras, cid) ++ Map(
+                  "n_docs" -> (cur.extra("n_docs", What).toLong - nDel)
+                    .toString)))
+            GenIndex.flipCurrent(spark, indexDir, gen)
+            if (setRefs.values.exists(_.size >= AutoCompactFragments))
+              foldLocked(spark, indexDir, AutoCompactFragments)
+          }
+        } finally del.unpersist()
+      }
+    }
+  }
+
   /** The bounded inline fold: for every bucket holding at least
     * `threshold` fragments, merge all refs ABOVE its first (largest)
     * ref into one fragment file — cost ∝ the merged fragments' rows
@@ -468,7 +567,11 @@ object SignatureIndex {
       .join(baseSets, "id_base")
       // keep only pairs witnessed by the base doc's LATEST version's
       // band rows — stale-generation collisions are invisible, exactly
-      // as they would be after a rebuild
+      // as they would be after a rebuild. This same filter is what
+      // makes [[delete]]'s tombstones serve-invisible for free: a
+      // tombstoned doc's latest generation wrote NO band rows, so
+      // every candidate pair it produces from older generations fails
+      // __gb === __gl here.
       .filter(col("__gb") === col("__gl"))
       .join(Dedup.maybeBroadcast(inSets), "id_new")
       .withColumn("jaccard",
@@ -503,9 +606,17 @@ object SignatureIndex {
     val setsAll = GenIndex.readBuckets(spark, indexDir, cur.refs("sets"),
       "__db", cur.refs("sets").keys.toSeq, withBucketCol = false, SetsDDL)
     // each doc's latest generation — the upsert GC frame (sets hold one
-    // row per doc per generation, so this is the small table)
+    // row per doc per generation, so this is the small table). A doc
+    // whose LATEST row is a tombstone (null hhd, see [[delete]]) is
+    // dropped here ENTIRELY — its band rows, set rows and the
+    // tombstone itself all fall out of the rewrite, so compact is the
+    // physical purge. max(struct) orders by __gen (leading field) and
+    // carries the payload so null can never be skipped by aggregate
+    // null handling.
     val latest = setsAll.groupBy(col("doc_id"))
-      .agg(max(col("__gen")).as("__gl"))
+      .agg(max(struct(col("__gen"), col("hhd"))).as("__m"))
+      .filter(col("__m").getField("hhd").isNotNull)
+      .select(col("doc_id"), col("__m").getField("__gen").as("__gl"))
       .persist()
     val nDocs = latest.count()
     val target = cur.extras.getOrElse("target_band_rows",

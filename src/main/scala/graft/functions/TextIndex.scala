@@ -50,7 +50,7 @@ import org.apache.spark.sql.functions._
   * The BM25 a consumer computes from this index is pinned equal to
   * the full-scan t57 query by sharing its oracle.
   *
-  * Writers (build/append/compact/recover/vacuum) serialize through
+  * Writers (build/append/delete/compact/recover/vacuum) serialize through
   * `_commit.lock` (StagedSwap.withFileLock) around their whole
   * read→write→flip span; reads stay lock-free.
   */
@@ -96,7 +96,7 @@ object TextIndex {
   private val What = "text index"
   private val LockName = "_commit.lock"
   private def lockPath(indexDir: String) = s"$indexDir/$LockName"
-  private val GenPrefixes = Seq("postings_g")
+  private val GenPrefixes = Seq("postings_g", "doclens_g", "tombs_g")
 
   /** Schema for the empty-bucket frame when NO queried bucket exists in
     * the manifest — derived from a real generation's footer when one
@@ -109,6 +109,44 @@ object TextIndex {
       m: GenIndex.Manifest): String =
     GenIndex.footerDDL(spark, indexDir, m.refs("postings"), "__tb",
       "term string, doc_id bigint, dl bigint, tf bigint, pss array<int>")
+
+  private def doclensDDL(spark: SparkSession, indexDir: String,
+      m: GenIndex.Manifest): String =
+    GenIndex.footerDDL(spark, indexDir, m.refs("doclens"), "__db",
+      "doc_id bigint, dl bigint")
+
+  /** All live tombstone ids — bounded by deletes since the last
+    * [[compact]] (which purges physically); empty frame when none.
+    */
+  private def tombRows(spark: SparkSession, indexDir: String,
+      m: GenIndex.Manifest): DataFrame =
+    GenIndex.readBuckets(spark, indexDir, m.refs("tombs"), "__db",
+      m.refs("tombs").keys.toSeq, withBucketCol = false,
+      GenIndex.footerDDL(spark, indexDir, m.refs("tombs"), "__db",
+        "doc_id bigint"))
+
+  /** The per-doc LENGTH sidecar (doc_id, dl), bucketed by doc hash —
+    * what prices an exact [[delete]]: the corpus stats (n_docs,
+    * total_tokens) that BM25 scores against must decrement by exactly
+    * the purged docs' counts, and a doc's postings live in TERM-hash
+    * buckets no id lookup can prune, so the id-bucketed sidecar is
+    * the only O(deleted) way to resolve a deleted doc's length. One
+    * row per doc (~vocab-factor smaller than postings), written by
+    * the same generation machinery.
+    */
+  private def doclensRows(tokens: DataFrame, nb: Int): DataFrame =
+    tokens.select(col("doc_id"),
+        size(col("ts")).cast("long").as("dl"))
+      .withColumn("__db", pmod(hash(col("doc_id")), lit(nb)))
+
+  private def writeDoclens(spark: SparkSession, indexDir: String,
+      rows: DataFrame, gen: Int): Map[Int, Seq[String]] = {
+    rows.repartition(col("__db"))
+      .write.mode("overwrite").partitionBy("__db")
+      .parquet(s"$indexDir/doclens_g$gen")
+    GenIndex.bucketsIn(spark, s"$indexDir/doclens_g$gen", "__db")
+      .map(_ -> Seq(s"doclens_g$gen")).toMap
+  }
 
   private def readManifest(spark: SparkSession,
       indexDir: String): GenIndex.Manifest =
@@ -176,17 +214,23 @@ object TextIndex {
         .sortWithinPartitions($"__tb", $"term")
         .write.mode("overwrite").partitionBy("__tb")
         .parquet(s"$indexDir/postings_g0")
+      // the (doc_id, dl) sidecar that prices exact deletes — see
+      // [[doclensRows]]
+      val dlRefs = writeDoclens(spark, indexDir,
+        doclensRows(tokens, nb), gen = 0)
       // target_rows_per_bucket rides the manifest so compact() can
       // REBUCKET to the accumulated corpus volume with the same goal
       // the build sized against (r14 verdict item 1)
       GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(0, "build",
         Map("postings" ->
           GenIndex.bucketsIn(spark, s"$indexDir/postings_g0", "__tb")
-            .map(_ -> Seq("postings_g0")).toMap),
+            .map(_ -> Seq("postings_g0")).toMap,
+          "doclens" -> dlRefs),
         Map("n_docs" -> st.getLong(0).toString,
           "total_tokens" -> totalTokens.toString,
           "n_buckets" -> nb.toString,
-          "target_rows_per_bucket" -> targetRowsPerBucket.toString)))
+          "target_rows_per_bucket" -> targetRowsPerBucket.toString,
+          "has_doclens" -> "1")))
       GenIndex.flipCurrent(spark, indexDir, 0)
     }
   }
@@ -246,6 +290,22 @@ object TextIndex {
         // redelivered batch: its commit already flipped — no-op
       } else {
         val nb = cur.extra("n_buckets", What).toInt
+        // re-appending a TOMBSTONED id must refuse, not silently land:
+        // postings rows carry no generation to outrank, so the
+        // serve-side tombstone anti join would hide the revived rows
+        // too. Only paid when tombstones exist (bounded read).
+        if (cur.refs("tombs").nonEmpty) {
+          val clash = docs.select(col(idCol).as("doc_id"))
+            .join(tombRows(spark, indexDir, cur), Seq("doc_id"),
+              "left_semi")
+            .limit(1).count()
+          if (clash > 0)
+            throw new IllegalStateException(
+              s"text index at $indexDir holds tombstones for ids in " +
+                "this batch — re-inserting a deleted id needs compact() " +
+                "first (tombstones are id-level; compact purges them " +
+                "physically, after which the id may be re-appended)")
+        }
         val tokens = docs.select(col(idCol).as("doc_id"),
           TextFunctions.terms(col(textCol)).as("ts"))
         val newTf = tokens
@@ -266,11 +326,20 @@ object TextIndex {
         val refs = prior ++ GenIndex
           .bucketsIn(spark, s"$indexDir/postings_g$gen", "__tb")
           .map(k => k -> (prior.getOrElse(k, Seq.empty) :+ s"postings_g$gen"))
+        // the batch's doclens fragment (the has_doclens extra marks a
+        // doclens-era index — a pre-doclens index skips it and delete
+        // refuses there; nothing else changes)
+        val dlPrior = cur.refs("doclens")
+        val dlRefs = if (!cur.extras.contains("has_doclens")) dlPrior
+          else dlPrior ++ writeDoclens(spark, indexDir,
+            doclensRows(tokens, nb), gen).map { case (k, gs) =>
+              k -> (dlPrior.getOrElse(k, Seq.empty) ++ gs) }
         val n0 = cur.extra("n_docs", What).toLong
         val t0 = cur.extra("total_tokens", What).toLong
         val cid = commitId.getOrElse(java.util.UUID.randomUUID().toString)
         GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(gen,
-          cid, Map("postings" -> refs),
+          cid, Map("postings" -> refs, "doclens" -> dlRefs,
+            "tombs" -> cur.refs("tombs")),
           GenIndex.withAppendId(cur.extras, cid) ++ Map(
             "n_docs" -> (n0 + st.getLong(0)).toString,
             "total_tokens" ->
@@ -279,6 +348,97 @@ object TextIndex {
         if (autoCompactFragments > 0 &&
             refs.values.exists(_.size >= autoCompactFragments))
           foldLocked(spark, indexDir, autoCompactFragments)
+      }
+    }
+  }
+
+  /** Tombstone-DELETE documents by id — the takedown / PII-purge
+    * primitive (the SignatureIndex/VectorIndex.delete counterpart).
+    * Postings live in TERM-hash buckets, so a doc's rows cannot be
+    * located without a corpus scan; the delete instead resolves the
+    * doc's LENGTH from the id-bucketed doclens sidecar (O(deleted)
+    * pruned read), decrements the manifest's n_docs/total_tokens by
+    * EXACTLY the purged docs' counts, and commits the ids as a
+    * tombstone fragment every serve anti-joins out before scoring.
+    * Because df is re-derived from the candidate postings AFTER that
+    * anti join (the fragment-append design) and the stats decrement
+    * exactly, BM25 from the deleted index is BIT-IDENTICAL to an
+    * index rebuilt without the docs (spec-pinned; the t73 oracle row
+    * hashes it against t57's SQL over the reduced corpus).
+    *
+    * Already-tombstoned and never-indexed ids are SKIPPED (idempotent
+    * by content, exact decrements). [[compact]] purges physically and
+    * drops the tombstones; until then re-[[append]]ing a tombstoned
+    * id refuses fast (id-level tombstones cannot express revival —
+    * see the append guard). `commitId` is append's redelivery token.
+    * Refuses on a pre-doclens index (no sidecar to price the exact
+    * stats decrement — rebuild to enable deletes).
+    */
+  def delete(ids: DataFrame, idCol: String, indexDir: String,
+      commitId: Option[String] = None): Unit = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    if (ids.isEmpty) return
+    StagedSwap.withFileLock(spark, lockPath(indexDir)) {
+      val cur = readManifest(spark, indexDir)
+      if (GenIndex.isRedelivered(cur, commitId)) {
+        // redelivered delete batch: its commit already flipped — no-op
+      } else {
+        if (!cur.extras.contains("has_doclens"))
+          throw new IllegalStateException(
+            s"text index at $indexDir predates the doclens sidecar — " +
+              "exact delete needs per-doc lengths; rebuild the index " +
+              "to enable deletes")
+        val nb = cur.extra("n_buckets", What).toInt
+        val gen = cur.version + 1
+        val del = ids.select(col(idCol).as("doc_id")).distinct()
+          .withColumn("__db", pmod(hash(col("doc_id")), lit(nb)))
+          .persist()
+        try {
+          // touched doclens buckets: bounded ≤ nBuckets control read
+          val dbs = del.select($"__db").distinct().as[Int].collect().toSeq
+          // LIVE deleted docs with their lengths: in the sidecar, not
+          // already tombstoned
+          val live = GenIndex.readBuckets(spark, indexDir,
+              cur.refs("doclens"), "__db", dbs, withBucketCol = false,
+              doclensDDL(spark, indexDir, cur))
+            .join(del.select($"doc_id"), Seq("doc_id"), "left_semi")
+            .join(tombRows(spark, indexDir, cur), Seq("doc_id"),
+              "left_anti")
+          val st = live.agg(count(lit(1)).as("n"),
+            sum($"dl").as("t")).head()
+          val nDel = st.getLong(0)
+          if (nDel > 0) {
+            val tDel = if (st.isNullAt(1)) 0L else st.getLong(1)
+            live.select($"doc_id")
+              .join(del, "doc_id")
+              .select($"doc_id", $"__db")
+              .repartition(col("__db"))
+              .write.mode("overwrite").partitionBy("__db")
+              .parquet(s"$indexDir/tombs_g$gen")
+            val tPrior = cur.refs("tombs")
+            val tRefs = tPrior ++ GenIndex
+              .bucketsIn(spark, s"$indexDir/tombs_g$gen", "__db")
+              .map(k => k -> (tPrior.getOrElse(k, Seq.empty)
+                :+ s"tombs_g$gen"))
+            val cid = commitId.getOrElse(
+              java.util.UUID.randomUUID().toString)
+            GenIndex.writeManifest(spark, indexDir,
+              GenIndex.Manifest(gen, cid,
+                Map("postings" -> cur.refs("postings"),
+                  "doclens" -> cur.refs("doclens"),
+                  "tombs" -> tRefs),
+                GenIndex.withAppendId(cur.extras, cid) ++ Map(
+                  "n_docs" ->
+                    (cur.extra("n_docs", What).toLong - nDel).toString,
+                  "total_tokens" ->
+                    (cur.extra("total_tokens", What).toLong - tDel)
+                      .toString)))
+            GenIndex.flipCurrent(spark, indexDir, gen)
+          }
+          // nDel == 0: nothing live matched — no commit needed, a
+          // redelivery re-resolves liveness and is again a no-op
+        } finally del.unpersist()
       }
     }
   }
@@ -300,18 +460,29 @@ object TextIndex {
     val gen = cur.version + 1
     // same one-file-per-bucket, term-sorted layout as build/compact so
     // folded fragments page-prune identically (shared fold machinery:
-    // GenIndex.foldFragmentTable — merge-tail logic lives ONCE)
-    GenIndex.foldFragmentTable(spark, indexDir, cur, "postings", "__tb",
-        gen, threshold,
-        order = Seq(col("__tb"), col("term"), col("doc_id")),
-        postingsDDL(spark, indexDir, cur))
-      .foreach { refs =>
-        GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(gen,
-          s"fold_g$gen", Map("postings" -> refs), cur.extras))
-        GenIndex.flipCurrent(spark, indexDir, gen)
-        GenIndex.vacuum(spark, indexDir, GenPrefixes,
-          graceVersions = 1, What)
-      }
+    // GenIndex.foldFragmentTable — merge-tail logic lives ONCE); the
+    // doclens sidecar folds on the same trigger (its fragments accrue
+    // one-per-append, same rate as postings)
+    val pRefs = GenIndex.foldFragmentTable(spark, indexDir, cur,
+      "postings", "__tb", gen, threshold,
+      order = Seq(col("__tb"), col("term"), col("doc_id")),
+      postingsDDL(spark, indexDir, cur))
+    val dRefs = if (cur.refs("doclens").isEmpty) None
+      else GenIndex.foldFragmentTable(spark, indexDir, cur,
+        "doclens", "__db", gen, threshold, order = Seq.empty,
+        doclensDDL(spark, indexDir, cur))
+    if (pRefs.isEmpty && dRefs.isEmpty) return
+    GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(gen,
+      s"fold_g$gen",
+      Map("postings" -> pRefs.getOrElse(cur.refs("postings")),
+        "doclens" -> dRefs.getOrElse(cur.refs("doclens")),
+        // a fold between delete and compact must CARRY the tombstones
+        // or the committed delete silently un-deletes
+        "tombs" -> cur.refs("tombs")),
+      cur.extras))
+    GenIndex.flipCurrent(spark, indexDir, gen)
+    GenIndex.vacuum(spark, indexDir, GenPrefixes,
+      graceVersions = 1, What)
   }
 
   /** Repair torn maintenance: re-materialize a lost `_current` pointer
@@ -371,23 +542,40 @@ object TextIndex {
       (4L << 20).toString).toLong
     val nb = bucketsFor(cur.extra("total_tokens", What).toLong, target)
     val gen = cur.version + 1
+    // the physical purge ([[delete]]): tombstoned docs' rows fall out
+    // of the rewrite and the new manifest records no tombstones. Only
+    // paid when tombstones exist — the no-deletes compact plan is
+    // unchanged.
+    val tombs = tombRows(spark, indexDir, cur)
+    def dropDead(df: DataFrame): DataFrame =
+      if (cur.refs("tombs").isEmpty) df
+      else df.join(Dedup.maybeBroadcast(tombs), Seq("doc_id"), "left_anti")
     // one task per bucket (1 file each), rows term-sorted inside it so
     // the serve-side IN filter prunes parquet pages — post-compact a
     // serve's read unit is the queried terms' pages, independent of how
     // large the bucket grew at the count floor
-    GenIndex.readBuckets(spark, indexDir, cur.refs("postings"), "__tb",
-        cur.refs("postings").keys.toSeq, withBucketCol = false,
-        postingsDDL(spark, indexDir, cur))
+    dropDead(GenIndex.readBuckets(spark, indexDir, cur.refs("postings"),
+        "__tb", cur.refs("postings").keys.toSeq, withBucketCol = false,
+        postingsDDL(spark, indexDir, cur)))
       .withColumn("__tb", pmod(hash(col("term")), lit(nb)))
       .repartition(col("__tb"))
       .sortWithinPartitions(col("__tb"), col("term"), col("doc_id"))
       .write.mode("overwrite").partitionBy("__tb")
       .parquet(s"$indexDir/postings_g$gen")
+    // the doclens sidecar compacts alongside (re-hashed to the new
+    // bucket count, dead docs purged)
+    val dlRefs = if (cur.refs("doclens").isEmpty) Map.empty[Int, Seq[String]]
+      else writeDoclens(spark, indexDir,
+        dropDead(GenIndex.readBuckets(spark, indexDir, cur.refs("doclens"),
+            "__db", cur.refs("doclens").keys.toSeq, withBucketCol = false,
+            doclensDDL(spark, indexDir, cur)))
+          .withColumn("__db", pmod(hash(col("doc_id")), lit(nb))), gen)
     GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(gen,
       s"compact_g$gen",
       Map("postings" ->
         GenIndex.bucketsIn(spark, s"$indexDir/postings_g$gen", "__tb")
-          .map(_ -> Seq(s"postings_g$gen")).toMap),
+          .map(_ -> Seq(s"postings_g$gen")).toMap,
+        "doclens" -> dlRefs),
       cur.extras + ("n_buckets" -> nb.toString)))
     GenIndex.flipCurrent(spark, indexDir, gen)
     GenIndex.vacuum(spark, indexDir, GenPrefixes, graceVersions = 1, What)
@@ -419,9 +607,18 @@ object TextIndex {
     val buckets = terms.toDF("term")
       .select(pmod(hash($"term"), lit(nb)))
       .collect().map(_.getInt(0)).toSeq
-    GenIndex.readBuckets(spark, indexDir, m.refs("postings"), "__tb",
-        buckets.distinct, withBucketCol = false, postingsDDL(spark, indexDir, m))
+    val posts = GenIndex.readBuckets(spark, indexDir, m.refs("postings"),
+        "__tb", buckets.distinct, withBucketCol = false,
+        postingsDDL(spark, indexDir, m))
       .filter($"term".isin(terms: _*))
+    // tombstoned docs drop from every serve ([[delete]]): df is
+    // re-derived from candidate postings DOWNSTREAM of this anti join,
+    // so BM25 scores exactly as an index rebuilt without the docs. The
+    // no-deletes serve (the common case) skips the join — zero plan
+    // change.
+    if (m.refs("tombs").isEmpty) posts
+    else posts.join(Dedup.maybeBroadcast(tombRows(spark, indexDir, m)),
+      Seq("doc_id"), "left_anti")
   }
 
   /** The CURRENT snapshot's full postings relation (every bucket, with
@@ -609,10 +806,19 @@ object TextIndex {
       val (docs, idCol, textCol) = fallback.get
       // k smallest-id docs OUTSIDE the candidate set at score 0: a
       // zero-score candidate can still outrank them only by doc_id, so
-      // re-sorting the ≤2k-row union reproduces the full-scan order
-      val zeros = docs
+      // re-sorting the ≤2k-row union reproduces the full-scan order.
+      // The corpus reference may still CONTAIN deleted docs — they are
+      // tombstoned out here too, or a purged doc would resurface as a
+      // zero-score row.
+      val man = readManifest(spark, indexDir)
+      val corpus0 = docs
         .select(col(idCol).as("doc_id"),
           size(TextFunctions.terms(col(textCol))).cast("long").as("dl"))
+      val corpus = if (man.refs("tombs").isEmpty) corpus0
+        else corpus0.join(
+          Dedup.maybeBroadcast(tombRows(spark, indexDir, man)),
+          Seq("doc_id"), "left_anti")
+      val zeros = corpus
         .join(scored.select($"doc_id"), Seq("doc_id"), "left_anti")
         .orderBy($"doc_id").limit(k)
         .select($"doc_id" +: $"dl" +:

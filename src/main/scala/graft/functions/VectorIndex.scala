@@ -45,7 +45,7 @@ import org.apache.spark.sql.functions._
   * (centroids + lists + fresh baseline committed by a single pointer
   * flip — a concurrent serve keeps its old snapshot, never a mix).
   *
-  * Writers (build/buildPq/append/compact/retrain/recover/vacuum)
+  * Writers (build/buildPq/append/delete/compact/retrain/recover/vacuum)
   * serialize through `_commit.lock`; reads stay lock-free.
   */
 object VectorIndex {
@@ -121,7 +121,7 @@ object VectorIndex {
   private val What = "vector index"
   private val LockName = "_commit.lock"
   private def lockPath(indexDir: String) = s"$indexDir/$LockName"
-  private val GenPrefixes = Seq("lists_g", "centroids_g")
+  private val GenPrefixes = Seq("lists_g", "centroids_g", "tombs_g")
 
   private def readManifest(spark: SparkSession,
       indexDir: String): GenIndex.Manifest =
@@ -163,13 +163,17 @@ object VectorIndex {
     * `replace = false` appends its lists as FRAGMENTS onto the
     * existing refs (append). `centroidsGen` names a NEW centroid
     * generation (build/retrain) or None to carry the current one.
-    * Returns the committed lists refs (the append path's
-    * auto-compact trigger reads them).
+    * `tombs` is the tombstone table to record ([[delete]]): append
+    * and fold must CARRY the current refs or committed deletes would
+    * silently un-delete; build/compact/retrain pass empty (build has
+    * none, compact/retrain physically purge). Returns the committed
+    * lists refs (the append path's auto-compact trigger reads them).
     */
   private def commitManifest(spark: SparkSession, indexDir: String,
       gen: Int, written: Seq[Int], cur: Option[GenIndex.Manifest],
       commitId: String, replace: Boolean, centroidsGen: Option[String],
-      extras: Map[String, String]): Map[Int, Seq[String]] = {
+      extras: Map[String, String],
+      tombs: Map[Int, Seq[String]]): Map[Int, Seq[String]] = {
     val prior: Map[Int, Seq[String]] =
       if (replace) Map.empty else cur.map(_.refs("lists")).getOrElse(Map.empty)
     val refs =
@@ -181,10 +185,23 @@ object VectorIndex {
         s"$What commit v$gen has no centroid generation to reference"))
     GenIndex.writeManifest(spark, indexDir,
       GenIndex.Manifest(gen, commitId,
-        Map("lists" -> refs, "centroids" -> Map(0 -> Seq(cdir))), extras))
+        Map("lists" -> refs, "centroids" -> Map(0 -> Seq(cdir))) ++
+          (if (tombs.nonEmpty) Map("tombs" -> tombs) else Map.empty),
+        extras))
     GenIndex.flipCurrent(spark, indexDir, gen)
     refs
   }
+
+  /** The tombstone ids of the current snapshot — bounded by deletes
+    * since the last compact/retrain (which purge physically); empty
+    * frame when none. One constant-bucket table so the whole set reads
+    * in one pruned pass (it cannot be pruned per query: candidates are
+    * arbitrary ids).
+    */
+  private def tombIds(spark: SparkSession, indexDir: String,
+      m: GenIndex.Manifest): DataFrame =
+    GenIndex.readBuckets(spark, indexDir, m.refs("tombs"), "__tk",
+      Seq(0), withBucketCol = false, "neighbor_id bigint")
 
   /** (row count, mean assigned-cosine, max single-list share) of
     * written list rows against their centroids — the drift metrics'
@@ -264,7 +281,7 @@ object VectorIndex {
       val (n, meanCos, maxShare) =
         assignStats(spark.read.parquet(s"$indexDir/lists_g0"), cents)
       commitManifest(spark, indexDir, 0, written, None, "build",
-        replace = true, Some("centroids_g0"),
+        replace = true, Some("centroids_g0"), tombs = Map.empty,
         extras = Map("flavor" -> "raw", "meta_cols" -> metaCols.mkString(","),
           "num_centroids" -> numCentroids.toString,
           "sample_size" -> sampleSize.toString,
@@ -369,6 +386,25 @@ object VectorIndex {
         // manifest), or the cross-generation read becomes unresolvable
         val metaCols = cur.extra("meta_cols", What)
           .split(",").filter(_.nonEmpty).toSeq
+        // re-appending a TOMBSTONED id must refuse, not silently land:
+        // vector tombstones are id-level (lists are bucketed by
+        // centroid, so rows carry no generation to outrank), and the
+        // serve-side anti join would hide the revived rows too. The
+        // check reads the (deletes-since-compact-bounded) tombstone
+        // set only when one exists — the common no-deletes append
+        // pays nothing.
+        if (cur.refs("tombs").nonEmpty) {
+          val clash = corpus.select(col(idCol).as("neighbor_id"))
+            .join(tombIds(spark, indexDir, cur), Seq("neighbor_id"),
+              "left_semi")
+            .limit(1).count()
+          if (clash > 0)
+            throw new IllegalStateException(
+              s"vector index at $indexDir holds tombstones for ids in " +
+                "this batch — re-inserting a deleted id needs compact() " +
+                "first (tombstones are id-level; compact purges them " +
+                "physically, after which the id may be re-appended)")
+        }
         val cents = centroidsOf(spark, indexDir, cur)
         // same auto rule as build: the frozen centroid count decides the path
         val rows = assignedLists(corpus, idCol, vecCol, broadcast(cents),
@@ -393,13 +429,77 @@ object VectorIndex {
           buildShare.map(bs => "last_skew_ratio" ->
             (bShare / math.max(1e-12, bs)).toString)
         val refs = commitManifest(spark, indexDir, gen, written, Some(cur),
-          cid, replace = false, None, extras)
+          cid, replace = false, None, extras, tombs = cur.refs("tombs"))
         if (autoCompactFragments > 0 &&
             refs.values.exists(_.size >= autoCompactFragments))
           foldLocked(spark, indexDir, autoCompactFragments)
         autoRetrainRatio.foreach { thr =>
           if (driftOf(readManifest(spark, indexDir), thr).retrainRecommended)
             retrainLocked(spark, indexDir)
+        }
+      }
+    }
+  }
+
+  /** Tombstone-DELETE vectors by id — the takedown / PII-purge
+    * primitive (the SignatureIndex.delete counterpart; an embedding of
+    * purged content is derived data the purge must reach too). Lists
+    * are bucketed by CENTROID, so a doc's rows cannot be located —
+    * let alone rewritten — without a corpus scan; instead the delete
+    * commits its ids as an O(batch) tombstone fragment and every
+    * serve anti-joins its candidates against the (deletes-since-
+    * compact-bounded) tombstone set BEFORE ranking — top-k is then
+    * exactly what an index rebuilt without the ids would serve
+    * (spec-pinned). [[compact]] and [[retrain]] purge physically and
+    * drop the tombstones; until then re-[[append]]ing a tombstoned id
+    * refuses fast (id-level tombstones cannot express revival — see
+    * the append guard).
+    *
+    * Never-indexed ids tombstone harmlessly (the anti join matches
+    * nothing; compact clears them). Already-tombstoned ids are
+    * skipped, keeping `n_tombstones` an exact live-tombstone count.
+    * `commitId` is append's redelivery token — a bus-fed takedown
+    * stream gets the same at-least-once no-op guarantee.
+    */
+  def delete(ids: DataFrame, idCol: String, indexDir: String,
+      commitId: Option[String] = None): Unit = {
+    val spark = ids.sparkSession
+    if (ids.isEmpty) return
+    StagedSwap.withFileLock(spark, lockPath(indexDir)) {
+      val cur = readManifest(spark, indexDir)
+      if (GenIndex.isRedelivered(cur, commitId)) {
+        // redelivered delete batch: its commit already flipped — no-op
+      } else {
+        val gen = cur.version + 1
+        val fresh = ids.select(col(idCol).as("neighbor_id")).distinct()
+          .join(tombIds(spark, indexDir, cur), Seq("neighbor_id"),
+            "left_anti")
+          .withColumn("__tk", lit(0))
+        fresh.repartition(1).write.mode("overwrite").partitionBy("__tk")
+          .parquet(s"$indexDir/tombs_g$gen")
+        // an already-all-tombstoned batch writes NO bucket dir and the
+        // bare dir cannot even infer a schema — bucketsIn decides first
+        val nDel = if (GenIndex.bucketsIn(spark,
+            s"$indexDir/tombs_g$gen", "__tk").isEmpty) 0L
+          else spark.read.parquet(s"$indexDir/tombs_g$gen").count()
+        if (nDel == 0) {
+          StagedSwap.deleteChecked(spark, s"$indexDir/tombs_g$gen",
+            "empty tombstone generation (all ids already tombstoned)")
+        } else {
+          val prior = cur.refs("tombs")
+          val tombs = Map(0 ->
+            (prior.getOrElse(0, Seq.empty) :+ s"tombs_g$gen"))
+          val nt0 = cur.extras.getOrElse("n_tombstones", "0").toLong
+          val cid = commitId.getOrElse(
+            java.util.UUID.randomUUID().toString)
+          GenIndex.writeManifest(spark, indexDir,
+            GenIndex.Manifest(gen, cid,
+              Map("lists" -> cur.refs("lists"),
+                "centroids" -> cur.refs("centroids"),
+                "tombs" -> tombs),
+              GenIndex.withAppendId(cur.extras, cid) +
+                ("n_tombstones" -> (nt0 + nDel).toString)))
+          GenIndex.flipCurrent(spark, indexDir, gen)
         }
       }
     }
@@ -459,10 +559,16 @@ object VectorIndex {
           "together from the raw corpus)")
     val metaCols = cur.extra("meta_cols", What)
       .split(",").filter(_.nonEmpty).toSeq
-    val all = GenIndex.readBuckets(spark, indexDir, cur.refs("lists"),
+    val all0 = GenIndex.readBuckets(spark, indexDir, cur.refs("lists"),
         "__cid", cur.refs("lists").keys.toSeq, withBucketCol = false,
         listsDDL(spark, indexDir, cur))
       .select((col("neighbor_id") +: col("__cv") +: metaCols.map(col)): _*)
+    // retrain trains + re-assigns from LIVE rows only and drops the
+    // tombstones (its commit passes tombs = empty) — the physical
+    // purge, same as compact's
+    val all = if (cur.refs("tombs").isEmpty) all0
+      else all0.join(Dedup.maybeBroadcast(tombIds(spark, indexDir, cur)),
+        Seq("neighbor_id"), "left_anti")
     val n = all.count()
     val numC = cur.extras.getOrElse("num_centroids", "0").toInt
     val cellTarget = cur.extras.getOrElse("cell_target", "256").toInt
@@ -482,9 +588,11 @@ object VectorIndex {
       assignStats(spark.read.parquet(s"$indexDir/lists_g$gen"), cents)
     commitManifest(spark, indexDir, gen, written, Some(cur),
       s"retrain_g$gen", replace = true, Some(s"centroids_g$gen"),
+      tombs = Map.empty,
       extras = cur.extras --
         Seq("appended_n", "appended_cos_sum", "last_append_cos_mean",
-          "last_drift_ratio", "last_append_max_share", "last_skew_ratio") ++
+          "last_drift_ratio", "last_append_max_share", "last_skew_ratio",
+          "n_tombstones") ++
         Map("assign_n" -> nw.toString, "assign_cos_mean" -> meanCos.toString,
           "assign_max_share" -> maxShare.toString))
     GenIndex.vacuum(spark, indexDir, GenPrefixes, graceVersions = 1, What)
@@ -525,7 +633,7 @@ object VectorIndex {
         .join(enc.withColumnRenamed("__eid", "neighbor_id"), "neighbor_id")
       val written = writeLists(spark, indexDir, rows, 0)
       commitManifest(spark, indexDir, 0, written, None, "build",
-        replace = true, Some("centroids_g0"),
+        replace = true, Some("centroids_g0"), tombs = Map.empty,
         extras = Map("flavor" -> "pq", "meta_cols" -> ""))
     }
   }
@@ -553,9 +661,14 @@ object VectorIndex {
       .select(col("__aid").as("query_id"), col("__cid"))
     // list ids to open: bounded by numCentroids — control-plane collect
     val needed = probes.select("__cid").distinct().as[Long].collect()
-    val lists = GenIndex.readBuckets(spark, indexDir, man.refs("lists"),
+    val lists0 = GenIndex.readBuckets(spark, indexDir, man.refs("lists"),
       "__cid", needed.map(_.toInt).toSeq, withBucketCol = true,
       listsDDL(spark, indexDir, man))
+    // tombstoned ids drop before the ADC ranking (see [[delete]])
+    val lists = if (man.refs("tombs").isEmpty) lists0
+      else lists0.join(
+        Dedup.maybeBroadcast(tombIds(spark, indexDir, man)),
+        Seq("neighbor_id"), "left_anti")
     val lut = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .select(col("query_id"), VectorFunctions.norm(col("__qv")).as("__qn"),
         posexplode(array((0 until m).map(i =>
@@ -639,7 +752,11 @@ object VectorIndex {
         GenIndex.writeManifest(spark, indexDir, GenIndex.Manifest(gen,
           s"fold_g$gen",
           Map("lists" -> refs,
-            "centroids" -> Map(0 -> Seq(centroidsDir(cur)))),
+            "centroids" -> Map(0 -> Seq(centroidsDir(cur)))) ++
+            // a fold between delete and compact must CARRY the
+            // tombstones or the committed delete silently un-deletes
+            (if (cur.refs("tombs").nonEmpty)
+              Map("tombs" -> cur.refs("tombs")) else Map.empty),
           cur.extras))
         GenIndex.flipCurrent(spark, indexDir, gen)
         GenIndex.vacuum(spark, indexDir, GenPrefixes,
@@ -652,14 +769,20 @@ object VectorIndex {
     */
   private def compactLocked(spark: SparkSession, indexDir: String): Unit = {
     val cur = readManifest(spark, indexDir)
-    val all = GenIndex.readBuckets(spark, indexDir, cur.refs("lists"),
+    val all0 = GenIndex.readBuckets(spark, indexDir, cur.refs("lists"),
       "__cid", cur.refs("lists").keys.toSeq, withBucketCol = true,
       listsDDL(spark, indexDir, cur))
+    // the physical purge ([[delete]]): tombstoned rows fall out of the
+    // rewrite and the new manifest records no tombstones
+    val all = if (cur.refs("tombs").isEmpty) all0
+      else all0.join(Dedup.maybeBroadcast(tombIds(spark, indexDir, cur)),
+        Seq("neighbor_id"), "left_anti")
     val gen = cur.version + 1
     val written =
       writeLists(spark, indexDir, all.repartition(col("__cid")), gen)
     commitManifest(spark, indexDir, gen, written, Some(cur),
-      s"compact_g$gen", replace = true, None, cur.extras)
+      s"compact_g$gen", replace = true, None,
+      cur.extras - "n_tombstones", tombs = Map.empty)
     GenIndex.vacuum(spark, indexDir, GenPrefixes, graceVersions = 1, What)
   }
 
@@ -764,7 +887,14 @@ object VectorIndex {
     val lists0 = GenIndex.readBuckets(spark, indexDir, man.refs("lists"),
       "__cid", needed.map(_.toInt).toSeq, withBucketCol = true,
       listsDDL(spark, indexDir, man))
-    val lists = predicate.map(lists0.filter).getOrElse(lists0)
+    val lists1 = predicate.map(lists0.filter).getOrElse(lists0)
+    // tombstoned ids drop BEFORE ranking ([[delete]]): top-k then
+    // equals an index rebuilt without them. The no-deletes serve (the
+    // common case) skips the join entirely — zero plan change.
+    val lists = if (man.refs("tombs").isEmpty) lists1
+      else lists1.join(
+        Dedup.maybeBroadcast(tombIds(spark, indexDir, man)),
+        Seq("neighbor_id"), "left_anti")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     probes.join(lists, Seq("__cid"))

@@ -674,6 +674,49 @@ object LlmOps {
     },
     Some(ivfOracleSql))
 
+  /** s04's oracle with the DELETED slice excluded from the candidate
+    * (neighbor) side — the centroids and probes are unchanged because
+    * the index was BUILT on the full corpus before the delete, which
+    * is exactly VectorIndex.delete's contract: tombstoned ids drop
+    * from candidate ranking under the SAME frozen assignment
+    * function (a rebuild-without would retrain different centroids
+    * and legitimately differ). Derived by marker replacement from
+    * ivfOracleSql so the two can never drift.
+    */
+  private lazy val ivfDeleteOracleSql: String = {
+    val marker = "WHERE p.vec_id <> a.vec_id"
+    assert(ivfOracleSql.contains(marker),
+      "ivfOracleSql changed shape — update the delete oracle derivation")
+    ivfOracleSql.replace(marker, marker + " AND a.vec_id % 5 <> 1")
+  }
+
+  /** Index DELETION for the vector family — the takedown / PII-purge
+    * primitive on the board (the t72 counterpart): build the s04
+    * index on the FULL corpus, tombstone-delete every fifth vector
+    * (VectorIndex.delete: an O(batch) tombstone fragment; serves
+    * anti-join candidates before ranking; compact/retrain purge
+    * physically), then serve s04's probes. The oracle re-derives the
+    * same centroids in SQL and excludes the deleted slice from the
+    * candidate side only — i.e. the index must serve exactly the
+    * filtered ranking under its frozen assignment function.
+    */
+  val s15IvfDelete = Q(
+    "s15_ivf_delete",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = java.nio.file.Files
+        .createTempDirectory("s15_ivfdel").toString + "/idx"
+      graft.functions.VectorIndex.build(emb, "vec_id", "embedding", idx,
+        numCentroids = 16, metaCols = Seq("label"))
+      graft.functions.VectorIndex.delete(
+        emb.filter($"vec_id" % 5 === 1).select($"vec_id"), "vec_id", idx)
+      graft.functions.VectorIndex.topK(s, idx,
+        emb.filter($"vec_id" < 8), "vec_id", "embedding", k = 3, nprobe = 4)
+        .orderBy($"query_id", $"rank")
+    },
+    Some(ivfDeleteOracleSql))
+
   /** TF-IDF top terms per document: explode→(doc,term) count→term
     * document frequency→join→per-doc top-k window. Linear idf (N/df,
     * no log) so the score is exact integer arithmetic followed by one
@@ -3929,6 +3972,45 @@ object LlmOps {
     },
     Some(bm25OracleSql))
 
+  /** t57's oracle over the corpus MINUS the deleted slice — what an
+    * index rebuilt without the purged docs would serve. Derived by
+    * marker replacement from bm25OracleSql so the two can never
+    * drift.
+    */
+  private lazy val bm25DeleteOracleSql: String = {
+    val marker = "AS ts FROM documents)"
+    assert(bm25OracleSql.contains(marker),
+      "bm25OracleSql changed shape — update the delete oracle derivation")
+    bm25OracleSql.replace(marker,
+      "AS ts FROM documents WHERE doc_id % 6 <> 0)")
+  }
+
+  /** Index DELETION for the text family — the takedown / PII-purge
+    * primitive on the board (the t72/s15 counterpart): build the full
+    * inverted index, tombstone-delete every sixth document
+    * (TextIndex.delete: O(deleted) doclens-priced stats decrement +
+    * tombstone fragment; serves anti-join candidates BEFORE df
+    * re-derivation and scoring, so BM25 is bit-identical to an index
+    * rebuilt without the docs), then serve t57's query. The oracle is
+    * t57's SQL over the reduced corpus — n, total_tokens, df, top-k
+    * and every IEEE score must all land exactly where the rebuild
+    * would put them.
+    */
+  val t73TextDelete = Q(
+    "t73_text_delete",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("t73_textdel").toString + "/idx"
+      graft.functions.TextIndex.build(docs, "doc_id", "text", idx)
+      graft.functions.TextIndex.delete(
+        docs.filter($"doc_id" % 6 === 0).select($"doc_id"), "doc_id", idx)
+      graft.functions.TextIndex.bm25TopK(s, idx, bm25Terms, 20,
+        fallback = Some((docs, "doc_id", "text")))
+    },
+    Some(bm25DeleteOracleSql))
+
   /** The AUTO text-dedup path as a SERVING oracle row — r11 verdict
     * item 2 (the s08/t10 treatment): the board row is the production
     * `nearDuplicatePairsAuto` OUTPUT — the pair set itself plus the
@@ -4888,6 +4970,53 @@ object LlmOps {
     },
     t49SnapshotDedup.oracle)
 
+  /** Index DELETION on the board — the takedown / PII-purge primitive
+    * (the reference pipeline is delete-heavy ETL; a corpus that purges
+    * documents must purge its derived indexes too, or purged text
+    * keeps resurfacing as near-dup evidence). Build + append the t71
+    * lifecycle, then tombstone-delete a slice of BOTH halves
+    * (SignatureIndex.delete: an O(deleted) fragment whose null-hhd
+    * rows outrank every older generation — the doc's candidate pairs
+    * all fail the latest-generation witness filter, with no serve-path
+    * change) and serve. The oracle is t49's SQL with the deleted slice
+    * excluded from the base side — i.e. the index must serve exactly
+    * as if it had been REBUILT without the purged docs.
+    */
+  val t72SignatureDelete = Q(
+    "t72_signature_delete",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("t72_sigdel").toString + "/idx"
+      graft.functions.SignatureIndex.build(
+        docs.filter($"doc_id" % 4 === 0), "doc_id", "text", idx)
+      graft.functions.SignatureIndex.append(
+        docs.filter($"doc_id" % 4 === 2), "doc_id", "text", idx)
+      graft.functions.SignatureIndex.delete(
+        docs.filter($"doc_id" % 8 === 0 || $"doc_id" % 8 === 2)
+          .select($"doc_id"), "doc_id", idx)
+      graft.functions.SignatureIndex.servePairs(
+          s, idx, docs.filter($"doc_id" % 2 === 1), "doc_id", "text", 0.8)
+        .orderBy($"id_new", $"id_base")
+    },
+    Some(s"""
+      WITH $minhashBandCte,
+      cand AS (SELECT DISTINCT a.doc_id AS id_new, b2.doc_id AS id_base
+               FROM bnd a JOIN bnd b2 ON a.bb = b2.bb AND a.key = b2.key
+               WHERE a.doc_id % 2 = 1 AND b2.doc_id % 2 = 0
+                 AND b2.doc_id % 8 NOT IN (0, 2)),
+      hd AS (SELECT doc_id, list_distinct(hh) AS h FROM m1),
+      j AS (SELECT c.id_new, c.id_base,
+              CAST(len(list_intersect(ha.h, hb.h)) AS DOUBLE) /
+                (len(ha.h) + len(hb.h) - len(list_intersect(ha.h, hb.h))) AS jaccard
+            FROM cand c JOIN hd ha ON c.id_new = ha.doc_id
+                        JOIN hd hb ON c.id_base = hb.doc_id)
+      SELECT id_new, id_base, jaccard FROM j
+      WHERE jaccard >= 0.8
+      ORDER BY id_new, id_base
+    """.trim))
+
   val all: Seq[Q] = Seq(
     t01ExactDedup, t02TextStats, t03LangId, t04MinhashLsh, t05NearDupPairs,
     t06Simhash, t07MultimodalMeta, t08BpeTokens, t09RollingFingerprint,
@@ -4905,10 +5034,11 @@ object LlmOps {
     t51DupKeeper, t52ZipfTable, t53SourceHealth, t54LeakageSplit,
     s01CosineTopK, s02AnnLsh, s03IvfTopK, s04IvfIndexTopK, s05AnnRecall,
     s06IvfPqTopK, s07FilteredAnn, s08KnnGraph, s09AutoNearDup, s10AutoKnn,
-    s11PqIndexTopK, s13RoutedNearDup, s14IvfAppendTopK,
+    s11PqIndexTopK, s13RoutedNearDup, s14IvfAppendTopK, s15IvfDelete,
     t55TextRank, t56SsJoinPrefix, t57Bm25TopK, t58Bm25Index,
     t59AutoTextNearDup, t60BpeTrain, t61HybridRrf, t62HybridIndexed,
     t63MmrRerank, t64TripletMining, t65PhraseSearch, t66ProximitySearch,
     t67RepeatedSpans, s12JlAnn, t68IntraRepetition, t69BudgetSelection,
-    t70QuoteSearch, t71SignatureIndex, t71bSignatureServe)
+    t70QuoteSearch, t71SignatureIndex, t71bSignatureServe,
+    t72SignatureDelete, t73TextDelete)
 }

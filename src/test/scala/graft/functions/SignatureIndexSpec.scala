@@ -326,6 +326,69 @@ class SignatureIndexSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("delete: serve == rebuild-without, idempotent, revivable, compact purges") {
+    // the takedown/PII-purge primitive: tombstones ride the same
+    // last-generation-wins machinery as upserts — a deleted doc's
+    // latest generation has no band rows, so it vanishes from serves
+    // exactly as if the index were rebuilt without it
+    val dir = tmpDir("sigidxdel") + "/idx"
+    SignatureIndex.build(base.filter($"doc_id" % 4 === 0), "doc_id", "text", dir)
+    SignatureIndex.append(base.filter($"doc_id" % 4 === 2), "doc_id", "text", dir)
+    val deadPred = $"doc_id" % 8 === 0 || $"doc_id" % 8 === 2
+    val dead = base.filter(deadPred).select($"doc_id")
+    val without: Set[(Long, Long, Double)] =
+      Dedup.crossCorpusNearDupPairs(base.filter(!deadPred), incoming,
+        "doc_id", "text", 0.8).as[(Long, Long, Double)].collect().toSet
+    def nDocs() = GenIndex.readManifest(spark, dir, "t")
+      .extra("n_docs", "t").toLong
+    val liveCount = base.filter(!deadPred).count()
+    SignatureIndex.delete(dead, "doc_id", dir, commitId = Some("d1"))
+    // deleted docs (from BOTH the build and the appended generations)
+    // are gone; surviving pairs identical to a rebuild-without
+    assert(serve(dir) == without && without != recompute,
+      "delete must change the pair set or the test is weak")
+    assert(nDocs() == liveCount, "n_docs must decrement by exactly the killed docs")
+    // redelivered delete (same commitId): no-op
+    SignatureIndex.delete(dead, "doc_id", dir, commitId = Some("d1"))
+    assert(nDocs() == liveCount)
+    // re-deleting already-dead docs under a NEW id: no-op by content
+    // (liveness resolve skips tombstoned docs — no double decrement)
+    SignatureIndex.delete(dead, "doc_id", dir, commitId = Some("d2"))
+    assert(nDocs() == liveCount && serve(dir) == without)
+    // deleting never-indexed ids: no-op by content
+    SignatureIndex.delete(incoming.select($"doc_id"), "doc_id", dir)
+    assert(nDocs() == liveCount && serve(dir) == without)
+    // compact PHYSICALLY purges: no tombstones, no dead docs' rows
+    SignatureIndex.compact(spark, dir)
+    assert(serve(dir) == without)
+    val v = currentVersion(dir)
+    val sets = spark.read.parquet(s"$dir/sets_g$v")
+    assert(sets.filter($"hhd".isNull).count() == 0, "tombstones must be GC'd")
+    assert(sets.join(dead, "doc_id").count() == 0, "dead docs' rows must be GC'd")
+    assert(sets.select($"doc_id").distinct().count() == liveCount)
+    // REVIVAL: re-appending the deleted docs restores the full serve
+    SignatureIndex.append(base.filter(deadPred), "doc_id", "text", dir)
+    assert(serve(dir) == recompute)
+    spark.catalog.clearCache()
+  }
+
+  test("delete before compact: revival works on the un-compacted tombstones too") {
+    val dir = tmpDir("sigidxdelrev") + "/idx"
+    SignatureIndex.build(base, "doc_id", "text", dir)
+    val dead = base.filter($"doc_id" % 8 === 0).select($"doc_id")
+    SignatureIndex.delete(dead, "doc_id", dir)
+    // revive WITHOUT an intervening compact: the re-append's
+    // generation outranks the tombstone's, so last-generation-wins
+    // restores the doc
+    SignatureIndex.append(base.filter($"doc_id" % 8 === 0), "doc_id",
+      "text", dir)
+    assert(serve(dir) == recompute)
+    // and the next compact keeps the revived docs
+    SignatureIndex.compact(spark, dir)
+    assert(serve(dir) == recompute)
+    spark.catalog.clearCache()
+  }
+
   test("out-of-order redelivery: an OLD batch replayed after newer commits no-ops") {
     // r16 review finding: under last-generation-wins an out-of-order
     // re-append is worse than a double-count — the replayed old batch

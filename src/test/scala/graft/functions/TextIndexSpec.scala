@@ -352,6 +352,98 @@ class TextIndexSpec extends SparkTestBase {
     assert(TextIndex.currentPostings(spark, dir).count() == rows2)
   }
 
+  test("delete: BM25 == rebuild-without bit-exactly; compact purges; clash refuses") {
+    // the takedown/PII-purge primitive: the doclens sidecar prices the
+    // EXACT n_docs/total_tokens decrement, df re-derives downstream of
+    // the tombstone anti join, so the deleted index must score
+    // bit-identically to an index BUILT on the reduced corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = tmpDir("textidxdel") + "/idx"
+    TextIndex.build(docs, "doc_id", "text", dir)
+    val deadPred = $"doc_id" % 6 === 0
+    val refDir = tmpDir("textidxdelref") + "/idx"
+    TextIndex.build(docs.filter(!deadPred), "doc_id", "text", refDir)
+    def serve(d: String) = TextIndex.bm25TopK(spark, d, terms, 20)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val wantFull = serve(dir)
+    val want = serve(refDir)
+    assert(want != wantFull, "delete must change the top-k or the test is weak")
+    TextIndex.delete(docs.filter(deadPred).select($"doc_id"), "doc_id",
+      dir, commitId = Some("d1"))
+    assert(serve(dir) == want)
+    assert(TextIndex.corpusStats(spark, dir) ==
+      TextIndex.corpusStats(spark, refDir),
+      "n_docs/total_tokens must decrement by exactly the purged docs")
+    // phrase search inherits delete-awareness through postingsFor
+    def phrase(d: String) = TextIndex
+      .phraseMatches(spark, d, Seq("vector", "stream"))
+      .as[(Long, Long)].collect().toSet
+    assert(phrase(dir) == phrase(refDir))
+    // redelivered delete (same commitId): no-op
+    val stats = TextIndex.corpusStats(spark, dir)
+    TextIndex.delete(docs.filter(deadPred).select($"doc_id"), "doc_id",
+      dir, commitId = Some("d1"))
+    assert(TextIndex.corpusStats(spark, dir) == stats)
+    // re-deleting already-dead / never-indexed ids: no-op by content
+    TextIndex.delete(docs.filter(deadPred).select($"doc_id"), "doc_id",
+      dir, commitId = Some("d2"))
+    TextIndex.delete(spark.range(10).select(($"id" + 1000000L).as("doc_id")),
+      "doc_id", dir)
+    assert(TextIndex.corpusStats(spark, dir) == stats && serve(dir) == want)
+    // re-appending a TOMBSTONED id refuses with the compact hint
+    val ex = intercept[IllegalStateException] {
+      TextIndex.append(docs.filter(deadPred).limit(3), "doc_id", "text", dir)
+    }
+    assert(ex.getMessage.contains("compact"))
+    // compact PHYSICALLY purges: dead rows out of postings AND
+    // doclens, tombstones dropped, stats and serve unchanged
+    TextIndex.compact(spark, dir)
+    assert(serve(dir) == want)
+    assert(TextIndex.corpusStats(spark, dir) == stats)
+    val m = GenIndex.readManifest(spark, dir, "t")
+    assert(m.refs("tombs").isEmpty, "compact must drop the tombstones")
+    assert(TextIndex.currentPostings(spark, dir)
+      .filter($"doc_id" % 6 === 0).count() == 0)
+    // post-purge the ids are free again: re-append restores the full
+    // corpus serving
+    TextIndex.append(docs.filter(deadPred), "doc_id", "text", dir)
+    assert(serve(dir) == wantFull)
+    spark.catalog.clearCache()
+  }
+
+  test("delete survives an inline fold (tombstones + decremented stats carried)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = tmpDir("textidxdelfold") + "/idx"
+    TextIndex.build(docs.filter($"doc_id" < 200), "doc_id", "text", dir)
+    TextIndex.delete(
+      docs.filter($"doc_id" % 6 === 0 && $"doc_id" < 200)
+        .select($"doc_id"), "doc_id", dir)
+    val stats = TextIndex.corpusStats(spark, dir)
+    // fresh-id appends cross the fold threshold; the fold's manifest
+    // must CARRY tombstones + doclens or the delete un-deletes
+    for (lo <- Seq(200, 300, 400))
+      TextIndex.append(
+        docs.filter($"doc_id" >= lo && $"doc_id" < lo + 100),
+        "doc_id", "text", dir, autoCompactFragments = 2)
+    val m = GenIndex.readManifest(spark, dir, "t")
+    assert(m.commitId.startsWith("fold_"),
+      "precondition: a fold must have happened")
+    assert(m.refs("tombs").nonEmpty, "tombstones must survive the fold")
+    assert(m.refs("doclens").nonEmpty, "doclens must survive the fold")
+    // deleted docs still invisible after the folds
+    assert(TextIndex.bm25TopK(spark, dir, terms, 50)
+      .filter($"doc_id" % 6 === 0 && $"doc_id" < 200).count() == 0)
+    // and the accumulated stats stayed exact: build-minus-deleted plus
+    // the three appends
+    val appended = docs.filter($"doc_id" >= 200 && $"doc_id" < 500)
+    val appendedToks = appended
+      .select(size(graft.functions.TextFunctions.terms($"text")).cast("long"))
+      .as[Long].collect().sum
+    assert(TextIndex.corpusStats(spark, dir) ==
+      (stats._1 + appended.count(), stats._2 + appendedToks))
+    spark.catalog.clearCache()
+  }
+
   test("appends past the fragment threshold auto-fold inline (bounded LSM fold)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val dir = tmpDir("textidxautocompact")

@@ -192,6 +192,95 @@ class VectorIndexSpec extends SparkTestBase {
     assert(serve(incDir) == serve(fullDir) && serve(incDir).nonEmpty)
   }
 
+  test("delete: serve == same-centroids filtered serve; compact purges; clash refuses") {
+    // the takedown/PII-purge primitive. The exactness reference is
+    // topKFiltered on the PRE-delete index (same frozen centroids,
+    // candidates dropped in-scan) — NOT a rebuild-without, which
+    // would retrain different centroids and legitimately differ.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = tmpDir("ivfdel") + "/idx"
+    VectorIndex.build(emb.filter($"vec_id" < 400), "vec_id", "embedding", dir)
+    val queries = emb.filter($"vec_id" < 8)
+    def serve() = VectorIndex
+      .topK(spark, dir, queries, "vec_id", "embedding", 3)
+      .collect().map(_.toString).sorted.toSeq
+    val wantFull = serve()
+    val wantWithout = VectorIndex.topKFiltered(spark, dir, queries,
+        "vec_id", "embedding", 3, $"neighbor_id" % 5 =!= 1)
+      .collect().map(_.toString).sorted.toSeq
+    def nTombs() = GenIndex.readManifest(spark, dir, "t")
+      .extras.get("n_tombstones").map(_.toLong)
+    val dead = emb.filter($"vec_id" % 5 === 1 && $"vec_id" < 400)
+      .select($"vec_id")
+    VectorIndex.delete(dead, "vec_id", dir, commitId = Some("d1"))
+    assert(serve() == wantWithout && wantWithout != wantFull,
+      "delete must change the top-k or the test is weak")
+    val nt = nTombs().get
+    assert(nt == dead.count())
+    // redelivered delete (same commitId): no-op
+    VectorIndex.delete(dead, "vec_id", dir, commitId = Some("d1"))
+    assert(nTombs().get == nt)
+    // re-deleting already-dead ids under a NEW id: no-op by content
+    VectorIndex.delete(dead, "vec_id", dir, commitId = Some("d2"))
+    assert(nTombs().get == nt && serve() == wantWithout)
+    // re-appending a TOMBSTONED id refuses with the compact hint
+    // (id-level tombstones cannot express revival)
+    val ex = intercept[IllegalStateException] {
+      VectorIndex.append(emb.filter($"vec_id" % 5 === 1 && $"vec_id" < 10),
+        "vec_id", "embedding", dir)
+    }
+    assert(ex.getMessage.contains("compact"))
+    // compact PHYSICALLY purges: dead rows gone, tombstones dropped,
+    // serve unchanged
+    VectorIndex.compact(spark, dir)
+    assert(serve() == wantWithout)
+    assert(VectorIndex.currentLists(spark, dir)
+      .filter($"neighbor_id" % 5 === 1).count() == 0)
+    assert(GenIndex.readManifest(spark, dir, "t").refs("tombs").isEmpty)
+    assert(nTombs().isEmpty)
+    // post-purge the id is free again: re-append succeeds and serves
+    VectorIndex.append(emb.filter($"vec_id" % 5 === 1 && $"vec_id" < 400),
+      "vec_id", "embedding", dir)
+    assert(serve() == wantFull)
+    spark.catalog.clearCache()
+  }
+
+  test("delete survives an inline fold; retrain purges tombstones too") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = tmpDir("ivfdelfold") + "/idx"
+    VectorIndex.build(emb.filter($"vec_id" < 300), "vec_id", "embedding", dir)
+    val queries = emb.filter($"vec_id" < 8)
+    def serve() = VectorIndex
+      .topK(spark, dir, queries, "vec_id", "embedding", 3)
+      .collect().map(_.toString).sorted.toSeq
+    val dead = emb.filter($"vec_id" % 7 === 3 && $"vec_id" < 300)
+      .select($"vec_id")
+    VectorIndex.delete(dead, "vec_id", dir)
+    assert(serve().nonEmpty)
+    // appends of FRESH ids cross the fold threshold: the fold's
+    // manifest must CARRY the tombstones or the delete un-deletes
+    for (lo <- Seq(300, 350, 400, 450))
+      VectorIndex.append(
+        emb.filter($"vec_id" >= lo && $"vec_id" < lo + 50),
+        "vec_id", "embedding", dir, autoCompactFragments = 2)
+    assert(GenIndex.readManifest(spark, dir, "t").commitId
+      .startsWith("fold_"), "precondition: a fold must have happened")
+    assert(GenIndex.readManifest(spark, dir, "t").refs("tombs").nonEmpty,
+      "tombstones must survive the fold")
+    assert(VectorIndex.topK(spark, dir, queries, "vec_id", "embedding", 3)
+      .join(dead.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"), "left_semi").count() == 0,
+      "no deleted id may serve after the folds")
+    // retrain = the other physical purge: trains on live rows only,
+    // drops the tombstones
+    VectorIndex.retrain(spark, dir)
+    assert(GenIndex.readManifest(spark, dir, "t").refs("tombs").isEmpty)
+    assert(VectorIndex.currentLists(spark, dir)
+      .join(dead.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"), "left_semi").count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("append with a commitId no-ops on redelivery (at-least-once ingest)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = tmpDir("ivfidem")
