@@ -13,6 +13,7 @@ class PlanGuardSpec extends SparkTestBase {
   private val allowedCross = Set(
     "s01_cosine_topk", "s03_ivf_topk", "s04_ivf_index_topk",
     "s14_ivf_append_topk", // s04's serve shape on the appended index (≤16-row broadcast-centroid assignment)
+    "s15_ivf_delete", // s04's serve shape on the deleted index (≤16-row broadcast-centroid assignment)
     "e38_bus_vector_index", // same serve shape, fed from the bus (≤16-row broadcast-centroid assignment)
     "s05_ann_recall", // s05's exact side is the s01 baseline cross join
     "t32_cluster_profile", // broadcast-centroid assignment, ≤16-row build side
