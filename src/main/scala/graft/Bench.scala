@@ -52,7 +52,9 @@ object Bench {
   private[graft] val HeavyRows = Set(
     "e35_mg_heavy_hitters", "e36_incremental_groups",
     "e37_bus_signature_index", "e38_bus_vector_index",
-    "t71_signature_index", "t71b_signature_serve")
+    "e39_bus_text_index",
+    "t71_signature_index", "t71b_signature_serve",
+    "t72_signature_delete", "t73_text_delete", "s15_ivf_delete")
 
   /** Round-over-round drift fence (r13 verdict item 2): medians that
     * moved more than this factor vs the committed reference

@@ -98,7 +98,11 @@ object GraftExtensions {
       args => WinnowedFingerprints(args.head, intArg(args(1), "n"),
         intArg(args(2), "w"))),
     ("cms_estimate_long", "_FUNC_(sketch, key) - Count-Min point-frequency estimate for a BIGINT key",
-      args => CmsEstimateLong(args.head, args(1))))
+      args => CmsEstimateLong(args.head, args(1))),
+    ("whitespace_tokens", "_FUNC_(str) - whitespace tokens; equals split(trim(str), '\\\\s+')",
+      args => WhitespaceTokens(args.head)),
+    ("whitespace_collapse", "_FUNC_(str) - whitespace runs collapsed; equals regexp_replace(trim(str), '\\\\s+', ' ')",
+      args => WhitespaceCollapse(args.head)))
 
   private def strArg(e: Expression, name: String): String = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>

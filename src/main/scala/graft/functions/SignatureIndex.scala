@@ -394,16 +394,23 @@ object SignatureIndex {
           val dbs = del.select($"__db").distinct().as[Int].collect().toSeq
           // liveness: a doc is LIVE iff its LATEST set row has a real
           // hhd (null = already tombstoned). max(struct(...)) rather
-          // than max_by so the null payload can never be silently
+          // than max_by so the tombstone row can never be silently
           // skipped by aggregate null handling — the generation field
-          // leads, so ordering is by __gen exactly.
+          // leads, so ordering is by __gen exactly ((doc_id, __gen) is
+          // unique in sets, so the flag never breaks a tie). The
+          // struct carries only a LIVENESS FLAG, not the hhd payload:
+          // shuffling the fat hash arrays through the groupBy exchange
+          // to test nullness was pure shuffle weight (guide §2.3 —
+          // shuffle flags, not payloads; the serve path's max_by keeps
+          // the payload because verification actually needs it).
           val live = GenIndex.readBuckets(spark, indexDir,
               cur.refs("sets"), "__db", dbs, withBucketCol = false,
               SetsDDL)
             .join(del.select($"doc_id"), Seq("doc_id"), "left_semi")
             .groupBy($"doc_id")
-            .agg(max(struct($"__gen", $"hhd")).as("__m"))
-            .filter($"__m".getField("hhd").isNotNull)
+            .agg(max(struct($"__gen", $"hhd".isNotNull.as("__live")))
+              .as("__m"))
+            .filter($"__m".getField("__live"))
             .select($"doc_id")
           val tombs = live.join(del, "doc_id")
             .select($"doc_id", lit(null).cast("array<bigint>").as("hhd"),
@@ -610,12 +617,18 @@ object SignatureIndex {
     // whose LATEST row is a tombstone (null hhd, see [[delete]]) is
     // dropped here ENTIRELY — its band rows, set rows and the
     // tombstone itself all fall out of the rewrite, so compact is the
-    // physical purge. max(struct) orders by __gen (leading field) and
-    // carries the payload so null can never be skipped by aggregate
-    // null handling.
+    // physical purge. max(struct) orders by __gen (leading field,
+    // unique per doc) and carries a LIVENESS FLAG instead of the hhd
+    // payload: this aggregate runs over the WHOLE sets table, and
+    // shuffling every generation's fat hash arrays through it to test
+    // nullness made compact's first exchange corpus-payload-sized for
+    // a boolean's worth of information (guide §2.3); setsLive below
+    // re-reads the real hhd rows through the join, which is where the
+    // payload is actually needed.
     val latest = setsAll.groupBy(col("doc_id"))
-      .agg(max(struct(col("__gen"), col("hhd"))).as("__m"))
-      .filter(col("__m").getField("hhd").isNotNull)
+      .agg(max(struct(col("__gen"), col("hhd").isNotNull.as("__live")))
+        .as("__m"))
+      .filter(col("__m").getField("__live"))
       .select(col("doc_id"), col("__m").getField("__gen").as("__gl"))
       .persist()
     val nDocs = latest.count()

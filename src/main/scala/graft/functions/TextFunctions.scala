@@ -12,9 +12,18 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace-collapsed lowercase form used by fingerprints/shingles. */
-  def normalize(c: Column): Column =
-    lower(regexp_replace(trim(c), "\\s+", " "))
+  /** Whitespace-collapsed lowercase form used by fingerprints/shingles.
+    * The collapse is the fused byte-scan expression (one linear pass,
+    * no per-row regex Matcher walk — see expressions.WhitespaceCollapse),
+    * spec-pinned bit-identical to
+    * `lower(regexp_replace(trim(c), "\\s+", " "))`; `lower` stays the
+    * builtin for Unicode case-mapping correctness.
+    */
+  def normalize(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    lower(ColumnBridge.column(
+      expressions.WhitespaceCollapse(ColumnBridge.expression(trim(c)))))
+  }
 
   /** Exact-dedup document fingerprint: md5 of the normalized text. */
   def fingerprint(c: Column): Column = md5(normalize(c))
@@ -36,8 +45,18 @@ object TextFunctions {
   def unicodeFingerprint(c: Column): Column =
     fingerprint(unicodeNormalize(c, "NFC"))
 
-  /** Whitespace tokens of the raw text. */
-  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  /** Whitespace tokens of the raw text — the fused byte-scan
+    * expression (see expressions.WhitespaceTokens), spec-pinned
+    * bit-identical to `split(trim(c), "\\s+")`, whose builtin path
+    * recompiles the regex and round-trips through java.lang.String
+    * EVERY ROW. This is the scan-side workhorse of every token-shaped
+    * operator on the board.
+    */
+  def tokens(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      expressions.WhitespaceTokens(ColumnBridge.expression(c)))
+  }
 
   def tokenCount(c: Column): Column = size(tokens(c))
 

@@ -3727,7 +3727,7 @@ object LlmOps {
     (s, dir) => {
       import s.implicits._
       val toks = Tables.load(s, dir, "documents")
-        .select(split(trim($"text"), "\\s+").as("t"))
+        .select(TF.tokens($"text").as("t"))
         .filter(size($"t") >= 2)
       val edges = toks.select(explode(expr(
           "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS src, t[i+1] AS dst))")).as("e"))
@@ -4496,7 +4496,7 @@ object LlmOps {
       import s.implicits._
       val n = 8
       var words = Tables.load(s, dir, "documents")
-        .select(explode(split(trim(lower($"text")), "\\s+")).as("w"))
+        .select(explode(TF.tokens(lower($"text"))).as("w"))
         .filter($"w".rlike("^[a-z0-9]+$"))
         .select(concat(lit(" "),
           concat_ws("  ", filter(split($"w", ""), x => x =!= "")),
