@@ -1270,10 +1270,20 @@ object EventOps {
     (s, dir) => {
       import s.implicits._
       val ev = eventDays(s, dir)
-      val du = ev.select($"day", $"user_id").distinct()
+      // du feeds FOUR consumers (daily twice via dau+sketch, the
+      // anchor spine, and the exact MAU rollup); without the persist
+      // each consumer re-runs the events scan + day×user distinct —
+      // the static plan showed FIVE parquet scans of events for one
+      // query (guide §2.4: remove repeated passes outright). du is
+      // days×users, orders of magnitude smaller than events.
+      val du = ev.select($"day", $"user_id").distinct().persist()
+      // daily is itself read twice (dau spine + sketch explode): tiny
+      // (one row per day), so persist it too rather than re-aggregate
+      // du both times
       val daily = du.groupBy($"day")
         .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
           countDistinct($"user_id").as("dau"))
+        .persist()
       val anchors = daily.select($"day").distinct()
       // each day's sketch/users serve anchors day .. day+27 (equi-join
       // on the exploded anchor: rollup × 28 rows, never a theta join)
