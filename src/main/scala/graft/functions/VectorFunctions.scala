@@ -93,19 +93,37 @@ object VectorFunctions {
     }: _*)
 
   /** IVF assignment: nearest (highest-cosine) centroid per vector,
-    * deterministic ties by centroid id. Centroids broadcast — the
-    * assignment is a map-side pass over the corpus.
+    * deterministic ties by centroid id — EXACT, through the fused
+    * per-row kernel at FULL coarse probe (TwoLevelAssign with
+    * coarseProbe = #supers scores every child, which the kernel spec
+    * pins ≡ the flat formulation; TwoLevelAssignTopK likewise for
+    * nprobe > 1). The r15 formulation — crossJoin(broadcast(centroids))
+    * × cosine × row_number window — was exact too, but it materialized
+    * an (n·k)-row frame carrying a COPY OF EVERY VECTOR PER CENTROID
+    * and pushed it through a sort + WindowGroupLimit + exchange + sort
+    * just to argmax 16 numbers per row (guide §2.4: remove the shuffle
+    * outright). The kernel is one map-side pass: zero exchanges, zero
+    * vector duplication, and the (bounded, numCentroids-row) centroid
+    * frame moves to the driver once instead of broadcasting into a
+    * nested-loop join.
     */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, nprobe: Int = 1): DataFrame = {
-    val w = Window.partitionBy(col("__aid"))
-      .orderBy(col("__acos").desc, col("__cid"))
-    df.select(col(idCol).as("__aid"), col(vecCol).as("__avec"))
-      .crossJoin(broadcast(centroids.select(col("__cid"), col("__cvec"))))
-      .withColumn("__acos", cosine(col("__avec"), col("__cvec")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= nprobe)
-      .select(col("__aid"), col("__avec"), col("__cid"))
+    val (sup, cids, cvs) = superGroups(centroids)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    if (nprobe == 1) {
+      val a = ColumnBridge.column(graft.functions.expressions.TwoLevelAssign(
+        ColumnBridge.expression(col(vecCol)), sup, cids, cvs, sup.length))
+      df.select(col(idCol).as("__aid"), col(vecCol).as("__avec"),
+        a.as("__cid"))
+    } else {
+      val a = ColumnBridge.column(
+        graft.functions.expressions.TwoLevelAssignTopK(
+          ColumnBridge.expression(col(vecCol)), sup, cids, cvs, sup.length,
+          nprobe))
+      df.select(col(idCol).as("__aid"), col(vecCol).as("__avec"),
+        explode(a).as("__cid"))
+    }
   }
 
   /** Two-level IVF assignment — the coarse-quantizer fix for flat
