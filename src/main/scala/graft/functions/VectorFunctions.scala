@@ -944,6 +944,40 @@ object VectorFunctions {
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame, m: Int, subDim: Int): DataFrame = {
+    // the codebook is bounded driver data (m·codes rows — it was
+    // TRAINED driver-side from the id-ordered sample); pull it down
+    // once and encode in ONE fused map pass (expressions.PqEncode),
+    // instead of the r15 shape — posexplode into m subvector rows ×
+    // broadcast codebook join × argmin window × collect_list regroup —
+    // which pushed a corpus×(m·codes) frame through a window exchange
+    // to argmin `codes` numbers per subspace (guide §2.4). Spec-pinned
+    // bit-identical to that formulation (pqEncodeHof) on the fixture.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cbRows = codebooks.select(col("__m"), col("__code"), col("__cvec"))
+      .as[(Long, Long, Array[Float])].collect()
+    val byM = cbRows.groupBy(_._1).toSeq.sortBy(_._1)
+    require(byM.size == m, s"codebook has ${byM.size} subspaces, expected $m")
+    val cb: Array[Array[Array[Float]]] = byM.map { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      require(sorted.zipWithIndex.forall { case (r, i) => r._2 == i.toLong },
+        "codebook codes must be dense 0..codes-1 per subspace")
+      sorted.map(_._3).toArray
+    }.toArray
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val enc = ColumnBridge.column(graft.functions.expressions.PqEncode(
+      ColumnBridge.expression(col(vecCol)), cb))
+    df.select(col(idCol).as("__eid"), enc.as("__enc"))
+      .select(col("__eid"), col("__enc").getField("codes").as("__codes"),
+        col("__enc").getField("rnorm2").as("__rnorm2"))
+  }
+
+  /** The r15 DataFrame formulation of [[pqEncode]] — kept as the
+    * reference the equivalence spec pins the fused kernel against
+    * (the cosineHof pattern).
+    */
+  private[graft] def pqEncodeHof(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, subDim: Int): DataFrame = {
     val subs = df.select(col(idCol).as("__eid"),
       posexplode(array((0 until m).map(i =>
         slice(col(vecCol), i * subDim + 1, subDim)): _*)).as(Seq("__m", "__sv")))
